@@ -1,13 +1,332 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.cdc.Changefeed
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2/§7.
+  *
+  * Every `queries` entry has a matching DuckDB `oracleSql` entry unless
+  * the op is hash-/stream-based (non-SQL-expressible → rows-only check).
+  * Oracle SQL mirrors the Spark computation op-for-op (same expression
+  * association, per-row integer-cents money, scaled-integer ratios) so
+  * hashes match byte-for-byte; see SURVEY.md §6.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Changefeed.envelope(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 CDC core
+    "cdc_changefeed_rows" -> (Changefeed.changefeedRows _),
+    "cdc_classify" -> (Changefeed.classify _),
+    "cdc_envelope" -> (Changefeed.envelope _),
+    "cdc_resolved_cursor" -> (Changefeed.resolvedCursor _),
+    "cdc_cursor_store" -> (Changefeed.cursorStore _),
+    "cdc_compact" -> (Changefeed.compact _),
+    "cdc_json_extract" -> (Changefeed.jsonExtract _),
+    "cdc_queue_partition" -> (Changefeed.queuePartition _),
+    // §2.2 streaming analytics (batch twins)
+    "stream_window_agg" -> (StreamOps.windowAgg _),
+    "stream_sessionize" -> (StreamOps.sessionize _),
+    "stream_dedup_by_key" -> (StreamOps.dedupByKey _),
+    // §2.3 analytics core
+    "q1_agg" -> (Analytics.q1Agg _),
+    "q3_join_topk" -> (Analytics.q3JoinTopk _),
+    "q5_multijoin" -> (Analytics.q5MultiJoin _),
+    "q_window_topk" -> (Analytics.qWindowTopk _),
+    "q_rollup" -> (Analytics.qRollup _),
+    "q_conditional_pivot" -> (Analytics.qConditionalPivot _),
+    "q_semi_anti" -> (Analytics.qSemiAnti _),
+    // §2.4 dedup
+    "dedup_exact" -> (Dedup.exact _),
+    "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
+    "dedup_simhash" -> (Dedup.simhash _),
+    "dedup_embedding" -> (Dedup.embeddingNearDup _),
+    // §2.5 similarity search
+    "ann_bruteforce_topk" -> ((s: SparkSession, d: String) => Similarity.bruteforceTopk(s, d)),
+    "ann_lsh_topk" -> ((s: SparkSession, d: String) => Similarity.lshTopk(s, d)),
+    "knn_label_vote" -> (Similarity.knnLabelVote _),
+    // §2.6 text analysis
+    "text_tokens" -> (TextAnalysis.tokenCounts _),
+    "text_quality" -> (TextAnalysis.quality _),
+    "text_langid" -> (TextAnalysis.langId _),
+    "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    // §2.7 multimodal
+    "mm_binary_meta" -> (Multimodal.binaryMeta _),
+    "mm_decode_features" -> (Multimodal.decodeFeatures _)
+  )
+
+  // ---- shared oracle SQL fragments -------------------------------------
+
+  /** Synthetic changefeed change rows from `events` (mirrors
+    * Changefeed.changeRows). */
+  // NOTE: fragments get spliced into outer strings that are ALSO
+  // stripMargin'd — no continuation line here may start with '|'.
+  private val chCte =
+    """ch AS (
+      |  SELECT event_id, epoch_us(ts) AS sort_us, 'events' AS tbl,
+      |    '[' || CAST(event_id AS VARCHAR) || ']' AS key,
+      |    '{"after": {"event_id": ' || CAST(event_id AS VARCHAR) ||
+      |      ', "ts_us": ' || CAST(epoch_us(ts) AS VARCHAR) ||
+      |      ', "user_id": ' || CAST(user_id AS VARCHAR) ||
+      |      ', "event_type": "' || event_type ||
+      |      '", "value_cents": ' || CAST(CAST(round(value*100,0) AS BIGINT) AS VARCHAR) ||
+      |      ', "k": ' || coalesce(json_extract_string(props,'$.k'),'null') ||
+      |      '}}' AS value
+      |  FROM events)""".stripMargin
+
+  /** Synthetic resolved-cursor rows (mirrors Changefeed.resolvedRows). */
+  private val rsCte =
+    """rs AS (
+      |  SELECT DISTINCT epoch_us(date_trunc('hour', ts)) + 3600000000 AS sort_us,
+      |    CAST(NULL AS VARCHAR) AS tbl, CAST(NULL AS VARCHAR) AS key,
+      |    '{"resolved": "' || CAST(epoch_us(date_trunc('hour', ts)) + 3600000000 AS VARCHAR) ||
+      |      '.0000000000"}' AS value
+      |  FROM events)""".stripMargin
+
+  private val envelopeExpr =
+    """'{"table":"' || tbl || '","key":"' || key || '","value":' || value || '}'"""
+
+  /** Per-row integer cents (mirrors Fns.cents). */
+  private def cents(x: String) = s"CAST(round(($x)*100,0) AS BIGINT)"
+
+  /** Word tokens + 3-gram shingle set (mirrors Fns.tokens/shingles). */
+  private val shCte =
+    """d AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(list_transform(generate_series(1, greatest(len(toks)-2,1)),
+      |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      |  FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+      |        FROM documents))""".stripMargin
+
+  /** Sequential double cosine similarity in micro-units (mirrors
+    * Fns.cosine + Fns.scaled). */
+  private def cosE6(a: String, b: String) =
+    s"""CAST(round(
+       |  list_sum(list_transform(generate_series(1, len($a)), i -> $a[i]*$b[i]))
+       |  / (sqrt(list_sum(list_transform($a, v -> v*v)))
+       |     * sqrt(list_sum(list_transform($b, v -> v*v))))
+       |  * 1000000, 0) AS BIGINT)""".stripMargin
+
+  private val embBase =
+    """base AS (SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "cdc_changefeed_rows" ->
+      s"""WITH $chCte, $rsCte
+         |SELECT sort_us, tbl, key, value FROM (
+         |  SELECT sort_us, tbl, key, value FROM ch
+         |  UNION ALL SELECT sort_us, tbl, key, value FROM rs)
+         |ORDER BY sort_us, coalesce(key,'')""".stripMargin,
+
+    "cdc_classify" ->
+      s"""WITH $chCte, $rsCte,
+         |f AS (SELECT sort_us, tbl, key FROM ch UNION ALL SELECT sort_us, tbl, key FROM rs)
+         |SELECT CASE WHEN tbl IS NULL AND key IS NULL THEN 'cursor' ELSE 'change' END AS row_type,
+         |  count(*) AS n, min(sort_us) AS first_us, max(sort_us) AS last_us
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "cdc_envelope" ->
+      s"""WITH $chCte
+         |SELECT event_id, $envelopeExpr AS payload FROM ch ORDER BY event_id""".stripMargin,
+
+    "cdc_resolved_cursor" ->
+      s"""WITH $rsCte
+         |SELECT max(CAST(split_part(json_extract_string(value,'$$.resolved'),'.',1) AS BIGINT)) AS max_resolved_us,
+         |  count(*) AS n_resolved FROM rs""".stripMargin,
+
+    "cdc_cursor_store" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn FROM e)
+        |SELECT user_id, event_id AS cursor_event_id, us AS cursor_ts_us
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "cdc_compact" ->
+      s"""WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+         |  ${cents("value")} AS value_cents FROM events),
+         |r AS (SELECT *,
+         |  row_number() OVER (PARTITION BY user_id, event_type ORDER BY us DESC, event_id DESC) AS rn,
+         |  count(*) OVER (PARTITION BY user_id, event_type) AS n_versions FROM e)
+         |SELECT user_id, event_type, event_id AS last_event_id,
+         |  value_cents AS last_value_cents, CAST(n_versions AS BIGINT) AS n_versions
+         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "cdc_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |FROM events WHERE json_extract_string(props,'$.k') IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+
+    "cdc_queue_partition" ->
+      s"""WITH $chCte,
+         |p AS (SELECT event_id % 32 AS part_id,
+         |  CAST(length($envelopeExpr) AS BIGINT) AS bytes FROM ch)
+         |SELECT part_id, count(*) AS n_messages, CAST(sum(bytes) AS BIGINT) AS total_bytes
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "stream_window_agg" ->
+      s"""SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+         |  count(*) AS n, CAST(sum(${cents("value")}) AS BIGINT) AS sum_value_c
+         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "stream_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |d AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+        |s AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session FROM d),
+        |g AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM s)
+        |SELECT user_id, session_id, count(*) AS n_events, min(us) AS start_us, max(us) AS end_us
+        |FROM g GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "stream_dedup_by_key" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY us, event_id) AS rn FROM e)
+        |SELECT user_id, event_type, event_id AS first_event_id, us AS first_us
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q1_agg" ->
+      s"""WITH l AS (SELECT l_returnflag, l_linestatus,
+         |  ${cents("l_quantity")} AS qty_c,
+         |  ${cents("l_extendedprice")} AS price_c,
+         |  ${cents("l_extendedprice*(1-l_discount)")} AS disc_price_c,
+         |  ${cents("l_extendedprice*(1-l_discount)*(1+l_tax)")} AS charge_c,
+         |  ${cents("l_discount")} AS disc_c
+         |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+         |SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+         |  CAST(sum(price_c) AS BIGINT) AS sum_base_price_c,
+         |  CAST(sum(disc_price_c) AS BIGINT) AS sum_disc_price_c,
+         |  CAST(sum(charge_c) AS BIGINT) AS sum_charge_c,
+         |  CAST(round(CAST(sum(qty_c) AS DOUBLE)/count(*),0) AS BIGINT) AS avg_qty_c,
+         |  CAST(round(CAST(sum(price_c) AS DOUBLE)/count(*),0) AS BIGINT) AS avg_price_c,
+         |  CAST(round(CAST(sum(disc_c) AS DOUBLE)/count(*),0) AS BIGINT) AS avg_disc_c,
+         |  count(*) AS count_order
+         |FROM l GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q3_join_topk" ->
+      s"""SELECT l.l_orderkey, epoch_us(o.o_orderdate) AS o_orderdate_us,
+         |  CAST(sum(${cents("l.l_extendedprice*(1-l.l_discount)")}) AS BIGINT) AS revenue_c
+         |FROM customer c
+         |JOIN orders o ON c.c_custkey = o.o_custkey
+         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |WHERE c.c_mktsegment = 'BUILDING'
+         |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY 1,2 ORDER BY revenue_c DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_multijoin" ->
+      s"""SELECT n.n_name,
+         |  CAST(sum(${cents("l.l_extendedprice*(1-l.l_discount)")}) AS BIGINT) AS revenue_c,
+         |  count(*) AS n_items
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |WHERE r.r_name IN ('ASIA','EUROPE')
+         |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+         |GROUP BY 1 ORDER BY revenue_c DESC, n_name""".stripMargin,
+
+    "q_window_topk" ->
+      s"""WITH bp AS (SELECT l_suppkey, l_partkey,
+         |  CAST(sum(${cents("l_extendedprice*(1-l_discount)")}) AS BIGINT) AS revenue_c
+         |  FROM lineitem GROUP BY 1,2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY l_suppkey ORDER BY revenue_c DESC, l_partkey) AS rk FROM bp)
+         |SELECT l_suppkey, l_partkey, revenue_c, CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk <= 3 ORDER BY l_suppkey, rk""".stripMargin,
+
+    "q_rollup" ->
+      s"""SELECT coalesce(l_returnflag,'ALL') AS returnflag,
+         |  coalesce(l_linestatus,'ALL') AS linestatus,
+         |  CAST(sum(${cents("l_quantity")}) AS BIGINT) AS sum_qty_c,
+         |  CAST(sum(${cents("l_extendedprice")}) AS BIGINT) AS sum_price_c,
+         |  count(*) AS n
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY 1,2""".stripMargin,
+
+    "q_conditional_pivot" ->
+      s"""SELECT user_id,
+         |  CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         |  CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+         |  CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+         |  CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+         |  CAST(sum(CASE WHEN event_type='purchase' THEN ${cents("value")} ELSE 0 END) AS BIGINT) AS purchase_cents,
+         |  count(*) AS n_events
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_semi_anti" ->
+      """WITH ok AS (SELECT DISTINCT o_custkey FROM orders)
+        |SELECT c_nationkey,
+        |  CAST(sum(CASE WHEN ok.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+        |  CAST(sum(CASE WHEN ok.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders
+        |FROM customer c LEFT JOIN ok ON c.c_custkey = ok.o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shCte
+         |SELECT doc_a, doc_b, inter_n, union_n,
+         |  CAST(round(inter_n * 1000.0 / union_n, 0) AS BIGINT) AS jaccard_pm
+         |FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_n,
+         |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS union_n
+         |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |WHERE inter_n > 0 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH $embBase,
+         |corpus AS (SELECT * FROM base
+         |  UNION ALL SELECT vec_id + 1000000 AS vec_id, label, emb FROM base WHERE vec_id < 100)
+         |SELECT vec_a, vec_b, cos_e6 FROM (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |    ${cosE6("x.emb", "y.emb")} AS cos_e6
+         |  FROM corpus x JOIN corpus y ON x.label = y.label AND x.vec_id < y.vec_id)
+         |WHERE cos_e6 >= 950000 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "ann_bruteforce_topk" ->
+      s"""WITH $embBase,
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM base WHERE vec_id < 10),
+         |sims AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+         |    ${cosE6("q.q_emb", "b.emb")} AS cos_e6
+         |  FROM base b CROSS JOIN q WHERE b.vec_id <> q.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, neighbor_id) AS rk FROM sims)
+         |SELECT query_id, neighbor_id, cos_e6, CAST(rk AS BIGINT) AS "rank"
+         |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "text_tokens" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpeish
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(round(len(regexp_extract_all(text, '[^a-z0-9\s]')) * 1.0 / greatest(length(text),1) * 1000, 0) AS BIGINT) AS punct_pm,
+        |  CAST(round(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','it','for','on'], tk))) * 1.0 / greatest(len(toks),1) * 1000, 0) AS BIGINT) AS stopword_pm,
+        |  CAST(round(len(list_distinct(toks)) * 1.0 / greatest(len(toks),1) * 1000, 0) AS BIGINT) AS uniq_pm
+        |FROM t)
+        |SELECT *, greatest(least(stopword_pm + uniq_pm - punct_pm, 1000), 0) AS quality_pm
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS md5_hex,
+        |  base64(CAST(substr(text,1,6) AS BLOB)) AS header_b64
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

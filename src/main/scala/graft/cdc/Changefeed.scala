@@ -1,0 +1,153 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Fns._
+
+/** Batch re-expression of the reference CDC pipeline
+  * (crdb-changefeed-publisher: src/main.rs, src/model.rs).
+  *
+  * A CockroachDB core changefeed emits rows (table, key, value) where
+  *  - change rows:   key = JSON array of PK values, value = {"after": {...}}
+  *  - resolved rows: table/key NULL, value = {"resolved": "<ts>"}
+  * (reference src/main.rs:203-253). We synthesize exactly that frame from
+  * the `events` table: one change row per event, one resolved row per
+  * event-hour (the reference's `resolved = '<frequency>'` option,
+  * src/main.rs:117-126).
+  *
+  * All JSON is built by string concatenation (not to_json) and every
+  * numeric is BIGINT so the DuckDB oracle agrees byte-for-byte; doubles
+  * are converted to integer cents per row (see Fns).
+  */
+object Changefeed {
+
+  /** Micros since epoch of the event ts. */
+  private def tsUs: Column = unix_micros(col("ts"))
+
+  /** The {"after": {...}} document for one event row. */
+  private def afterJson: Column = concat(
+    lit("{\"after\": {\"event_id\": "), str(col("event_id")),
+    lit(", \"ts_us\": "), str(tsUs),
+    lit(", \"user_id\": "), str(col("user_id")),
+    lit(", \"event_type\": \""), col("event_type"),
+    lit("\", \"value_cents\": "), str(cents(col("value"))),
+    lit(", \"k\": "), coalesce(get_json_object(col("props"), "$.k"), lit("null")),
+    lit("}}"))
+
+  /** Change rows (table, key, value) — narrow projection, no shuffle. */
+  def changeRows(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir).select(
+      col("event_id"),
+      tsUs.as("sort_us"),
+      lit("events").as("tbl"),
+      concat(lit("["), str(col("event_id")), lit("]")).as("key"),
+      afterJson.as("value"))
+
+  /** Resolved-cursor rows: one per distinct event hour, stamped at the
+    * end of the hour (the changefeed's periodic resolved timestamp). */
+  def resolvedRows(spark: SparkSession, sfDir: String): DataFrame = {
+    val endOfHourUs = unix_micros(date_trunc("hour", col("ts"))) + lit(3600000000L)
+    Tables.events(spark, sfDir)
+      .select(endOfHourUs.as("sort_us")).distinct()
+      .select(
+        col("sort_us"),
+        lit(null).cast("string").as("tbl"),
+        lit(null).cast("string").as("key"),
+        concat(lit("{\"resolved\": \""), str(col("sort_us")),
+          lit(".0000000000\"}")).as("value"))
+  }
+
+  /** §2#1 the full synthetic changefeed frame, in commit order. */
+  def changefeedRows(spark: SparkSession, sfDir: String): DataFrame =
+    changeRows(spark, sfDir).drop("event_id")
+      .unionByName(resolvedRows(spark, sfDir))
+      .orderBy(col("sort_us"), coalesce(col("key"), lit("")))
+
+  /** §2#2 classify change vs resolved rows (reference src/main.rs:240-253:
+    * table IS NULL AND key IS NULL → cursor row). */
+  def classify(spark: SparkSession, sfDir: String): DataFrame =
+    changefeedRows(spark, sfDir)
+      .withColumn("row_type",
+        when(col("tbl").isNull && col("key").isNull, lit("cursor"))
+          .otherwise(lit("change")))
+      .groupBy(col("row_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("sort_us")).as("first_us"),
+        max(col("sort_us")).as("last_us"))
+      .orderBy(col("row_type"))
+
+  /** §2#3 ChangePayload envelope {"table","key","value"} published to the
+    * queue (reference src/model.rs:74-91, src/main.rs:223-231). */
+  def envelope(spark: SparkSession, sfDir: String): DataFrame =
+    changeRows(spark, sfDir).select(
+      col("event_id"),
+      concat(lit("{\"table\":\""), col("tbl"),
+        lit("\",\"key\":\""), col("key"),
+        lit("\",\"value\":"), col("value"), lit("}")).as("payload"))
+      .orderBy(col("event_id"))
+
+  /** §2#4 latest resolved cursor — what the cursor store holds after the
+    * feed drains (reference src/cursors.rs:44-57 upsert latest-wins),
+    * parsed back out of the resolved-row JSON like src/main.rs:233-238. */
+  def resolvedCursor(spark: SparkSession, sfDir: String): DataFrame =
+    resolvedRows(spark, sfDir)
+      .select(substring_index(get_json_object(col("value"), "$.resolved"), ".", 1)
+        .cast("long").as("resolved_us"))
+      .agg(max(col("resolved_us")).as("max_resolved_us"),
+        count(lit(1)).as("n_resolved"))
+
+  /** §2#5 generalized keyed cursor store: latest position per key
+    * (user_id), i.e. UPSERT latest-wins per key. */
+  def cursorStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("cursor_event_id"),
+        col("us").as("cursor_ts_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** §2#6 CDC log compaction: the materialized view a consumer of the
+    * published stream would hold — latest change per logical PK
+    * (user_id, event_type), plus how many versions it superseded. */
+  def compact(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"), cents(col("value")).as("value_cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_versions", count(lit(1)).over(
+        Window.partitionBy(col("user_id"), col("event_type"))))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("last_event_id"),
+        col("value_cents").as("last_value_cents"), col("n_versions"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** §2#7 JSON field extraction (the reference parses `{"resolved":..}` /
+    * `{"after":..}` payloads; generalized over the events.props column). */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .where(col("k").isNotNull)
+      .orderBy(col("event_id"))
+
+  /** §2#8 deterministic queue-partition assignment + per-partition publish
+    * stats (generalizes the single rabbitmq queue + messages_sent counter,
+    * reference src/queues.rs:44-64, src/metrics.rs). */
+  def queuePartition(spark: SparkSession, sfDir: String): DataFrame =
+    envelope(spark, sfDir)
+      .select(pmod(col("event_id"), lit(32L)).as("part_id"),
+        length(col("payload")).cast("long").as("bytes"))
+      .groupBy(col("part_id"))
+      .agg(count(lit(1)).as("n_messages"), sum(col("bytes")).as("total_bytes"))
+      .orderBy(col("part_id"))
+}

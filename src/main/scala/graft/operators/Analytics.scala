@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Fns._
+
+/** Analytics core — the batch query engine the CDC pipeline feeds.
+  * All money measures are per-row integer cents summed as BIGINT
+  * (deterministic + partial-agg friendly); dimension joins broadcast.
+  */
+object Analytics {
+
+  /** §2#17 TPC-H Q1-style pricing summary. Pure group-agg: map-side
+    * partial aggregation, one shuffle of ~|groups| rows. */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+    li.select(
+        col("l_returnflag"), col("l_linestatus"),
+        cents(col("l_quantity")).as("qty_c"),
+        cents(col("l_extendedprice")).as("price_c"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("disc_price_c"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("charge_c"),
+        cents(col("l_discount")).as("disc_c"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("qty_c")).as("sum_qty_c"),
+        sum(col("price_c")).as("sum_base_price_c"),
+        sum(col("disc_price_c")).as("sum_disc_price_c"),
+        sum(col("charge_c")).as("sum_charge_c"),
+        round(sum(col("qty_c")) / count(lit(1))).cast("long").as("avg_qty_c"),
+        round(sum(col("price_c")) / count(lit(1))).cast("long").as("avg_price_c"),
+        round(sum(col("disc_c")) / count(lit(1))).cast("long").as("avg_disc_c"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** §2#18 TPC-H Q3-style: segment customers ⋈ orders ⋈ lineitem,
+    * top-10 orders by revenue. customer is a dim → broadcast; the
+    * orders⋈lineitem join shuffles on orderkey (co-partitioned). */
+  def q3JoinTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+    val cust = Tables.customer(spark, sfDir)
+      .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_c"))
+    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(col("rev_c")).as("revenue_c"))
+      .select(col("l_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+        col("revenue_c"))
+      .orderBy(col("revenue_c").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** §2#19 TPC-H Q5-style 6-table star join: revenue by nation for two
+    * regions. region/nation/supplier/customer all broadcast — only the
+    * orders⋈lineitem join shuffles. */
+  def q5MultiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val reg = Tables.region(spark, sfDir)
+      .where(col("r_name").isin("ASIA", "EUROPE"))
+    val nat = Tables.nation(spark, sfDir)
+    val sup = Tables.supplier(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+             col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, sfDir).select(
+      col("l_orderkey"), col("l_suppkey"),
+      cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_c"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev_c")).as("revenue_c"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue_c").desc, col("n_name"))
+  }
+
+  /** §2#20 top-3 parts per supplier by revenue (partitioned window). */
+  def qWindowTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val byPart = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"), col("l_partkey"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_c"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("rev_c")).as("revenue_c"))
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("revenue_c").desc, col("l_partkey"))
+    byPart.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .select(col("l_suppkey"), col("l_partkey"), col("revenue_c"), col("rk"))
+      .orderBy(col("l_suppkey"), col("rk"))
+  }
+
+  /** §2#21 ROLLUP over returnflag/linestatus (hierarchical subtotals).
+    * NULL group markers coalesced to 'ALL' so cross-engine ordering of
+    * NULLs never matters. */
+  def qRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        cents(col("l_quantity")).as("qty_c"),
+        cents(col("l_extendedprice")).as("price_c"))
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("qty_c")).as("sum_qty_c"),
+        sum(col("price_c")).as("sum_price_c"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty_c"), col("sum_price_c"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** §2#22 pivot-style conditional aggregation: per-user event-type
+    * profile (single shuffle; conditional aggs are map-side partial). */
+  def qConditionalPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    def n(t: String) = sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), cents(col("value")).as("value_c"))
+      .groupBy(col("user_id"))
+      .agg(n("click"), n("view"), n("signup"), n("error"),
+        sum(when(col("event_type") === "purchase", col("value_c")).otherwise(0L))
+          .as("purchase_cents"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** §2#23 semi/anti join: per-nation counts of customers with and
+    * without orders. Distinct custkeys from orders is small → broadcast
+    * into both the semi and anti sides. */
+  def qSemiAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val ordKeys = Tables.orders(spark, sfDir).select(col("o_custkey")).distinct()
+    val withO = cust.join(broadcast(ordKeys), col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_with_orders"))
+    val withoutO = cust.join(broadcast(ordKeys), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_without_orders"))
+    withO.join(withoutO, Seq("c_nationkey"), "full_outer")
+      .select(col("c_nationkey"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+      .orderBy(col("c_nationkey"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Fns._
+
+/** Similarity search over the embeddings table (§2.5).
+  *
+  * Brute force is the exactness baseline (query set × corpus — fine
+  * because the query set is small and broadcast). The 100 TB path is
+  * `lshTopk`: corpus shuffles once on its hyperplane bucket; each query
+  * probes only its own bucket, so work scales with bucket size, not
+  * corpus size.
+  */
+object Similarity {
+
+  private def corpus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+
+  /** §2#29 exact cosine top-5 per query vector (vec_id < 10). The tiny
+    * query side is broadcast; ranking is on µ-scaled cosine so
+    * cross-engine float noise can't flip ranks. */
+  def bruteforceTopk(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val q = corpus(spark, sfDir).where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val sims = corpus(spark, sfDir).join(broadcast(q),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        scaled(cosine(col("q_emb"), col("emb")), 1000000L).as("cos_e6"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_e6").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** §2#30 LSH-bucketed approximate top-k: 8-bit random-hyperplane
+    * buckets; queries probe only their own bucket. At scale the corpus
+    * is bucketed once (one shuffle) and reused across query batches. */
+  def lshTopk(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val bucketed = corpus(spark, sfDir)
+      .withColumn("bucket", hyperplaneBucket(col("emb"), 8))
+    val q = bucketed.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("bucket"))
+    val sims = bucketed.join(broadcast(q), Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("bucket"),
+        scaled(cosine(col("q_emb"), col("emb")), 1000000L).as("cos_e6"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_e6").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** §2#31 k-NN label vote: predict each query vector's label from its
+    * 10 exact nearest neighbors' majority label. */
+  def knnLabelVote(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = corpus(spark, sfDir).where(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("label").as("actual_label"))
+    val sims = corpus(spark, sfDir).join(broadcast(q),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("actual_label"), col("label"),
+        scaled(cosine(col("q_emb"), col("emb")), 1000000L).as("cos_e6"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_e6").desc, col("label"))
+    val votes = sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .groupBy(col("query_id"), col("actual_label"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wv = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("label"))
+    votes.withColumn("vr", row_number().over(wv))
+      .where(col("vr") === 1)
+      .select(col("query_id"), col("label").cast("long").as("predicted_label"),
+        col("actual_label").cast("long").as("actual_label"),
+        when(col("label") === col("actual_label"), 1L).otherwise(0L).as("correct"))
+      .orderBy(col("query_id"))
+  }
+}

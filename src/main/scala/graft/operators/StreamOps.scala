@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Fns._
+
+/** Batch twins of the streaming analytics surface (§2.2). The same
+  * logical ops run under Structured Streaming in graft.streaming /
+  * graft.cdc; these batch forms are what the DuckDB oracle checks. */
+object StreamOps {
+
+  /** §2#13 tumbling 1-hour window aggregate per event_type — the batch
+    * equivalent of `groupBy(window($"ts","1 hour"), $"event_type")`. */
+  def windowAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(unix_micros(date_trunc("hour", col("ts"))).as("window_start_us"),
+        col("event_type"), cents(col("value")).as("value_c"))
+      .groupBy(col("window_start_us"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_value_c"))
+      .orderBy(col("window_start_us"), col("event_type"))
+
+  /** §2#14 30-minute-gap sessionization per user (lag + cumulative sum;
+    * the streaming twin uses flatMapGroupsWithState). One shuffle on
+    * user_id; both window functions share that partitioning. */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val gapUs = 1800000000L // 30 min
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(order))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(order.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** §2#15 streaming dropDuplicates semantics: first event per
+    * (user_id, event_type) in event-time order. */
+  def dedupByKey(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("first_event_id"), col("us").as("first_us"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+}

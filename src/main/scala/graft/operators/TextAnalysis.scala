@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Fns._
+
+/** Text analysis for training-data pipelines (§2.6). All narrow per-row
+  * transforms over built-in/higher-order functions — no UDFs, no
+  * shuffles except final ORDER BY. */
+object TextAnalysis {
+
+  private val stopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+  /** Tiny per-language lexicons for the langid heuristic. */
+  private val lexicons: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "fast", "slow", "small", "big"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "schnell", "klein"),
+    "fr" -> Seq("le", "la", "et", "est", "vite", "petit", "grand"),
+    "es" -> Seq("el", "la", "y", "es", "rapido", "pequeno", "grande"),
+    "zh" -> Seq("de", "shi", "he", "kuai", "xiao", "da"))
+
+  /** §2#32 token counting: whitespace tokens, distinct tokens, and
+    * BPE-ish regex tokens (letter runs / digit runs / single symbols). */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"), col("text"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast("long")
+          .as("n_bpeish"))
+      .orderBy(col("doc_id"))
+
+  /** §2#33 quality scoring: length, punctuation ratio, stopword ratio,
+    * unique-token ratio, and a composite quality score — all per-mille
+    * BIGINTs. */
+  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        scaled(size(regexp_extract_all(col("text"), lit("[^a-z0-9\\s]"), lit(0))) *
+          lit(1.0) / greatest(length(col("text")), lit(1)), 1000L).as("punct_pm"),
+        scaled(size(filter(col("toks"), t => array_contains(stopArr, t))) *
+          lit(1.0) / greatest(size(col("toks")), lit(1)), 1000L).as("stopword_pm"),
+        scaled(size(array_distinct(col("toks"))) * lit(1.0) /
+          greatest(size(col("toks")), lit(1)), 1000L).as("uniq_pm"))
+      .withColumn("quality_pm",
+        greatest(least(
+          col("stopword_pm") + col("uniq_pm") - col("punct_pm"), lit(1000L)), lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** §2#34 language ID: stopword-overlap score against 5 tiny lexicons,
+    * argmax wins (ties broken by language code). */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        tokens(col("text")).as("toks"))
+    val scoreCols: Seq[Column] = lexicons.toSeq.sortBy(_._1).map {
+      case (langCode, lex) =>
+        val lexArr = array(lex.map(lit): _*)
+        struct(
+          (size(filter(col("toks"), t => array_contains(lexArr, t))) * lit(1000) /
+            greatest(size(col("toks")), lit(1))).cast("long").as("score_pm"),
+          lit(langCode).as("lang"))
+    }
+    // argmax by (score, lang desc) via array_max over (score, lang) structs
+    base.withColumn("best", array_max(array(scoreCols: _*)))
+      .select(col("doc_id"), col("labeled_lang"),
+        col("best.lang").as("predicted_lang"),
+        col("best.score_pm").as("score_pm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** §2#35 rolling-hash document fingerprint (order-sensitive — unlike
+    * a bag-of-words hash, catches reorderings). */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        rollingFingerprint(tokens(col("text"))).as("fingerprint"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+}

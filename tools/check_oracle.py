@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL
+in DuckDB over the sf parquet tables and hash-compare against the Spark
+parquet dumps produced by graft.Verify.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, hashlib
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return repr(round(v, 9))
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    h = hashlib.sha256()
+    for row in sorted(tuple(norm(row[i]) for i in order) for row in rows):
+        h.update("\x1f".join(row).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            res = con.execute(sql)
+            o_cols = [d[0] for d in res.description]
+            o_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        try:
+            res2 = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            s_cols = [d[0] for d in res2.description]
+            s_rows = res2.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}")
+            n_fail += 1
+            continue
+        if sorted(o_cols) != sorted(s_cols):
+            print(f"FAIL {name}: cols oracle={sorted(o_cols)} spark={sorted(s_cols)}")
+            n_fail += 1
+            continue
+        if len(o_rows) != len(s_rows):
+            print(f"FAIL {name}: rows oracle={len(o_rows)} spark={len(s_rows)}")
+            n_fail += 1
+            continue
+        ho, hs = table_hash(o_cols, o_rows), table_hash(s_cols, s_rows)
+        if ho != hs:
+            print(f"FAIL {name}: hash mismatch ({len(o_rows)} rows)")
+            order_o = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
+            order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+            so = sorted(tuple(norm(r[i]) for i in order_o) for r in o_rows)
+            ss = sorted(tuple(norm(r[i]) for i in order_s) for r in s_rows)
+            shown = 0
+            for a, b in zip(so, ss):
+                if a != b and shown < 3:
+                    print(f"   oracle: {a}\n   spark : {b}")
+                    shown += 1
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(o_rows)} rows)")
+            n_pass += 1
+    # rows-only queries (no oracle)
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, name)
+        if os.path.isdir(path) and name not in oracle:
+            n = con.execute(f"SELECT count(*) FROM '{path}/*.parquet'").fetchone()[0]
+            status = "ROWS" if n > 0 else "EMPTY!"
+            print(f"{status} {name}: {n} rows (no oracle)")
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
