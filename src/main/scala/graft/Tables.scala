@@ -29,4 +29,14 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = eventsRaw(s, d)
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** The documents/embeddings test files are single small parquet files
+    * → one input split → CPU-heavy narrow transforms (shingling,
+    * hashing, similarity) would run on one core. Spread them across the
+    * cluster first. On a real 100 TB table the file splits already
+    * provide this parallelism and the repartition is a no-op choice. */
+  def documentsPar(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(s.sparkContext.defaultParallelism)
+  def embeddingsPar(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
 }

@@ -41,30 +41,22 @@ object Fns {
         sequence(lit(1), greatest(size(words) - lit(n - 1), lit(1))),
         i => array_join(slice(words, i, lit(n)), " ")))
 
-  /** MinHash signature: k minimums of per-shingle seeded xxhash64.
-    * Narrow per-row transform; signature length k is a literal so the
-    * whole thing unrolls inside codegen. */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleCol, s => xxhash64(s, i))))
+  /** Per-element seeded hash for MinHash: xxhash64(value, seed). The
+    * k-wide signature itself is built as k codegen'd `min` aggregates
+    * over exploded shingles (see Dedup.minhashLsh) — far faster than a
+    * per-row interpreted higher-order fold. */
+  def seededHash(c: Column, seed: Int): Column = xxhash64(c, lit(seed))
 
-  /** 64-bit SimHash over a token array: majority vote per bit of the
-    * per-token xxhash64, folded back into one BIGINT. Single pass over
-    * the tokens with a 64-counter array accumulator (bit positions are
-    * unrolled at plan-build time, so shifts are by literal ints). */
-  def simhash64(tokenCol: Column): Column = {
-    val hashes = transform(tokenCol, t => xxhash64(t))
-    val zeros = array((0 until 64).map(_ => lit(0L)): _*)
-    val votes = aggregate(hashes, zeros, (acc, h) =>
-      array((0 until 64).map { j =>
-        element_at(acc, j + 1) +
-          (shiftright(h, j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
-      }: _*))
+  /** Per-bit ±1 SimHash vote of a 64-bit hash column (bit j). Summed
+    * per doc as 64 codegen'd aggregates (see Dedup.simhash). */
+  def simhashVote(h: Column, j: Int): Column =
+    shiftright(h, j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)
+
+  /** Fold 64 per-bit majority-vote counters back into one BIGINT. */
+  def simhashFromVotes(vote: Int => Column): Column =
     (0 until 64).map { j =>
-      when(element_at(votes, j + 1) > lit(0L), lit(1L << j)).otherwise(lit(0L))
+      when(vote(j) > lit(0L), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
-  }
 
   /** Hamming distance between two 64-bit SimHashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -76,14 +68,13 @@ object Fns {
     aggregate(tokenCol, lit(0L), (acc, t) =>
       pmod(acc * lit(1000003L) + pmod(xxhash64(t), lit(1L << 31)), lit(1L << 31)))
 
-  /** Sequential-fold dot product of two array<double> columns.
-    * ((0+p1)+p2)+... — same association DuckDB's list_reduce uses, so
+  /** Sequential-fold dot product via the native codegen'd DotProduct
+    * expression (requires Registry.ensure(spark) once per session).
+    * ((0+p1)+p2)+... — same association DuckDB's list_sum uses, so
     * per-row results are bit-identical across engines. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
-  def norm2(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
+  def norm2(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity of two array<float>/array<double> columns
     * (cast to double first — float math differs between engines). */
@@ -94,18 +85,15 @@ object Fns {
   }
 
   /** Random-hyperplane LSH bucket for an embedding: the sign bits of
-    * `nBits` pseudo-random hyperplane projections. Hyperplane h_j
-    * component i = a deterministic pseudo-random ±1/±3 weight derived
-    * from xxhash64(i, j) — no stored model, reproducible on any
-    * cluster. */
-  def hyperplaneBucket(vec: Column, nBits: Int): Column = {
+    * `nBits` seeded-pseudo-random hyperplane projections. The weight
+    * vectors are literal arrays (seeded, no stored model — reproducible
+    * on any cluster) and each projection is one codegen'd DotProduct. */
+  def hyperplaneBucket(vec: Column, nBits: Int, dim: Int): Column = {
     val vd = vec.cast("array<double>")
     (0 until nBits).map { j =>
-      val proj = aggregate(
-        zip_with(vd, sequence(lit(0), size(vd) - 1),
-          (x, i) => x * (pmod(xxhash64(i, lit(j)), lit(7L)).cast("double") - lit(3.0d))),
-        lit(0.0d), (acc, x) => acc + x)
-      when(proj >= lit(0.0d), lit(1L << j)).otherwise(lit(0L))
+      val rnd = new scala.util.Random(2654435761L * (j + 1))
+      val w = typedLit(Seq.fill(dim)(rnd.nextGaussian()))
+      when(dot(vd, w) >= lit(0.0d), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
   }
 }

@@ -1,0 +1,14 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** Registers graft's native Catalyst expressions as SQL functions so
+  * they're reachable through the fully-public `call_function` API (and
+  * from spark.sql). Idempotent — call before building a plan that
+  * needs them. */
+object Registry {
+  def ensure(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+  }
+}

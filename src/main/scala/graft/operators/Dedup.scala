@@ -16,7 +16,7 @@ object Dedup {
   /** §2#24 exact dedup via md5(text) hash-groupBy: canonical doc per
     * content hash + duplicate count. */
   def exact(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    Tables.documentsPar(spark, sfDir)
       .select(md5(col("text")).as("content_hash"), col("doc_id"))
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("n_dups"))
@@ -24,25 +24,31 @@ object Dedup {
 
   /** Documents with word-token arrays and 3-gram shingle sets. */
   private def docShingles(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    Tables.documentsPar(spark, sfDir)
       .select(col("doc_id"), col("source"),
         shingles(tokens(col("text")), 3).as("sh"))
 
-  /** §2#25 n-gram Jaccard candidate pairs: same-source pairs sharing at
-    * least one 3-gram shingle, with exact intersection/union sizes.
-    * Candidate scope is the source bucket (the blocking key), so the
-    * join is bucket-local, not a corpus cross-join. */
+  /** §2#25 n-gram Jaccard candidate pairs via a set-similarity join:
+    * explode shingles, join same-source docs on equal shingles, count
+    * matches per pair (= exact |A∩B| since shingle sets are distinct),
+    * then |A∪B| = |A|+|B|−|A∩B|. The shuffle key is (source, shingle),
+    * so work scales with shingle collisions — never a doc×doc
+    * cross-join, and the whole thing is codegen'd (no per-pair
+    * interpreted set ops). */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val a = docShingles(spark, sfDir)
-      .select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = docShingles(spark, sfDir)
-      .select(col("source"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("source"))
+    val ex = docShingles(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(col("sh")).cast("long").as("n_sh"), explode(col("sh")).as("s"))
+    val a = ex.select(col("source"), col("s"),
+      col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
+    val b = ex.select(col("source"), col("s"),
+      col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
+    a.join(b, Seq("source", "s"))
       .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter_n"),
-        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("union_n"))
-      .where(col("inter_n") > 0)
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter_n"))
+      .select(col("doc_a"), col("doc_b"), col("inter_n"),
+        (col("n_a") + col("n_b") - col("inter_n")).as("union_n"))
       .withColumn("jaccard_pm",
         round(col("inter_n") * lit(1000.0) / col("union_n")).cast("long"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -52,7 +58,7 @@ object Dedup {
     * dropped) — derived deterministically from the data so the
     * MinHash/SimHash machinery has guaranteed positives to find. */
   private def corpusWithPlants(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables.documents(spark, sfDir)
+    val base = Tables.documentsPar(spark, sfDir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val plants = base
       .where(col("doc_id") % 10 === 0)
@@ -62,14 +68,19 @@ object Dedup {
   }
 
   /** §2#26 MinHash + banded LSH near-dup detection: 96-hash signatures,
-    * 32 bands × 3 rows. Narrow signature transform → explode to
-    * (band, bandhash, doc_id) → shuffle on the band bucket → in-bucket
-    * pair-join → signature-estimated Jaccard ≥ 0.5. */
+    * 32 bands × 3 rows. Signatures are built as 96 codegen'd `min`
+    * aggregates over exploded shingles (map-side partial, one shuffle
+    * on doc_id) → band rows (band, bandhash, doc_id) → shuffle on the
+    * band bucket → in-bucket pair-join → signature-estimated
+    * Jaccard ≥ 0.5. */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val k = 96; val bands = 32; val rows = k / bands
-    val sigs = corpusWithPlants(spark, sfDir)
-      .select(col("doc_id"),
-        minhashSignature(shingles(col("toks"), 3), k).as("sig"))
+    val ex = corpusWithPlants(spark, sfDir)
+      .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("s"))
+    val minAggs = (0 until k).map(i => min(seededHash(col("s"), i)).as(s"m$i"))
+    val sigs = ex.groupBy(col("doc_id"))
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
       .cache()
     val banded = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -91,12 +102,18 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** §2#27 SimHash near-dup: 64-bit signatures, Hamming distance ≤ 8
-    * within same-source blocks + the planted duplicates. */
+  /** §2#27 SimHash near-dup: 64-bit signatures (64 codegen'd per-bit
+    * vote-sum aggregates over exploded token hashes), Hamming
+    * distance ≤ 8 between a doc and its planted variant block. */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigs = corpusWithPlants(spark, sfDir)
+    val hashes = corpusWithPlants(spark, sfDir)
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val voteAggs = (0 until 64).map(j => sum(simhashVote(col("h"), j)).as(s"b$j"))
+    val sigs = hashes.groupBy(col("doc_id"))
+      .agg(voteAggs.head, voteAggs.tail: _*)
       .select(col("doc_id"), (col("doc_id") % 1000000L).as("block"),
-        simhash64(col("toks")).as("sig"))
+        simhashFromVotes(j => col(s"b$j")).as("sig"))
     sigs.as("x").join(sigs.as("y"),
         col("x.block") === col("y.block") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -109,15 +126,19 @@ object Dedup {
     * copies of vec_id<100 (vec_id+1000000); pairs with cos ≥ 0.95 within
     * the same label block (blocking key → no corpus cross-join). */
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables.embeddings(spark, sfDir)
+    graft.functions.Registry.ensure(spark)
+    val base = Tables.embeddingsPar(spark, sfDir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
     val plants = base.where(col("vec_id") < 100)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("label"), col("emb"))
-    val corpus = base.unionByName(plants)
+    // per-vector norm computed once, not per pair (same FP ops as the
+    // oracle's dot/(sqrt(aa)*sqrt(bb)) — just hoisted)
+    val corpus = base.unionByName(plants).withColumn("nrm", norm2(col("emb")))
     corpus.as("x").join(corpus.as("y"),
         col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        scaled(cosine(col("x.emb"), col("y.emb")), 1000000L).as("cos_e6"))
+        scaled(dot(col("x.emb"), col("y.emb")) / (col("x.nrm") * col("y.nrm")),
+          1000000L).as("cos_e6"))
       .where(col("cos_e6") >= 950000L)
       .orderBy(col("vec_a"), col("vec_b"))
   }

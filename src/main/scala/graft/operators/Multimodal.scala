@@ -16,7 +16,7 @@ object Multimodal {
     * sniff. The blob is derived from `text` (utf-8 bytes) — at scale
     * this column would come straight from parquet BINARY pages. */
   def binaryMeta(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    Tables.documentsPar(spark, sfDir)
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
       .select(col("doc_id"),
         length(col("blob")).cast("long").as("n_bytes"),
@@ -44,7 +44,7 @@ object Multimodal {
     * of mapInPandas batch shape in PySpark). */
   def decodeFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
+    Tables.documentsPar(spark, sfDir)
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>

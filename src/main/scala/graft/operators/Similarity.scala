@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -16,21 +16,30 @@ import graft.functions.Fns._
   */
 object Similarity {
 
-  private def corpus(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.embeddings(spark, sfDir)
+  /** Corpus with per-vector norm precomputed once (the pairwise cosine
+    * then costs exactly one codegen'd DotProduct + one divide). */
+  private def corpus(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.Registry.ensure(spark)
+    Tables.embeddingsPar(spark, sfDir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", norm2(col("emb")))
+  }
+
+  private def cosPre(aEmb: Column, aNrm: Column, bEmb: Column, bNrm: Column): Column =
+    scaled(dot(aEmb, bEmb) / (aNrm * bNrm), 1000000L)
 
   /** §2#29 exact cosine top-5 per query vector (vec_id < 10). The tiny
     * query side is broadcast; ranking is on µ-scaled cosine so
     * cross-engine float noise can't flip ranks. */
   def bruteforceTopk(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
     val q = corpus(spark, sfDir).where(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
     val sims = corpus(spark, sfDir).join(broadcast(q),
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        scaled(cosine(col("q_emb"), col("emb")), 1000000L).as("cos_e6"))
+        cosPre(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("cos_e6"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_e6").desc, col("neighbor_id"))
     sims.withColumn("rank", row_number().over(w).cast("long"))
@@ -43,13 +52,14 @@ object Similarity {
     * is bucketed once (one shuffle) and reused across query batches. */
   def lshTopk(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
     val bucketed = corpus(spark, sfDir)
-      .withColumn("bucket", hyperplaneBucket(col("emb"), 8))
+      .withColumn("bucket", hyperplaneBucket(col("emb"), 8, 64))
     val q = bucketed.where(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("bucket"))
     val sims = bucketed.join(broadcast(q), Seq("bucket"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("bucket"),
-        scaled(cosine(col("q_emb"), col("emb")), 1000000L).as("cos_e6"))
+        cosPre(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("cos_e6"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_e6").desc, col("neighbor_id"))
     sims.withColumn("rank", row_number().over(w).cast("long"))
@@ -62,11 +72,11 @@ object Similarity {
   def knnLabelVote(spark: SparkSession, sfDir: String): DataFrame = {
     val q = corpus(spark, sfDir).where(col("vec_id") < 50)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
-        col("label").as("actual_label"))
+        col("nrm").as("q_nrm"), col("label").as("actual_label"))
     val sims = corpus(spark, sfDir).join(broadcast(q),
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("actual_label"), col("label"),
-        scaled(cosine(col("q_emb"), col("emb")), 1000000L).as("cos_e6"))
+        cosPre(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("cos_e6"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_e6").desc, col("label"))
     val votes = sims.withColumn("rank", row_number().over(w))

@@ -24,7 +24,7 @@ object TextAnalysis {
   /** §2#32 token counting: whitespace tokens, distinct tokens, and
     * BPE-ish regex tokens (letter runs / digit runs / single symbols). */
   def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    Tables.documentsPar(spark, sfDir)
       .select(col("doc_id"), tokens(col("text")).as("toks"), col("text"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
@@ -39,7 +39,7 @@ object TextAnalysis {
     * BIGINTs. */
   def quality(spark: SparkSession, sfDir: String): DataFrame = {
     val stopArr = array(stopwords.map(lit): _*)
-    Tables.documents(spark, sfDir)
+    Tables.documentsPar(spark, sfDir)
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
@@ -59,7 +59,7 @@ object TextAnalysis {
   /** §2#34 language ID: stopword-overlap score against 5 tiny lexicons,
     * argmax wins (ties broken by language code). */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables.documents(spark, sfDir)
+    val base = Tables.documentsPar(spark, sfDir)
       .select(col("doc_id"), col("lang").as("labeled_lang"),
         tokens(col("text")).as("toks"))
     val scoreCols: Seq[Column] = lexicons.toSeq.sortBy(_._1).map {
@@ -81,7 +81,7 @@ object TextAnalysis {
   /** §2#35 rolling-hash document fingerprint (order-sensitive — unlike
     * a bag-of-words hash, catches reorderings). */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    Tables.documentsPar(spark, sfDir)
       .select(col("doc_id"),
         rollingFingerprint(tokens(col("text"))).as("fingerprint"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
