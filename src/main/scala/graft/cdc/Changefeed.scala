@@ -26,6 +26,19 @@ object Changefeed {
   /** Micros since epoch of the event ts. */
   private def tsUs: Column = unix_micros(col("ts"))
 
+  /** The published envelope for one change row — exactly the
+    * reference's serialized ChangePayload (src/model.rs:74-91). */
+  def payloadCol: Column = concat(
+    lit("{\"table\":\""), col("tbl"),
+    lit("\",\"key\":\""), col("key"),
+    lit("\",\"value\":"), col("value"), lit("}"))
+
+  /** Resolved timestamp (µs) parsed out of a resolved-row value,
+    * mirroring the reference's JsonCursor parse (src/main.rs:233-238). */
+  def resolvedUsCol: Column =
+    substring_index(get_json_object(col("value"), "$.resolved"), ".", 1)
+      .cast("long")
+
   /** The {"after": {...}} document for one event row. */
   private def afterJson: Column = concat(
     lit("{\"after\": {\"event_id\": "), str(col("event_id")),
@@ -36,21 +49,27 @@ object Changefeed {
     lit(", \"k\": "), coalesce(get_json_object(col("props"), "$.k"), lit("null")),
     lit("}}"))
 
-  /** Change rows (table, key, value) — narrow projection, no shuffle. */
-  def changeRows(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir).select(
+  /** Change rows (table, key, value) from any events frame (batch or
+    * streaming) — narrow projection, no shuffle. */
+  def changeRowsFrom(events: DataFrame): DataFrame =
+    events.select(
       col("event_id"),
       tsUs.as("sort_us"),
       lit("events").as("tbl"),
       concat(lit("["), str(col("event_id")), lit("]")).as("key"),
       afterJson.as("value"))
 
-  /** Resolved-cursor rows: one per distinct event hour, stamped at the
-    * end of the hour (the changefeed's periodic resolved timestamp). */
-  def resolvedRows(spark: SparkSession, sfDir: String): DataFrame = {
+  def changeRows(spark: SparkSession, sfDir: String): DataFrame =
+    changeRowsFrom(Tables.events(spark, sfDir))
+
+  /** Resolved-cursor rows, one per event hour end (the changefeed's
+    * periodic resolved timestamp). `dedup=false` keeps this usable on
+    * streaming frames (duplicates are harmless there — the cursor
+    * commit takes max per micro-batch). */
+  def resolvedRowsFrom(events: DataFrame, dedup: Boolean = true): DataFrame = {
     val endOfHourUs = unix_micros(date_trunc("hour", col("ts"))) + lit(3600000000L)
-    Tables.events(spark, sfDir)
-      .select(endOfHourUs.as("sort_us")).distinct()
+    val hours = events.select(endOfHourUs.as("sort_us"))
+    (if (dedup) hours.distinct() else hours)
       .select(
         col("sort_us"),
         lit(null).cast("string").as("tbl"),
@@ -58,6 +77,15 @@ object Changefeed {
         concat(lit("{\"resolved\": \""), str(col("sort_us")),
           lit(".0000000000\"}")).as("value"))
   }
+
+  def resolvedRows(spark: SparkSession, sfDir: String): DataFrame =
+    resolvedRowsFrom(Tables.events(spark, sfDir))
+
+  /** Streaming changefeed frame (change + resolved rows, no global
+    * sort — commit order is per-micro-batch) from any events frame. */
+  def changefeedFrameFrom(events: DataFrame): DataFrame =
+    changeRowsFrom(events).drop("event_id")
+      .unionByName(resolvedRowsFrom(events, dedup = false))
 
   /** §2#1 the full synthetic changefeed frame, in commit order. */
   def changefeedRows(spark: SparkSession, sfDir: String): DataFrame =

@@ -1,0 +1,98 @@
+package graft.cdc
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.util.LongAccumulator
+
+/** InvalidCursor — the stored cursor predates the source's retention
+  * floor, the moral equivalent of CockroachDB's "batch timestamp must
+  * be after replica GC threshold" error (reference src/main.rs:180-198). */
+class InvalidCursorException(msg: String) extends RuntimeException(msg)
+
+/** Structured-Streaming re-expression of the reference's changefeed
+  * processing loop (src/main.rs:117-253):
+  *
+  *   1. read the stored cursor; resume the feed after it,
+  *   2. per micro-batch: change rows → ChangePayload envelope →
+  *      publish to the MessageQueue from executor tasks,
+  *   3. resolved rows → max resolved timestamp → cursor-store upsert
+  *      (driver side, one value per batch),
+  *   4. a cursor older than the retention floor raises InvalidCursor;
+  *      `startWithRetry` drops it and restarts from scratch — exactly
+  *      the reference's ignore_cursor retry.
+  *
+  * Scale: classify/envelope are narrow maps; publish parallelism =
+  * partition count; the only global step is a one-value max aggregate.
+  * Cursor commit happens after the batch's publishes, so the pipeline
+  * is at-least-once into the queue (same semantics as the reference).
+  */
+class ChangefeedPipeline(
+    queue: MessageQueue,
+    cursorStore: CursorStore,
+    checkpointDir: String,
+    gcFloorUs: Option[Long] = None) extends Serializable {
+
+  /** rabbitmq_messages_sent equivalent (reference src/metrics.rs). */
+  @volatile var messagesSent: LongAccumulator = _
+
+  private def resumeFrom(frame: DataFrame, ignoreCursor: Boolean): DataFrame =
+    (if (ignoreCursor) None else cursorStore.get().map(_.toLong)) match {
+      case Some(c) =>
+        gcFloorUs.filter(c < _).foreach { floor =>
+          throw new InvalidCursorException(
+            s"cursor $c must be after replica GC threshold $floor")
+        }
+        frame.where(col("sort_us") > c)
+      case None => frame
+    }
+
+  /** Start the pipeline on a streaming changefeed frame
+    * (columns: sort_us, tbl, key, value). */
+  def start(spark: SparkSession, frame: DataFrame,
+      ignoreCursor: Boolean = false): StreamingQuery = {
+    messagesSent = spark.sparkContext.longAccumulator("graft.messages_sent")
+    val acc = messagesSent
+    val q = queue
+    val store = cursorStore
+    resumeFrom(frame, ignoreCursor).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val payloads = batch.where(col("tbl").isNotNull)
+          .select(Changefeed.payloadCol.as("payload"))
+        payloads.foreachPartition { (it: Iterator[Row]) =>
+          it.foreach { r =>
+            q.publish(r.getString(0).getBytes("UTF-8"))
+            acc.add(1L)
+          }
+        }
+        val maxResolved = batch
+          .where(col("tbl").isNull && col("key").isNull)
+          .agg(max(Changefeed.resolvedUsCol)).collect()(0)
+        if (!maxResolved.isNullAt(0)) store.set(maxResolved.getLong(0).toString)
+        ()
+      }
+      .start()
+  }
+
+  /** Reference retry loop (src/main.rs:140-198): an invalid cursor is
+    * ignored and the feed restarts without it. */
+  def startWithRetry(spark: SparkSession, frame: DataFrame): StreamingQuery =
+    try start(spark, frame)
+    catch {
+      case _: InvalidCursorException => start(spark, frame, ignoreCursor = true)
+    }
+}
+
+object ChangefeedPipeline {
+  /** Publish a batch of payload rows to a FileQueue: one atomic JSONL
+    * file per (batch, partition) → idempotent, effectively-once. */
+  def publishToFileQueue(payloads: DataFrame, batchId: Long, fq: FileQueue): Unit =
+    payloads.foreachPartition { (it: Iterator[Row]) =>
+      val w = fq.writerFor(batchId, TaskContext.getPartitionId())
+      it.foreach(r => w.write(r.getString(0)))
+      w.commit()
+      ()
+    }
+}

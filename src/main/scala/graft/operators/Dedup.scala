@@ -54,16 +54,17 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Corpus + planted near-duplicates (doc_id+1000000, last 6 words
-    * dropped) — derived deterministically from the data so the
-    * MinHash/SimHash machinery has guaranteed positives to find. */
+  /** Corpus + planted near-duplicates (doc_id+1000000, last 3 words
+    * dropped → shingle Jaccard ≥ ~0.85 even for the shortest docs) —
+    * derived deterministically from the data so the MinHash/SimHash
+    * machinery has guaranteed positives to find. */
   private def corpusWithPlants(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables.documentsPar(spark, sfDir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val plants = base
       .where(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
-        slice(col("toks"), lit(1), greatest(size(col("toks")) - 6, lit(1))).as("toks"))
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 3, lit(1))).as("toks"))
     base.unionByName(plants)
   }
 

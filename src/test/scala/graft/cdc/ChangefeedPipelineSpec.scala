@@ -1,0 +1,98 @@
+package graft.cdc
+
+import java.nio.file.Files
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Case class mirroring the events schema for MemoryStream input. */
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+class ChangefeedPipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ev(id: Long, us: Long): Ev =
+    Ev(id, new java.sql.Timestamp(us / 1000), id % 7, "click", 1.25, s"""{"k": $id}""")
+
+  private def ckpt(): String =
+    Files.createTempDirectory("graft-ckpt").toString
+
+  test("pipeline publishes envelopes and commits the resolved cursor") {
+    val qname = "t-publish"
+    InMemoryQueue.clear(qname)
+    val store = new FileCursorStore(
+      Files.createTempDirectory("graft-cur").resolve("cursor").toString)
+    val pipeline = new ChangefeedPipeline(new InMemoryQueue(qname), store, ckpt())
+
+    val in = MemoryStream[Ev](1, spark, None)
+    val hourUs = 3600000000L
+    in.addData(ev(1, hourUs + 1), ev(2, hourUs + 2), ev(3, 2 * hourUs + 1))
+    val q = pipeline.start(spark, Changefeed.changefeedFrameFrom(in.toDF()))
+    q.processAllAvailable(); q.stop()
+
+    val msgs = InMemoryQueue.messages(qname)
+    assert(msgs.size === 3)
+    // exact envelope shape from the reference README / model.rs
+    val m1 = msgs.find(_.contains("\"key\":\"[1]\"")).get
+    assert(m1.startsWith("""{"table":"events","key":"[1]","value":{"after": {"event_id": 1"""))
+    assert(m1.contains(""""value_cents": 125"""))
+    assert(pipeline.messagesSent.value === 3L)
+    // resolved cursor = end of the max event hour (3h boundary)
+    assert(store.get() === Some((3 * hourUs).toString))
+  }
+
+  test("restart resumes after the stored cursor (skips already-published rows)") {
+    val qname = "t-resume"
+    InMemoryQueue.clear(qname)
+    val store = new InMemoryCursorStore("t-resume")
+    val hourUs = 3600000000L
+    store.set((2 * hourUs).toString) // everything in hours 1-2 already done
+
+    val pipeline = new ChangefeedPipeline(new InMemoryQueue(qname), store, ckpt())
+    val in = MemoryStream[Ev](2, spark, None)
+    in.addData(ev(1, hourUs + 1000), ev(2, 2 * hourUs + 5000), ev(3, 2 * hourUs + 7000))
+    val q = pipeline.start(spark, Changefeed.changefeedFrameFrom(in.toDF()))
+    q.processAllAvailable(); q.stop()
+
+    val msgs = InMemoryQueue.messages(qname)
+    assert(msgs.size === 2) // event 1 (hour 1) skipped
+    assert(!msgs.exists(_.contains("\"key\":\"[1]\"")))
+  }
+
+  test("a cursor behind the GC floor is dropped and the feed restarts from scratch") {
+    val qname = "t-gc"
+    InMemoryQueue.clear(qname)
+    val store = new InMemoryCursorStore("t-gc")
+    store.set("5") // ancient cursor
+    val pipeline = new ChangefeedPipeline(new InMemoryQueue(qname), store, ckpt(),
+      gcFloorUs = Some(1000000L))
+
+    val in = MemoryStream[Ev](3, spark, None)
+    in.addData(ev(1, 3600000000L + 1))
+    intercept[InvalidCursorException] {
+      pipeline.start(spark, Changefeed.changefeedFrameFrom(in.toDF()))
+    }
+    val q = pipeline.startWithRetry(spark, Changefeed.changefeedFrameFrom(in.toDF()))
+    q.processAllAvailable(); q.stop()
+    assert(InMemoryQueue.messages(qname).size === 1)
+  }
+
+  test("file queue writes idempotent per-batch JSONL; cursor store survives restart") {
+    val dir = Files.createTempDirectory("graft-fq").toString
+    val fq = new FileQueue(dir)
+    val payloads = Seq("{\"a\":1}", "{\"a\":2}", "{\"a\":3}").toDF("payload")
+    ChangefeedPipeline.publishToFileQueue(payloads, 7L, fq)
+    ChangefeedPipeline.publishToFileQueue(payloads, 7L, fq) // re-run same batch
+    import scala.jdk.CollectionConverters._
+    val lines = Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .flatMap(p => Files.readAllLines(p).asScala).toSeq
+    assert(lines.sorted === Seq("{\"a\":1}", "{\"a\":2}", "{\"a\":3}"))
+
+    val curPath = Files.createTempDirectory("graft-cur2").resolve("c").toString
+    val s1 = new FileCursorStore(curPath)
+    assert(s1.get() === None)
+    s1.set("12345")
+    val s2 = new FileCursorStore(curPath) // "restart"
+    assert(s2.get() === Some("12345"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class OperatorSpec extends SparkSuite {
+
+  test("dedup_minhash_lsh finds every planted near-duplicate") {
+    val pairs = Dedup.minhashLsh(spark, sf)
+      .where(col("doc_b") >= 1000000L).collect()
+    // plants are doc_id%10==0 with 6 words dropped → high Jaccard;
+    // every plant must be caught alongside its original
+    val caught = pairs.map(r => r.getLong(1) - 1000000L).toSet
+    val planted = graft.Tables.documents(spark, sf)
+      .where(col("doc_id") % 10 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(planted.subsetOf(caught ++ pairs.map(_.getLong(0))))
+    assert(pairs.forall(_.getLong(2) >= 500L))
+  }
+
+  test("dedup_simhash: planted variants within hamming 8 of originals") {
+    val pairs = Dedup.simhash(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getLong(1) === r.getLong(0) + 1000000L))
+    assert(pairs.forall(_.getLong(2) <= 8L))
+  }
+
+  test("dedup_embedding: exact copies rank at cosine 1.0") {
+    val pairs = Dedup.embeddingNearDup(spark, sf).collect()
+    val copies = pairs.filter(r => r.getLong(1) === r.getLong(0) + 1000000L)
+    assert(copies.length === 100)
+    assert(copies.forall(_.getLong(2) === 1000000L))
+  }
+
+  test("ann brute-force topk: 5 ranked neighbors per query, sims descending") {
+    val rows = Similarity.bruteforceTopk(spark, sf).collect()
+    assert(rows.length === 50) // 10 queries × 5
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getLong(3))
+      assert(byRank.map(_.getLong(3)).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+      val sims = byRank.map(_.getLong(2)).toSeq
+      assert(sims === sims.sorted.reverse)
+    }
+  }
+
+  test("ann lsh topk returns subsets of each query's bucket with valid ranks") {
+    val rows = Similarity.lshTopk(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.map(_.getLong(4)).distinct.length === rs.length)
+    }
+  }
+
+  test("text fingerprint is deterministic and order-sensitive") {
+    val a = TextAnalysis.fingerprint(spark, sf).collect()
+    val b = TextAnalysis.fingerprint(spark, sf).collect()
+    assert(a.map(_.getLong(1)).toSeq === b.map(_.getLong(1)).toSeq)
+    // rolling hash over different docs should essentially never collide
+    assert(a.map(_.getLong(1)).distinct.length > a.length / 2)
+  }
+
+  test("langid picks the argmax lexicon score") {
+    val rows = TextAnalysis.langId(spark, sf).collect()
+    assert(rows.length === 500)
+    assert(rows.forall(r => Set("de", "en", "es", "fr", "zh")(r.getString(2))))
+  }
+
+  test("multimodal decode emits one feature row per doc with stub dims") {
+    val rows = Multimodal.decodeFeatures(spark, sf).collect()
+    assert(rows.length === 500)
+    assert(rows.forall { r =>
+      val w = r.getInt(1); val h = r.getInt(2); val f = r.getInt(3)
+      w >= 64 && w < 128 && h >= 64 && h < 128 && f >= 1 && f <= 8
+    })
+  }
+
+  test("knn label vote emits one prediction per query") {
+    val rows = Similarity.knnLabelVote(spark, sf).collect()
+    assert(rows.length === 50)
+    assert(rows.forall(r => r.getLong(3) == 0L || r.getLong(3) == 1L))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.nio.file.Files
+import graft.SparkSuite
+import graft.cdc.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** §2#16: a real watermarked windowed aggregation running under a
+  * StreamingQuery (the streaming twin of StreamOps.windowAgg). */
+class StreamingAggSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("watermarked 1-hour windowed count/sum under a streaming query") {
+    val in = MemoryStream[Ev](10, spark, None)
+    val hourMs = 3600000L
+    def ev(id: Long, ms: Long, typ: String, v: Double) =
+      Ev(id, new java.sql.Timestamp(ms), id, typ, v, "{}")
+
+    in.addData(
+      ev(1, hourMs + 1, "click", 1.0),
+      ev(2, hourMs + 2, "click", 2.0),
+      ev(3, 2 * hourMs + 1, "view", 3.0))
+
+    val agg = in.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("winagg")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt-agg").toString)
+      .start()
+    q.processAllAvailable()
+
+    val out = spark.table("winagg")
+      .select(col("event_type"), col("n"), col("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(out === Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+  }
+
+  test("streaming dropDuplicates matches the batch dedup-by-key semantics") {
+    val in = MemoryStream[Ev](11, spark, None)
+    def ev(id: Long, user: Long, typ: String) =
+      Ev(id, new java.sql.Timestamp(1000L * id), user, typ, 1.0, "{}")
+    in.addData(ev(1, 1, "click"), ev(2, 1, "click"), ev(3, 1, "view"), ev(4, 2, "click"))
+
+    val q = in.toDF()
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedupkey")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt-dd").toString)
+      .start()
+    q.processAllAvailable()
+    val out = spark.table("dedupkey").select("event_id").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(out === Set(1L, 3L, 4L))
+  }
+}
