@@ -36,17 +36,21 @@ object Dedup {
     * cross-join, and the whole thing is codegen'd (no per-pair
     * interpreted set ops). */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    // single shingle evaluation: explode once and cache the (small)
+    // exploded frame — it feeds both join sides and the per-doc set
+    // sizes, and would otherwise be recomputed for each
     val ex = docShingles(spark, sfDir)
-      .select(col("doc_id"), col("source"),
-        size(col("sh")).cast("long").as("n_sh"), explode(col("sh")).as("s"))
-    val a = ex.select(col("source"), col("s"),
-      col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
-    val b = ex.select(col("source"), col("s"),
-      col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
+      .select(col("doc_id"), col("source"), explode(col("sh")).as("s"))
+      .cache()
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = ex.select(col("source"), col("s"), col("doc_id").as("doc_a"))
+    val b = ex.select(col("source"), col("s"), col("doc_id").as("doc_b"))
     a.join(b, Seq("source", "s"))
       .where(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter_n"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"))), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("inter_n"),
         (col("n_a") + col("n_b") - col("inter_n")).as("union_n"))
       .withColumn("jaccard_pm",
@@ -76,9 +80,12 @@ object Dedup {
     * Jaccard ≥ 0.5. */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val k = 96; val bands = 32; val rows = k / bands
+    // hash each shingle string ONCE, then derive the k seeded hashes
+    // from the 8-byte base hash (k fixed-width hashes ≪ k string hashes)
     val ex = corpusWithPlants(spark, sfDir)
       .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("s"))
-    val minAggs = (0 until k).map(i => min(seededHash(col("s"), i)).as(s"m$i"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h0"))
+    val minAggs = (0 until k).map(i => min(seededHash(col("h0"), i)).as(s"m$i"))
     val sigs = ex.groupBy(col("doc_id"))
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
