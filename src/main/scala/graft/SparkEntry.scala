@@ -40,6 +40,10 @@ object SparkEntry {
     "q_rollup" -> (Analytics.qRollup _),
     "q_conditional_pivot" -> (Analytics.qConditionalPivot _),
     "q_semi_anti" -> (Analytics.qSemiAnti _),
+    "q_asof_join" -> (Temporal.asofJoin _),
+    "q_range_join" -> (Temporal.rangeJoin _),
+    "q_quantiles" -> (Analytics.qQuantiles _),
+    "q_approx_distinct" -> (Analytics.qApproxDistinct _),
     // §2.4 dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -267,6 +271,35 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN ok.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders
         |FROM customer c LEFT JOIN ok ON c.c_custkey = ok.o_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |  FROM events WHERE event_type IN ('click','purchase')),
+        |w AS (SELECT *,
+        |  last_value(CASE WHEN event_type='click' THEN event_id END IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_id,
+        |  last_value(CASE WHEN event_type='click' THEN us END IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+        | FROM ev)
+        |SELECT user_id, event_id AS purchase_id, us AS purchase_us,
+        |  last_click_id, last_click_us, us - last_click_us AS gap_us
+        |FROM w WHERE event_type='purchase' AND last_click_id IS NOT NULL
+        |ORDER BY purchase_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events)
+        |SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        |  abs(b.us - a.us) AS gap_us
+        |FROM ev a JOIN ev b ON a.user_id = b.user_id
+        |  AND a.event_id < b.event_id AND abs(b.us - a.us) <= 300000000
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  CAST(round(quantile_cont(l_extendedprice, 0.5)*100, 0) AS BIGINT) AS p50_price_c,
+        |  CAST(round(quantile_cont(l_extendedprice, 0.9)*100, 0) AS BIGINT) AS p90_price_c,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_dups

@@ -135,6 +135,33 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** §2#40 exact interpolated quantiles (p50/p90 of extendedprice per
+    * returnflag) via the exact `percentile` aggregate — emitted as
+    * rounded cents. */
+  def qQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(call_function("percentile", col("l_extendedprice"), lit(0.5)) * 100)
+          .cast("long").as("p50_price_c"),
+        round(call_function("percentile", col("l_extendedprice"), lit(0.9)) * 100)
+          .cast("long").as("p90_price_c"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** §2#41 sketch aggregate: HyperLogLog++ approximate distinct users
+    * per event_type next to the exact count (rows-only check — the
+    * sketch estimate is engine-specific by construction; the spec
+    * asserts the relative error bound instead). */
+  def qApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
   /** §2#23 semi/anti join: per-nation counts of customers with and
     * without orders. Distinct custkeys from orders is small → broadcast
     * into both the semi and anti sides. */

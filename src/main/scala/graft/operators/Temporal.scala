@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Temporal join operators Spark lacks as built-ins (§2.3 extensions).
+  *
+  * Both are expressed shuffle-once-on-the-key, never as nested-loop
+  * joins: the as-of join is a tagged-union + running `last` window (one
+  * shuffle on user_id); the range join buckets time so candidates are
+  * bucket-local (one shuffle on (user, bucket)) — at 100 TB neither
+  * degenerates into a cross product.
+  */
+object Temporal {
+
+  /** §2#38 as-of join: each purchase event matched to the most recent
+    * strictly-prior click of the same user. Union-tag + running-last
+    * window — the standard scalable as-of formulation. */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("last_click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_click_us",
+        last(when(col("event_type") === "click", col("us")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase" && col("last_click_id").isNotNull)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("us").as("purchase_us"), col("last_click_id"), col("last_click_us"),
+        (col("us") - col("last_click_us")).as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** §2#39 bucketed range join: unordered pairs of same-user events
+    * within 5 minutes of each other. Each left row fans out to its
+    * 3 candidate time buckets (prev/self/next); the join key is
+    * (user, bucket), then the exact |Δt| ≤ 5min predicate filters —
+    * work scales with bucket occupancy, not |events|². */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val windowUs = 300000000L // 5 min
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("bucket", expr(s"us div $windowUs"))
+    val a = ev.select(col("user_id"), col("event_id").as("id_a"),
+        col("us").as("us_a"),
+        explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("jb"))
+    val b = ev.select(col("user_id"), col("event_id").as("id_b"),
+      col("us").as("us_b"), col("bucket").as("jb"))
+    a.join(b, Seq("user_id", "jb"))
+      .where(col("id_a") < col("id_b") &&
+        abs(col("us_b") - col("us_a")) <= windowUs)
+      .select(col("user_id"), col("id_a"), col("id_b"),
+        abs(col("us_b") - col("us_a")).as("gap_us"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}
