@@ -61,7 +61,9 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     // §2.7 multimodal
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
-    "mm_decode_features" -> (Multimodal.decodeFeatures _)
+    "mm_decode_features" -> (Multimodal.decodeFeatures _),
+    "mm_resize" -> ((s: SparkSession, d: String) => Multimodal.resize(s, d)),
+    "mm_frame_sample" -> (Multimodal.frameSample _)
   )
 
   // ---- shared oracle SQL fragments -------------------------------------

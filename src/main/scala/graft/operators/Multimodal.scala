@@ -58,4 +58,44 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "n_frames", "feature_checksum")
       .orderBy(col("doc_id"))
   }
+
+  /** §2#42 stub resize: decode → downscale to a 32×32 thumbnail →
+    * thumbnail checksum. Same mapPartitions plumbing as decodeFeatures;
+    * only the codec body is stubbed. */
+  def resize(spark: SparkSession, sfDir: String, outW: Int = 32, outH: Int = 32): DataFrame = {
+    import spark.implicits._
+    Tables.documentsPar(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (docId, blob) =>
+          val (w, h, _, c) = stubDecode(blob)
+          // a real impl would rescale pixels; the stub folds the scale
+          // factors into the checksum deterministically
+          val thumb = c * 31 + (w.toLong * outW) + (h.toLong * outH)
+          (docId, outW, outH, thumb)
+        }
+      }
+      .toDF("doc_id", "out_w", "out_h", "thumb_checksum")
+      .orderBy(col("doc_id"))
+  }
+
+  /** §2#43 stub frame sampling: treat the blob as a short "video" with
+    * `n_frames` from the stub decoder; emit every frame with a
+    * per-frame checksum (flatMap fan-out — one output row per frame,
+    * the shape a real video pipeline produces). */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documentsPar(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (docId, blob) =>
+          val (_, _, frames, c) = stubDecode(blob)
+          (0 until frames).map(i => (docId, i, c * 1000003L + i))
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_checksum")
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
 }
