@@ -28,6 +28,8 @@ object SparkEntry {
     "cdc_compact" -> (Changefeed.compact _),
     "cdc_json_extract" -> (Changefeed.jsonExtract _),
     "cdc_queue_partition" -> (Changefeed.queuePartition _),
+    "cdc_apply" -> (Changefeed.applyChanges _),
+    "dedup_cluster" -> (Dedup.cluster _),
     // §2.2 streaming analytics (batch twins)
     "stream_window_agg" -> (StreamOps.windowAgg _),
     "stream_sessionize" -> (StreamOps.sessionize _),
@@ -173,6 +175,34 @@ object SparkEntry {
          |  CAST(length($envelopeExpr) AS BIGINT) AS bytes FROM ch)
          |SELECT part_id, count(*) AS n_messages, CAST(sum(bytes) AS BIGINT) AS total_bytes
          |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "cdc_apply" ->
+      s"""WITH ev AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+         |  ${cents("value")} AS value_cents, ts FROM events),
+         |base AS (SELECT user_id, event_type, event_id, us, value_cents, 'base' AS origin FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY us DESC, event_id DESC) AS rn
+         |  FROM ev WHERE ts < TIMESTAMP '2024-07-01 00:00:00') WHERE rn = 1),
+         |delta AS (SELECT user_id, event_type, event_id, us, value_cents, 'delta' AS origin
+         |  FROM ev WHERE ts >= TIMESTAMP '2024-07-01 00:00:00'),
+         |merged AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY us DESC, event_id DESC) AS rn
+         |  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta))
+         |SELECT user_id, event_type, event_id, us, value_cents, origin
+         |FROM merged WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE $shCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(doc, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc)
+         |SELECT doc AS doc_id, min(lab) AS cluster_id
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "stream_window_agg" ->
       s"""SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,

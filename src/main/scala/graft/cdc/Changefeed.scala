@@ -159,6 +159,32 @@ object Changefeed {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** §2#46 CDC apply (the consumer side of the published stream): merge
+    * a newer change batch onto a compacted base snapshot, latest version
+    * per PK wins — the distributed MERGE INTO equivalent. Base = state
+    * compacted before the split point; delta = raw changes after it.
+    * One shuffle on the PK; at scale the base would be bucketed by PK
+    * so the merge co-locates. */
+  def applyChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    val split = lit(java.sql.Timestamp.valueOf("2024-07-01 00:00:00"))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"), cents(col("value")).as("value_cents"),
+        col("ts"))
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    val base = ev.where(col("ts") < split).drop("ts")
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+      .withColumn("origin", lit("base"))
+    val delta = ev.where(col("ts") >= split).drop("ts")
+      .withColumn("origin", lit("delta"))
+    base.unionByName(delta)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("us"), col("value_cents"), col("origin"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** §2#7 JSON field extraction (the reference parses `{"resolved":..}` /
     * `{"after":..}` payloads; generalized over the events.props column). */
   def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =

@@ -58,6 +58,46 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** §2#45 dedup clustering: connected components over the n-gram
+    * candidate-pair graph via hash-min label propagation — each doc's
+    * cluster id is the minimum doc_id reachable through shared-shingle
+    * edges. The driver loop runs O(component diameter) rounds of a
+    * min-label broadcast join; this is exactly the large-scale CC
+    * algorithm (each round = one shuffle), so it holds at 100 TB where
+    * a recursive CTE or union-find cannot. */
+  def cluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = ngramJaccard(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    val bidir = edges
+      .unionByName(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))
+        .select(col("doc_a"), col("doc_b")))
+      .cache()
+    val nodes = Tables.documentsPar(spark, sfDir).select(col("doc_id"))
+    // localCheckpoint each round truncates the lineage — without it the
+    // iterative plan nests exponentially and blows up the driver
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("lab"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val viaEdges = labels.join(bidir, labels("doc_id") === bidir("doc_a"))
+        .select(col("doc_b").as("doc_id"), col("lab"))
+      val next = labels.select(col("doc_id"), col("lab"))
+        .unionByName(viaEdges)
+        .groupBy(col("doc_id")).agg(min(col("lab")).as("lab"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("lab", "old_lab"), "doc_id")
+        .where(col("lab") =!= col("old_lab")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    val out = labels.select(col("doc_id"), col("lab").as("cluster_id"))
+      .orderBy(col("doc_id"))
+    bidir.unpersist()
+    out
+  }
+
   /** Corpus + planted near-duplicates (doc_id+1000000, last 3 words
     * dropped → shingle Jaccard ≥ ~0.85 even for the shortest docs) —
     * derived deterministically from the data so the MinHash/SimHash
