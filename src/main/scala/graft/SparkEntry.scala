@@ -56,6 +56,7 @@ object SparkEntry {
     "ann_bruteforce_topk" -> ((s: SparkSession, d: String) => Similarity.bruteforceTopk(s, d)),
     "ann_lsh_topk" -> ((s: SparkSession, d: String) => Similarity.lshTopk(s, d)),
     "knn_label_vote" -> (Similarity.knnLabelVote _),
+    "ann_centroid_classify" -> (Similarity.centroidClassify _),
     // §2.6 text analysis
     "text_tokens" -> (TextAnalysis.tokenCounts _),
     "text_quality" -> (TextAnalysis.quality _),
@@ -367,6 +368,23 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, neighbor_id) AS rk FROM sims)
          |SELECT query_id, neighbor_id, cos_e6, CAST(rk AS BIGINT) AS "rank"
          |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "ann_centroid_classify" ->
+      s"""WITH $embBase,
+         |cent AS (
+         |  SELECT label AS c_label, list(m ORDER BY dim) AS c_emb
+         |  FROM (SELECT label, i AS dim, avg(emb[i]) AS m
+         |        FROM base CROSS JOIN generate_series(1, 64) AS t(i)
+         |        GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |q AS (SELECT vec_id, label AS actual_label, emb FROM base WHERE vec_id < 50),
+         |scored AS (SELECT q.vec_id, q.actual_label, c.c_label,
+         |    ${cosE6("q.emb", "c.c_emb")} AS cos_e6
+         |  FROM q CROSS JOIN cent c),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, c_label) AS rk FROM scored)
+         |SELECT vec_id, CAST(c_label AS BIGINT) AS predicted_label,
+         |  CAST(actual_label AS BIGINT) AS actual_label, cos_e6
+         |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin,
 
     "text_tokens" ->
       """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)

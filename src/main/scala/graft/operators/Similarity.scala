@@ -67,6 +67,40 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** §2#47 nearest-centroid classification: per-label element-wise mean
+    * centroid (posexplode → groupBy(label, dim) → avg → re-assembled
+    * sorted array — all built-in, partial-agg friendly), then each
+    * query vector (vec_id < 50) is assigned the label of the nearest
+    * centroid by cosine. Centroids are tiny → broadcast. */
+  def centroidClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.Registry.ensure(spark)
+    val base = Tables.embeddingsPar(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+    val centroids = base
+      .select(col("label"), posexplode(col("emb")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim")).agg(avg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("parts"))
+      .select(col("label").as("c_label"),
+        transform(col("parts"), p => p.getField("m")).as("c_emb"))
+      .withColumn("c_nrm", norm2(col("c_emb")))
+    val q = base.where(col("vec_id") < 50)
+      .withColumn("nrm", norm2(col("emb")))
+    val scored = q.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("label").as("actual_label"), col("c_label"),
+        cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")).as("cos_e6"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_e6").desc, col("c_label"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("vec_id"),
+        col("c_label").cast("long").as("predicted_label"),
+        col("actual_label").cast("long").as("actual_label"),
+        col("cos_e6"))
+      .orderBy(col("vec_id"))
+  }
+
   /** §2#31 k-NN label vote: predict each query vector's label from its
     * 10 exact nearest neighbors' majority label. */
   def knnLabelVote(spark: SparkSession, sfDir: String): DataFrame = {
