@@ -52,6 +52,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_embedding" -> (Dedup.embeddingNearDup _),
+    "sample_docs" -> ((s: SparkSession, d: String) => Sampling.sampleDocs(s, d)),
     // §2.5 similarity search
     "ann_bruteforce_topk" -> ((s: SparkSession, d: String) => Similarity.bruteforceTopk(s, d)),
     "ann_lsh_topk" -> ((s: SparkSession, d: String) => Similarity.lshTopk(s, d)),
@@ -358,6 +359,13 @@ object SparkEntry {
          |    ${cosE6("x.emb", "y.emb")} AS cos_e6
          |  FROM corpus x JOIN corpus y ON x.label = y.label AND x.vec_id < y.vec_id)
          |WHERE cos_e6 >= 950000 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "sample_docs" ->
+      """WITH h AS (SELECT source, doc_id,
+        |  (doc_id * 2654435761) % 1000000007 AS h FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn FROM h)
+        |SELECT source, doc_id, h, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 10 ORDER BY source, rn""".stripMargin,
 
     "ann_bruteforce_topk" ->
       s"""WITH $embBase,

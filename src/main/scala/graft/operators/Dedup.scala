@@ -35,20 +35,33 @@ object Dedup {
     * so work scales with shingle collisions — never a doc×doc
     * cross-join, and the whole thing is codegen'd (no per-pair
     * interpreted set ops). */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    // single shingle evaluation: explode once and cache the (small)
-    // exploded frame — it feeds both join sides and the per-doc set
-    // sizes, and would otherwise be recomputed for each
+  /** Shared candidate generation: (doc_a, doc_b, inter_n) for
+    * same-source pairs sharing ≥1 shingle, via the set-similarity
+    * join. Single shingle evaluation: explode once and cache the
+    * (small) exploded frame — it feeds both join sides. */
+  private def candidateInter(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val ex = docShingles(spark, sfDir)
       .select(col("doc_id"), col("source"), explode(col("sh")).as("s"))
       .cache()
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = ex.select(col("source"), col("s"), col("doc_id").as("doc_a"))
     val b = ex.select(col("source"), col("s"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("source", "s"))
+    val inter = a.join(b, Seq("source", "s"))
       .where(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter_n"))
+    (inter, sizes)
+  }
+
+  /** Candidate edge list only (for clustering). */
+  def candidatePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val (inter, _) = candidateInter(spark, sfDir)
+    inter.select(col("doc_a"), col("doc_b"))
+  }
+
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val (inter, sizes) = candidateInter(spark, sfDir)
+    inter
       .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"))), "doc_a")
       .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"))), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("inter_n"),
@@ -66,8 +79,7 @@ object Dedup {
     * algorithm (each round = one shuffle), so it holds at 100 TB where
     * a recursive CTE or union-find cannot. */
   def cluster(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = ngramJaccard(spark, sfDir)
-      .select(col("doc_a"), col("doc_b"))
+    val edges = candidatePairs(spark, sfDir)
     val bidir = edges
       .unionByName(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))
         .select(col("doc_a"), col("doc_b")))
