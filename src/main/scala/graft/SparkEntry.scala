@@ -39,6 +39,7 @@ object SparkEntry {
     "q3_join_topk" -> (Analytics.q3JoinTopk _),
     "q5_multijoin" -> (Analytics.q5MultiJoin _),
     "q_window_topk" -> (Analytics.qWindowTopk _),
+    "q_topk_native" -> (Analytics.qTopkNative _),
     "q_rollup" -> (Analytics.qRollup _),
     "q_conditional_pivot" -> (Analytics.qConditionalPivot _),
     "q_semi_anti" -> (Analytics.qSemiAnti _),
@@ -272,6 +273,14 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY revenue_c DESC, n_name""".stripMargin,
 
     "q_window_topk" ->
+      s"""WITH bp AS (SELECT l_suppkey, l_partkey,
+         |  CAST(sum(${cents("l_extendedprice*(1-l_discount)")}) AS BIGINT) AS revenue_c
+         |  FROM lineitem GROUP BY 1,2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY l_suppkey ORDER BY revenue_c DESC, l_partkey) AS rk FROM bp)
+         |SELECT l_suppkey, l_partkey, revenue_c, CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk <= 3 ORDER BY l_suppkey, rk""".stripMargin,
+
+    "q_topk_native" ->
       s"""WITH bp AS (SELECT l_suppkey, l_partkey,
          |  CAST(sum(${cents("l_extendedprice*(1-l_discount)")}) AS BIGINT) AS revenue_c
          |  FROM lineitem GROUP BY 1,2),

@@ -104,6 +104,19 @@ object Analytics {
       .orderBy(col("l_suppkey"), col("rk"))
   }
 
+  /** §2#49 q_window_topk through the NATIVE TopKPerKey operator
+    * (LogicalPlan + Strategy + bounded-buffer SparkPlan — no full
+    * per-key sort). Same semantics and oracle as q_window_topk. */
+  def qTopkNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val byPart = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"), col("l_partkey"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_c"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("rev_c")).as("revenue_c"))
+    graft.plans.TopKPerKey.ofDF(byPart, Seq("l_suppkey"), "revenue_c", "l_partkey", 3)
+      .orderBy(col("l_suppkey"), col("rk"))
+  }
+
   /** §2#21 ROLLUP over returnflag/linestatus (hierarchical subtotals).
     * NULL group markers coalesced to 'ALL' so cross-engine ordering of
     * NULLs never matters. */
