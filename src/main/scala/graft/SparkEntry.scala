@@ -47,6 +47,7 @@ object SparkEntry {
     "q_range_join" -> (Temporal.rangeJoin _),
     "q_quantiles" -> (Analytics.qQuantiles _),
     "q_approx_distinct" -> (Analytics.qApproxDistinct _),
+    "q_salted_agg" -> (Analytics.qSaltedAgg _),
     // §2.4 dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -336,6 +337,11 @@ object SparkEntry {
         |FROM ev a JOIN ev b ON a.user_id = b.user_id
         |  AND a.event_id < b.event_id AND abs(b.us - a.us) <= 300000000
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_salted_agg" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(${cents("value")}) AS BIGINT) AS sum_value_c
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_quantiles" ->
       """SELECT l_returnflag,

@@ -175,6 +175,22 @@ object Analytics {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** §2#50 salted two-phase aggregation: the skew-mitigation pattern.
+    * Phase 1 aggregates by (key, salt) — hot keys spread across 16
+    * reducers — phase 2 merges salt partials per key. Results are
+    * identical to the direct groupBy (the oracle is the plain GROUP BY);
+    * on skewed 100 TB keys this is the difference between one stuck
+    * reducer and an even shuffle. */
+  def qSaltedAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), cents(col("value")).as("value_c"),
+        pmod(col("event_id"), lit(16L)).as("salt"))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value_c")).as("psum"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"), sum(col("psum")).as("sum_value_c"))
+      .orderBy(col("event_type"))
+
   /** §2#23 semi/anti join: per-nation counts of customers with and
     * without orders. Distinct custkeys from orders is small → broadcast
     * into both the semi and anti sides. */

@@ -41,6 +41,40 @@ class StreamingAggSpec extends SparkSuite {
     assert(out === Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
   }
 
+  test("stream-stream join: purchases join clicks per user within the watermark") {
+    val clicks = MemoryStream[Ev](12, spark, None)
+    val purchases = MemoryStream[Ev](13, spark, None)
+    def ev(id: Long, user: Long, ms: Long) =
+      Ev(id, new java.sql.Timestamp(ms), user, "x", 1.0, "{}")
+
+    val c = clicks.toDF().withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val p = purchases.toDF().withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val joined = p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt-ssj").toString)
+      .start()
+    val base = 3600000L
+    clicks.addData(ev(1, 7, base), ev(2, 7, base + 25 * 60000), ev(3, 8, base))
+    purchases.addData(ev(10, 7, base + 30 * 60000), ev(11, 9, base))
+    q.processAllAvailable()
+    val out = spark.table("ssjoin")
+      .select(col("purchase_id"), col("click_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    // purchase 10 (user 7, t+30m) matches clicks 1 (t+0, exactly 30m) and 2 (t+25m);
+    // purchase 11 (user 9) matches nothing
+    assert(out === Set((10L, 1L), (10L, 2L)))
+  }
+
   test("streaming dropDuplicates matches the batch dedup-by-key semantics") {
     val in = MemoryStream[Ev](11, spark, None)
     def ev(id: Long, user: Long, typ: String) =
