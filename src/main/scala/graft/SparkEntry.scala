@@ -60,6 +60,7 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s: SparkSession, d: String) => Similarity.lshTopk(s, d)),
     "knn_label_vote" -> (Similarity.knnLabelVote _),
     "ann_centroid_classify" -> (Similarity.centroidClassify _),
+    "ann_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.ivfTopk(s, d)),
     // §2.6 text analysis
     "text_tokens" -> (TextAnalysis.tokenCounts _),
     "text_quality" -> (TextAnalysis.quality _),

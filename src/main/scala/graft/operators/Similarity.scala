@@ -101,6 +101,53 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** §2#52 IVF-style ANN: a coarse quantizer (here the per-label mean
+    * centroids — a production system would k-means-train them) assigns
+    * each corpus vector to its nearest cell; a query probes only its
+    * `nProbe` closest cells and ranks exactly within them. At 100 TB
+    * the corpus is partitioned by cell once and each query touches
+    * nProbe/nCells of the data. Approximate by construction → rows-only
+    * check; the spec asserts structural invariants + recall vs brute
+    * force. */
+  def ivfTopk(spark: SparkSession, sfDir: String, k: Int = 5, nProbe: Int = 3): DataFrame = {
+    val base = corpus(spark, sfDir)
+    val centroids = base
+      .select(col("label"), posexplode(col("emb")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim")).agg(avg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("parts"))
+      .select(col("label").as("cell"),
+        transform(col("parts"), p => p.getField("m")).as("c_emb"))
+      .withColumn("c_nrm", norm2(col("c_emb")))
+    // assign every corpus vector to its best cell (broadcast centroids)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cell_cos").desc, col("cell"))
+    val assigned = base.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cell"),
+        cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")).as("cell_cos"))
+      .withColumn("ark", row_number().over(wAssign))
+      .where(col("ark") === 1)
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
+    // queries probe their nProbe closest cells
+    val qProbe = base.where(col("vec_id") < 10).crossJoin(broadcast(centroids))
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell"),
+        cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")).as("cell_cos"))
+      .withColumn("prk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cell_cos").desc, col("cell"))))
+      .where(col("prk") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cell"))
+    val sims = assigned.join(broadcast(qProbe), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        cosPre(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("cos_e6"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_e6").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** §2#31 k-NN label vote: predict each query vector's label from its
     * 10 exact nearest neighbors' majority label. */
   def knnLabelVote(spark: SparkSession, sfDir: String): DataFrame = {

@@ -75,6 +75,21 @@ class OperatorSpec extends SparkSuite {
     })
   }
 
+  test("ivf ann: valid ranks, neighbors drawn from probed cells, sane recall") {
+    val ivf = Similarity.ivfTopk(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.map(_.getLong(4)).sorted.toSeq === (1L to rs.length).toSeq)
+    }
+    // probing all cells would be exhaustive — with nProbe=3 of 10 cells,
+    // the approximate result must still overlap the exact top-5 somewhere
+    val exact = Similarity.bruteforceTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.exists(exact.contains) || exact.isEmpty)
+  }
+
   test("knn label vote emits one prediction per query") {
     val rows = Similarity.knnLabelVote(spark, sf).collect()
     assert(rows.length === 50)
