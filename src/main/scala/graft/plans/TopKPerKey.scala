@@ -48,6 +48,79 @@ case class TopKPerKey(
     copy(child = newChild)
 }
 
+/** Shared bounded-buffer pass: scan a partition keeping the best ≤k
+  * rows per key (sortCol DESC, tieCol ASC). O(n·k) with tiny constant —
+  * no sort. */
+private object BoundedTopK {
+  def perKey(
+      iter: Iterator[InternalRow],
+      keyProj: InternalRow => InternalRow,
+      sortIdx: Int, tieIdx: Int, kk: Int)
+      : java.util.LinkedHashMap[InternalRow, java.util.ArrayList[InternalRow]] = {
+    val buffers = new java.util.LinkedHashMap[InternalRow, java.util.ArrayList[InternalRow]]()
+    iter.foreach { row =>
+      val key = keyProj(row)
+      var buf = buffers.get(key)
+      if (buf == null) {
+        buf = new java.util.ArrayList[InternalRow](kk + 1)
+        buffers.put(key.copy(), buf)
+      }
+      val s = row.getLong(sortIdx)
+      val t = row.getLong(tieIdx)
+      val full = buf.size() == kk
+      val skip = full && {
+        val last = buf.get(kk - 1)
+        val ls = last.getLong(sortIdx)
+        s < ls || (s == ls && t > last.getLong(tieIdx))
+      }
+      if (!skip) {
+        var i = buf.size()
+        while (i > 0 && {
+          val p = buf.get(i - 1)
+          val ps = p.getLong(sortIdx)
+          ps < s || (ps == s && p.getLong(tieIdx) > t)
+        }) i -= 1
+        buf.add(i, row.copy())
+        if (buf.size() > kk) buf.remove(kk)
+      }
+    }
+    buffers
+  }
+}
+
+/** Map-side partial top-k (the combiner): runs BEFORE the shuffle with
+  * no distribution requirement. A partition's local top-k per key is a
+  * superset of that partition's contribution to the global top-k, so
+  * the exchange ships ≤ partitions×keys×k rows instead of n. */
+case class TopKPerKeyPartialExec(
+    keys: Seq[Attribute],
+    sortCol: Attribute,
+    tieCol: Attribute,
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val sortIdx = childOutput.indexWhere(_.exprId == sortCol.exprId)
+    val tieIdx = childOutput.indexWhere(_.exprId == tieCol.exprId)
+    val keyExprs = keys
+    val kk = k
+    child.execute().mapPartitions { iter =>
+      val keyProj = GenerateUnsafeProjection.generate(keyExprs, childOutput)
+      val buffers = BoundedTopK.perKey(iter, keyProj(_), sortIdx, tieIdx, kk)
+      import scala.jdk.CollectionConverters._
+      buffers.values().iterator().asScala.flatMap(_.iterator().asScala)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}
+
+/** Final top-k per key: requires co-located keys (the planner inserts
+  * the hash exchange), merges the partial winners and emits ranks. */
 case class TopKPerKeyExec(
     keys: Seq[Attribute],
     sortCol: Attribute,
@@ -74,34 +147,7 @@ case class TopKPerKeyExec(
       val keyProj = GenerateUnsafeProjection.generate(keyExprs, childOutput)
       val outProj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
         .create(outTypes)
-      // per key: rows kept best-first, at most k entries
-      val buffers = new java.util.LinkedHashMap[InternalRow, java.util.ArrayList[InternalRow]]()
-      iter.foreach { row =>
-        val key = keyProj(row)
-        var buf = buffers.get(key)
-        if (buf == null) {
-          buf = new java.util.ArrayList[InternalRow](kk + 1)
-          buffers.put(key.copy(), buf)
-        }
-        val s = row.getLong(sortIdx)
-        val t = row.getLong(tieIdx)
-        val full = buf.size() == kk
-        val skip = full && {
-          val last = buf.get(kk - 1)
-          val ls = last.getLong(sortIdx)
-          s < ls || (s == ls && t > last.getLong(tieIdx))
-        }
-        if (!skip) {
-          var i = buf.size()
-          while (i > 0 && {
-            val p = buf.get(i - 1)
-            val ps = p.getLong(sortIdx)
-            ps < s || (ps == s && p.getLong(tieIdx) > t)
-          }) i -= 1
-          buf.add(i, row.copy())
-          if (buf.size() > kk) buf.remove(kk)
-        }
-      }
+      val buffers = BoundedTopK.perKey(iter, keyProj(_), sortIdx, tieIdx, kk)
       import scala.jdk.CollectionConverters._
       buffers.values().iterator().asScala.flatMap { buf =>
         buf.iterator().asScala.zipWithIndex.map { case (row, i) =>
@@ -118,8 +164,10 @@ case class TopKPerKeyExec(
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case t: TopKPerKey =>
+      // two-phase: partial combiner below the exchange, final above
       TopKPerKeyExec(t.keys, t.sortCol, t.tieCol, t.k, t.rankAttr,
-        planLater(t.child)) :: Nil
+        TopKPerKeyPartialExec(t.keys, t.sortCol, t.tieCol, t.k,
+          planLater(t.child))) :: Nil
     case _ => Nil
   }
 }
