@@ -48,6 +48,7 @@ object SparkEntry {
     "q_quantiles" -> (Analytics.qQuantiles _),
     "q_approx_distinct" -> (Analytics.qApproxDistinct _),
     "q_salted_agg" -> (Analytics.qSaltedAgg _),
+    "q_topk_values_agg" -> (Analytics.qTopkValuesAgg _),
     // §2.4 dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -338,6 +339,13 @@ object SparkEntry {
         |FROM ev a JOIN ev b ON a.user_id = b.user_id
         |  AND a.event_id < b.event_id AND abs(b.us - a.us) <= 300000000
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_topk_values_agg" ->
+      s"""SELECT l_returnflag,
+         |  array_to_string((list(DISTINCT ${cents("l_extendedprice")}
+         |    ORDER BY ${cents("l_extendedprice")} DESC))[1:5], ',') AS top5_price_c,
+         |  count(*) AS n
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_salted_agg" ->
       s"""SELECT event_type, count(*) AS n,

@@ -10,5 +10,11 @@ object Registry {
   def ensure(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk_vals", exprs =>
+        TopKDistinctLongs(exprs(0),
+          exprs(1).eval(null).asInstanceOf[Number].intValue())
+          .toAggregateExpression(),
+      "scala_udf")
   }
 }

@@ -175,6 +175,21 @@ object Analytics {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** §2#53 custom sketch aggregate: top-5 distinct prices per group via
+    * the TopKDistinctLongs TypedImperativeAggregate (bounded TreeSet
+    * buffer — constant memory per group, partial-agg friendly; a
+    * collect_set would ship every distinct value). */
+  def qTopkValuesAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.Registry.ensure(spark)
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), cents(col("l_extendedprice")).as("price_c"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        call_function("graft_topk_vals", col("price_c"), lit(5)).as("top5_price_c"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** §2#50 salted two-phase aggregation: the skew-mitigation pattern.
     * Phase 1 aggregates by (key, salt) — hot keys spread across 16
     * reducers — phase 2 merges salt partials per key. Results are
