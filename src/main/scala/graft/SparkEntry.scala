@@ -66,6 +66,8 @@ object SparkEntry {
     "text_tokens" -> (TextAnalysis.tokenCounts _),
     "text_quality" -> (TextAnalysis.quality _),
     "text_langid" -> (TextAnalysis.langId _),
+    "text_normalize" -> (TextAnalysis.normalize _),
+    "text_scrub_pii" -> (TextAnalysis.scrubPii _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     // §2.7 multimodal
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
@@ -436,6 +438,22 @@ object SparkEntry {
         |FROM t)
         |SELECT *, greatest(least(stopword_pm + uniq_pm - punct_pm, 1000), 0) AS quality_pm
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g') AS norm_text,
+        |  CAST(length(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS BIGINT) AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_scrub_pii" ->
+      """WITH s AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
+        |  FROM documents)
+        |SELECT doc_id, scrubbed,
+        |  CAST(length(scrubbed) - length(regexp_replace(scrubbed, '<EMAIL>|<PHONE>', '', 'g')) AS BIGINT) AS redacted_chars
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "mm_binary_meta" ->
       """SELECT doc_id,

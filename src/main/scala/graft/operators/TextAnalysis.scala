@@ -78,6 +78,33 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** §2#54 text normalization: lowercase, collapse whitespace runs,
+    * strip non-alphanumerics — the canonical pre-dedup cleanup pass. */
+  def normalize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documentsPar(spark, sfDir)
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""),
+          "\\s+", " ").as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+        length(col("norm_text")).cast("long").as("n_chars_norm"))
+      .orderBy(col("doc_id"))
+
+  /** §2#55 PII scrubbing: redact email-/phone-shaped spans before
+    * training (regex passes; the patterns are the industry-standard
+    * first line of defense, not a complete PII system). */
+  def scrubPii(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documentsPar(spark, sfDir)
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"),
+            "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+          "\\+?[0-9][0-9()\\- ]{7,}[0-9]", "<PHONE>").as("scrubbed"))
+      .select(col("doc_id"), col("scrubbed"),
+        (length(col("scrubbed")) - length(regexp_replace(col("scrubbed"), "<EMAIL>|<PHONE>", "")))
+          .cast("long").as("redacted_chars"))
+      .orderBy(col("doc_id"))
+
   /** §2#35 rolling-hash document fingerprint (order-sensitive — unlike
     * a bag-of-words hash, catches reorderings). */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
