@@ -49,6 +49,8 @@ object SparkEntry {
     "q_approx_distinct" -> (Analytics.qApproxDistinct _),
     "q_salted_agg" -> (Analytics.qSaltedAgg _),
     "q_topk_values_agg" -> (Analytics.qTopkValuesAgg _),
+    "q_funnel" -> (Analytics.qFunnel _),
+    "q_histogram" -> (Analytics.qHistogram _),
     // §2.4 dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -348,6 +350,21 @@ object SparkEntry {
          |    ORDER BY ${cents("l_extendedprice")} DESC))[1:5], ',') AS top5_price_c,
          |  count(*) AS n
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS signup_us FROM e WHERE event_type='signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.us) AS click_us FROM e JOIN s1 ON e.user_id = s1.user_id
+        |  AND e.us > s1.signup_us WHERE e.event_type='click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.us) AS purchase_us FROM e JOIN s2 ON e.user_id = s2.user_id
+        |  AND e.us > s2.click_us WHERE e.event_type='purchase' GROUP BY 1)
+        |SELECT (SELECT count(*) FROM s1) AS n_signup,
+        |  (SELECT count(*) FROM s2) AS n_signup_click,
+        |  (SELECT count(*) FROM s3) AS n_full_funnel""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT event_type, least(CAST(floor(value/50) AS BIGINT), 9) AS bucket, count(*) AS n
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
     "q_salted_agg" ->
       s"""SELECT event_type, count(*) AS n,

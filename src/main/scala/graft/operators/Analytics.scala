@@ -190,6 +190,38 @@ object Analytics {
       .orderBy(col("l_returnflag"))
   }
 
+  /** §2#56 funnel analysis: ordered signup → click → purchase per user
+    * (each stage strictly after the previous user's stage time).
+    * Sequential-pattern matching as three stage-joins — each stage
+    * frame is tiny (one row per qualifying user) and broadcastable. */
+  def qFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val s1 = e.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("us")).as("signup_us"))
+    val s2 = e.where(col("event_type") === "click").as("e")
+      .join(broadcast(s1).as("s1"),
+        col("e.user_id") === col("s1.user_id") && col("e.us") > col("s1.signup_us"))
+      .groupBy(col("e.user_id")).agg(min(col("e.us")).as("click_us"))
+    val s3 = e.where(col("event_type") === "purchase").as("e")
+      .join(broadcast(s2).as("s2"),
+        col("e.user_id") === col("s2.user_id") && col("e.us") > col("s2.click_us"))
+      .groupBy(col("e.user_id")).agg(min(col("e.us")).as("purchase_us"))
+    s1.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_signup_click")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_full_funnel")))
+  }
+
+  /** §2#57 fixed-bucket value histogram per event_type (bucket width 50,
+    * capped at bucket 9) — pure arithmetic bucketing, one shuffle. */
+  def qHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        least(floor(col("value") / 50).cast("long"), lit(9L)).as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bucket"))
+
   /** §2#50 salted two-phase aggregation: the skew-mitigation pattern.
     * Phase 1 aggregates by (key, salt) — hot keys spread across 16
     * reducers — phase 2 merges salt partials per key. Results are
