@@ -93,6 +93,10 @@ object Dedup {
     // iterative plan nests exponentially and blows up the driver
     var labels = nodes.select(col("doc_id"), col("doc_id").as("lab"))
       .localCheckpoint(true)
+    // labels only ever decrease, so sum(lab) is a strictly-monotone
+    // convergence witness — one scalar agg per round instead of a
+    // labels⋈labels change-detection join
+    var prevSum = Long.MinValue
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
@@ -102,10 +106,10 @@ object Dedup {
         .unionByName(viaEdges)
         .groupBy(col("doc_id")).agg(min(col("lab")).as("lab"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("lab", "old_lab"), "doc_id")
-        .where(col("lab") =!= col("old_lab")).limit(1).count()
+      val labSum = next.agg(sum(col("lab"))).collect()(0).getLong(0)
+      converged = labSum == prevSum
+      prevSum = labSum
       labels = next
-      converged = changed == 0
       rounds += 1
     }
     val out = labels.select(col("doc_id"), col("lab").as("cluster_id"))
