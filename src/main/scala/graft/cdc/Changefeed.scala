@@ -87,6 +87,23 @@ object Changefeed {
     changeRowsFrom(events).drop("event_id")
       .unionByName(resolvedRowsFrom(events, dedup = false))
 
+  /** File-based streaming source over an events parquet directory/file
+    * — the production shape of the changefeed ingest (new files appear,
+    * the query drains them). The TIMESTAMP(NANOS) column needs the same
+    * legacy-conf + µs-rebuild treatment as the batch reader, but a
+    * streaming read requires the schema up front. */
+  def streamFromEventsDir(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val events = spark.readStream.schema(schema).parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    changefeedFrameFrom(events)
+  }
+
   /** §2#1 the full synthetic changefeed frame, in commit order. */
   def changefeedRows(spark: SparkSession, sfDir: String): DataFrame =
     changeRows(spark, sfDir).drop("event_id")

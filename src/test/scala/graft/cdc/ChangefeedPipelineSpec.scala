@@ -77,6 +77,23 @@ class ChangefeedPipelineSpec extends SparkSuite {
     assert(InMemoryQueue.messages(qname).size === 1)
   }
 
+  test("file-based changefeed stream drives the pipeline end-to-end") {
+    val qname = "t-filestream"
+    InMemoryQueue.clear(qname)
+    val store = new InMemoryCursorStore("t-filestream")
+    val pipeline = new ChangefeedPipeline(new InMemoryQueue(qname), store, ckpt())
+    // the file stream source wants a directory of files
+    val dir = Files.createTempDirectory("graft-evdir")
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val frame = Changefeed.streamFromEventsDir(spark, dir.toString)
+    val q = pipeline.start(spark, frame)
+    q.processAllAvailable(); q.stop()
+    assert(InMemoryQueue.messages(qname).size === 1000) // one per event
+    assert(store.get().isDefined) // resolved cursor committed
+    assert(pipeline.messagesSent.value === 1000L)
+  }
+
   test("file queue writes idempotent per-batch JSONL; cursor store survives restart") {
     val dir = Files.createTempDirectory("graft-fq").toString
     val fq = new FileQueue(dir)
