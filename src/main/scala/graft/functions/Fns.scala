@@ -41,6 +41,17 @@ object Fns {
         sequence(lit(1), greatest(size(words) - lit(n - 1), lit(1))),
         i => array_join(slice(words, i, lit(n)), " ")))
 
+  /** Distinct 64-bit hashes of the n-token shingle windows, WITHOUT
+    * building shingle strings: xxhash64 over the n tokens directly.
+    * Triple equality ↔ hash equality (collision odds ~2^-64), so set
+    * operations on these hashes equal set operations on the string
+    * shingles — at a third of the cost (no per-window string concat). */
+  def shingleHashes(words: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(words) - lit(n - 1), lit(1))),
+        i => xxhash64((0 until n).map(j => element_at(words, i + j)): _*)))
+
   /** Per-element seeded hash for MinHash: xxhash64(value, seed). The
     * k-wide signature itself is built as k codegen'd `min` aggregates
     * over exploded shingles (see Dedup.minhashLsh) — far faster than a

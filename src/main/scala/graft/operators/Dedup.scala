@@ -40,12 +40,13 @@ object Dedup {
     * join. Single shingle evaluation: explode once and cache the
     * (small) exploded frame — it feeds both join sides. */
   private def candidateInter(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
-    // join on the 8-byte shingle hash, not the string: ~1/3 the shuffle
-    // bytes and long-key probes (64-bit collision odds ~1e-10 for this
-    // corpus — far below any other error source)
-    val ex = docShingles(spark, sfDir)
-      .select(col("doc_id"), col("source"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), col("source"), xxhash64(col("s")).as("sh8"))
+    // shingle HASHES end to end — never materialize shingle strings:
+    // set ops on 64-bit window hashes equal set ops on the strings
+    // (collision odds ~1e-10 for this corpus), at ~1/3 the CPU and
+    // shuffle bytes
+    val ex = Tables.documentsPar(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        explode(shingleHashes(tokens(col("text")), 3)).as("sh8"))
       .cache()
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = ex.select(col("source"), col("sh8"), col("doc_id").as("doc_a"))
@@ -140,11 +141,10 @@ object Dedup {
     * Jaccard ≥ 0.5. */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val k = 96; val bands = 32; val rows = k / bands
-    // hash each shingle string ONCE, then derive the k seeded hashes
-    // from the 8-byte base hash (k fixed-width hashes ≪ k string hashes)
+    // shingle-window hashes directly (no strings), then derive the k
+    // seeded hashes from the 8-byte base hash
     val ex = corpusWithPlants(spark, sfDir)
-      .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h0"))
+      .select(col("doc_id"), explode(shingleHashes(col("toks"), 3)).as("h0"))
     val minAggs = (0 until k).map(i => min(seededHash(col("h0"), i)).as(s"m$i"))
     val sigs = ex.groupBy(col("doc_id"))
       .agg(minAggs.head, minAggs.tail: _*)
