@@ -57,6 +57,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_embedding" -> (Dedup.embeddingNearDup _),
+    "dedup_embedding_lsh" -> (Dedup.embeddingNearDupLsh _),
     "sample_docs" -> ((s: SparkSession, d: String) => Sampling.sampleDocs(s, d)),
     // §2.5 similarity search
     "ann_bruteforce_topk" -> ((s: SparkSession, d: String) => Similarity.bruteforceTopk(s, d)),

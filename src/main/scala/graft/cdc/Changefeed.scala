@@ -190,12 +190,14 @@ object Changefeed {
         col("ts"))
     val w = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("us").desc, col("event_id").desc)
-    val base = ev.where(col("ts") < split).drop("ts")
-      .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
-      .withColumn("origin", lit("base"))
-    val delta = ev.where(col("ts") >= split).drop("ts")
-      .withColumn("origin", lit("delta"))
-    base.unionByName(delta)
+    // ONE window pass over the tagged union: every delta row sorts after
+    // every base row of the same PK (us is monotone with ts), so the
+    // global latest-by-(us, event_id) winner is identical to
+    // "compact the base, then merge the delta" — with a single Exchange
+    // on (user_id, event_type) instead of two.
+    ev.withColumn("origin",
+        when(col("ts") >= split, lit("delta")).otherwise(lit("base")))
+      .drop("ts")
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
       .select(col("user_id"), col("event_type"), col("event_id"),
         col("us"), col("value_cents"), col("origin"))

@@ -45,12 +45,18 @@ object Fns {
     * building shingle strings: xxhash64 over the n tokens directly.
     * Triple equality ↔ hash equality (collision odds ~2^-64), so set
     * operations on these hashes equal set operations on the string
-    * shingles — at a third of the cost (no per-window string concat). */
+    * shingles — at a third of the cost (no per-window string concat).
+    *
+    * Docs with fewer than n tokens get one truncated-window hash:
+    * try_element_at returns NULL past the array end (plain element_at
+    * throws under ANSI mode) and xxhash64 skips NULL inputs, so the
+    * hash covers exactly the available tokens — mirroring the one
+    * short shingle `shingles()` emits for the same doc. */
   def shingleHashes(words: Column, n: Int): Column =
     array_distinct(
       transform(
         sequence(lit(1), greatest(size(words) - lit(n - 1), lit(1))),
-        i => xxhash64((0 until n).map(j => element_at(words, i + j)): _*)))
+        i => xxhash64((0 until n).map(j => try_element_at(words, i + lit(j))): _*)))
 
   /** Per-element seeded hash for MinHash: xxhash64(value, seed). The
     * k-wide signature itself is built as k codegen'd `min` aggregates

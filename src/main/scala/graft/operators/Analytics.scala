@@ -193,18 +193,22 @@ object Analytics {
   /** §2#56 funnel analysis: ordered signup → click → purchase per user
     * (each stage strictly after the previous user's stage time).
     * Sequential-pattern matching as three stage-joins — each stage
-    * frame is tiny (one row per qualifying user) and broadcastable. */
+    * frame is one row per qualifying user. */
   def qFunnel(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    // stage frames are one row per funnel USER — unbounded at scale, so
+    // no broadcast hints: the joins are equi-joins on user_id (the range
+    // predicate rides along as a join condition), AQE broadcasts only
+    // when a stage actually fits.
     val s1 = e.where(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("us")).as("signup_us"))
     val s2 = e.where(col("event_type") === "click").as("e")
-      .join(broadcast(s1).as("s1"),
+      .join(s1.as("s1"),
         col("e.user_id") === col("s1.user_id") && col("e.us") > col("s1.signup_us"))
       .groupBy(col("e.user_id")).agg(min(col("e.us")).as("click_us"))
     val s3 = e.where(col("event_type") === "purchase").as("e")
-      .join(broadcast(s2).as("s2"),
+      .join(s2.as("s2"),
         col("e.user_id") === col("s2.user_id") && col("e.us") > col("s2.click_us"))
       .groupBy(col("e.user_id")).agg(min(col("e.us")).as("purchase_us"))
     s1.agg(count(lit(1)).as("n_signup"))
@@ -239,15 +243,16 @@ object Analytics {
       .orderBy(col("event_type"))
 
   /** §2#23 semi/anti join: per-nation counts of customers with and
-    * without orders. Distinct custkeys from orders is small → broadcast
-    * into both the semi and anti sides. */
+    * without orders. Distinct custkeys from orders approaches |customer|
+    * at scale — NOT broadcastable, so no hint: both sides shuffle on
+    * custkey (or AQE broadcasts when the distinct set actually fits). */
   def qSemiAnti(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
       .select(col("c_custkey"), col("c_nationkey"))
     val ordKeys = Tables.orders(spark, sfDir).select(col("o_custkey")).distinct()
-    val withO = cust.join(broadcast(ordKeys), col("c_custkey") === col("o_custkey"), "left_semi")
+    val withO = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_semi")
       .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_with_orders"))
-    val withoutO = cust.join(broadcast(ordKeys), col("c_custkey") === col("o_custkey"), "left_anti")
+    val withoutO = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_without_orders"))
     withO.join(withoutO, Seq("c_nationkey"), "full_outer")
       .select(col("c_nationkey"),

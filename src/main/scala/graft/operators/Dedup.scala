@@ -8,10 +8,26 @@ import graft.functions.Fns._
 /** Deduplication operators for LLM training-data pipelines (§2.4).
   *
   * Scale notes (100 TB): every candidate-generation step is bucket-first
-  * (same-source, LSH band, hash group) — never a corpus cross-join. The
-  * LSH shuffle carries only (band, hash, doc_id); raw text never moves.
+  * (same-source, LSH band, signature chunk, hyperplane bucket) — never a
+  * corpus cross-join. The LSH shuffle carries only (band, hash, doc_id);
+  * raw text never moves. Intermediate frames that feed multiple
+  * consumers are materialized with eager `localCheckpoint` rather than
+  * `cache()`: same reuse, lineage truncated, and the blocks are released
+  * by the ContextCleaner when the frame goes out of scope (a `cache()`
+  * would sit in the CacheManager until someone remembers to unpersist).
   */
 object Dedup {
+
+  /** Shingles with document frequency above this (within a source) are
+    * dropped from candidate generation — the df prefix filter. A shingle
+    * shared by hundreds of documents is boilerplate: it explodes the
+    * set-similarity join quadratically (df² pairs) while carrying no
+    * near-dup signal. The hot list is provably tiny (< totalShingles /
+    * maxDf entries), so the anti-join side is broadcastable BY
+    * CONSTRUCTION — this broadcast is bounded, unlike a per-doc frame.
+    * 128 is far above any df in the test corpus (max observed: 6), so
+    * the sf results — and the DuckDB oracle hashes — are unchanged. */
+  val defaultMaxShingleDf = 128
 
   /** §2#24 exact dedup via md5(text) hash-groupBy: canonical doc per
     * content hash + duplicate count. */
@@ -22,12 +38,6 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("n_dups"))
       .orderBy(col("content_hash"))
 
-  /** Documents with word-token arrays and 3-gram shingle sets. */
-  private def docShingles(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documentsPar(spark, sfDir)
-      .select(col("doc_id"), col("source"),
-        shingles(tokens(col("text")), 3).as("sh"))
-
   /** §2#25 n-gram Jaccard candidate pairs via a set-similarity join:
     * explode shingles, join same-source docs on equal shingles, count
     * matches per pair (= exact |A∩B| since shingle sets are distinct),
@@ -36,10 +46,10 @@ object Dedup {
     * cross-join, and the whole thing is codegen'd (no per-pair
     * interpreted set ops). */
   /** Shared candidate generation: (doc_a, doc_b, inter_n) for
-    * same-source pairs sharing ≥1 shingle, via the set-similarity
-    * join. Single shingle evaluation: explode once and cache the
-    * (small) exploded frame — it feeds both join sides. */
-  private def candidateInter(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    * same-source pairs sharing ≥1 surviving shingle, via the
+    * set-similarity join over df-filtered shingle hashes. */
+  private def candidateInter(spark: SparkSession, sfDir: String,
+      maxDf: Int = defaultMaxShingleDf): (DataFrame, DataFrame) = {
     // shingle HASHES end to end — never materialize shingle strings:
     // set ops on 64-bit window hashes equal set ops on the strings
     // (collision odds ~1e-10 for this corpus), at ~1/3 the CPU and
@@ -47,10 +57,17 @@ object Dedup {
     val ex = Tables.documentsPar(spark, sfDir)
       .select(col("doc_id"), col("source"),
         explode(shingleHashes(tokens(col("text")), 3)).as("sh8"))
-      .cache()
+      .localCheckpoint(true)
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = ex.select(col("source"), col("sh8"), col("doc_id").as("doc_a"))
-    val b = ex.select(col("source"), col("sh8"), col("doc_id").as("doc_b"))
+    // df prefix filter: hot shingles out before the self-join (see
+    // defaultMaxShingleDf). The map-side-combined df agg is one pass
+    // over `ex`; the surviving-hot list is tiny → broadcast anti-join.
+    val hot = ex.groupBy(col("source"), col("sh8"))
+      .agg(count(lit(1)).as("df")).where(col("df") > maxDf)
+      .select(col("source"), col("sh8"))
+    val exF = ex.join(broadcast(hot), Seq("source", "sh8"), "left_anti")
+    val a = exF.select(col("source"), col("sh8"), col("doc_id").as("doc_a"))
+    val b = exF.select(col("source"), col("sh8"), col("doc_id").as("doc_b"))
     val inter = a.join(b, Seq("source", "sh8"))
       .where(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
@@ -64,11 +81,17 @@ object Dedup {
     inter.select(col("doc_a"), col("doc_b"))
   }
 
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val (inter, sizes) = candidateInter(spark, sfDir)
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccard(spark, sfDir, defaultMaxShingleDf)
+
+  def ngramJaccard(spark: SparkSession, sfDir: String, maxDf: Int): DataFrame = {
+    val (inter, sizes) = candidateInter(spark, sfDir, maxDf)
+    // `sizes` is one row PER DOCUMENT — unbounded at corpus scale, so no
+    // broadcast hint: AQE picks broadcast when it actually fits and a
+    // shuffled hash join otherwise.
     inter
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"))), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("inter_n"),
         (col("n_a") + col("n_b") - col("inter_n")).as("union_n"))
       .withColumn("jaccard_pm",
@@ -79,44 +102,54 @@ object Dedup {
   /** §2#45 dedup clustering: connected components over the n-gram
     * candidate-pair graph via hash-min label propagation — each doc's
     * cluster id is the minimum doc_id reachable through shared-shingle
-    * edges. The driver loop runs O(component diameter) rounds of a
-    * min-label broadcast join; this is exactly the large-scale CC
-    * algorithm (each round = one shuffle), so it holds at 100 TB where
-    * a recursive CTE or union-find cannot. */
+    * edges. O(component diameter) shuffle rounds over ONLY the docs
+    * that have edges (isolated docs never change label and are appended
+    * at the end) — this is the large-scale CC recipe that holds at
+    * 100 TB where a recursive CTE or driver-side union-find cannot.
+    *
+    * Per round: ONE eager localCheckpoint job materializes the new
+    * labels carrying both old and new label per doc, then a count over
+    * those in-memory blocks detects convergence — the loop exits the
+    * first round in which no label changed (no extra confirm round, no
+    * separate change-detection join). */
   def cluster(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = candidatePairs(spark, sfDir)
     val bidir = edges
       .unionByName(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))
         .select(col("doc_a"), col("doc_b")))
-      .cache()
-    val nodes = Tables.documentsPar(spark, sfDir).select(col("doc_id"))
-    // localCheckpoint each round truncates the lineage — without it the
-    // iterative plan nests exponentially and blows up the driver
+      .localCheckpoint(true)
+    val nodes = bidir.select(col("doc_a").as("doc_id")).distinct()
     var labels = nodes.select(col("doc_id"), col("doc_id").as("lab"))
       .localCheckpoint(true)
-    // labels only ever decrease, so sum(lab) is a strictly-monotone
-    // convergence witness — one scalar agg per round instead of a
-    // labels⋈labels change-detection join
-    var prevSum = Long.MinValue
-    var converged = false
+    val maxRounds = 50
+    var changed = 1L
     var rounds = 0
-    while (!converged && rounds < 20) {
-      val viaEdges = labels.join(bidir, labels("doc_id") === bidir("doc_a"))
-        .select(col("doc_b").as("doc_id"), col("lab"))
-      val next = labels.select(col("doc_id"), col("lab"))
+    while (changed > 0 && rounds < maxRounds) {
+      val viaEdges = bidir.join(labels, bidir("doc_a") === labels("doc_id"))
+        .select(col("doc_b").as("doc_id"), col("lab"),
+          lit(null).cast("long").as("own"))
+      // the self row carries the old label in `own` (exactly one self
+      // row per doc), so min(lab) vs min(own) gives new-vs-old in the
+      // same aggregation — no second pass
+      val next = labels.select(col("doc_id"), col("lab"), col("lab").as("own"))
         .unionByName(viaEdges)
-        .groupBy(col("doc_id")).agg(min(col("lab")).as("lab"))
+        .groupBy(col("doc_id"))
+        .agg(min(col("lab")).as("lab"), min(col("own")).as("own"))
         .localCheckpoint(true)
-      val labSum = next.agg(sum(col("lab"))).collect()(0).getLong(0)
-      converged = labSum == prevSum
-      prevSum = labSum
-      labels = next
+      changed = next.where(col("lab") < col("own")).count()
+      labels = next.select(col("doc_id"), col("lab"))
       rounds += 1
     }
-    val out = labels.select(col("doc_id"), col("lab").as("cluster_id"))
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dedup_cluster did not converge in $maxRounds rounds " +
+        s"($changed labels still changing) — component diameter exceeds the cap")
+    val isolated = Tables.documentsPar(spark, sfDir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("lab"))
+    labels.unionByName(isolated)
+      .select(col("doc_id"), col("lab").as("cluster_id"))
       .orderBy(col("doc_id"))
-    bidir.unpersist()
-    out
   }
 
   /** Corpus + planted near-duplicates (doc_id+1000000, last 3 words
@@ -149,7 +182,7 @@ object Dedup {
     val sigs = ex.groupBy(col("doc_id"))
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-      .cache()
+      .localCheckpoint(true)
     val banded = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",", slice(col("sig"), b * lit(rows) + 1, lit(rows))), b))))
@@ -170,29 +203,52 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** §2#27 SimHash near-dup: 64-bit signatures (64 codegen'd per-bit
-    * vote-sum aggregates over exploded token hashes), Hamming
-    * distance ≤ 8 between a doc and its planted variant block. */
-  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val hashes = corpusWithPlants(spark, sfDir)
+  /** Core SimHash Hamming-LSH over any (doc_id, toks) frame: 64-bit
+    * signatures (64 codegen'd per-bit vote-sum aggregates over exploded
+    * token hashes), candidate pairs via 4×16-bit SIGNATURE-CHUNK
+    * banding — two docs become candidates iff at least one of the four
+    * 16-bit signature chunks matches exactly — then exact Hamming
+    * verification. Pigeonhole: any pair with Hamming ≤ 3 is GUARANTEED
+    * to share a chunk; pairs at Hamming 4..maxHamming are found with
+    * high probability (differing bits must spread across all 4 chunks
+    * to hide). This is the standard Manku-style near-dup search: the
+    * shuffle key is (chunk_idx, chunk_value), so work scales with
+    * chunk-bucket collisions, never doc×doc. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val hashes = docs
       .select(col("doc_id"), explode(col("toks")).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
     val voteAggs = (0 until 64).map(j => sum(simhashVote(col("h"), j)).as(s"b$j"))
     val sigs = hashes.groupBy(col("doc_id"))
       .agg(voteAggs.head, voteAggs.tail: _*)
-      .select(col("doc_id"), (col("doc_id") % 1000000L).as("block"),
-        simhashFromVotes(j => col(s"b$j")).as("sig"))
-    sigs.as("x").join(sigs.as("y"),
-        col("x.block") === col("y.block") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("doc_id"), simhashFromVotes(j => col(s"b$j")).as("sig"))
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk", "cv")))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+        col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        hamming64(col("x.sig"), col("y.sig")).cast("long").as("hamming"))
-      .where(col("hamming") <= 8)
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        hamming64(col("sig_a"), col("sig_b")).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** §2#27 SimHash near-dup pairs (Hamming ≤ 8) over the corpus with
+    * planted variants — candidate generation via signature-chunk
+    * banding (see simhashPairs), not any id-derived blocking. */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashPairs(corpusWithPlants(spark, sfDir), 8)
+
   /** §2#28 embedding-cosine near-dup pairs: corpus = embeddings ∪ exact
     * copies of vec_id<100 (vec_id+1000000); pairs with cos ≥ 0.95 within
-    * the same label block (blocking key → no corpus cross-join). */
+    * the same label block. The label is a DEMO blocking key (it keeps
+    * the oracle SQL-expressible); for unlabeled corpora use
+    * embeddingNearDupLsh below. */
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.Registry.ensure(spark)
     val base = Tables.embeddingsPar(spark, sfDir)
@@ -204,6 +260,32 @@ object Dedup {
     val corpus = base.unionByName(plants).withColumn("nrm", norm2(col("emb")))
     corpus.as("x").join(corpus.as("y"),
         col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        scaled(dot(col("x.emb"), col("y.emb")) / (col("x.nrm") * col("y.nrm")),
+          1000000L).as("cos_e6"))
+      .where(col("cos_e6") >= 950000L)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** §2#59 LABEL-FREE embedding near-dup: blocking via 12-bit
+    * random-hyperplane LSH buckets instead of any metadata column —
+    * works on unlabeled corpora. Identical vectors always share a
+    * bucket (every projection sign matches), so exact copies have 100%
+    * recall; near-but-not-identical pairs are found when no hyperplane
+    * separates them (probabilistic — standard LSH trade; add rotated
+    * bucket tables to push recall up). One shuffle on the bucket key,
+    * in-bucket pair join — never corpus×corpus. */
+  def embeddingNearDupLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.Registry.ensure(spark)
+    val base = Tables.embeddingsPar(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val plants = base.where(col("vec_id") < 100)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("emb"))
+    val corpus = base.unionByName(plants)
+      .withColumn("nrm", norm2(col("emb")))
+      .withColumn("bucket", hyperplaneBucket(col("emb"), 12, 64))
+    corpus.as("x").join(corpus.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         scaled(dot(col("x.emb"), col("y.emb")) / (col("x.nrm") * col("y.nrm")),
           1000000L).as("cos_e6"))

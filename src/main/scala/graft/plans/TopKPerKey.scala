@@ -28,6 +28,15 @@ import org.apache.spark.sql.types.LongType
   * Ordering is sortCol DESC, tieCol ASC; both LongType (the engine's
   * deterministic scaled-integer measures). Output = child columns plus
   * a 1-based `rk` rank.
+  *
+  * MEMORY CONTRACT: both phases hold one k-row buffer per distinct key
+  * per partition ON HEAP, with no spilling — memory is
+  * O(distinct-keys-per-partition × k × rowSize). That is the point (a
+  * sort spills because it must keep n rows; this keeps k per key), but
+  * it assumes keys-per-partition × k rows fit in executor memory:
+  * fine for grouped/rolled-up keys (suppliers, users, buckets), wrong
+  * for near-unique keys. For key cardinality approaching row count use
+  * the window variant (Analytics.qWindowTopk), whose sort spills.
   */
 case class TopKPerKey(
     keys: Seq[Attribute],

@@ -18,11 +18,45 @@ class OperatorSpec extends SparkSuite {
     assert(pairs.forall(_.getLong(2) >= 500L))
   }
 
-  test("dedup_simhash: planted variants within hamming 8 of originals") {
+  test("dedup_simhash: chunk banding catches every planted variant") {
     val pairs = Dedup.simhash(spark, sf).collect()
     assert(pairs.nonEmpty)
-    assert(pairs.forall(r => r.getLong(1) === r.getLong(0) + 1000000L))
     assert(pairs.forall(_.getLong(2) <= 8L))
+    // every plant (doc_id+1000000, 3 trailing tokens dropped) must pair
+    // with its original through a matching 16-bit signature chunk
+    val plantPairs = pairs.filter(r => r.getLong(1) === r.getLong(0) + 1000000L)
+    val planted = graft.Tables.documents(spark, sf)
+      .where(col("doc_id") % 10 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(planted.subsetOf(plantPairs.map(_.getLong(0)).toSet))
+  }
+
+  test("simhashPairs finds a NON-planted near-dup via signature-chunk banding") {
+    import spark.implicits._
+    // two docs with arbitrary unrelated ids, one extra token apart —
+    // no id-derived blocking could pair 7 with 424242
+    val words = (1 to 60).map(i => s"tok$i")
+    val near = Seq((7L, words), (424242L, words :+ "extra"))
+    val noise = (1 to 30).map(i => (100L + i, (1 to 60).map(j => s"w${i}_$j")))
+    val docs = (near ++ noise).toDF("doc_id", "toks")
+    val pairs = Dedup.simhashPairs(docs, 8).collect()
+    assert(pairs.exists(r => r.getLong(0) == 7L && r.getLong(1) == 424242L))
+  }
+
+  test("dedup_embedding_lsh: exact copies found without any label column") {
+    val pairs = Dedup.embeddingNearDupLsh(spark, sf).collect()
+    val copies = pairs.filter(r => r.getLong(1) === r.getLong(0) + 1000000L)
+    // identical vectors always share every hyperplane sign → 100% recall
+    assert(copies.length === 100)
+    assert(copies.forall(_.getLong(2) === 1000000L))
+  }
+
+  test("ngram df filter: default threshold is a no-op on this corpus; low thresholds prune") {
+    val def_ = Dedup.ngramJaccard(spark, sf).collect().toSeq
+    val unfiltered = Dedup.ngramJaccard(spark, sf, Int.MaxValue).collect().toSeq
+    assert(def_ === unfiltered) // oracle safety: nothing dropped at maxDf=128
+    val all0 = Dedup.ngramJaccard(spark, sf, 0).collect()
+    assert(all0.isEmpty) // maxDf=0 drops every shingle → no candidates
   }
 
   test("dedup_embedding: exact copies rank at cosine 1.0") {
