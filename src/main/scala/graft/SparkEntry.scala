@@ -421,6 +421,47 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, cos_e6, CAST(rk AS BIGINT) AS "rank"
          |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
+    "knn_label_vote" ->
+      s"""WITH $embBase,
+         |q AS (SELECT vec_id AS query_id, label AS actual_label, emb AS q_emb
+         |  FROM base WHERE vec_id < 50),
+         |sims AS (SELECT q.query_id, q.actual_label, b.label,
+         |    ${cosE6("q.q_emb", "b.emb")} AS cos_e6
+         |  FROM base b CROSS JOIN q WHERE b.vec_id <> q.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, label) AS rk FROM sims),
+         |votes AS (SELECT query_id, actual_label, label, count(*) AS n_votes
+         |  FROM r WHERE rk <= 10 GROUP BY 1,2,3),
+         |v AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, label) AS vr FROM votes)
+         |SELECT query_id, CAST(label AS BIGINT) AS predicted_label,
+         |  CAST(actual_label AS BIGINT) AS actual_label,
+         |  CAST(CASE WHEN label = actual_label THEN 1 ELSE 0 END AS BIGINT) AS correct
+         |FROM v WHERE vr = 1 ORDER BY query_id""".stripMargin,
+
+    "ann_ivf_topk" ->
+      s"""WITH $embBase,
+         |cent AS (
+         |  SELECT label AS cell, list(m ORDER BY dim) AS c_emb
+         |  FROM (SELECT label, i AS dim, avg(emb[i]) AS m
+         |        FROM base CROSS JOIN generate_series(1, 64) AS t(i)
+         |        GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |scored AS (SELECT b.vec_id, b.emb, c.cell,
+         |    ${cosE6("b.emb", "c.c_emb")} AS cell_cos
+         |  FROM base b CROSS JOIN cent c),
+         |assigned AS (SELECT vec_id, emb, cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cell_cos DESC, cell) AS ark
+         |  FROM scored) WHERE ark = 1),
+         |qprobe AS (SELECT vec_id AS query_id, emb AS q_emb, cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cell_cos DESC, cell) AS prk
+         |  FROM scored WHERE vec_id < 10) WHERE prk <= 3),
+         |sims AS (SELECT q.query_id, a.vec_id AS neighbor_id, a.cell,
+         |    ${cosE6("q.q_emb", "a.emb")} AS cos_e6
+         |  FROM assigned a JOIN qprobe q ON a.cell = q.cell WHERE a.vec_id <> q.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, neighbor_id) AS rk FROM sims)
+         |SELECT query_id, neighbor_id, CAST(cell AS BIGINT) AS cell, cos_e6,
+         |  CAST(rk AS BIGINT) AS "rank"
+         |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
     "ann_centroid_classify" ->
       s"""WITH $embBase,
          |cent AS (
@@ -456,6 +497,26 @@ object SparkEntry {
         |FROM t)
         |SELECT *, greatest(least(stopword_pm + uniq_pm - punct_pm, 1000), 0) AS quality_pm
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Spark casts the double score to long by TRUNCATION; DuckDB CAST
+    // rounds-half-even — hence the explicit floor() on every score.
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, lang AS labeled_lang,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sc AS (
+        |  SELECT doc_id, labeled_lang, 'en' AS lang,
+        |    CAST(floor(len(list_filter(toks, tk -> list_contains(['the','a','and','of','to','fast','slow','small','big'], tk))) * 1000.0 / greatest(len(toks),1)) AS BIGINT) AS score_pm FROM t
+        |  UNION ALL SELECT doc_id, labeled_lang, 'de',
+        |    CAST(floor(len(list_filter(toks, tk -> list_contains(['der','die','das','und','ist','schnell','klein'], tk))) * 1000.0 / greatest(len(toks),1)) AS BIGINT) FROM t
+        |  UNION ALL SELECT doc_id, labeled_lang, 'fr',
+        |    CAST(floor(len(list_filter(toks, tk -> list_contains(['le','la','et','est','vite','petit','grand'], tk))) * 1000.0 / greatest(len(toks),1)) AS BIGINT) FROM t
+        |  UNION ALL SELECT doc_id, labeled_lang, 'es',
+        |    CAST(floor(len(list_filter(toks, tk -> list_contains(['el','la','y','es','rapido','pequeno','grande'], tk))) * 1000.0 / greatest(len(toks),1)) AS BIGINT) FROM t
+        |  UNION ALL SELECT doc_id, labeled_lang, 'zh',
+        |    CAST(floor(len(list_filter(toks, tk -> list_contains(['de','shi','he','kuai','xiao','da'], tk))) * 1000.0 / greatest(len(toks),1)) AS BIGINT) FROM t),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_pm DESC, lang DESC) AS rk FROM sc)
+        |SELECT doc_id, labeled_lang, lang AS predicted_lang, score_pm
+        |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
 
     "text_normalize" ->
       """SELECT doc_id,

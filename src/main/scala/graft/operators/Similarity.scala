@@ -110,7 +110,8 @@ object Similarity {
     * check; the spec asserts structural invariants + recall vs brute
     * force. */
   def ivfTopk(spark: SparkSession, sfDir: String, k: Int = 5, nProbe: Int = 3): DataFrame = {
-    val base = corpus(spark, sfDir)
+    // base feeds centroids, assignment AND probing — materialize once
+    val base = corpus(spark, sfDir).localCheckpoint(true)
     val centroids = base
       .select(col("label"), posexplode(col("emb")).as(Seq("dim", "x")))
       .groupBy(col("label"), col("dim")).agg(avg(col("x")).as("m"))
@@ -119,27 +120,32 @@ object Similarity {
       .select(col("label").as("cell"),
         transform(col("parts"), p => p.getField("m")).as("c_emb"))
       .withColumn("c_nrm", norm2(col("c_emb")))
-    // assign every corpus vector to its best cell (broadcast centroids)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cell_cos").desc, col("cell"))
-    val assigned = base.crossJoin(broadcast(centroids))
+    val scored = base.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("emb"), col("nrm"), col("cell"),
         cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")).as("cell_cos"))
-      .withColumn("ark", row_number().over(wAssign))
-      .where(col("ark") === 1)
-      .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
-    // queries probe their nProbe closest cells
-    val qProbe = base.where(col("vec_id") < 10).crossJoin(broadcast(centroids))
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
-        col("nrm").as("q_nrm"), col("cell"),
-        cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")).as("cell_cos"))
+    // best cell per corpus vector via max_by argmax — partial-agg
+    // friendly (map-side combine, no sort, no Window over corpus×cells).
+    // The ordering struct includes -cell so cell_cos ties break to the
+    // smallest cell deterministically.
+    val assigned = scored
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("emb"), col("nrm"), col("cell")),
+        struct(col("cell_cos"), -col("cell"))).as("best"))
+      .select(col("vec_id"), col("best.emb").as("emb"),
+        col("best.nrm").as("nrm"), col("best.cell").as("cell"))
+    // queries probe their nProbe closest cells (10 queries × nCells →
+    // the Window here sorts a tiny frame; the vec_id filter pushes
+    // below the crossJoin)
+    val qProbe = scored.where(col("vec_id") < 10)
       .withColumn("prk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cell_cos").desc, col("cell"))))
+        Window.partitionBy(col("vec_id")).orderBy(col("cell_cos").desc, col("cell"))))
       .where(col("prk") <= nProbe)
-      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cell"))
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell"))
     val sims = assigned.join(broadcast(qProbe), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cell").cast("long").as("cell"),
         cosPre(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("cos_e6"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_e6").desc, col("neighbor_id"))
