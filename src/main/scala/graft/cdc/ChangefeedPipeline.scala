@@ -83,6 +83,35 @@ class ChangefeedPipeline(
     catch {
       case _: InvalidCursorException => start(spark, frame, ignoreCursor = true)
     }
+
+  /** Start on the custom DSv2 source (`graft-changefeed`) over a
+    * changefeed log directory: the CursorStore cursor becomes the
+    * source's `startCursor` (offset-level resume — skipped rows are
+    * never read, vs. the post-read filter of `resumeFrom`), and the
+    * cursor is validated against the log's GC floor BEFORE the stream
+    * starts, mirroring the reference's pre-flight cursor handling
+    * (src/main.rs:117-140). */
+  def startFromLog(spark: SparkSession, logDir: String,
+      ignoreCursor: Boolean = false): StreamingQuery = {
+    val cursor = if (ignoreCursor) None else cursorStore.get().map(_.toLong)
+    val floor = gcFloorUs.orElse(graft.sources.ChangefeedLog.gcFloorUs(logDir))
+    for (c <- cursor; f <- floor; if c < f)
+      throw new InvalidCursorException(
+        s"cursor $c must be after replica GC threshold $f")
+    val reader = spark.readStream.format("graft-changefeed").option("path", logDir)
+    val frame = cursor.fold(reader)(c => reader.option("startCursor", c)).load()
+    // the source already resumed at the offset level → skip resumeFrom
+    start(spark, frame, ignoreCursor = true)
+  }
+
+  /** Reference retry loop over the DSv2 source: an invalid cursor is
+    * dropped and the feed restarts from whatever the log retains. */
+  def startFromLogWithRetry(spark: SparkSession, logDir: String): StreamingQuery =
+    try startFromLog(spark, logDir)
+    catch {
+      case _: InvalidCursorException =>
+        startFromLog(spark, logDir, ignoreCursor = true)
+    }
 }
 
 object ChangefeedPipeline {

@@ -1,0 +1,186 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.cdc.InvalidCursorException
+
+/** `graft-changefeed` — a DataSource V2 micro-batch source for the
+  * changefeed log (see ChangefeedLog), the Spark-native re-expression
+  * of the reference's live changefeed cursor loop
+  * (crdb-changefeed-publisher src/main.rs:205-221).
+  *
+  * Mapping to the reference:
+  *  - the streamed `(table, key, value)` triple + HLC timestamp →
+  *    rows `(sort_us, tbl, key, value)`;
+  *  - `cursor='<stored>'` resume (src/main.rs:117-126) → the
+  *    `startCursor` option seeds `initialOffset`;
+  *  - "batch timestamp ... must be after replica GC threshold"
+  *    (src/main.rs:183-198) → a cursor below the log's `_gc_floor`
+  *    raises InvalidCursorException at offset planning;
+  *  - exactly-once offset tracking the reference lacks comes free from
+  *    Structured Streaming checkpointing of `ChangefeedOffset`.
+  *
+  * Scale: driver-side planning is a file listing (segment names carry
+  * the covered sort_us range — no data read, like Kafka metadata);
+  * each segment becomes one InputPartition so read parallelism tracks
+  * segment count; rows are parsed executor-side straight to
+  * InternalRow.
+  *
+  * Options: `path` (required), `startCursor` (µs — rows at or below are
+  * skipped), `gcFloorUs` (explicit floor; else the log's `_gc_floor`).
+  */
+class ChangefeedDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-changefeed"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ChangefeedDataSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ChangefeedTable(properties.asScala.toMap)
+}
+
+object ChangefeedDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("sort_us", LongType, nullable = false),
+    StructField("tbl", StringType, nullable = true),
+    StructField("key", StringType, nullable = true),
+    StructField("value", StringType, nullable = false)))
+}
+
+class ChangefeedTable(properties: Map[String, String]) extends Table with SupportsRead {
+  private val dir = properties.getOrElse("path",
+    throw new IllegalArgumentException("graft-changefeed requires option 'path'"))
+  override def name(): String = s"graft-changefeed:$dir"
+  override def schema(): StructType = ChangefeedDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ChangefeedScan(dir,
+      Option(options.get("startCursor")).map(_.toLong),
+      Option(options.get("gcFloorUs")).map(_.toLong))
+}
+
+class ChangefeedScan(dir: String, startCursorUs: Option[Long],
+    explicitFloorUs: Option[Long]) extends ScanBuilder with Scan {
+  override def build(): Scan = this
+  override def readSchema(): StructType = ChangefeedDataSource.schema
+  override def description(): String = s"graft-changefeed $dir"
+
+  override def toBatch: Batch = new Batch {
+    // batch read = full replay of every retained segment
+    override def planInputPartitions(): Array[InputPartition] =
+      ChangefeedLog.listSegments(dir)
+        .map(s => ChangefeedPartition(s.path.toString, Long.MinValue, Long.MaxValue)
+          : InputPartition).toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      ChangefeedReaderFactory()
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ChangefeedMicroBatchStream(dir, startCursorUs, explicitFloorUs)
+}
+
+/** Offset = "every row with sort_us <= us has been consumed". */
+case class ChangefeedOffset(us: Long) extends Offset {
+  override def json(): String = s"""{"sort_us":$us}"""
+}
+
+class ChangefeedMicroBatchStream(dir: String, startCursorUs: Option[Long],
+    explicitFloorUs: Option[Long]) extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private def floorUs: Option[Long] =
+    explicitFloorUs.orElse(ChangefeedLog.gcFloorUs(dir))
+
+  /** Reference src/main.rs:183-198 — a resume point below the replica GC
+    * threshold means the in-between history is gone; fail loudly so the
+    * consumer can decide to restart from scratch (startWithRetry). A
+    * from-the-beginning consumer (no cursor) reads whatever is retained,
+    * like a fresh changefeed. */
+  private def validate(cursorUs: Long): Unit =
+    floorUs.filter(f => cursorUs >= 0 && cursorUs < f).foreach { f =>
+      throw new InvalidCursorException(
+        s"cursor timestamp $cursorUs must be after replica GC threshold $f")
+    }
+
+  @volatile private var availableNowEndUs: Option[Long] = None
+
+  private def maxAvailableUs: Long = {
+    val segs = ChangefeedLog.listSegments(dir)
+    val base = startCursorUs.getOrElse(-1L)
+    if (segs.isEmpty) base else math.max(base, segs.map(_.lastUs).max)
+  }
+
+  override def initialOffset(): Offset = {
+    val start = startCursorUs.getOrElse(-1L)
+    validate(start)
+    ChangefeedOffset(start)
+  }
+
+  override def latestOffset(): Offset =
+    ChangefeedOffset(availableNowEndUs.getOrElse(maxAvailableUs))
+
+  /** Admission-control variant (SupportsTriggerAvailableNow extends
+    * SupportsAdmissionControl): this source has no rate limit — every
+    * retained row up to the snapshot/current end is admitted. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    latestOffset()
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEndUs = Some(maxAvailableUs)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ChangefeedOffset].us
+    val e = end.asInstanceOf[ChangefeedOffset].us
+    validate(s) // a checkpoint-resumed offset can ALSO have fallen below the floor
+    ChangefeedLog.listSegments(dir)
+      .filter(seg => seg.lastUs > s && seg.firstUs <= e)
+      .map(seg => ChangefeedPartition(seg.path.toString, s, e): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ChangefeedReaderFactory()
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = raw""""sort_us"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json)
+      .getOrElse(throw new IllegalArgumentException(s"bad changefeed offset: $json"))
+    ChangefeedOffset(m.group(1).toLong)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** One retained segment file, filtered to (startUs, endUs]. */
+case class ChangefeedPartition(file: String, startUs: Long, endUs: Long)
+  extends InputPartition
+
+case class ChangefeedReaderFactory() extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ChangefeedPartition]
+    new PartitionReader[InternalRow] {
+      private val it = ChangefeedLog
+        .readSegment(java.nio.file.Paths.get(p.file))
+        .filter(r => r.sortUs > p.startUs && r.sortUs <= p.endUs)
+      private var current: ChangefeedLog.Record = _
+      override def next(): Boolean = { val has = it.hasNext; if (has) current = it.next(); has }
+      override def get(): InternalRow = new GenericInternalRow(Array[Any](
+        current.sortUs,
+        current.tbl.map(UTF8String.fromString).orNull,
+        current.key.map(UTF8String.fromString).orNull,
+        UTF8String.fromString(current.value)))
+      override def close(): Unit = ()
+    }
+  }
+}

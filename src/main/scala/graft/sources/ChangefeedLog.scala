@@ -1,0 +1,119 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** On-disk layout of a changefeed log — the durable stand-in for the
+  * reference's live CockroachDB changefeed cursor (src/main.rs:205-221):
+  * an append-only directory of immutable segment files, each covering a
+  * contiguous `sort_us` range, plus a `_gc_floor` marker mirroring the
+  * database's replica GC threshold.
+  *
+  * Segment name carries the row range (`seg-<firstUs>-<lastUs>-<id>.log`)
+  * so micro-batch PLANNING is a directory listing — no data is read on
+  * the driver, exactly like Kafka offset planning. Row format is one
+  * escaped TSV record per line: `sort_us<TAB>tbl<TAB>key<TAB>value`
+  * with `\N` for SQL NULL (resolved rows have NULL tbl/key).
+  */
+object ChangefeedLog {
+
+  final case class Segment(path: Path, firstUs: Long, lastUs: Long)
+
+  /** One changefeed record — matches the (table, key, value) triple the
+    * reference reads off the feed, plus its HLC-ish sort timestamp. */
+  final case class Record(sortUs: Long, tbl: Option[String],
+      key: Option[String], value: String)
+
+  private val SegmentName = raw"seg-(\d+)-(\d+)-([0-9a-zA-Z]+)\.log".r
+  private val GcFloorFile = "_gc_floor"
+  private val Null = "\\N"
+
+  private[sources] def esc(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '\t' => "\\t"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case c => c.toString
+  }
+
+  private[sources] def unesc(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => b.append('\\'); i += 2
+          case 't' => b.append('\t'); i += 2
+          case 'n' => b.append('\n'); i += 2
+          case 'r' => b.append('\r'); i += 2
+          case 'N' => b.append("\\N"); i += 2 // not produced by esc; keep literal
+          case other => b.append(c).append(other); i += 2
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  private def fmt(r: Record): String =
+    s"${r.sortUs}\t${r.tbl.map(esc).getOrElse(Null)}\t" +
+      s"${r.key.map(esc).getOrElse(Null)}\t${esc(r.value)}"
+
+  private[sources] def parse(line: String): Record = {
+    val parts = line.split("\t", 4)
+    require(parts.length == 4, s"malformed changefeed log line: $line")
+    def opt(s: String): Option[String] = if (s == Null) None else Some(unesc(s))
+    Record(parts(0).toLong, opt(parts(1)), opt(parts(2)), unesc(parts(3)))
+  }
+
+  /** Append one immutable segment (records sorted by sort_us; write to a
+    * temp file then atomic-rename so readers never see partial files). */
+  def writeSegment(dir: String, records: Seq[Record]): Path = {
+    require(records.nonEmpty, "empty changefeed segment")
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    val sorted = records.sortBy(r => (r.sortUs, r.key.getOrElse("")))
+    val id = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val name = s"seg-${sorted.head.sortUs}-${sorted.last.sortUs}-$id.log"
+    val tmp = d.resolve(s".$name.tmp")
+    Files.write(tmp, sorted.map(fmt).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val dst = d.resolve(name)
+    Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    dst
+  }
+
+  def listSegments(dir: String): Seq[Segment] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) Seq.empty
+    else Files.list(d).iterator.asScala.flatMap { p =>
+      p.getFileName.toString match {
+        case SegmentName(first, last, _) => Some(Segment(p, first.toLong, last.toLong))
+        case _ => None
+      }
+    }.toSeq.sortBy(s => (s.firstUs, s.lastUs, s.path.toString))
+  }
+
+  def readSegment(path: Path): Iterator[Record] =
+    Files.readAllLines(path, StandardCharsets.UTF_8).iterator.asScala
+      .filter(_.nonEmpty).map(parse)
+
+  /** The replica-GC threshold: data at or below this sort_us may have
+    * been reclaimed; a consumer cursor below it is invalid. */
+  def gcFloorUs(dir: String): Option[Long] = {
+    val f = Paths.get(dir, GcFloorFile)
+    if (Files.exists(f))
+      Some(new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim.toLong)
+    else None
+  }
+
+  /** Garbage-collect: drop every segment wholly at-or-below `floorUs`
+    * and record the new floor — the moral equivalent of CockroachDB's
+    * replica GC advancing past old MVCC history. */
+  def gc(dir: String, floorUs: Long): Unit = {
+    listSegments(dir).filter(_.lastUs <= floorUs)
+      .foreach(s => Files.delete(s.path))
+    Files.write(Paths.get(dir, GcFloorFile),
+      floorUs.toString.getBytes(StandardCharsets.UTF_8))
+  }
+}
