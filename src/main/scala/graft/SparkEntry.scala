@@ -46,6 +46,7 @@ object SparkEntry {
     "q_asof_join" -> (Temporal.asofJoin _),
     "q_range_join" -> (Temporal.rangeJoin _),
     "q_quantiles" -> (Analytics.qQuantiles _),
+    "q_quantiles_approx" -> (Analytics.qQuantilesApprox _),
     "q_approx_distinct" -> (Analytics.qApproxDistinct _),
     "q_salted_agg" -> (Analytics.qSaltedAgg _),
     "q_topk_values_agg" -> (Analytics.qTopkValuesAgg _),

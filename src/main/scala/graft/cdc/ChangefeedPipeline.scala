@@ -36,6 +36,8 @@ class ChangefeedPipeline(
 
   /** rabbitmq_messages_sent equivalent (reference src/metrics.rs). */
   @volatile var messagesSent: LongAccumulator = _
+  /** Cursor-store commits (one per micro-batch with resolved rows). */
+  @volatile var cursorsCommitted: LongAccumulator = _
 
   private def resumeFrom(frame: DataFrame, ignoreCursor: Boolean): DataFrame =
     (if (ignoreCursor) None else cursorStore.get().map(_.toLong)) match {
@@ -53,7 +55,9 @@ class ChangefeedPipeline(
   def start(spark: SparkSession, frame: DataFrame,
       ignoreCursor: Boolean = false): StreamingQuery = {
     messagesSent = spark.sparkContext.longAccumulator("graft.messages_sent")
+    cursorsCommitted = spark.sparkContext.longAccumulator("graft.cursors_committed")
     val acc = messagesSent
+    val curAcc = cursorsCommitted
     val q = queue
     val store = cursorStore
     resumeFrom(frame, ignoreCursor).writeStream
@@ -70,7 +74,10 @@ class ChangefeedPipeline(
         val maxResolved = batch
           .where(col("tbl").isNull && col("key").isNull)
           .agg(max(Changefeed.resolvedUsCol)).collect()(0)
-        if (!maxResolved.isNullAt(0)) store.set(maxResolved.getLong(0).toString)
+        if (!maxResolved.isNullAt(0)) {
+          store.set(maxResolved.getLong(0).toString)
+          curAcc.add(1L)
+        }
         ()
       }
       .start()

@@ -1,0 +1,88 @@
+package graft.cdc
+
+/** The reference's CLI surface (cli.yml + src/main.rs:45-63) as a typed
+  * config object:
+  *
+  *   --table            name of the table whose changefeed is watched
+  *   --queue            message queue for row changes
+  *   --cursor-store     where cursor values are stored
+  *   --cursor-frequency how often resolved cursors are emitted (e.g. 10s)
+  *
+  * The reference's `rabbitmq` / `cockroachdb` values name network
+  * services; this offline build maps the same slots onto its compiled
+  * impls via `scheme:arg` specs — `inmemory:<name>` or `file:<path>` —
+  * so a deployment swaps impls by flag, not by code, exactly like the
+  * reference's QueueType/CursorStoreType dispatch (src/main.rs:66-85).
+  */
+final case class GraftConfig(
+    table: String,
+    queue: String = "inmemory:default",
+    cursorStore: String = "inmemory:default",
+    cursorFrequency: String = "10s") {
+
+  /** Cursor cadence in microseconds (reference `resolved = '10s'`). */
+  def cursorFrequencyUs: Long = GraftConfig.parseDurationUs(cursorFrequency)
+
+  private def split(spec: String, what: String): (String, String) =
+    spec.split(":", 2) match {
+      case Array(scheme, arg) => (scheme, arg)
+      case _ => throw new IllegalArgumentException(
+        s"$what spec '$spec' must be scheme:arg (inmemory:<name> | file:<path>)")
+    }
+
+  def newQueue(): MessageQueue = split(queue, "queue") match {
+    case ("inmemory", name) => new InMemoryQueue(name)
+    case (scheme, _) => throw new IllegalArgumentException(
+      s"unsupported queue scheme '$scheme' (this build compiles: inmemory; " +
+        "the reference's rabbitmq needs a broker client not available offline)")
+  }
+
+  /** File queues need per-batch writers (not per-record publish) — the
+    * pipeline dispatches on this. */
+  def newFileQueue(): Option[FileQueue] = split(queue, "queue") match {
+    case ("file", dir) => Some(new FileQueue(dir))
+    case _ => None
+  }
+
+  def newCursorStore(): CursorStore = split(cursorStore, "cursor-store") match {
+    case ("inmemory", key) => new InMemoryCursorStore(key)
+    case ("file", path) => new FileCursorStore(path)
+    case (scheme, _) => throw new IllegalArgumentException(
+      s"unsupported cursor-store scheme '$scheme' (this build compiles: " +
+        "inmemory, file; the reference's cockroachdb needs a live database)")
+  }
+}
+
+object GraftConfig {
+
+  /** `10s` / `500ms` / `2m` / `1h` → microseconds. */
+  def parseDurationUs(s: String): Long = {
+    val m = raw"(\d+)(ms|s|m|h)".r.pattern.matcher(s.trim)
+    require(m.matches(), s"bad duration '$s' (want e.g. 10s, 500ms, 2m, 1h)")
+    val n = m.group(1).toLong
+    m.group(2) match {
+      case "ms" => n * 1000L
+      case "s" => n * 1000000L
+      case "m" => n * 60000000L
+      case "h" => n * 3600000000L
+    }
+  }
+
+  /** Parse `--table events --queue inmemory:q ...` exactly like the
+    * reference's clap matcher (unknown flags rejected; --table required,
+    * the rest defaulted). */
+  def fromArgs(args: Seq[String]): GraftConfig = {
+    val kv = args.grouped(2).map {
+      case Seq(flag, value) if flag.startsWith("--") => flag.drop(2) -> value
+      case other => throw new IllegalArgumentException(
+        s"expected --flag value pairs, got: ${other.mkString(" ")}")
+    }.toMap
+    val unknown = kv.keySet -- Set("table", "queue", "cursor-store", "cursor-frequency")
+    require(unknown.isEmpty, s"unknown flags: ${unknown.mkString(", ")}")
+    val base = GraftConfig(table = kv.getOrElse("table",
+      throw new IllegalArgumentException("--table is required")))
+    val withQueue = kv.get("queue").fold(base)(q => base.copy(queue = q))
+    val withStore = kv.get("cursor-store").fold(withQueue)(s => withQueue.copy(cursorStore = s))
+    kv.get("cursor-frequency").fold(withStore)(f => withStore.copy(cursorFrequency = f))
+  }
+}

@@ -150,7 +150,14 @@ object Analytics {
 
   /** §2#40 exact interpolated quantiles (p50/p90 of extendedprice per
     * returnflag) via the exact `percentile` aggregate — emitted as
-    * rounded cents. */
+    * rounded cents.
+    *
+    * SCALE CAVEAT: `percentile` buffers every value of a group on one
+    * reducer (unbounded per-group state) — exact-correct and
+    * oracle-checkable, but a scale-killer when a single group holds
+    * billions of rows. At 100 TB use `qQuantilesApprox` below: the
+    * t-digest-style `approx_percentile` sketch is constant-memory per
+    * group and mergeable map-side. */
   def qQuantiles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
@@ -158,6 +165,25 @@ object Analytics {
         round(call_function("percentile", col("l_extendedprice"), lit(0.5)) * 100)
           .cast("long").as("p50_price_c"),
         round(call_function("percentile", col("l_extendedprice"), lit(0.9)) * 100)
+          .cast("long").as("p90_price_c"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** §2#60 the 100 TB twin of qQuantiles: `approx_percentile` with
+    * accuracy 10000 (error <= 0.01% of rank). Constant-memory sketch per
+    * group, partial-agg mergeable — per-group state no longer scales
+    * with group size. Engine-specific estimate → rows-only driver
+    * check; the spec asserts the rank-error bound against the exact
+    * percentiles. */
+  def qQuantilesApprox(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(element_at(approx_percentile(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9)), lit(10000)), 1) * 100)
+          .cast("long").as("p50_price_c"),
+        round(element_at(approx_percentile(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9)), lit(10000)), 2) * 100)
           .cast("long").as("p90_price_c"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))

@@ -22,11 +22,14 @@ object Dedup {
     * dropped from candidate generation — the df prefix filter. A shingle
     * shared by hundreds of documents is boilerplate: it explodes the
     * set-similarity join quadratically (df² pairs) while carrying no
-    * near-dup signal. The hot list is provably tiny (< totalShingles /
-    * maxDf entries), so the anti-join side is broadcastable BY
-    * CONSTRUCTION — this broadcast is bounded, unlike a per-doc frame.
-    * 128 is far above any df in the test corpus (max observed: 6), so
-    * the sf results — and the DuckDB oracle hashes — are unchanged. */
+    * near-dup signal. The hot list is < totalShingles / maxDf entries —
+    * small, but linear in corpus size, so the anti-join carries no
+    * broadcast hint (AQE broadcasts when the runtime size fits).
+    * Contract: with the filter active, jaccard is computed EXACTLY over
+    * the df-filtered shingle universe (both intersections and set
+    * sizes). 128 is far above any df in the test corpus (max observed:
+    * 6), so the sf results — and the DuckDB oracle hashes, which
+    * compute plain jaccard — are unchanged. */
   val defaultMaxShingleDf = 128
 
   /** §2#24 exact dedup via md5(text) hash-groupBy: canonical doc per
@@ -58,14 +61,22 @@ object Dedup {
       .select(col("doc_id"), col("source"),
         explode(shingleHashes(tokens(col("text")), 3)).as("sh8"))
       .localCheckpoint(true)
-    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // df prefix filter: hot shingles out before the self-join (see
     // defaultMaxShingleDf). The map-side-combined df agg is one pass
-    // over `ex`; the surviving-hot list is tiny → broadcast anti-join.
+    // over `ex`. No broadcast hint: the hot list is < totalShingles /
+    // maxDf rows — usually tiny, but that bound grows linearly with
+    // corpus size, so AQE decides broadcast-vs-shuffle from the list's
+    // ACTUAL runtime size instead of a driver-OOM-able mandate.
     val hot = ex.groupBy(col("source"), col("sh8"))
       .agg(count(lit(1)).as("df")).where(col("df") > maxDf)
       .select(col("source"), col("sh8"))
-    val exF = ex.join(broadcast(hot), Seq("source", "sh8"), "left_anti")
+    val exF = ex.join(hot, Seq("source", "sh8"), "left_anti")
+    // sizes from the FILTERED frame: jaccard is then exact over the
+    // df-filtered shingle universe (a clean, documented contract) rather
+    // than mixing filtered intersections with unfiltered set sizes. On
+    // any corpus whose max df <= maxDf (true here: max observed df = 6)
+    // this equals plain jaccard — which is what the oracle computes.
+    val sizes = exF.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = exF.select(col("source"), col("sh8"), col("doc_id").as("doc_a"))
     val b = exF.select(col("source"), col("sh8"), col("doc_id").as("doc_b"))
     val inter = a.join(b, Seq("source", "sh8"))

@@ -134,6 +134,22 @@ class OperatorSpec extends SparkSuite {
     assert(approx.exists(exact.contains) || exact.isEmpty)
   }
 
+  test("q_quantiles_approx tracks the exact percentiles within the sketch error bound") {
+    val exact = Analytics.qQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = Analytics.qQuantilesApprox(spark, sf).collect()
+    assert(approx.length === exact.size)
+    approx.foreach { r =>
+      val (p50, p90) = exact(r.getString(0))
+      // accuracy 10000 → rank error <= 1e-4; on this price distribution
+      // that is well under 2% in value terms
+      assert(math.abs(r.getLong(1) - p50) <= math.max(p50 / 50, 1L),
+        s"p50 off for ${r.getString(0)}: got ${r.getLong(1)}, exact $p50")
+      assert(math.abs(r.getLong(2) - p90) <= math.max(p90 / 50, 1L),
+        s"p90 off for ${r.getString(0)}: got ${r.getLong(2)}, exact $p90")
+    }
+  }
+
   test("knn label vote emits one prediction per query") {
     val rows = Similarity.knnLabelVote(spark, sf).collect()
     assert(rows.length === 50)
