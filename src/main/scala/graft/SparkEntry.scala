@@ -47,6 +47,7 @@ object SparkEntry {
     "q_range_join" -> (Temporal.rangeJoin _),
     "q_quantiles" -> (Analytics.qQuantiles _),
     "q_quantiles_approx" -> (Analytics.qQuantilesApprox _),
+    "q_quantiles_sortrank" -> (Analytics.qQuantilesSortRank _),
     "q_approx_distinct" -> (Analytics.qApproxDistinct _),
     "q_salted_agg" -> (Analytics.qSaltedAgg _),
     "q_topk_values_agg" -> (Analytics.qTopkValuesAgg _),
@@ -374,6 +375,14 @@ object SparkEntry {
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  CAST(round(quantile_cont(l_extendedprice, 0.5)*100, 0) AS BIGINT) AS p50_price_c,
+        |  CAST(round(quantile_cont(l_extendedprice, 0.9)*100, 0) AS BIGINT) AS p90_price_c,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the distributed-exact variant computes the very same number
+    "q_quantiles_sortrank" ->
       """SELECT l_returnflag,
         |  CAST(round(quantile_cont(l_extendedprice, 0.5)*100, 0) AS BIGINT) AS p50_price_c,
         |  CAST(round(quantile_cont(l_extendedprice, 0.9)*100, 0) AS BIGINT) AS p90_price_c,

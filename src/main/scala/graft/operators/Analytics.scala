@@ -169,6 +169,48 @@ object Analytics {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** §2#63 EXACT quantiles, distributed: compact values into a
+    * per-group histogram first (`groupBy(group, value).count()` — a
+    * partial-agg-friendly hash aggregate over the full data), then rank
+    * over the COMPACTED histogram (cumulative counts) and interpolate
+    * exactly like `percentile` (lower + (higher−lower)·frac, same
+    * association → same bits). Per-reducer state is the number of
+    * DISTINCT values per group, not the number of rows — for 2-decimal
+    * prices that's bounded by the value domain, so a 100 TB group with
+    * billions of rows compacts to at most a few million histogram rows.
+    * Same oracle as q_quantiles (it computes the same number). */
+  def qQuantilesSortRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      .groupBy(col("l_returnflag"), col("v")).agg(count(lit(1)).as("cnt"))
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val ranked = hist
+      .withColumn("cum", sum(col("cnt")).over(byFlag.orderBy(col("v"))))
+      .withColumn("n", sum(col("cnt")).over(byFlag))
+    // 1-based rank of the lower interpolation neighbor for quantile q
+    def loRank(q: Double): Column =
+      floor((col("n") - lit(1)) * lit(q)).cast("long") + lit(1)
+    // smallest value whose cumulative count reaches `rank`
+    def valueAt(rank: Column): Column = min(when(col("cum") >= rank, col("v")))
+    def interp(q: Double, loC: Column, hiC: Column, nC: Column): Column = {
+      val pos = (nC - lit(1)) * lit(q)
+      val frac = pos - floor(pos)
+      loC + (coalesce(hiC, loC) - loC) * frac
+    }
+    ranked.groupBy(col("l_returnflag"))
+      .agg(
+        valueAt(loRank(0.5)).as("lo50"), valueAt(loRank(0.5) + 1).as("hi50"),
+        valueAt(loRank(0.9)).as("lo90"), valueAt(loRank(0.9) + 1).as("hi90"),
+        sum(col("cnt")).as("n"))
+      .select(col("l_returnflag"),
+        round(interp(0.5, col("lo50"), col("hi50"), col("n")) * 100)
+          .cast("long").as("p50_price_c"),
+        round(interp(0.9, col("lo90"), col("hi90"), col("n")) * 100)
+          .cast("long").as("p90_price_c"),
+        col("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** §2#60 the 100 TB twin of qQuantiles: `approx_percentile` with
     * accuracy 10000 (error <= 0.01% of rank). Constant-memory sketch per
     * group, partial-agg mergeable — per-group state no longer scales
