@@ -3,7 +3,7 @@ package graft.cdc
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.util.LongAccumulator
 
 /** InvalidCursor — the stored cursor predates the source's retention
@@ -32,7 +32,8 @@ class ChangefeedPipeline(
     queue: MessageQueue,
     cursorStore: CursorStore,
     checkpointDir: String,
-    gcFloorUs: Option[Long] = None) extends Serializable {
+    gcFloorUs: Option[Long] = None,
+    trigger: Option[Trigger] = None) extends Serializable {
 
   /** rabbitmq_messages_sent equivalent (reference src/metrics.rs). */
   @volatile var messagesSent: LongAccumulator = _
@@ -60,7 +61,7 @@ class ChangefeedPipeline(
     val curAcc = cursorsCommitted
     val q = queue
     val store = cursorStore
-    resumeFrom(frame, ignoreCursor).writeStream
+    val writer = resumeFrom(frame, ignoreCursor).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val payloads = batch.where(col("tbl").isNotNull)
@@ -80,7 +81,7 @@ class ChangefeedPipeline(
         }
         ()
       }
-      .start()
+    trigger.fold(writer)(writer.trigger).start()
   }
 
   /** Reference retry loop (src/main.rs:140-198): an invalid cursor is
@@ -111,17 +112,74 @@ class ChangefeedPipeline(
     start(spark, frame, ignoreCursor = true)
   }
 
+  /** "From scratch" means BOTH the stored cursor and the streaming
+    * checkpoint: a restart that reused the checkpoint would resume from
+    * the same stale offset `planInputPartitions` just rejected and fail
+    * identically, forever. */
+  def startFromLogIgnoringCursor(spark: SparkSession, logDir: String): StreamingQuery = {
+    ChangefeedPipeline.deleteRecursively(java.nio.file.Paths.get(checkpointDir))
+    startFromLog(spark, logDir, ignoreCursor = true)
+  }
+
   /** Reference retry loop over the DSv2 source: an invalid cursor is
-    * dropped and the feed restarts from whatever the log retains. */
+    * dropped and the feed restarts from whatever the log retains. Only
+    * covers the synchronous pre-flight check — an invalid offset
+    * resumed from the CHECKPOINT surfaces on the stream-execution
+    * thread after start() returns; supervise with
+    * [[runFromLogWithRetry]] to cover that path too. */
   def startFromLogWithRetry(spark: SparkSession, logDir: String): StreamingQuery =
     try startFromLog(spark, logDir)
     catch {
       case _: InvalidCursorException =>
-        startFromLog(spark, logDir, ignoreCursor = true)
+        startFromLogIgnoringCursor(spark, logDir)
     }
+
+  /** Supervised (blocking) form of the reference's retry loop
+    * (src/main.rs:140-198): run the feed to termination; if it dies
+    * because a resume point — stored cursor OR checkpoint-resumed
+    * offset — fell below the replica GC threshold, drop cursor AND
+    * checkpoint and restart from scratch. Returns the final query once
+    * it terminates. */
+  def runFromLogWithRetry(spark: SparkSession, logDir: String,
+      onStart: StreamingQuery => Unit = _ => ()): StreamingQuery = {
+    val first = startFromLogWithRetry(spark, logDir)
+    onStart(first)
+    try { first.awaitTermination(); first }
+    catch {
+      case e: Throwable if ChangefeedPipeline.causedByInvalidCursor(e) =>
+        val fresh = startFromLogIgnoringCursor(spark, logDir)
+        onStart(fresh)
+        fresh.awaitTermination()
+        fresh
+    }
+  }
 }
 
 object ChangefeedPipeline {
+
+  /** An async stream failure arrives wrapped (StreamingQueryException →
+    * SparkException → ...); walk the cause chain for the real reason. */
+  private[cdc] def causedByInvalidCursor(t: Throwable): Boolean = {
+    val seen = scala.collection.mutable.Set.empty[Throwable]
+    var cur = t
+    while (cur != null && seen.add(cur)) {
+      if (cur.isInstanceOf[InvalidCursorException]) return true
+      cur = cur.getCause
+    }
+    false
+  }
+
+  private[cdc] def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val st = Files.walk(p)
+      try {
+        st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => { Files.deleteIfExists(f); () })
+      } finally st.close()
+    }
+  }
+
   /** Publish a batch of payload rows to a FileQueue: one atomic JSONL
     * file per (batch, partition) → idempotent, effectively-once. */
   def publishToFileQueue(payloads: DataFrame, batchId: Long, fq: FileQueue): Unit =

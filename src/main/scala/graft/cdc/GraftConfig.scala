@@ -18,7 +18,11 @@ final case class GraftConfig(
     table: String,
     queue: String = "inmemory:default",
     cursorStore: String = "inmemory:default",
-    cursorFrequency: String = "10s") {
+    cursorFrequency: String = "10s",
+    logDir: Option[String] = None,
+    checkpointDir: Option[String] = None,
+    metricsPort: Int = 0,
+    once: Boolean = false) {
 
   /** Cursor cadence in microseconds (reference `resolved = '10s'`). */
   def cursorFrequencyUs: Long = GraftConfig.parseDurationUs(cursorFrequency)
@@ -70,19 +74,29 @@ object GraftConfig {
 
   /** Parse `--table events --queue inmemory:q ...` exactly like the
     * reference's clap matcher (unknown flags rejected; --table required,
-    * the rest defaulted). */
+    * the rest defaulted). Beyond the reference's four flags, the Spark
+    * app adds: `--log-dir` (the changefeed log the DSv2 source reads),
+    * `--checkpoint-dir`, `--metrics-port` (0 = any free port), and
+    * `--once` (drain-and-exit via Trigger.AvailableNow — the reference
+    * relay runs continuously; this is the batch/backfill mode). */
   def fromArgs(args: Seq[String]): GraftConfig = {
     val kv = args.grouped(2).map {
       case Seq(flag, value) if flag.startsWith("--") => flag.drop(2) -> value
       case other => throw new IllegalArgumentException(
         s"expected --flag value pairs, got: ${other.mkString(" ")}")
     }.toMap
-    val unknown = kv.keySet -- Set("table", "queue", "cursor-store", "cursor-frequency")
+    val unknown = kv.keySet -- Set("table", "queue", "cursor-store",
+      "cursor-frequency", "log-dir", "checkpoint-dir", "metrics-port", "once")
     require(unknown.isEmpty, s"unknown flags: ${unknown.mkString(", ")}")
-    val base = GraftConfig(table = kv.getOrElse("table",
+    var cfg = GraftConfig(table = kv.getOrElse("table",
       throw new IllegalArgumentException("--table is required")))
-    val withQueue = kv.get("queue").fold(base)(q => base.copy(queue = q))
-    val withStore = kv.get("cursor-store").fold(withQueue)(s => withQueue.copy(cursorStore = s))
-    kv.get("cursor-frequency").fold(withStore)(f => withStore.copy(cursorFrequency = f))
+    for (q <- kv.get("queue")) cfg = cfg.copy(queue = q)
+    for (s <- kv.get("cursor-store")) cfg = cfg.copy(cursorStore = s)
+    for (f <- kv.get("cursor-frequency")) cfg = cfg.copy(cursorFrequency = f)
+    for (d <- kv.get("log-dir")) cfg = cfg.copy(logDir = Some(d))
+    for (d <- kv.get("checkpoint-dir")) cfg = cfg.copy(checkpointDir = Some(d))
+    for (p <- kv.get("metrics-port")) cfg = cfg.copy(metricsPort = p.toInt)
+    for (o <- kv.get("once")) cfg = cfg.copy(once = o.toBoolean)
+    cfg
   }
 }

@@ -1,0 +1,57 @@
+package graft.cdc
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+/** The reference's application shell (crdb-changefeed-publisher
+  * src/main.rs:30-105): parse flags, start the `/metrics` server, run
+  * the changefeed relay inside the ignore-cursor retry loop — assembled
+  * from the parts this library ships (GraftConfig, ChangefeedPipeline
+  * over the `graft-changefeed` DSv2 source, GraftMetrics).
+  *
+  * {{{
+  * spark-submit --class graft.cdc.GraftMain graft.jar \
+  *   --table events --log-dir /data/cflog \
+  *   --queue inmemory:events --cursor-store file:/data/cursor \
+  *   --checkpoint-dir /data/ckpt --metrics-port 9090
+  * }}}
+  *
+  * `--once true` drains the retained log and exits (backfill mode);
+  * the default runs continuously like the reference relay.
+  */
+object GraftMain {
+
+  def main(args: Array[String]): Unit = {
+    val cfg = GraftConfig.fromArgs(args.toIndexedSeq)
+    val spark = SparkSession.builder()
+      .appName(s"graft-changefeed-publisher[${cfg.table}]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try { run(spark, cfg); () } finally spark.stop()
+  }
+
+  /** App body, session-agnostic so specs can drive it on a shared
+    * session. Returns the final Prometheus metrics text (what a last
+    * scrape of `/metrics` would have seen). */
+  def run(spark: SparkSession, cfg: GraftConfig): String = {
+    val logDir = cfg.logDir.getOrElse(
+      throw new IllegalArgumentException("--log-dir is required"))
+    val checkpoint = cfg.checkpointDir.getOrElse(
+      Files.createTempDirectory("graft-ckpt").toString)
+    val pipeline = new ChangefeedPipeline(cfg.newQueue(), cfg.newCursorStore(),
+      checkpoint, trigger = if (cfg.once) Some(Trigger.AvailableNow()) else None)
+    val metrics = new GraftMetrics(spark)
+    val server = metrics.serve(cfg.metricsPort)
+    try {
+      // registration runs after every (re)start: start() re-creates the
+      // accumulators, so the retry's fresh counters replace the dead ones
+      pipeline.runFromLogWithRetry(spark, logDir, _ => {
+        metrics.register("messages_sent", pipeline.messagesSent)
+        metrics.register("cursors_committed", pipeline.cursorsCommitted)
+      })
+      metrics.prometheusText()
+    } finally server.stop(0)
+  }
+}

@@ -86,12 +86,19 @@ object ChangefeedLog {
   def listSegments(dir: String): Seq[Segment] = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) Seq.empty
-    else Files.list(d).iterator.asScala.flatMap { p =>
-      p.getFileName.toString match {
-        case SegmentName(first, last, _) => Some(Segment(p, first.toLong, last.toLong))
-        case _ => None
-      }
-    }.toSeq.sortBy(s => (s.firstUs, s.lastUs, s.path.toString))
+    else {
+      // close the directory stream — this runs on the driver every
+      // micro-batch, so a leaked fd per call adds up in a long stream
+      val st = Files.list(d)
+      try {
+        st.iterator.asScala.flatMap { p =>
+          p.getFileName.toString match {
+            case SegmentName(first, last, _) => Some(Segment(p, first.toLong, last.toLong))
+            case _ => None
+          }
+        }.toList
+      } finally st.close()
+    }.sortBy(s => (s.firstUs, s.lastUs, s.path.toString))
   }
 
   def readSegment(path: Path): Iterator[Record] =

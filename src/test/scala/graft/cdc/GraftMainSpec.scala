@@ -1,0 +1,39 @@
+package graft.cdc
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import graft.sources.ChangefeedLog
+
+/** GraftMain assembles config → pipeline-over-DSv2-source → metrics the
+  * way the reference's main.rs does; drive the app body end-to-end in
+  * drain (`--once`) mode. */
+class GraftMainSpec extends SparkSuite {
+
+  test("run wires config, pipeline, cursor store and metrics end-to-end") {
+    val dir = Files.createTempDirectory("graft-main-log").toString
+    ChangefeedLog.writeSegment(dir, Seq(
+      ChangefeedLog.Record(10, Some("events"), Some("[1]"), "{\"after\": {\"event_id\": 1}}"),
+      ChangefeedLog.Record(20, Some("events"), Some("[2]"), "{\"after\": {\"event_id\": 2}}"),
+      ChangefeedLog.Record(30, None, None, "{\"resolved\": \"30.0000000000\"}")))
+
+    val qname = "t-graft-main"
+    InMemoryQueue.clear(qname)
+    val cursorFile = Files.createTempDirectory("graft-main-cur").resolve("cursor")
+    val cfg = GraftConfig.fromArgs(Seq(
+      "--table", "events",
+      "--log-dir", dir,
+      "--queue", s"inmemory:$qname",
+      "--cursor-store", s"file:$cursorFile",
+      "--checkpoint-dir", Files.createTempDirectory("graft-main-ckpt").toString,
+      "--metrics-port", "0",
+      "--once", "true"))
+
+    val metricsText = GraftMain.run(spark, cfg)
+
+    assert(InMemoryQueue.messages(qname).size === 2) // the two change rows
+    assert(new FileCursorStore(cursorFile.toString).get() === Some("30"))
+    assert(metricsText.contains("messages_sent 2"))
+    assert(metricsText.contains("cursors_committed 1"))
+  }
+}

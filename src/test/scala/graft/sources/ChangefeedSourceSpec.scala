@@ -98,6 +98,40 @@ class ChangefeedSourceSpec extends SparkSuite {
     assert(chain(ex).exists(_.isInstanceOf[InvalidCursorException]))
   }
 
+  test("dirty checkpoint below the GC floor: supervised retry restarts from scratch") {
+    val dir = tmp("graft-dirtylog")
+    val qname = "t-dsv2-dirty"
+    InMemoryQueue.clear(qname)
+    val store = new InMemoryCursorStore(qname)
+    val ckpt = tmp("graft-dirty-ckpt")
+    val pipeline = new ChangefeedPipeline(new InMemoryQueue(qname), store, ckpt,
+      trigger = Some(Trigger.AvailableNow()))
+
+    // run 1: change rows only (no resolved → CursorStore stays empty, so
+    // the later restart passes the synchronous pre-flight check and the
+    // ONLY stale resume point is the streaming checkpoint's offset)
+    ChangefeedLog.writeSegment(dir, Seq(
+      ChangefeedLog.Record(10, Some("events"), Some("[1]"), "{\"after\": {\"event_id\": 1}}"),
+      ChangefeedLog.Record(20, Some("events"), Some("[2]"), "{\"after\": {\"event_id\": 2}}")))
+    pipeline.runFromLogWithRetry(spark, dir)
+    assert(InMemoryQueue.messages(qname).size === 2)
+    assert(store.get() === None)
+
+    // GC past the consumed offset; new data arrives above the floor
+    ChangefeedLog.gc(dir, 100)
+    ChangefeedLog.writeSegment(dir, Seq(
+      ChangefeedLog.Record(150, Some("events"), Some("[3]"), "{\"after\": {\"event_id\": 3}}"),
+      ChangefeedLog.Record(160, None, None, "{\"resolved\": \"160.0000000000\"}")))
+
+    // run 2: the checkpoint resumes offset 20 < floor 100 →
+    // InvalidCursor on the STREAM thread (wrapped in
+    // StreamingQueryException); supervision must clear the checkpoint
+    // and restart from scratch instead of failing forever
+    pipeline.runFromLogWithRetry(spark, dir)
+    assert(InMemoryQueue.messages(qname).size === 3) // +1 retained change row
+    assert(store.get() === Some("160")) // cursor re-committed post-retry
+  }
+
   test("pipeline resumes from CursorStore via the source and retries a GC'd cursor") {
     val (dir, rows) = buildLog(4)
     val floor = rows(rows.size / 2).sortUs
