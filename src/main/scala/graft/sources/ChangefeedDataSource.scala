@@ -5,10 +5,12 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -58,17 +60,21 @@ object ChangefeedDataSource {
     StructField("value", StringType, nullable = false)))
 }
 
-class ChangefeedTable(properties: Map[String, String]) extends Table with SupportsRead {
+class ChangefeedTable(properties: Map[String, String]) extends Table
+    with SupportsRead with SupportsWrite {
   private val dir = properties.getOrElse("path",
     throw new IllegalArgumentException("graft-changefeed requires option 'path'"))
   override def name(): String = s"graft-changefeed:$dir"
   override def schema(): StructType = ChangefeedDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ChangefeedScan(dir,
       Option(options.get("startCursor")).map(_.toLong),
       Option(options.get("gcFloorUs")).map(_.toLong))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ChangefeedWriteBuilder(dir, info)
 }
 
 class ChangefeedScan(dir: String, startCursorUs: Option[Long],
@@ -161,6 +167,82 @@ class ChangefeedMicroBatchStream(dir: String, startCursorUs: Option[Long],
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
+
+/** Write path: each task buffers its rows and task-commits them as ONE
+  * atomic segment named by a DETERMINISTIC id — `e<epoch>p<partition>`
+  * for streaming, `b<queryId>p<partition>` for batch — so a re-executed
+  * task (failure retry, speculation) atomically REPLACES the identical
+  * segment instead of appending a duplicate: Structured Streaming's
+  * at-least-once task execution becomes effectively-once on disk, the
+  * same trick FileQueue plays (MessageQueue.scala). Driver-side
+  * commit/abort are no-ops — segments are already atomically visible or
+  * not at all. Closes the CDC loop Spark-natively: a changefeed log can
+  * be relayed `readStream → transform → writeStream` into another log
+  * with no broker dependency (reference src/queues.rs:44-64 is the
+  * broker this stands in for).
+  *
+  * Memory: one (task, epoch)'s rows are buffered to sort them by
+  * sort_us before the segment write — bounded by micro-batch partition
+  * size, the same unit Spark already holds for shuffle. */
+class ChangefeedWriteBuilder(dir: String, info: LogicalWriteInfo) extends WriteBuilder {
+  override def build(): Write = {
+    val got = info.schema().fields.map(f => (f.name, f.dataType)).toSeq
+    val want = ChangefeedDataSource.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    require(got == want,
+      s"graft-changefeed sink needs schema (sort_us LONG, tbl STRING, key STRING, " +
+        s"value STRING); got ${info.schema().simpleString}")
+    new ChangefeedWrite(dir, info.queryId().replaceAll("[^0-9a-zA-Z]", ""))
+  }
+}
+
+class ChangefeedWrite(dir: String, queryId: String) extends Write {
+  override def toBatch: BatchWrite = new BatchWrite {
+    override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
+      ChangefeedBatchWriterFactory(dir, queryId)
+    override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+    override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  }
+  override def toStreaming: StreamingWrite = new StreamingWrite {
+    override def createStreamingWriterFactory(p: PhysicalWriteInfo): StreamingDataWriterFactory =
+      ChangefeedStreamingWriterFactory(dir)
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  }
+}
+
+case class ChangefeedBatchWriterFactory(dir: String, queryId: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ChangefeedSegmentWriter(dir, s"b${queryId}p$partitionId")
+}
+
+case class ChangefeedStreamingWriterFactory(dir: String)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new ChangefeedSegmentWriter(dir, s"e${epochId}p$partitionId")
+}
+
+class ChangefeedSegmentWriter(dir: String, segmentId: String)
+    extends DataWriter[InternalRow] {
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[ChangefeedLog.Record]
+  override def write(row: InternalRow): Unit = {
+    buf += ChangefeedLog.Record(
+      row.getLong(0),
+      if (row.isNullAt(1)) None else Some(row.getUTF8String(1).toString),
+      if (row.isNullAt(2)) None else Some(row.getUTF8String(2).toString),
+      row.getUTF8String(3).toString)
+    ()
+  }
+  override def commit(): WriterCommitMessage = {
+    if (buf.nonEmpty) ChangefeedLog.writeSegmentAs(dir, buf.toSeq, segmentId)
+    ChangefeedCommitMessage(buf.size.toLong)
+  }
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}
+
+case class ChangefeedCommitMessage(rows: Long) extends WriterCommitMessage
 
 /** One retained segment file, filtered to (startUs, endUs]. */
 case class ChangefeedPartition(file: String, startUs: Long, endUs: Long)

@@ -69,17 +69,29 @@ object ChangefeedLog {
 
   /** Append one immutable segment (records sorted by sort_us; write to a
     * temp file then atomic-rename so readers never see partial files). */
-  def writeSegment(dir: String, records: Seq[Record]): Path = {
+  def writeSegment(dir: String, records: Seq[Record]): Path =
+    writeSegmentAs(dir, records,
+      java.util.UUID.randomUUID.toString.replace("-", "").take(12))
+
+  /** Same, with a CALLER-CHOSEN segment id: a deterministic id (e.g.
+    * epoch+partition from a streaming writer) makes re-executed writes
+    * idempotent — the retry atomically replaces the identical segment
+    * instead of appending a duplicate. */
+  def writeSegmentAs(dir: String, records: Seq[Record], id: String): Path = {
     require(records.nonEmpty, "empty changefeed segment")
+    require(id.matches("[0-9a-zA-Z]+"), s"bad segment id '$id'")
     val d = Paths.get(dir)
     Files.createDirectories(d)
     val sorted = records.sortBy(r => (r.sortUs, r.key.getOrElse("")))
-    val id = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
     val name = s"seg-${sorted.head.sortUs}-${sorted.last.sortUs}-$id.log"
-    val tmp = d.resolve(s".$name.tmp")
+    // per-attempt tmp name: concurrent attempts (speculation) must not
+    // share a scratch file; the atomic move arbitrates the final name
+    val tmp = d.resolve(
+      s".$name.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     Files.write(tmp, sorted.map(fmt).mkString("\n").getBytes(StandardCharsets.UTF_8))
     val dst = d.resolve(name)
-    Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
     dst
   }
 
