@@ -61,6 +61,7 @@ object SparkEntry {
     "dedup_embedding" -> (Dedup.embeddingNearDup _),
     "dedup_embedding_lsh" -> (Dedup.embeddingNearDupLsh _),
     "sample_docs" -> ((s: SparkSession, d: String) => Sampling.sampleDocs(s, d)),
+    "sample_stratified" -> (Sampling.sampleStratified _),
     // §2.5 similarity search
     "ann_bruteforce_topk" -> ((s: SparkSession, d: String) => Similarity.bruteforceTopk(s, d)),
     "ann_lsh_topk" -> ((s: SparkSession, d: String) => Similarity.lshTopk(s, d)),
@@ -74,6 +75,8 @@ object SparkEntry {
     "text_normalize" -> (TextAnalysis.normalize _),
     "text_scrub_pii" -> (TextAnalysis.scrubPii _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "text_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
+    "text_repetition" -> (TextAnalysis.repetition _),
     // §2.7 multimodal
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_decode_features" -> (Multimodal.decodeFeatures _),
@@ -421,6 +424,17 @@ object SparkEntry {
         |SELECT source, doc_id, h, CAST(rn AS BIGINT) AS rn
         |FROM r WHERE rn <= 10 ORDER BY source, rn""".stripMargin,
 
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source,
+        |  (doc_id * 2654435761) % 1000000007 % 1000 AS bucket,
+        |  CAST(CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 400 WHEN 'fr' THEN 400
+        |    WHEN 'es' THEN 400 WHEN 'zh' THEN 400 ELSE 0 END AS BIGINT) AS rate_pm
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 1000000007 % 1000 <
+        |  CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 400 WHEN 'fr' THEN 400
+        |    WHEN 'es' THEN 400 WHEN 'zh' THEN 400 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
+
     "ann_bruteforce_topk" ->
       s"""WITH $embBase,
          |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM base WHERE vec_id < 10),
@@ -543,6 +557,35 @@ object SparkEntry {
         |SELECT doc_id, scrubbed,
         |  CAST(length(scrubbed) - length(regexp_replace(scrubbed, '<EMAIL>|<PHONE>', '', 'g')) AS BIGINT) AS redacted_chars
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // 4-token windows; Spark matches xxhash64 window hashes, the oracle
+    // matches the window STRINGS — identical up to 2^-64 collisions
+    "text_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |d AS (SELECT doc_id, list_distinct(list_transform(
+        |  generate_series(1, greatest(len(toks)-3,1)),
+        |  i -> array_to_string(toks[i:i+3], ' '))) AS sh FROM t),
+        |bench AS (SELECT DISTINCT unnest(sh) AS s FROM d WHERE doc_id % 50 = 0),
+        |corpus AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE doc_id % 50 <> 0)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM corpus JOIN bench USING (s)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |w AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  list_transform(generate_series(1, greatest(len(toks)-2,1)),
+        |    i -> array_to_string(toks[i:i+2], ' ')) AS wins FROM t),
+        |tri AS (SELECT doc_id, n_tokens, CAST(len(wins) AS BIGINT) AS total_3g,
+        |  CAST(len(list_distinct(wins)) AS BIGINT) AS distinct_3g FROM w),
+        |top AS (SELECT doc_id, max(c) AS top_tok_n FROM (
+        |  SELECT doc_id, tok, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok)
+        |  GROUP BY doc_id)
+        |SELECT tri.doc_id, n_tokens,
+        |  CAST(floor((total_3g - distinct_3g) * 1000.0 / total_3g) AS BIGINT) AS dup_3gram_pm,
+        |  CAST(floor(top_tok_n * 1000.0 / greatest(n_tokens, 1)) AS BIGINT) AS top_tok_pm
+        |FROM tri JOIN top ON tri.doc_id = top.doc_id ORDER BY tri.doc_id""".stripMargin,
 
     "mm_binary_meta" ->
       """SELECT doc_id,

@@ -27,4 +27,33 @@ object Sampling {
       .where(col("rn") <= k)
       .orderBy(col("source"), col("rn"))
   }
+
+  /** Per-language per-mille sampling rates: downsample the dominant
+    * language, upsample the tails — the standard corpus-rebalancing
+    * move. (en dominates the synthetic corpus.) */
+  val stratifiedRatesPm: Map[String, Long] = Map(
+    "en" -> 100L, "de" -> 400L, "fr" -> 400L, "es" -> 400L, "zh" -> 400L)
+
+  /** §2#68 stratified sampling: per-language rates as a pure hash
+    * threshold — `hash(doc_id) mod 1000 < rate_pm(lang)`.
+    *
+    * Unlike the bottom-k window of [[sampleDocs]], this is a STATELESS
+    * per-row filter: no window, no shuffle, no state — each of 1000
+    * executors decides locally, any sample of partials merges, and a
+    * re-run over grown data keeps every previously-sampled doc (hash
+    * threshold = consistent sampling). That's the shape that holds at
+    * 100 TB; a rate change is a predicate change, not a re-shard. */
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = (col("doc_id") * lit(2654435761L)) % lit(1000000007L) % lit(1000L)
+    // rate lookup as a codegen'd when-chain over the tiny static map
+    val rate = stratifiedRatesPm.toSeq.sortBy(_._1)
+      .foldLeft(lit(0L)) { case (acc, (lang, pm)) =>
+        when(col("lang") === lang, lit(pm)).otherwise(acc)
+      }
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        bucket.as("bucket"), rate.as("rate_pm"))
+      .where(col("bucket") < col("rate_pm"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -105,6 +105,61 @@ object TextAnalysis {
           .cast("long").as("redacted_chars"))
       .orderBy(col("doc_id"))
 
+  /** §2#66 benchmark decontamination: flag corpus documents sharing any
+    * word n-gram with the benchmark/eval set (here: every 50th doc
+    * stands in for the held-out benchmark). THE pre-training hygiene
+    * pass — a train doc containing eval n-grams inflates benchmark
+    * scores.
+    *
+    * Scale: the benchmark side is bounded by construction (eval sets
+    * are hand-curated, ~1e3–1e6 n-grams), hence the explicit
+    * `broadcast` — the corpus side streams through a map-side hash
+    * semi-join with NO shuffle of corpus data; the only shuffle is the
+    * final per-doc count on (doc_id). Matching is on xxhash64 window
+    * hashes (collision odds ~2^-64), not materialized n-gram strings. */
+  def decontaminate(spark: SparkSession, sfDir: String, n: Int = 4): DataFrame = {
+    val sh = Tables.documentsPar(spark, sfDir)
+      .select(col("doc_id"),
+        explode(shingleHashes(tokens(col("text")), n)).as("sh"))
+    val bench = sh.where(col("doc_id") % 50 === 0).select(col("sh")).distinct()
+    sh.where(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), "sh")
+      // per-doc shingles are already distinct → count(*) = distinct hits
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** §2#67 repetition detection (the Gopher-style boilerplate filter):
+    * duplicate-trigram fraction (catches looping/boilerplate text) and
+    * top-token frequency (catches single-token spam), per-mille. The
+    * trigram side is a narrow per-row HOF pass (window hashes WITH
+    * duplicates vs their distinct count); the top-token side is one
+    * map-side-combined count on (doc_id, tok) then a max per doc. */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documentsPar(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    // 3-token window hashes, duplicates KEPT (shingleHashes dedups)
+    val wins = transform(
+      sequence(lit(1), greatest(size(col("toks")) - lit(2), lit(1))),
+      i => xxhash64((0 until 3).map(j => try_element_at(col("toks"), i + lit(j))): _*))
+    val tri = base.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      size(wins).cast("long").as("total_3g"),
+      size(array_distinct(wins)).cast("long").as("distinct_3g"))
+    val topTok = base
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_tok_n"))
+    tri.join(topTok, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        floor((col("total_3g") - col("distinct_3g")) * lit(1000.0) / col("total_3g"))
+          .cast("long").as("dup_3gram_pm"),
+        floor(col("top_tok_n") * lit(1000.0) / greatest(col("n_tokens"), lit(1)))
+          .cast("long").as("top_tok_pm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** §2#35 rolling-hash document fingerprint (order-sensitive — unlike
     * a bag-of-words hash, catches reorderings). */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =

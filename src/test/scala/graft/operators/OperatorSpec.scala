@@ -155,4 +155,43 @@ class OperatorSpec extends SparkSuite {
     assert(rows.length === 50)
     assert(rows.forall(r => r.getLong(3) == 0L || r.getLong(3) == 1L))
   }
+
+  test("decontaminate flags the exact-duplicate partner of a benchmark doc") {
+    // an exact dup of a benchmark doc (doc_id%50==0) shares EVERY
+    // window → must be flagged with hits = its full window count
+    val dups = Dedup.exact(spark, sf).where(col("n_dups") >= 2).collect()
+    val byHash = graft.Tables.documents(spark, sf)
+      .select(md5(col("text")).as("h"), col("doc_id")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    val benchDupPartner = dups.iterator.map(r => byHash(r.getString(0)))
+      .flatMap(ids => ids.filter(i => i % 50 != 0 && ids.exists(_ % 50 == 0)).headOption)
+      .toSeq.headOption
+    val flagged = TextAnalysis.decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    benchDupPartner.foreach(p => assert(flagged.contains(p), s"dup partner $p not flagged"))
+    // no benchmark doc ever appears in the output
+    assert(flagged.keySet.forall(_ % 50 != 0))
+  }
+
+  test("repetition: duplicate-trigram and top-token rates are sane and bounded") {
+    val rows = TextAnalysis.repetition(spark, sf).collect()
+    assert(rows.length === graft.Tables.documents(spark, sf).count())
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 1000))
+    assert(rows.forall(r => r.getLong(3) >= 0 && r.getLong(3) <= 1000))
+    // the synthetic small-vocab corpus must show SOME token repetition
+    assert(rows.exists(_.getLong(3) > 100))
+  }
+
+  test("stratified sample honors per-language hash-threshold rates exactly") {
+    val sampled = Sampling.sampleStratified(spark, sf).collect()
+    // membership is exactly the hash predicate — recompute independently
+    val want = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .filter { r =>
+        val rate = Sampling.stratifiedRatesPm.getOrElse(r.getString(1), 0L)
+        (r.getLong(0) * 2654435761L) % 1000000007L % 1000L < rate
+      }.map(_.getLong(0)).toSet
+    assert(sampled.map(_.getLong(0)).toSet === want)
+    assert(sampled.nonEmpty)
+  }
 }
