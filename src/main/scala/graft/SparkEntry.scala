@@ -62,6 +62,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> (Dedup.embeddingNearDupLsh _),
     "sample_docs" -> ((s: SparkSession, d: String) => Sampling.sampleDocs(s, d)),
     "sample_stratified" -> (Sampling.sampleStratified _),
+    "pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     // §2.5 similarity search
     "ann_bruteforce_topk" -> ((s: SparkSession, d: String) => Similarity.bruteforceTopk(s, d)),
     "ann_lsh_topk" -> ((s: SparkSession, d: String) => Similarity.lshTopk(s, d)),
@@ -557,6 +558,16 @@ object SparkEntry {
         |SELECT doc_id, scrubbed,
         |  CAST(length(scrubbed) - length(regexp_replace(scrubbed, '<EMAIL>|<PHONE>', '', 'g')) AS BIGINT) AS redacted_chars
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start FROM t)
+        |SELECT doc_id, source, n_tokens, CAST(tok_start AS BIGINT) AS tok_start,
+        |  CAST(tok_start // 512 AS BIGINT) AS bin_start,
+        |  CAST((tok_start + n_tokens - 1) // 512 AS BIGINT) AS bin_end
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // 4-token windows; Spark matches xxhash64 window hashes, the oracle
     // matches the window STRINGS — identical up to 2^-64 collisions

@@ -6,7 +6,14 @@ import org.apache.spark.sql.functions._
 /** Loaders for the driver-generated test tables (see TESTDATA.md).
   * Parquet scans — Catalyst pushes filters/pruning into these. */
 object Tables {
+  /** `events` must ALWAYS go through the nanos normalization below —
+    * reading it as plain parquet throws PARQUET_TYPE_ILLEGAL unless an
+    * earlier events read happened to set the session conf (a
+    * call-order trap). */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") eventsRaw(spark, sfDir) else raw(spark, sfDir, name)
+
+  private def raw(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
@@ -15,7 +22,7 @@ object Tables {
     * so every downstream op sees a plain timestamp. */
   def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
+    raw(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 

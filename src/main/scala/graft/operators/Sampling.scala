@@ -34,6 +34,30 @@ object Sampling {
   val stratifiedRatesPm: Map[String, Long] = Map(
     "en" -> 100L, "de" -> 400L, "fr" -> 400L, "es" -> 400L, "zh" -> 400L)
 
+  /** §2#69 sequence packing (concat-and-chunk): lay each source's
+    * documents end to end in doc_id order and cut every `capacity`
+    * tokens — the standard LLM pre-training batching step. Each doc
+    * reports its token offset and the [bin_start, bin_end] chunk range
+    * it lands in (a doc may straddle a boundary).
+    *
+    * Scale: one shuffle on (source) + an in-partition sort — the
+    * running sum is a window over the per-source order, never a global
+    * sort; sources are independent so 1000 executors pack 1000 sources
+    * concurrently. Skewed giant sources would salt the window key by
+    * coarse doc_id ranges and offset with per-range totals. */
+  def packSequences(spark: SparkSession, sfDir: String, capacity: Long = 512L): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    Tables.documentsPar(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.Fns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("tok_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("tok_start"),
+        (col("tok_start") / capacity).cast("long").as("bin_start"),
+        ((col("tok_start") + col("n_tokens") - 1) / capacity).cast("long").as("bin_end"))
+      .orderBy(col("doc_id"))
+  }
+
   /** §2#68 stratified sampling: per-language rates as a pure hash
     * threshold — `hash(doc_id) mod 1000 < rate_pm(lang)`.
     *

@@ -182,6 +182,23 @@ class OperatorSpec extends SparkSuite {
     assert(rows.exists(_.getLong(3) > 100))
   }
 
+  test("pack_sequences: contiguous offsets per source, bins cover token ranges") {
+    val rows = Sampling.packSequences(spark, sf, capacity = 512L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // per source: offsets are gapless (each doc starts where the
+    // previous ended) and bin ranges match the offset arithmetic
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      val ordered = docs.sortBy(_._1)
+      val cums = ordered.scanLeft(0L)((acc, d) => acc + d._3).init
+      assert(ordered.map(_._4).toSeq === cums.toSeq)
+    }
+    assert(rows.forall { case (_, _, n, start, b0, b1) =>
+      b0 == start / 512 && b1 == (start + n - 1) / 512 && b1 >= b0 })
+    // capacity 512 with multi-hundred-token docs must straddle sometimes
+    assert(rows.exists { case (_, _, _, _, b0, b1) => b1 > b0 })
+  }
+
   test("stratified sample honors per-language hash-threshold rates exactly") {
     val sampled = Sampling.sampleStratified(spark, sf).collect()
     // membership is exactly the hash predicate — recompute independently

@@ -37,6 +37,16 @@ class SourcesSpec extends SparkSuite {
       env.agg(sum(length(col("payload")))).collect()(0).getLong(0))
   }
 
+  test("orc round-trip preserves rows and values") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val src = Tables.nation(spark, sf)
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() === src.count())
+    assert(back.orderBy("n_nationkey").collect().map(_.getString(1)).toSeq ===
+      src.orderBy("n_nationkey").collect().map(_.getString(1)).toSeq)
+  }
+
   test("file streaming source: parquet dir drives a streaming query") {
     val dir = Files.createTempDirectory("graft-stream-src").toString
     Tables.nation(spark, sf).write.mode("overwrite").parquet(dir)
