@@ -63,14 +63,26 @@ class ChangefeedPipeline(
     val store = cursorStore
     val writer = resumeFrom(frame, ignoreCursor).writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val payloads = batch.where(col("tbl").isNotNull)
-          .select(Changefeed.payloadCol.as("payload"))
-        payloads.foreachPartition { (it: Iterator[Row]) =>
-          it.foreach { r =>
-            q.publish(r.getString(0).getBytes("UTF-8"))
-            acc.add(1L)
-          }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        q match {
+          case log: ChangefeedLogQueue =>
+            // whole-batch publish through the DSv2 sink: one atomic
+            // segment per partition, e<batch>p<part> ids → idempotent
+            // across foreachBatch retries (effectively-once)
+            val changes = batch.where(col("tbl").isNotNull)
+            changes.write.format("graft-changefeed")
+              .option("path", log.dir).option("epochId", batchId)
+              .mode("append").save()
+            acc.add(changes.count())
+          case _ =>
+            val payloads = batch.where(col("tbl").isNotNull)
+              .select(Changefeed.payloadCol.as("payload"))
+            payloads.foreachPartition { (it: Iterator[Row]) =>
+              it.foreach { r =>
+                q.publish(r.getString(0).getBytes("UTF-8"))
+                acc.add(1L)
+              }
+            }
         }
         val maxResolved = batch
           .where(col("tbl").isNull && col("key").isNull)

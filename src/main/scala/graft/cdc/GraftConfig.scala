@@ -36,9 +36,11 @@ final case class GraftConfig(
 
   def newQueue(): MessageQueue = split(queue, "queue") match {
     case ("inmemory", name) => new InMemoryQueue(name)
+    case ("changefeed", dir) => new ChangefeedLogQueue(dir)
     case (scheme, _) => throw new IllegalArgumentException(
-      s"unsupported queue scheme '$scheme' (this build compiles: inmemory; " +
-        "the reference's rabbitmq needs a broker client not available offline)")
+      s"unsupported queue scheme '$scheme' (this build compiles: inmemory, " +
+        "changefeed; the reference's rabbitmq needs a broker client not " +
+        "available offline)")
   }
 
   /** File queues need per-batch writers (not per-record publish) — the

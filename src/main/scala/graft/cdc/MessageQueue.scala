@@ -36,6 +36,18 @@ object InMemoryQueue {
   def clear(name: String): Unit = buffer(name).clear()
 }
 
+/** Changefeed-log queue: "publishing" appends the batch's change rows
+  * to another changefeed log THROUGH the `graft-changefeed` DSv2 sink
+  * (one atomic segment per partition, idempotent `e<batch>p<part>`
+  * ids) — the broker-free Spark-native queue. Row-level publish is
+  * deliberately unsupported: the pipeline dispatches on this type and
+  * writes whole micro-batches (ChangefeedPipeline.start). */
+class ChangefeedLogQueue(val dir: String) extends MessageQueue {
+  override def publish(data: Array[Byte]): Unit =
+    throw new UnsupportedOperationException(
+      "ChangefeedLogQueue publishes whole micro-batches via the DSv2 sink")
+}
+
 /** File-backed queue: one JSONL file per (batch, partition), written
   * atomically (tmp + rename). Re-running a batch overwrites the same
   * files → idempotent publish, which upgrades Structured Streaming's

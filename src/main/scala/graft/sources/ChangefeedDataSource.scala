@@ -191,14 +191,21 @@ class ChangefeedWriteBuilder(dir: String, info: LogicalWriteInfo) extends WriteB
     require(got == want,
       s"graft-changefeed sink needs schema (sort_us LONG, tbl STRING, key STRING, " +
         s"value STRING); got ${info.schema().simpleString}")
-    new ChangefeedWrite(dir, info.queryId().replaceAll("[^0-9a-zA-Z]", ""))
+    // an explicit epochId option pins batch-write segment ids — the
+    // foreachBatch publish path passes the micro-batch id so per-batch
+    // writes are idempotent AND distinct across batches (a bare batch
+    // write reuses the query id, which repeats across foreachBatch
+    // invocations of the same query)
+    val epoch = Option(info.options.get("epochId"))
+    new ChangefeedWrite(dir,
+      epoch.map(e => s"e$e").getOrElse(s"b${info.queryId().replaceAll("[^0-9a-zA-Z]", "")}"))
   }
 }
 
-class ChangefeedWrite(dir: String, queryId: String) extends Write {
+class ChangefeedWrite(dir: String, idPrefix: String) extends Write {
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
-      ChangefeedBatchWriterFactory(dir, queryId)
+      ChangefeedBatchWriterFactory(dir, idPrefix)
     override def commit(messages: Array[WriterCommitMessage]): Unit = ()
     override def abort(messages: Array[WriterCommitMessage]): Unit = ()
   }
@@ -210,10 +217,10 @@ class ChangefeedWrite(dir: String, queryId: String) extends Write {
   }
 }
 
-case class ChangefeedBatchWriterFactory(dir: String, queryId: String)
+case class ChangefeedBatchWriterFactory(dir: String, idPrefix: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ChangefeedSegmentWriter(dir, s"b${queryId}p$partitionId")
+    new ChangefeedSegmentWriter(dir, s"${idPrefix}p$partitionId")
 }
 
 case class ChangefeedStreamingWriterFactory(dir: String)

@@ -36,4 +36,32 @@ class GraftMainSpec extends SparkSuite {
     assert(metricsText.contains("messages_sent 2"))
     assert(metricsText.contains("cursors_committed 1"))
   }
+
+  test("changefeed queue scheme relays the log through the DSv2 sink") {
+    val dir = Files.createTempDirectory("graft-main-relay-in").toString
+    ChangefeedLog.writeSegment(dir, Seq(
+      ChangefeedLog.Record(10, Some("events"), Some("[1]"), "{\"after\": {\"event_id\": 1}}"),
+      ChangefeedLog.Record(20, Some("events"), Some("[2]"), "{\"after\": {\"event_id\": 2}}"),
+      ChangefeedLog.Record(30, None, None, "{\"resolved\": \"30.0000000000\"}")))
+    val out = Files.createTempDirectory("graft-main-relay-out").toString
+
+    val cfg = GraftConfig.fromArgs(Seq(
+      "--table", "events",
+      "--log-dir", dir,
+      "--queue", s"changefeed:$out",
+      "--cursor-store", "inmemory:t-main-relay",
+      "--checkpoint-dir", Files.createTempDirectory("graft-main-relay-ck").toString,
+      "--once", "true"))
+    val metricsText = GraftMain.run(spark, cfg)
+
+    // downstream log carries exactly the change rows (resolved markers
+    // are the upstream's bookkeeping, consumed into the cursor store)
+    val relayed = ChangefeedLog.listSegments(out)
+      .flatMap(s => ChangefeedLog.readSegment(s.path))
+      .map(r => (r.sortUs, r.tbl, r.key)).sortBy(_._1)
+    assert(relayed === Seq((10L, Some("events"), Some("[1]")),
+      (20L, Some("events"), Some("[2]"))))
+    assert(new InMemoryCursorStore("t-main-relay").get() === Some("30"))
+    assert(metricsText.contains("messages_sent 2"))
+  }
 }
