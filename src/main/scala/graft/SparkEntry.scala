@@ -55,6 +55,7 @@ object SparkEntry {
     "q_histogram" -> (Analytics.qHistogram _),
     // §2.4 dedup
     "dedup_exact" -> (Dedup.exact _),
+    "dedup_incremental" -> (Dedup.incremental _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhash _),
@@ -396,6 +397,15 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |ex AS (SELECT h, min(doc_id) AS canonical FROM d WHERE doc_id % 5 <> 4 GROUP BY h)
+        |SELECT d.doc_id,
+        |  CAST(CASE WHEN ex.canonical IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup,
+        |  COALESCE(ex.canonical, -1) AS canonical_doc_id
+        |FROM d LEFT JOIN ex USING (h) WHERE d.doc_id % 5 = 4
+        |ORDER BY d.doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH $shCte

@@ -110,6 +110,25 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** §2#70 incremental dedup: check a NEW ingest batch (here every 5th
+    * doc stands in for the fresh crawl) against the existing corpus by
+    * content hash — the steady-state production shape, where you never
+    * re-cluster 100 TB to admit a 100 GB increment. One shuffle on the
+    * content hash; the existing side reduces to (hash, min doc_id)
+    * via a map-side-combined aggregate before the join. */
+  def incremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documentsPar(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val existing = docs.where(col("doc_id") % 5 =!= 4)
+      .groupBy(col("h")).agg(min(col("doc_id")).as("canonical"))
+    docs.where(col("doc_id") % 5 === 4)
+      .join(existing, Seq("h"), "left")
+      .select(col("doc_id"),
+        when(col("canonical").isNotNull, lit(1L)).otherwise(lit(0L)).as("is_dup"),
+        coalesce(col("canonical"), lit(-1L)).as("canonical_doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** §2#45 dedup clustering: connected components over the n-gram
     * candidate-pair graph via hash-min label propagation — each doc's
     * cluster id is the minimum doc_id reachable through shared-shingle

@@ -182,6 +182,21 @@ class OperatorSpec extends SparkSuite {
     assert(rows.exists(_.getLong(3) > 100))
   }
 
+  test("incremental dedup matches an independently computed hash lookup") {
+    val rows = Dedup.incremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val existing = docs.filter(_._1 % 5 != 4).groupBy(_._2)
+      .view.mapValues(_.map(_._1).min).toMap
+    val expect = docs.filter(_._1 % 5 == 4).map { case (id, h) =>
+      (id, if (existing.contains(h)) 1L else 0L, existing.getOrElse(h, -1L))
+    }.sortBy(_._1).toSeq
+    assert(rows === expect)
+    assert(rows.nonEmpty)
+  }
+
   test("pack_sequences: contiguous offsets per source, bins cover token ranges") {
     val rows = Sampling.packSequences(spark, sf, capacity = 512L).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
