@@ -70,6 +70,7 @@ object SparkEntry {
     "knn_label_vote" -> (Similarity.knnLabelVote _),
     "ann_centroid_classify" -> (Similarity.centroidClassify _),
     "ann_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.ivfTopk(s, d)),
+    "ann_ivf_kmeans" -> ((s: SparkSession, d: String) => Similarity.ivfKmeansTopk(s, d)),
     // §2.6 text analysis
     "text_tokens" -> (TextAnalysis.tokenCounts _),
     "text_quality" -> (TextAnalysis.quality _),

@@ -154,6 +154,78 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Lloyd's k-means over the corpus, DataFrame-native: seeds are the
+    * bottom-k vectors by multiplicative hash (deterministic, no
+    * collect); each iteration is one broadcast-assign (max_by argmax —
+    * partial-agg, no window) + one posexplode/avg centroid recompute.
+    * Every stage is a map-side-combinable aggregate, so an iteration
+    * costs two shuffles regardless of corpus size — the standard
+    * distributed Lloyd's shape. Lineage cut per iteration. */
+  private def kmeansCentroids(base: DataFrame, k: Int, iters: Int): DataFrame = {
+    val seedW = Window.orderBy(col("h"), col("vec_id"))
+    var cents = base
+      .withColumn("h", (col("vec_id") * lit(2654435761L)) % lit(1000000007L))
+      .orderBy(col("h"), col("vec_id")).limit(k) // k rows — driver-safe
+      .withColumn("cell", row_number().over(seedW).cast("long") - 1L)
+      .select(col("cell"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val assigned = base.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("emb"), col("cell"),
+          cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")).as("cc"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("emb"), col("cell")),
+          struct(col("cc"), -col("cell"))).as("best"))
+        .select(col("best.cell").as("cell"), col("best.emb").as("emb"))
+      cents = assigned
+        .select(col("cell"), posexplode(col("emb")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("parts"))
+        .select(col("cell"),
+          transform(col("parts"), p => p.getField("m")).as("c_emb"))
+        .withColumn("c_nrm", norm2(col("c_emb")))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** §2#71 IVF with a k-means-TRAINED coarse quantizer (vs the label
+    * centroids of [[ivfTopk]] — only as many cells as labels): 8
+    * Lloyd's cells partition the space properly, queries probe the
+    * nProbe nearest. Same probe plan as ivfTopk: corpus bucketed by
+    * cell once, per-query work ∝ nProbe/nCells of the corpus. */
+  def ivfKmeansTopk(spark: SparkSession, sfDir: String, k: Int = 5,
+      nCells: Int = 8, nProbe: Int = 3, iters: Int = 2): DataFrame = {
+    val base = corpus(spark, sfDir).localCheckpoint(true)
+    val cents = kmeansCentroids(base, nCells, iters)
+    val scored = base.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cell"),
+        cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")).as("cell_cos"))
+    val assigned = scored
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("emb"), col("nrm"), col("cell")),
+        struct(col("cell_cos"), -col("cell"))).as("best"))
+      .select(col("vec_id"), col("best.emb").as("emb"),
+        col("best.nrm").as("nrm"), col("best.cell").as("cell"))
+    val qProbe = scored.where(col("vec_id") < 10)
+      .withColumn("prk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cell_cos").desc, col("cell"))))
+      .where(col("prk") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell"))
+    val sims = assigned.join(broadcast(qProbe), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cell"),
+        cosPre(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("cos_e6"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_e6").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** §2#31 k-NN label vote: predict each query vector's label from its
     * 10 exact nearest neighbors' majority label. */
   def knnLabelVote(spark: SparkSession, sfDir: String): DataFrame = {

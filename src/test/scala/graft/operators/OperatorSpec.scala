@@ -150,6 +150,27 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("ivf-kmeans ann: valid ranks and recall comparable to the probed fraction") {
+    val got = Similarity.ivfKmeansTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq
+    // ranks 1..k per query, no self-matches
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted === (1L to rows.size.toLong))
+      assert(rows.forall(_._2 != q))
+    }
+    // recall@5 vs exact brute force: probing 3 of 8 trained cells must
+    // recover a clear majority of true neighbors (near-dup vectors land
+    // in the same cell — that's the point of training the quantizer)
+    val exact = Similarity.bruteforceTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = exact.keys.toSeq.map(q =>
+      (approx.getOrElse(q, Set.empty) & exact(q)).size).sum
+    val total = exact.values.map(_.size).sum
+    assert(hits * 10 >= total * 5, s"recall@5 too low: $hits/$total")
+  }
+
   test("knn label vote emits one prediction per query") {
     val rows = Similarity.knnLabelVote(spark, sf).collect()
     assert(rows.length === 50)
