@@ -26,11 +26,11 @@ object Bench {
     // Drop anything operators cached so the timed pass recomputes data.
     spark.catalog.clearCache()
     val gc0 = gcMs
-    // Best-of-2: the host has heavy exogenous load spikes; min-of-n is
+    // Best-of-3: the host has heavy exogenous load spikes; min-of-n is
     // the standard estimator for the query's actual cost under noise.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable =>
