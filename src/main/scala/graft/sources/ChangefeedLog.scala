@@ -80,6 +80,11 @@ object ChangefeedLog {
   def writeSegmentAs(dir: String, records: Seq[Record], id: String): Path = {
     require(records.nonEmpty, "empty changefeed segment")
     require(id.matches("[0-9a-zA-Z]+"), s"bad segment id '$id'")
+    // segment NAMES carry the range and the name grammar is \d+ — a
+    // negative sort_us would write a file listSegments can never list
+    // (silent data loss); HLC-ish timestamps are non-negative, enforce it
+    require(records.forall(_.sortUs >= 0),
+      s"negative sort_us in segment (first: ${records.find(_.sortUs < 0).get.sortUs})")
     val d = Paths.get(dir)
     Files.createDirectories(d)
     val sorted = records.sortBy(r => (r.sortUs, r.key.getOrElse("")))

@@ -1,0 +1,44 @@
+package graft.cdc
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property tests for the CLI surface: duration grammar and the
+  * flag-pair parser. */
+object GraftConfigProps extends Properties("GraftConfig") {
+
+  private val unit: Gen[(String, Long)] = Gen.oneOf(
+    ("ms", 1000L), ("s", 1000000L), ("m", 60000000L), ("h", 3600000000L))
+
+  property("parseDurationUs multiplies by the unit") =
+    forAll(Gen.chooseNum(0L, 1000000L), unit) { case (n, (u, factor)) =>
+      GraftConfig.parseDurationUs(s"$n$u") == n * factor
+    }
+
+  property("parseDurationUs rejects junk") =
+    forAll(Gen.oneOf("", "10", "s", "10sec", "-5s", "1.5s", "10 s x")) { bad =>
+      Prop.throws(classOf[IllegalArgumentException]) {
+        GraftConfig.parseDurationUs(bad)
+      }
+    }
+
+  property("fromArgs round-trips every flag") =
+    forAll(Gen.alphaNumStr.suchThat(_.nonEmpty),
+      Gen.alphaNumStr.suchThat(_.nonEmpty)) { (table, qname) =>
+      val cfg = GraftConfig.fromArgs(Seq(
+        "--table", table, "--queue", s"inmemory:$qname",
+        "--cursor-frequency", "5s", "--metrics-port", "1234",
+        "--once", "true"))
+      cfg.table == table && cfg.queue == s"inmemory:$qname" &&
+        cfg.cursorFrequencyUs == 5000000L && cfg.metricsPort == 1234 && cfg.once
+    }
+
+  property("fromArgs rejects unknown flags") =
+    forAll(Gen.alphaNumStr.suchThat(s => s.nonEmpty &&
+        !Set("table", "queue", "cursor-store", "cursor-frequency",
+          "log-dir", "checkpoint-dir", "metrics-port", "once").contains(s))) { flag =>
+      Prop.throws(classOf[IllegalArgumentException]) {
+        GraftConfig.fromArgs(Seq("--table", "t", s"--$flag", "v"))
+      }
+    }
+}
