@@ -29,6 +29,7 @@ object SparkEntry {
     "cdc_json_extract" -> (Changefeed.jsonExtract _),
     "cdc_queue_partition" -> (Changefeed.queuePartition _),
     "cdc_apply" -> (Changefeed.applyChanges _),
+    "cdc_scd2" -> (Changefeed.scd2 _),
     "dedup_cluster" -> (Dedup.cluster _),
     // §2.2 streaming analytics (batch twins)
     "stream_window_agg" -> (StreamOps.windowAgg _),
@@ -53,9 +54,11 @@ object SparkEntry {
     "q_topk_values_agg" -> (Analytics.qTopkValuesAgg _),
     "q_funnel" -> (Analytics.qFunnel _),
     "q_histogram" -> (Analytics.qHistogram _),
+    "q_skew_join_salted" -> (Analytics.qSkewJoinSalted _),
     // §2.4 dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_incremental" -> (Dedup.incremental _),
+    "dedup_incremental_bloom" -> (Dedup.bloomIncremental _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhash _),
@@ -80,6 +83,8 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "text_repetition" -> (TextAnalysis.repetition _),
+    "text_vocab" -> ((s: SparkSession, d: String) => TextAnalysis.vocab(s, d)),
+    "text_salient_terms" -> (TextAnalysis.salientTerms _),
     // §2.7 multimodal
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_decode_features" -> (Multimodal.decodeFeatures _),
@@ -207,6 +212,19 @@ object SparkEntry {
          |  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta))
          |SELECT user_id, event_type, event_id, us, value_cents, origin
          |FROM merged WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "cdc_scd2" ->
+      s"""WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+         |  ${cents("value")} AS value_cents FROM events),
+         |r AS (SELECT user_id, event_type, event_id, us, value_cents,
+         |  coalesce(lead(us) OVER (PARTITION BY user_id, event_type ORDER BY us, event_id),
+         |    9223372036854775807) AS valid_to_us,
+         |  CAST(row_number() OVER (PARTITION BY user_id, event_type ORDER BY us, event_id) AS BIGINT) AS version_n
+         |  FROM e)
+         |SELECT user_id, event_type, version_n, event_id, value_cents,
+         |  us AS valid_from_us, valid_to_us,
+         |  CAST(CASE WHEN valid_to_us = 9223372036854775807 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+         |FROM r ORDER BY user_id, event_type, version_n""".stripMargin,
 
     "dedup_cluster" ->
       s"""WITH RECURSIVE $shCte,
@@ -380,6 +398,15 @@ object SparkEntry {
          |  CAST(sum(${cents("value")}) AS BIGINT) AS sum_value_c
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the salted join is result-identical to the plain dim join
+    "q_skew_join_salted" ->
+      s"""WITH dim AS (SELECT event_type, CAST(length(event_type) AS BIGINT) AS type_weight
+         |  FROM (SELECT DISTINCT event_type FROM events))
+         |SELECT e.event_type, count(*) AS n,
+         |  CAST(sum(${cents("e.value")} * dim.type_weight) AS BIGINT) AS weighted_cents
+         |FROM events e JOIN dim USING (event_type)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_quantiles" ->
       """SELECT l_returnflag,
         |  CAST(round(quantile_cont(l_extendedprice, 0.5)*100, 0) AS BIGINT) AS p50_price_c,
@@ -400,6 +427,18 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |ex AS (SELECT h, min(doc_id) AS canonical FROM d WHERE doc_id % 5 <> 4 GROUP BY h)
+        |SELECT d.doc_id,
+        |  CAST(CASE WHEN ex.canonical IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup,
+        |  COALESCE(ex.canonical, -1) AS canonical_doc_id
+        |FROM d LEFT JOIN ex USING (h) WHERE d.doc_id % 5 = 4
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Bloom pre-filter + exact verify ≡ the exact incremental result
+    // (false positives are re-verified by the hash join, false
+    // negatives are impossible) — so the oracle is the same query.
+    "dedup_incremental_bloom" ->
       """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
         |ex AS (SELECT h, min(doc_id) AS canonical FROM d WHERE doc_id % 5 <> 4 GROUP BY h)
         |SELECT d.doc_id,
@@ -608,6 +647,24 @@ object SparkEntry {
         |  CAST(floor((total_3g - distinct_3g) * 1000.0 / total_3g) AS BIGINT) AS dup_3gram_pm,
         |  CAST(floor(top_tok_n * 1000.0 / greatest(n_tokens, 1)) AS BIGINT) AS top_tok_pm
         |FROM tri JOIN top ON tri.doc_id = top.doc_id ORDER BY tri.doc_id""".stripMargin,
+
+    "text_vocab" ->
+      """SELECT tok, count(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents)
+        |WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin,
+
+    "text_salient_terms" ->
+      """WITH t2 AS (SELECT doc_id, tok FROM (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents) WHERE tok <> ''),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t2 GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM t2) GROUP BY 1),
+        |s AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df, tf.tf * 1000000 // df.df AS score
+        |  FROM tf JOIN df USING (tok)),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS rk
+        |  FROM s)
+        |SELECT doc_id, rk, tok, tf, df, score FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
 
     "mm_binary_meta" ->
       """SELECT doc_id,

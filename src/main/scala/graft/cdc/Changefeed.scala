@@ -204,6 +204,32 @@ object Changefeed {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** §2#72 SCD Type-2 history from the change log: per logical PK
+    * (user_id, event_type), each change version gets a validity interval
+    * [valid_from_us, valid_to_us) — `lead` over the PK-partitioned commit
+    * order closes each interval at the next version's start; the current
+    * version stays open (sentinel Long.MaxValue, never NULL — NULL sort
+    * and hash behavior differ across engines). This is what a warehouse
+    * consumer of the published feed (reference src/main.rs:223-231)
+    * materializes for time-travel queries. One shuffle on the PK; window
+    * state is one row (lead(1)), so reducers stream at any scale. */
+  def scd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"), cents(col("value")).as("value_cents"))
+      .withColumn("valid_to_us",
+        coalesce(lead(col("us"), 1).over(w), lit(Long.MaxValue)))
+      .withColumn("version_n", row_number().over(w).cast("long"))
+      .withColumn("is_current",
+        when(col("valid_to_us") === lit(Long.MaxValue), lit(1L)).otherwise(lit(0L)))
+      .select(col("user_id"), col("event_type"), col("version_n"),
+        col("event_id"), col("value_cents"),
+        col("us").as("valid_from_us"), col("valid_to_us"), col("is_current"))
+      .orderBy(col("user_id"), col("event_type"), col("version_n"))
+  }
+
   /** §2#7 JSON field extraction (the reference parses `{"resolved":..}` /
     * `{"after":..}` payloads; generalized over the events.props column). */
   def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =

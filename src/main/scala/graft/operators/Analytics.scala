@@ -310,6 +310,33 @@ object Analytics {
       .agg(sum(col("pn")).as("n"), sum(col("psum")).as("sum_value_c"))
       .orderBy(col("event_type"))
 
+  /** §2#76 salted JOIN — the join-side twin of [[qSaltedAgg]]. events
+    * joins an event_type dim table, but event_type has ~4 values, so a
+    * plain shuffle join lands the whole fact table on 4 reducers. Salt
+    * the fact side with pmod(event_id, 16) and REPLICATE each dim row
+    * across all 16 salts; joining on (key, salt) spreads every hot key
+    * over 16 reducers. The shuffle_hash hint forces the shuffle-join
+    * shape the pattern exists for (AQE would otherwise broadcast this
+    * demo-sized dim — at 100 TB the dim side can be too big to
+    * broadcast yet still skew-joined). Result ≡ the plain join, which
+    * is what the oracle checks. */
+  def qSkewJoinSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    val nSalts = 16
+    val dim = Tables.events(spark, sfDir)
+      .select(col("event_type")).distinct()
+      .withColumn("type_weight", length(col("event_type")).cast("long"))
+      .withColumn("salt", explode(array((0 until nSalts).map(s => lit(s.toLong)): _*)))
+    val fact = Tables.events(spark, sfDir)
+      .select(col("event_type"), cents(col("value")).as("value_c"),
+        pmod(col("event_id"), lit(nSalts.toLong)).as("salt"))
+    fact.hint("shuffle_hash")
+      .join(dim, Seq("event_type", "salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value_c") * col("type_weight")).as("weighted_cents"))
+      .orderBy(col("event_type"))
+  }
+
   /** §2#23 semi/anti join: per-nation counts of customers with and
     * without orders. Distinct custkeys from orders approaches |customer|
     * at scale — NOT broadcastable, so no hint: both sides shuffle on

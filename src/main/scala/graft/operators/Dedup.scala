@@ -129,6 +129,40 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** §2#73 Bloom-pre-filtered incremental dedup — same contract (and
+    * identical result) as [[incremental]], but the new batch is first
+    * screened through a Bloom filter built over the existing corpus's
+    * content hashes. Rows the filter rejects are DEFINITELY new: they
+    * take the map-side fast path and never shuffle; only might-contain
+    * survivors (true dups + ~fpp false positives) pay the exact-verify
+    * hash join. At 100 TB the existing side's 16-byte hashes reduce to a
+    * few GB of Bloom bits via treeAggregate (driver never sees rows),
+    * the broadcast ships once per executor, and join input shrinks from
+    * |batch| to |dups|·(1+fpp) — the standard big-corpus admission path.
+    * False positives cannot leak into the output: the join re-verifies
+    * every candidate against real hashes. */
+  def bloomIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documentsPar(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val existing = docs.where(col("doc_id") % 5 =!= 4)
+    // Size the filter from the actual corpus count (one columnar count
+    // job — at steady state you'd carry this number in the catalog).
+    val n = existing.count()
+    val bloom = existing.stat.bloomFilter("h", math.max(n, 1L), 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: String) => bc.value.mightContainString(h))
+    val batch = docs.where(col("doc_id") % 5 === 4)
+    val fresh = batch.where(!mightContain(col("h")))
+      .select(col("doc_id"), lit(0L).as("is_dup"), lit(-1L).as("canonical_doc_id"))
+    val verified = batch.where(mightContain(col("h")))
+      .join(existing.groupBy(col("h")).agg(min(col("doc_id")).as("canonical")),
+        Seq("h"), "left")
+      .select(col("doc_id"),
+        when(col("canonical").isNotNull, lit(1L)).otherwise(lit(0L)).as("is_dup"),
+        coalesce(col("canonical"), lit(-1L)).as("canonical_doc_id"))
+    fresh.unionByName(verified).orderBy(col("doc_id"))
+  }
+
   /** §2#45 dedup clustering: connected components over the n-gram
     * candidate-pair graph via hash-min label propagation — each doc's
     * cluster id is the minimum doc_id reachable through shared-shingle

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.Fns._
 
@@ -158,6 +159,46 @@ object TextAnalysis {
         floor(col("top_tok_n") * lit(1000.0) / greatest(col("n_tokens"), lit(1)))
           .cast("long").as("top_tok_pm"))
       .orderBy(col("doc_id"))
+  }
+
+  /** §2#74 corpus vocabulary: global token frequencies, top 50 — the
+    * tokenizer-training / vocab-pruning input. Explode is narrow; the
+    * count is ONE map-side-combined aggregate on the token (partial
+    * counts per partition, |vocab| rows shuffle — not |corpus tokens|),
+    * and the top-k is TakeOrderedAndProject (per-partition heaps, no
+    * global sort). Ties at the cutoff break by token, so the top-50 set
+    * is deterministic. */
+  def vocab(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame =
+    Tables.documentsPar(spark, sfDir)
+      .select(explode(tokens(lower(col("text")))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(k)
+
+  /** §2#75 salient terms: top-3 terms per document by a tf-idf-style
+    * score kept in INTEGER arithmetic (tf·1e6 div df) so the ranking is
+    * bit-identical across engines — float idf (ln N/df) can flip
+    * near-equal ranks by one ulp. df is monotone-inverse in the score,
+    * which preserves the tf-idf ordering for fixed tf. Two aggregates
+    * (tf on (doc,tok), df on tok) + one join on tok; the df side is
+    * |vocab|-sized, so AQE broadcasts it and the corpus-side tf table
+    * never reshuffles for the join. */
+  def salientTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documentsPar(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+      .where(col("tok") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(df, "tok")
+      .withColumn("score", expr("tf * 1000000 div df"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("tok"),
+        col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
   }
 
   /** §2#35 rolling-hash document fingerprint (order-sensitive — unlike

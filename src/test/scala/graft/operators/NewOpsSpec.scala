@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.SparkSuite
+import graft.cdc.Changefeed
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-5 additions: SCD2, Bloom incremental dedup,
+  * corpus vocab, salient terms, salted join. */
+class NewOpsSpec extends SparkSuite {
+
+  test("cdc_scd2: intervals chain per PK, exactly one current version") {
+    val rows = Changefeed.scd2(spark, sf).collect()
+    val byPk = rows.groupBy(r => (r.getLong(0), r.getString(1)))
+    val nEvents = graft.Tables.events(spark, sf).count()
+    assert(rows.length.toLong === nEvents)
+    byPk.foreach { case (_, vs) =>
+      val sorted = vs.sortBy(_.getLong(2)) // version_n
+      // versions are 1..n with no gaps
+      assert(sorted.map(_.getLong(2)).toSeq === (1L to sorted.length.toLong))
+      // each interval closes exactly where the next one opens
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(6) === b.getLong(5)) // valid_to == next valid_from
+        case _ => ()
+      }
+      // every non-last interval is half-open and non-empty
+      sorted.dropRight(1).foreach(r => assert(r.getLong(5) < r.getLong(6)))
+      // exactly the last version is current (sentinel Long.MaxValue)
+      assert(sorted.count(_.getLong(7) == 1L) === 1)
+      assert(sorted.last.getLong(7) === 1L)
+      assert(sorted.last.getLong(6) === Long.MaxValue)
+    }
+  }
+
+  test("dedup_incremental_bloom equals the exact incremental result") {
+    val exact = Dedup.incremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloom = Dedup.bloomIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bloom === exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("text_vocab: top-50 by true corpus counts, deterministic order") {
+    val got = TextAnalysis.vocab(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.length <= 50 && got.nonEmpty)
+    // non-increasing counts, ties broken by token ascending
+    got.sliding(2).foreach {
+      case Array((ta, na), (tb, nb)) =>
+        assert(na > nb || (na == nb && ta < tb))
+      case _ => ()
+    }
+    // counts agree with an independent explode+count
+    val truth = graft.Tables.documents(spark, sf)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .where(col("tok") =!= "").groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (tok, n) => assert(truth(tok) === n) }
+    // and nothing outside the result beats the cutoff
+    val cutoff = got.last
+    truth.filterNot(kv => got.exists(_._1 == kv._1)).foreach { case (t, n) =>
+      assert(n < cutoff._2 || (n == cutoff._2 && t > cutoff._1))
+    }
+  }
+
+  test("text_salient_terms: <=3 ranked terms per doc, integer score exact") {
+    val rows = TextAnalysis.salientTerms(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tf, df, score) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(score === tf * 1000000L / df)
+      assert(df >= 1L && tf >= 1L)
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (_, vs) =>
+      val sorted = vs.sortBy(_.getLong(1))
+      assert(sorted.length <= 3)
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to sorted.length.toLong))
+      // rank order follows (score desc, tok asc)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(5) > b.getLong(5) ||
+            (a.getLong(5) == b.getLong(5) && a.getString(2) < b.getString(2)))
+        case _ => ()
+      }
+    }
+  }
+
+  test("q_skew_join_salted equals the unsalted join result") {
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("value_c"))
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("type_weight", length(col("event_type")).cast("long"))
+    val plain = ev.join(dim, "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value_c") * col("type_weight")).as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Analytics.qSkewJoinSalted(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted === plain)
+  }
+}
