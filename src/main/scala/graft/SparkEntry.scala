@@ -74,6 +74,7 @@ object SparkEntry {
     "ann_centroid_classify" -> (Similarity.centroidClassify _),
     "ann_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.ivfTopk(s, d)),
     "ann_ivf_kmeans" -> ((s: SparkSession, d: String) => Similarity.ivfKmeansTopk(s, d)),
+    "ann_pq_adc" -> ((s: SparkSession, d: String) => Similarity.pqAdcTopk(s, d)),
     // §2.6 text analysis
     "text_tokens" -> (TextAnalysis.tokenCounts _),
     "text_quality" -> (TextAnalysis.quality _),

@@ -305,7 +305,10 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 8,
       s"10-block pair banding guarantees recall only to Hamming 8, got $maxHamming")
-    val sigs = simhashSigs(docs)
+    // materialize once — both sides of the bucket self-join read the
+    // signature frame, and without this each side re-runs the 64-vote
+    // aggregation (the whole query's dominant stage) from scratch
+    val sigs = simhashSigs(docs).localCheckpoint(true)
     def block(i: Int): Column =
       shiftrightunsigned(col("sig"), simhashBlockOffsets(i))
         .bitwiseAND(lit((1L << simhashBlockSizes(i)) - 1))
@@ -317,15 +320,21 @@ object Dedup {
     }: _*)
     val chunks = sigs.select(col("doc_id"), col("sig"),
       explode(bucketKeys).as("bk"))
+    // Verify Hamming BEFORE dedup'ing candidates: bit_count(xor) is a
+    // codegen'd per-row op, so running it on the raw join output costs
+    // ~nothing, while it shrinks the distinct()'s shuffle input from
+    // every bucket collision (correlated corpora collide a LOT — 13M
+    // rows at sf0.1) down to the true pairs (thousands). Same result:
+    // a pair within the radius keeps identical (hamming) on every
+    // duplicate row, and pairs outside it were discarded post-distinct
+    // anyway.
     chunks.as("x").join(chunks.as("y"),
         col("x.bk") === col("y.bk") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
-      .distinct()
-      .select(col("doc_a"), col("doc_b"),
-        hamming64(col("sig_a"), col("sig_b")).cast("long").as("hamming"))
+        hamming64(col("x.sig"), col("y.sig")).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

