@@ -55,6 +55,9 @@ object SparkEntry {
     "q_funnel" -> (Analytics.qFunnel _),
     "q_histogram" -> (Analytics.qHistogram _),
     "q_skew_join_salted" -> (Analytics.qSkewJoinSalted _),
+    "ts_gap_fill" -> (TimeSeries.gapFill _),
+    "ts_retention" -> (TimeSeries.retention _),
+    "ts_running_total" -> (TimeSeries.runningTotal _),
     // §2.4 dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_incremental" -> (Dedup.incremental _),
@@ -398,6 +401,35 @@ object SparkEntry {
       s"""SELECT event_type, count(*) AS n,
          |  CAST(sum(${cents("value")}) AS BIGINT) AS sum_value_c
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ts_gap_fill" ->
+      """WITH ev AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us FROM events),
+        |c AS (SELECT event_type, hour_us, count(*) AS n FROM ev GROUP BY 1, 2),
+        |sp AS (SELECT event_type, unnest(generate_series(lo, hi, 3600000000)) AS hour_us
+        |  FROM (SELECT event_type, min(hour_us) AS lo, max(hour_us) AS hi FROM ev GROUP BY 1))
+        |SELECT sp.event_type, sp.hour_us, coalesce(c.n, 0) AS n
+        |FROM sp LEFT JOIN c ON sp.event_type = c.event_type AND sp.hour_us = c.hour_us
+        |ORDER BY sp.event_type, sp.hour_us""".stripMargin,
+
+    "ts_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+        |coh AS (SELECT user_id, min(week) AS cohort_week FROM act GROUP BY 1)
+        |SELECT coh.cohort_week, act.week - coh.cohort_week AS week_offset,
+        |  count(*) AS n_active_users
+        |FROM act JOIN coh USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ts_running_total" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+         |  ${cents("value")} AS value_c FROM events),
+         |r AS (SELECT user_id, event_id, us, value_c,
+         |  CAST(sum(value_c) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_c,
+         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS seq_n,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS from_end
+         |  FROM e)
+         |SELECT user_id, seq_n, event_id, value_c, running_c
+         |FROM r WHERE from_end <= 5 ORDER BY user_id, seq_n""".stripMargin,
 
     // the salted join is result-identical to the plain dim join
     "q_skew_join_salted" ->

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Fns._
+
+/** Time-series analytics over `events` (§2.3 extensions): gap-filled
+  * series, cohort retention, running totals. All one-shuffle shapes —
+  * the window/group key is always (user or series id), never a global
+  * sort except the final deterministic ORDER BY. */
+object TimeSeries {
+
+  /** §2#78 gap-filled hourly series per event_type: hours with no
+    * events appear with n=0 — the calendar-spine pattern. The spine is
+    * generated DISTRIBUTED (per-type min/max hour → `sequence()` +
+    * `explode`), so no driver-side calendar materializes; at 100 TB the
+    * spine is |types| × |hours| rows — tiny next to the fact table —
+    * and the left join shuffles on (event_type, hour) like any
+    * pre-aggregated rollup. */
+  def gapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        (unix_micros(date_trunc("hour", col("ts")))).as("hour_us"))
+    val counts = ev.groupBy(col("event_type"), col("hour_us"))
+      .agg(count(lit(1)).as("n"))
+    val spine = ev.groupBy(col("event_type"))
+      .agg(min(col("hour_us")).as("lo"), max(col("hour_us")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(hourUs))).as("hour_us"))
+    spine.join(counts, Seq("event_type", "hour_us"), "left")
+      .select(col("event_type"), col("hour_us"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("event_type"), col("hour_us"))
+  }
+
+  /** §2#79 cohort retention: users grouped by first-activity week
+    * (cohort), counted by distinct-active-user per subsequent week
+    * offset. Two map-side-combinable aggregates + one broadcast-size
+    * join of per-user cohorts back onto activity — the classic
+    * engagement table. At scale the per-user cohort frame is
+    * |users|-sized, so it shuffle-joins on user_id (no broadcast
+    * assumption); activity weeks pre-dedupe map-side. */
+  def retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val weekUs = 7L * 24 * 3600000000L
+    val act = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      // integral `div`, not `/` (which is float division on BIGINTs)
+      .select(col("user_id"), expr(s"us div $weekUs").as("week"))
+      .distinct()
+    val cohorts = act.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    act.join(cohorts, "user_id")
+      .select(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** §2#80 running (cumulative) per-user value total in commit order —
+    * the balance/ledger shape. One shuffle on user_id; the running-sum
+    * window is an unbounded-preceding frame the reducer streams
+    * through, constant state per row. Output keeps only each user's
+    * LAST 5 rows (row_number from the end) so result size is bounded
+    * per user while still exercising the full cumulative scan. */
+  def runningTotal(spark: SparkSession, sfDir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fromEnd = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), cents(col("value")).as("value_c"))
+      .withColumn("running_c", sum(col("value_c")).over(cum))
+      .withColumn("seq_n", row_number().over(order).cast("long"))
+      .withColumn("from_end", row_number().over(fromEnd))
+      .where(col("from_end") <= 5)
+      .select(col("user_id"), col("seq_n"), col("event_id"),
+        col("value_c"), col("running_c"))
+      .orderBy(col("user_id"), col("seq_n"))
+  }
+}

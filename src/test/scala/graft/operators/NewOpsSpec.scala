@@ -105,6 +105,54 @@ class NewOpsSpec extends SparkSuite {
     assert(hits * 10 >= total * 7, s"recall@5 too low: $hits/$total")
   }
 
+  test("ts_gap_fill: contiguous hour spine per type, counts preserved") {
+    val rows = TimeSeries.gapFill(spark, sf).collect()
+    val ev = graft.Tables.events(spark, sf)
+    assert(rows.map(_.getLong(2)).sum === ev.count())
+    rows.groupBy(_.getString(0)).foreach { case (_, vs) =>
+      val hours = vs.map(_.getLong(1)).sorted
+      // every hour between min and max present exactly once
+      assert(hours.toSeq === (hours.head to hours.last by 3600000000L))
+      // gap-filled zeros actually appear (the data has quiet hours)
+      assert(vs.exists(_.getLong(2) == 0L) || hours.length == vs.count(_.getLong(2) > 0))
+    }
+  }
+
+  test("ts_retention: offset-0 equals cohort size, offsets bounded by it") {
+    val rows = TimeSeries.retention(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(rows.nonEmpty)
+    val cohortSize = rows.collect { case ((c, 0L), n) => c -> n }
+    assert(cohortSize.nonEmpty) // every cohort's first week is offset 0
+    rows.foreach { case ((c, off), n) =>
+      assert(off >= 0L)
+      assert(n <= cohortSize.toMap.apply(c),
+        s"cohort $c offset $off has $n > cohort size")
+    }
+  }
+
+  test("ts_running_total: last row equals the user's full sum, <=5 rows") {
+    val rows = TimeSeries.runningTotal(spark, sf).collect()
+    val totals = graft.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(sum(round(col("value") * 100).cast("long")).as("t"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (uid, vs) =>
+      val (total, nEvents) = totals(uid)
+      val sorted = vs.sortBy(_.getLong(1))
+      assert(sorted.length <= 5)
+      assert(sorted.last.getLong(1) === nEvents) // seq of the final event
+      assert(sorted.last.getLong(4) === total)   // cumulative == full sum
+      // running total increments by exactly the row value
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b.getLong(4) - a.getLong(4) === b.getLong(3))
+        case _ => ()
+      }
+    }
+  }
+
   test("q_skew_join_salted equals the unsalted join result") {
     val ev = graft.Tables.events(spark, sf)
       .select(col("event_type"),
