@@ -42,6 +42,7 @@ object SparkEntry {
     "q_window_topk" -> (Analytics.qWindowTopk _),
     "q_topk_native" -> (Analytics.qTopkNative _),
     "q_rollup" -> (Analytics.qRollup _),
+    "q_cube" -> (Analytics.qCube _),
     "q_conditional_pivot" -> (Analytics.qConditionalPivot _),
     "q_semi_anti" -> (Analytics.qSemiAnti _),
     "q_asof_join" -> (Temporal.asofJoin _),
@@ -333,6 +334,14 @@ object SparkEntry {
          |  CAST(sum(${cents("l_extendedprice")}) AS BIGINT) AS sum_price_c,
          |  count(*) AS n
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY 1,2""".stripMargin,
+
+    "q_cube" ->
+      s"""SELECT coalesce(l_returnflag,'ALL') AS returnflag,
+         |  coalesce(l_linestatus,'ALL') AS linestatus,
+         |  CAST(sum(${cents("l_quantity")}) AS BIGINT) AS sum_qty_c,
+         |  count(*) AS n
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          |ORDER BY 1,2""".stripMargin,
 
     "q_conditional_pivot" ->

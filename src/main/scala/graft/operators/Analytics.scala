@@ -134,6 +134,24 @@ object Analytics {
         col("sum_qty_c"), col("sum_price_c"), col("n"))
       .orderBy(col("returnflag"), col("linestatus"))
 
+  /** §2#81 CUBE aggregate — all 4 grouping sets of
+    * (returnflag, linestatus) in one pass (vs ROLLUP's 3 in [[qRollup]]):
+    * Catalyst expands the grouping sets BEFORE the exchange, so partial
+    * aggregation still combines map-side and the shuffle carries one
+    * partial row per (set, key) — not one pass over the fact table per
+    * set. Grouping-NULL markers are coalesced to 'ALL' (NULL sort order
+    * differs across engines). */
+  def qCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        cents(col("l_quantity")).as("qty_c"))
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("qty_c")).as("sum_qty_c"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty_c"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
   /** §2#22 pivot-style conditional aggregation: per-user event-type
     * profile (single shuffle; conditional aggs are map-side partial). */
   def qConditionalPivot(spark: SparkSession, sfDir: String): DataFrame = {

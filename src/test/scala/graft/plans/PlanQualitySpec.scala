@@ -1,0 +1,90 @@
+package graft.plans
+
+import graft.SparkSuite
+import graft.Tables
+import graft.operators._
+import graft.cdc.Changefeed
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regressions: these pin the PHYSICAL properties the
+  * operators are designed around — pushdown, pruning, broadcast,
+  * map-side partial aggregation, shuffle-freedom of narrow ops. A code
+  * change that silently turns one of these into a full-scan / shuffle /
+  * cartesian plan fails here long before a 100 TB cluster notices. */
+class PlanQualitySpec extends SparkSuite {
+
+  private def planOf(df: DataFrame): String = {
+    df.collect() // run so AQE finalizes its decisions
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters and projections reach the parquet scan") {
+    val df = Tables.lineitem(spark, sf)
+      .where(col("l_quantity") > 25.0)
+      .select(col("l_orderkey"))
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"),
+      s"filter not pushed to scan:\n$plan")
+    // pruned read schema: only the two referenced columns are read
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan reads more than the projection needs:\n$plan")
+  }
+
+  test("q1_agg aggregates map-side before the exchange") {
+    val plan = planOf(Analytics.q1Agg(spark, sf))
+    val firstAgg = plan.indexOf("HashAggregate")
+    val firstExchange = plan.indexOf("Exchange")
+    assert(firstAgg >= 0 && firstExchange >= 0)
+    assert(plan.contains("partial_sum"),
+      s"no partial (map-side) aggregation in q1 plan:\n$plan")
+  }
+
+  test("decontaminate broadcasts the benchmark side, never shuffles the corpus") {
+    val plan = planOf(TextAnalysis.decontaminate(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"benchmark side not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus is being shuffle-joined against the tiny benchmark side:\n$plan")
+  }
+
+  test("changefeed change rows are shuffle-free (narrow projection)") {
+    val df = Changefeed.changeRowsFrom(Tables.events(spark, sf))
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"),
+      s"narrow per-row changefeed projection should not shuffle:\n$plan")
+  }
+
+  test("q_topk_native plans through the custom TopKPerKey operator") {
+    val plan = planOf(Analytics.qTopkNative(spark, sf))
+    assert(plan.contains("TopKPerKey"),
+      s"custom strategy not applied — fell back to a generic plan:\n$plan")
+  }
+
+  test("date-partitioned layout prunes partitions at the scan") {
+    // The 100 TB table layout: facts written partitioned by day, so a
+    // day-ranged query lists (not reads) only matching directories.
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.events(spark, sf)
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+    val days = spark.read.parquet(dir).select("day").distinct().collect()
+    assert(days.length > 1, "need multiple day partitions for the test")
+    val oneDay = days.map(_.getDate(0)).min
+    val df = spark.read.parquet(dir)
+      .where(col("day") === lit(oneDay))
+      .select(col("event_id"))
+    val plan = planOf(df)
+    assert(plan.contains("PartitionFilters") && plan.contains("day#"),
+      s"day predicate not applied as a partition filter:\n$plan")
+    // a partition-column predicate must NOT appear as a data filter
+    assert(!plan.contains("PushedFilters: [IsNotNull(day)"),
+      s"day filter leaked into the parquet row-group scan:\n$plan")
+  }
+
+  test("ann brute force broadcasts the query side") {
+    val plan = planOf(Similarity.bruteforceTopk(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$plan")
+  }
+}
