@@ -64,6 +64,7 @@ object SparkEntry {
     "dedup_incremental" -> (Dedup.incremental _),
     "dedup_incremental_bloom" -> (Dedup.bloomIncremental _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "dedup_containment" -> (Dedup.containment _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_embedding" -> (Dedup.embeddingNearDup _),
@@ -499,6 +500,19 @@ object SparkEntry {
          |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS union_n
          |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
          |WHERE inter_n > 0 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH $shCte
+         |SELECT doc_a, doc_b, inter_n, containment_pm FROM (
+         |  SELECT doc_a, doc_b, inter_n,
+         |    CAST(round(inter_n * 1000.0 / least(n_a, n_b), 0) AS BIGINT) AS containment_pm
+         |  FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |      CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_n,
+         |      CAST(len(a.sh) AS BIGINT) AS n_a, CAST(len(b.sh) AS BIGINT) AS n_b
+         |    FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |  WHERE inter_n > 0)
+         |WHERE containment_pm >= 500 ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_embedding" ->
       s"""WITH $embBase,

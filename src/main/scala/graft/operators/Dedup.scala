@@ -110,6 +110,26 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** §2#82 containment near-dup: |A∩B| / min(|A|,|B|) — the ASYMMETRIC
+    * twin of Jaccard. A short doc fully quoted inside a long one has
+    * tiny Jaccard (the union is dominated by the long doc) but
+    * containment 1000‰; this is how wrapper pages, quote-reposts and
+    * template-padded copies are caught. Same candidate machinery as
+    * [[ngramJaccard]] (set-similarity join over df-filtered shingle
+    * hashes — one shuffle on (source, shingle), never doc×doc); only
+    * the scoring differs. */
+  def containment(spark: SparkSession, sfDir: String): DataFrame = {
+    val (inter, sizes) = candidateInter(spark, sfDir)
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("inter_n"),
+        round(col("inter_n") * lit(1000.0) / least(col("n_a"), col("n_b")))
+          .cast("long").as("containment_pm"))
+      .where(col("containment_pm") >= 500L)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** §2#70 incremental dedup: check a NEW ingest batch (here every 5th
     * doc stands in for the fresh crawl) against the existing corpus by
     * content hash — the steady-state production shape, where you never

@@ -86,6 +86,20 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("dedup_containment: bounded per-mille and dominates jaccard pairwise") {
+    val rows = Dedup.containment(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(3) >= 500L && r.getLong(3) <= 1000L))
+    // containment >= jaccard for every shared pair
+    // (|A∩B|/min(|A|,|B|) >= |A∩B|/|A∪B| always)
+    val jac = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    val shared = rows.flatMap(r =>
+      jac.get((r.getLong(0), r.getLong(1))).map(j => (r.getLong(3), j)))
+    assert(shared.nonEmpty)
+    shared.foreach { case (c, j) => assert(c >= j) }
+  }
+
   test("ann_pq_adc: valid ranks, decent recall vs exact brute force") {
     val got = Similarity.pqAdcTopk(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
