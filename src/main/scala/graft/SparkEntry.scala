@@ -30,6 +30,7 @@ object SparkEntry {
     "cdc_queue_partition" -> (Changefeed.queuePartition _),
     "cdc_apply" -> (Changefeed.applyChanges _),
     "cdc_scd2" -> (Changefeed.scd2 _),
+    "cdc_compact_tombstones" -> (Changefeed.compactTombstones _),
     "dedup_cluster" -> (Dedup.cluster _),
     // §2.2 streaming analytics (batch twins)
     "stream_window_agg" -> (StreamOps.windowAgg _),
@@ -71,6 +72,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> (Dedup.embeddingNearDupLsh _),
     "sample_docs" -> ((s: SparkSession, d: String) => Sampling.sampleDocs(s, d)),
     "sample_stratified" -> (Sampling.sampleStratified _),
+    "sample_mixture" -> (Sampling.sampleMixture _),
     "pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     // §2.5 similarity search
     "ann_bruteforce_topk" -> ((s: SparkSession, d: String) => Similarity.bruteforceTopk(s, d)),
@@ -218,6 +220,21 @@ object SparkEntry {
          |  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta))
          |SELECT user_id, event_type, event_id, us, value_cents, origin
          |FROM merged WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "cdc_compact_tombstones" ->
+      s"""WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+         |  ${cents("value")} AS value_cents,
+         |  CAST(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_delete
+         |  FROM events),
+         |r AS (SELECT *,
+         |  row_number() OVER (PARTITION BY user_id, event_type ORDER BY us DESC, event_id DESC) AS rn,
+         |  count(*) OVER (PARTITION BY user_id, event_type) AS n_versions,
+         |  CAST(sum(is_delete) OVER (PARTITION BY user_id, event_type) AS BIGINT) AS n_deletes
+         |  FROM e)
+         |SELECT user_id, event_type, event_id AS last_event_id,
+         |  value_cents AS last_value_cents, n_versions, n_deletes
+         |FROM r WHERE rn = 1 AND is_delete = 0
+         |ORDER BY user_id, event_type""".stripMargin,
 
     "cdc_scd2" ->
       s"""WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
@@ -541,6 +558,16 @@ object SparkEntry {
         |  CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 400 WHEN 'fr' THEN 400
         |    WHEN 'es' THEN 400 WHEN 'zh' THEN 400 ELSE 0 END
         |ORDER BY doc_id""".stripMargin,
+
+    "sample_mixture" ->
+      """WITH d AS (SELECT source,
+        |  (doc_id * 2654435761) % 1000000007 % 1000 AS bucket,
+        |  (CAST(substr(source, 4) AS BIGINT) * 53) % 900 + 100 AS keep_pm
+        |  FROM documents)
+        |SELECT source, keep_pm, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN bucket < keep_pm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(round(sum(CASE WHEN bucket < keep_pm THEN 1 ELSE 0 END) * 1000.0 / count(*), 0) AS BIGINT) AS achieved_pm
+        |FROM d GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     "ann_bruteforce_topk" ->
       s"""WITH $embBase,

@@ -204,6 +204,36 @@ object Changefeed {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** §2#84 compaction WITH DELETE semantics: a changefeed row whose
+    * payload carries no "after" document is a tombstone (CockroachDB
+    * emits `{"after": null}` on DELETE — the reference's ChangePayload
+    * passes it through opaquely, src/model.rs:74-91). Synthesized here
+    * as a deterministic marker (every 97th event deletes its PK).
+    * Compaction is the same latest-wins argmax as [[compact]], but a PK
+    * whose LATEST version is a tombstone vanishes from the materialized
+    * view — the consumer-side GC a real CDC sink must implement. Still
+    * one shuffle; tombstone handling is a post-argmax filter, and
+    * n_deletes is carried so the spec can see drops happened. */
+  def compactTombstones(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"), cents(col("value")).as("value_cents"),
+        when(col("event_id") % 97 === 0, lit(1L)).otherwise(lit(0L)).as("is_delete"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_versions", count(lit(1)).over(
+        Window.partitionBy(col("user_id"), col("event_type"))))
+      .withColumn("n_deletes", sum(col("is_delete")).over(
+        Window.partitionBy(col("user_id"), col("event_type"))))
+      .where(col("rn") === 1 && col("is_delete") === 0L)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("last_event_id"),
+        col("value_cents").as("last_value_cents"),
+        col("n_versions"), col("n_deletes"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** §2#72 SCD Type-2 history from the change log: per logical PK
     * (user_id, event_type), each change version gets a validity interval
     * [valid_from_us, valid_to_us) — `lead` over the PK-partitioned commit

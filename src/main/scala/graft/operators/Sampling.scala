@@ -58,6 +58,32 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** §2#83 source-mixture sampling — the data-MIXING step: each source
+    * gets its own keep rate (here a deterministic function of the
+    * source index, standing in for the tuned mixing weights of a real
+    * training recipe), applied as the same stateless consistent-hash
+    * threshold as [[sampleStratified]]. Changing the recipe is a
+    * predicate change — no reshard, no state, previously-kept docs stay
+    * kept when a source's weight only increases. Output is the per-
+    * source mixing report (kept/total/achieved‰) a pipeline would log;
+    * the aggregate is over the exact per-row keep decision, so the
+    * oracle pins every row's fate. */
+  def sampleMixture(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = (col("doc_id") * lit(2654435761L)) % lit(1000000007L) % lit(1000L)
+    // keep‰ per source: 100 + (idx·53 mod 900) — spread over [100, 1000)
+    val keepPm = (substring(col("source"), 4, 10).cast("long") * lit(53L))
+      .mod(lit(900L)) + lit(100L)
+    Tables.documents(spark, sfDir)
+      .select(col("source"), bucket.as("bucket"), keepPm.as("keep_pm"))
+      .groupBy(col("source"), col("keep_pm"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("bucket") < col("keep_pm"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("source"), col("keep_pm"), col("n_total"), col("n_kept"),
+        round(col("n_kept") * lit(1000.0) / col("n_total")).cast("long")
+          .as("achieved_pm"))
+      .orderBy(col("source"))
+  }
+
   /** §2#68 stratified sampling: per-language rates as a pure hash
     * threshold — `hash(doc_id) mod 1000 < rate_pm(lang)`.
     *

@@ -32,6 +32,37 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("cdc_compact_tombstones: deleted PKs vanish, survivors match plain compact") {
+    val plain = Changefeed.compact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ts = Changefeed.compactTombstones(spark, sf).collect()
+    assert(ts.nonEmpty && ts.length < plain.size) // some PKs were dropped
+    ts.foreach { r =>
+      val pk = (r.getLong(0), r.getString(1))
+      // survivor's latest version is the same event plain compaction picks
+      assert(plain(pk) === r.getLong(2))
+      assert(r.getLong(2) % 97 != 0) // and it isn't a tombstone
+    }
+    // every dropped PK's latest event really is a tombstone
+    val surviving = ts.map(r => (r.getLong(0), r.getString(1))).toSet
+    plain.foreach { case (pk, lastId) =>
+      if (!surviving.contains(pk)) assert(lastId % 97 === 0)
+    }
+  }
+
+  test("sample_mixture: per-source keep rates applied via consistent hash") {
+    val rows = Sampling.sampleMixture(spark, sf).collect()
+    assert(rows.length === 20) // one row per source
+    rows.foreach { r =>
+      val idx = r.getString(0).stripPrefix("src").toLong
+      assert(r.getLong(1) === (idx * 53) % 900 + 100) // keep_pm formula
+      assert(r.getLong(3) <= r.getLong(2))            // kept <= total
+      // achieved rate lands near the target (small-sample noise aside)
+      assert(math.abs(r.getLong(4) - r.getLong(1)) <= 350,
+        s"${r.getString(0)}: achieved ${r.getLong(4)} vs target ${r.getLong(1)}")
+    }
+  }
+
   test("dedup_incremental_bloom equals the exact incremental result") {
     val exact = Dedup.incremental(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
