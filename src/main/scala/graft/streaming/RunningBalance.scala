@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
+
+case class LedgerEvent(user_id: Long, event_id: Long, us: Long, value_c: Long)
+case class LedgerUpdate(user_id: Long, last_event_id: Long, n_events: Long,
+    balance_c: Long)
+
+/** Per-user running balance on Spark 4's `transformWithState` — the
+  * arbitrary-state API that supersedes `mapGroupsWithState` (typed
+  * named state slots from a `StatefulProcessorHandle`, RocksDB-backed,
+  * TTL-able, timer support). State per key is ONE LedgerUpdate row —
+  * the streaming twin of the batch `ts_running_total` (§2#80): each
+  * micro-batch folds its events into the persisted balance and emits
+  * the updated row in Update mode.
+  *
+  * Scale: state is O(active users) regardless of stream length, lives
+  * in the executor-local RocksDB store (required by this API), and the
+  * shuffle key is user_id — the same partitioning every stateful op in
+  * the pipeline reuses. */
+class RunningBalanceProcessor
+    extends StatefulProcessor[Long, LedgerEvent, LedgerUpdate] {
+
+  @transient private var balance: ValueState[LedgerUpdate] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    balance = getHandle.getValueState[LedgerUpdate](
+      "balance", Encoders.product[LedgerUpdate], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[LedgerEvent],
+      timerValues: TimerValues): Iterator[LedgerUpdate] = {
+    val sorted = rows.toSeq.sortBy(e => (e.us, e.event_id))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val prev =
+        if (balance.exists()) balance.get() else LedgerUpdate(key, -1L, 0L, 0L)
+      val next = sorted.foldLeft(prev) { (acc, e) =>
+        LedgerUpdate(key, e.event_id, acc.n_events + 1, acc.balance_c + e.value_c)
+      }
+      balance.update(next)
+      Iterator.single(next)
+    }
+  }
+}
+
+object RunningBalance {
+  /** §2#85: one updated balance row per user per micro-batch. */
+  def updates(events: Dataset[LedgerEvent])
+      (implicit spark: SparkSession): Dataset[LedgerUpdate] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningBalanceProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+}

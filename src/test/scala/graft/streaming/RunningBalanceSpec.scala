@@ -1,0 +1,47 @@
+package graft.streaming
+
+import java.nio.file.Files
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class RunningBalanceSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("transformWithState accumulates per-user balances across micro-batches") {
+    implicit val s = spark
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[LedgerEvent](30, spark, None)
+      val q = RunningBalance.updates(in.toDS())
+        .writeStream.outputMode("update")
+        .format("memory").queryName("balances")
+        .option("checkpointLocation",
+          Files.createTempDirectory("ckpt-bal").toString)
+        .start()
+
+      in.addData(LedgerEvent(1, 1, 1000, 500), LedgerEvent(1, 2, 2000, 250),
+        LedgerEvent(2, 3, 1500, 100))
+      q.processAllAvailable()
+      val b1 = spark.table("balances").as[LedgerUpdate].collect()
+        .groupBy(_.user_id).view.mapValues(_.maxBy(_.n_events)).toMap
+      assert(b1(1L) === LedgerUpdate(1, 2, 2, 750))
+      assert(b1(2L) === LedgerUpdate(2, 3, 1, 100))
+
+      // second micro-batch folds into the persisted state
+      in.addData(LedgerEvent(1, 4, 3000, -750), LedgerEvent(2, 5, 2500, 900))
+      q.processAllAvailable()
+      val b2 = spark.table("balances").as[LedgerUpdate].collect()
+        .groupBy(_.user_id).view.mapValues(_.maxBy(_.n_events)).toMap
+      q.stop()
+      assert(b2(1L) === LedgerUpdate(1, 4, 3, 0))
+      assert(b2(2L) === LedgerUpdate(2, 5, 2, 1000))
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+}
