@@ -31,6 +31,7 @@ object SparkEntry {
     "cdc_apply" -> (Changefeed.applyChanges _),
     "cdc_scd2" -> (Changefeed.scd2 _),
     "cdc_compact_tombstones" -> (Changefeed.compactTombstones _),
+    "cdc_payload_parse" -> (Changefeed.payloadParse _),
     "dedup_cluster" -> (Dedup.cluster _),
     // §2.2 streaming analytics (batch twins)
     "stream_window_agg" -> (StreamOps.windowAgg _),
@@ -220,6 +221,18 @@ object SparkEntry {
          |  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta))
          |SELECT user_id, event_type, event_id, us, value_cents, origin
          |FROM merged WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "cdc_payload_parse" ->
+      s"""WITH $chCte,
+         |env AS (SELECT event_id AS oid, $envelopeExpr AS payload FROM ch)
+         |SELECT json_extract_string(payload, '$$.table') AS src_table,
+         |  CAST(json_extract_string(payload, '$$.value.after.event_id') AS BIGINT) AS event_id,
+         |  CAST(json_extract_string(payload, '$$.value.after.ts_us') AS BIGINT) AS ts_us,
+         |  CAST(json_extract_string(payload, '$$.value.after.user_id') AS BIGINT) AS user_id,
+         |  json_extract_string(payload, '$$.value.after.event_type') AS event_type,
+         |  CAST(json_extract_string(payload, '$$.value.after.value_cents') AS BIGINT) AS value_cents,
+         |  coalesce(CAST(json_extract_string(payload, '$$.value.after.k') AS BIGINT), -1) AS k
+         |FROM env ORDER BY event_id""".stripMargin,
 
     "cdc_compact_tombstones" ->
       s"""WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us,

@@ -204,6 +204,36 @@ object Changefeed {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** §2#86 consumer-side payload parsing — the INVERSE of [[envelope]]:
+    * `from_json` applies the typed table schema back onto the published
+    * JSON payloads, recovering relational columns from the wire format
+    * (what every downstream consumer of the queue does first; the
+    * reference emits the envelope opaquely, src/model.rs:74-91, and
+    * leaves parsing to consumers). Narrow per-row codegen'd JSON parse,
+    * no shuffle before the final ORDER BY; a malformed payload yields
+    * NULLs rather than killing the stream (from_json's PERMISSIVE
+    * default — poison-pill tolerance built in). */
+  def payloadParse(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val afterSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts_us", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value_cents", LongType), StructField("k", LongType)))
+    val payloadSchema = StructType(Seq(
+      StructField("table", StringType), StructField("key", StringType),
+      StructField("value", StructType(Seq(StructField("after", afterSchema))))))
+    envelope(spark, sfDir)
+      .select(from_json(col("payload"), payloadSchema).as("p"))
+      .select(col("p.table").as("src_table"),
+        col("p.value.after.event_id").as("event_id"),
+        col("p.value.after.ts_us").as("ts_us"),
+        col("p.value.after.user_id").as("user_id"),
+        col("p.value.after.event_type").as("event_type"),
+        col("p.value.after.value_cents").as("value_cents"),
+        coalesce(col("p.value.after.k"), lit(-1L)).as("k"))
+      .orderBy(col("event_id"))
+  }
+
   /** §2#84 compaction WITH DELETE semantics: a changefeed row whose
     * payload carries no "after" document is a tombstone (CockroachDB
     * emits `{"after": null}` on DELETE — the reference's ChangePayload

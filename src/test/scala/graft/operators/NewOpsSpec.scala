@@ -50,6 +50,22 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("cdc_payload_parse round-trips the envelope back to typed rows") {
+    val parsed = Changefeed.payloadParse(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+        r.getLong(5), r.getLong(6))).toSet
+    val original = graft.Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(-1L)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(parsed === original) // serialize → publish → parse is lossless
+    assert(parsed.nonEmpty)
+  }
+
   test("sample_mixture: per-source keep rates applied via consistent hash") {
     val rows = Sampling.sampleMixture(spark, sf).collect()
     assert(rows.length === 20) // one row per source
