@@ -63,6 +63,7 @@ object SparkEntry {
     "ts_running_total" -> (TimeSeries.runningTotal _),
     // §2.4 dedup
     "dedup_exact" -> (Dedup.exact _),
+    "dedup_exact_normalized" -> (Dedup.exactNormalized _),
     "dedup_incremental" -> (Dedup.incremental _),
     "dedup_incremental_bloom" -> (Dedup.bloomIncremental _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -498,6 +499,15 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_exact_normalized" ->
+      """WITH d AS (SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+        |    '\s+', ' ', 'g')) AS norm_hash,
+        |  md5(text) AS raw_hash FROM documents)
+        |SELECT norm_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_dups,
+        |  CAST(count(DISTINCT raw_hash) AS BIGINT) AS n_raw_variants
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_incremental" ->
       """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),

@@ -41,6 +41,26 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("n_dups"))
       .orderBy(col("content_hash"))
 
+  /** §2#87 exact dedup over NORMALIZED text — lowercase, strip
+    * punctuation, collapse whitespace first (TextAnalysis.normalize's
+    * transform), THEN hash-group. Catches the case/punctuation/spacing
+    * variants plain [[exact]] misses (the C4/RefinedWeb recipe runs
+    * dedup on normalized text for exactly this reason). Same one-
+    * shuffle map-side-combined shape; n_raw_variants counts distinct
+    * RAW texts collapsed into each normalized class. */
+  def exactNormalized(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documentsPar(spark, sfDir)
+      .select(col("doc_id"),
+        md5(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""),
+          "\\s+", " ")).as("norm_hash"),
+        md5(col("text")).as("raw_hash"))
+      .groupBy(col("norm_hash"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"),
+        count(lit(1)).as("n_dups"),
+        countDistinct(col("raw_hash")).as("n_raw_variants"))
+      .orderBy(col("norm_hash"))
+
   /** §2#25 n-gram Jaccard candidate pairs via a set-similarity join:
     * explode shingles, join same-source docs on equal shingles, count
     * matches per pair (= exact |A∩B| since shingle sets are distinct),

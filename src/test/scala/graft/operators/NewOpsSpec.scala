@@ -79,6 +79,15 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("dedup_exact_normalized collapses at least as much as raw exact dedup") {
+    val norm = Dedup.exactNormalized(spark, sf).collect()
+    val raw = Dedup.exact(spark, sf).collect()
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(norm.map(_.getLong(2)).sum === total) // every doc in one class
+    assert(norm.length <= raw.length)            // normalization only merges
+    norm.foreach(r => assert(r.getLong(3) >= 1L && r.getLong(3) <= r.getLong(2)))
+  }
+
   test("dedup_incremental_bloom equals the exact incremental result") {
     val exact = Dedup.incremental(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
