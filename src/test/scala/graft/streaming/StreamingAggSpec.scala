@@ -92,4 +92,36 @@ class StreamingAggSpec extends SparkSuite {
     q.stop()
     assert(out === Set(1L, 3L, 4L))
   }
+
+  test("dropDuplicatesWithinWatermark dedups across batches with BOUNDED state") {
+    // Plain streaming dropDuplicates keeps every seen key forever —
+    // state grows with the stream. The production form bounds state to
+    // the watermark window: a key older than the delay is evictable,
+    // which is what makes exactly-once event dedup viable on an
+    // unbounded 100 TB stream (at-least-once sources redeliver within
+    // a bounded horizon, not years later).
+    val in = MemoryStream[Ev](12, spark, None)
+    def ev(id: Long, us: Long, user: Long) =
+      Ev(id, new java.sql.Timestamp(us / 1000), user, "click", 1.0, "{}")
+
+    val q = in.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedupwm")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt-ddwm").toString)
+      .start()
+
+    val t0 = 1700000000000000L // µs
+    in.addData(ev(1, t0, 1), ev(2, t0 + 60000000L, 2))
+    q.processAllAvailable()
+    // redelivery of event 1 in a later micro-batch, still inside the
+    // watermark horizon → dropped
+    in.addData(ev(1, t0 + 120000000L, 1), ev(3, t0 + 180000000L, 3))
+    q.processAllAvailable()
+    val out = spark.table("dedupwm").select("event_id").collect()
+      .map(_.getLong(0)).toSeq
+    q.stop()
+    assert(out.sorted === Seq(1L, 2L, 3L)) // each event exactly once
+  }
 }
