@@ -76,6 +76,7 @@ object SparkEntry {
     "sample_stratified" -> (Sampling.sampleStratified _),
     "sample_mixture" -> (Sampling.sampleMixture _),
     "pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
+    "pipeline_train_data" -> ((s: SparkSession, d: String) => Pipeline.trainDataPipeline(s, d)),
     // §2.5 similarity search
     "ann_bruteforce_topk" -> ((s: SparkSession, d: String) => Similarity.bruteforceTopk(s, d)),
     "ann_lsh_topk" -> ((s: SparkSession, d: String) => Similarity.lshTopk(s, d)),
@@ -581,6 +582,39 @@ object SparkEntry {
         |  CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 400 WHEN 'fr' THEN 400
         |    WHEN 'es' THEN 400 WHEN 'zh' THEN 400 ELSE 0 END
         |ORDER BY doc_id""".stripMargin,
+
+    // end-to-end composed pipeline: normalize → dedup(norm) → quality →
+    // decontaminate → stratified sample → pack. Mirrors each stage's
+    // oracle expression verbatim; windows as strings (≡ Spark's window
+    // hashes — set ops agree absent 64-bit collisions).
+    "pipeline_train_data" ->
+      """WITH n AS (SELECT doc_id, source, lang,
+        |  regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+        |    '\s+', ' ', 'g') AS norm_text FROM documents),
+        |c AS (SELECT *, row_number() OVER (PARTITION BY md5(norm_text) ORDER BY doc_id) AS rn FROM n),
+        |d AS (SELECT doc_id, source, lang,
+        |  string_split_regex(trim(norm_text), '\s+') AS toks FROM c WHERE rn = 1),
+        |q AS (SELECT * FROM d WHERE len(toks) >= 10),
+        |wins AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(toks)-3,1)),
+        |  i -> array_to_string(toks[i:i+3], ' ')) AS ws FROM q),
+        |bench AS (SELECT DISTINCT unnest(ws) AS w FROM wins WHERE doc_id % 50 = 0),
+        |hits AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT doc_id, unnest(ws) AS w FROM wins WHERE doc_id % 50 <> 0) t
+        |  JOIN bench USING (w)),
+        |clean AS (SELECT * FROM q WHERE doc_id % 50 <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM hits)),
+        |samp AS (SELECT * FROM clean
+        |  WHERE (doc_id * 2654435761) % 1000000007 % 1000 <
+        |    CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 400 WHEN 'fr' THEN 400
+        |      WHEN 'es' THEN 400 WHEN 'zh' THEN 400 ELSE 0 END),
+        |packed AS (SELECT doc_id, source, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  coalesce(CAST(sum(len(toks)) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS tok_start
+        |  FROM samp)
+        |SELECT doc_id, source, lang, n_tokens, tok_start,
+        |  tok_start // 512 AS bin_start,
+        |  (tok_start + n_tokens - 1) // 512 AS bin_end
+        |FROM packed ORDER BY doc_id""".stripMargin,
 
     "sample_mixture" ->
       """WITH d AS (SELECT source,

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Fns._
+
+/** §2#88 the COMPOSED training-data pipeline — every preparation stage
+  * the library provides, chained as ONE declarative DataFrame job:
+  *
+  *   normalize → exact-dedup (normalized) → quality gate →
+  *   benchmark decontamination → stratified sample → sequence packing
+  *
+  * This is the "a user of the reference could switch" proof: the whole
+  * corpus-preparation flow is a single lazily-planned query, so
+  * Catalyst sees across stage boundaries (the normalize projection
+  * fuses into the scan; the dedup window, decontamination semi-join
+  * and sampling filter pipeline without materialization) and the
+  * oracle checks the END-TO-END result, not just each stage alone.
+  *
+  * Scale shape: one window on the normalized-content hash (dedup), one
+  * broadcast anti-join against the bounded benchmark window set
+  * (decontamination), a stateless hash-threshold filter (sampling),
+  * and one per-source window (packing) — the corpus is never collected,
+  * cross-joined, or reshuffled more than those three keyed exchanges. */
+object Pipeline {
+
+  def trainDataPipeline(spark: SparkSession, sfDir: String,
+      minTokens: Int = 10, capacity: Long = 512L): DataFrame = {
+    // 1. normalize (same transform as text_normalize)
+    val norm = Tables.documentsPar(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""),
+          "\\s+", " ").as("norm_text"))
+    // 2. exact dedup on normalized content: canonical (min doc_id) wins
+    val wDedup = Window.partitionBy(md5(col("norm_text"))).orderBy(col("doc_id"))
+    val canon = norm.withColumn("rn", row_number().over(wDedup))
+      .where(col("rn") === 1).drop("rn")
+      .withColumn("toks", tokens(col("norm_text")))
+    // 3. quality gate: enough tokens to be trainable
+    val quality = canon.where(size(col("toks")) >= minTokens)
+    // 4. decontamination: drop eval docs AND any corpus doc sharing a
+    //    4-token window with one (broadcast — eval sets are bounded)
+    val wins = quality.select(col("doc_id"),
+      explode(shingleHashes(col("toks"), 4)).as("w"))
+    val benchWins = wins.where(col("doc_id") % 50 === 0)
+      .select(col("w")).distinct()
+    val contaminated = wins.where(col("doc_id") % 50 =!= 0)
+      .join(broadcast(benchWins), "w")
+      .select(col("doc_id")).distinct()
+    val clean = quality.where(col("doc_id") % 50 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // 5. stratified sample (same per-language rates as sample_stratified)
+    val bucket = (col("doc_id") * lit(2654435761L)) % lit(1000000007L) % lit(1000L)
+    val rate = Sampling.stratifiedRatesPm.toSeq.sortBy(_._1)
+      .foldLeft(lit(0L)) { case (acc, (lang, pm)) =>
+        when(col("lang") === lang, lit(pm)).otherwise(acc)
+      }
+    val sampled = clean.where(bucket < rate)
+    // 6. pack: per-source running token offsets + capacity bins
+    val wPack = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    sampled
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(col("toks")).cast("long").as("n_tokens"))
+      .withColumn("tok_start", coalesce(sum(col("n_tokens")).over(wPack), lit(0L)))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        col("tok_start"),
+        (col("tok_start") / capacity).cast("long").as("bin_start"),
+        ((col("tok_start") + col("n_tokens") - 1) / capacity).cast("long").as("bin_end"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -223,6 +223,31 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("pipeline_train_data: end-to-end stage invariants hold") {
+    val rows = Pipeline.trainDataPipeline(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(rows.length < total) // stages actually filtered
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 10L)        // quality gate held
+      assert(r.getLong(0) % 50 != 0L)    // no eval docs leaked
+      assert(r.getLong(4) >= 0L)
+      assert(r.getLong(5) <= r.getLong(6)) // bin range sane
+      assert(r.getLong(5) === r.getLong(4) / 512L)
+    }
+    // per-source offsets are contiguous: each doc starts where the
+    // previous one ended
+    rows.groupBy(_.getString(1)).foreach { case (_, vs) =>
+      val sorted = vs.sortBy(_.getLong(0))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(4) === a.getLong(4) + a.getLong(3))
+        case _ => ()
+      }
+      assert(sorted.head.getLong(4) === 0L)
+    }
+  }
+
   test("q_skew_join_salted equals the unsalted join result") {
     val ev = graft.Tables.events(spark, sf)
       .select(col("event_type"),
