@@ -12,18 +12,21 @@ import graft.functions.Fns._
   *   normalize → exact-dedup (normalized) → quality gate →
   *   benchmark decontamination → stratified sample → sequence packing
   *
-  * This is the "a user of the reference could switch" proof: the whole
-  * corpus-preparation flow is a single lazily-planned query, so
-  * Catalyst sees across stage boundaries (the normalize projection
-  * fuses into the scan; the dedup window, decontamination semi-join
-  * and sampling filter pipeline without materialization) and the
-  * oracle checks the END-TO-END result, not just each stage alone.
+  * The whole corpus-preparation flow is one declarative query per
+  * stage-chain, so Catalyst plans across stage boundaries (normalize
+  * fuses into the scan, the sampling filter pipelines into the pack
+  * projection) and the oracle checks the END-TO-END result, not just
+  * each stage alone.
   *
-  * Scale shape: one window on the normalized-content hash (dedup), one
-  * broadcast anti-join against the bounded benchmark window set
-  * (decontamination), a stateless hash-threshold filter (sampling),
-  * and one per-source window (packing) — the corpus is never collected,
-  * cross-joined, or reshuffled more than those three keyed exchanges. */
+  * Scale shape: one window on the normalized-content hash (dedup);
+  * the deduped+gated frame is materialized ONCE (eager localCheckpoint
+  * — it feeds the window-extraction AND the surviving-doc paths, which
+  * would otherwise re-run the scan+normalize+dedup per consumer); the
+  * decontamination semi-join broadcasts the bounded benchmark window
+  * set; sampling is a stateless hash-threshold filter; packing is one
+  * per-source window. The corpus is never collected or cross-joined,
+  * and every join side that ships is bounded (bench windows,
+  * contaminated-doc ids). */
 object Pipeline {
 
   def trainDataPipeline(spark: SparkSession, sfDir: String,
@@ -39,8 +42,11 @@ object Pipeline {
     val canon = norm.withColumn("rn", row_number().over(wDedup))
       .where(col("rn") === 1).drop("rn")
       .withColumn("toks", tokens(col("norm_text")))
-    // 3. quality gate: enough tokens to be trainable
+    // 3. quality gate: enough tokens to be trainable. Materialized —
+    //    both the decontamination-window path and the survivor path
+    //    read this frame.
     val quality = canon.where(size(col("toks")) >= minTokens)
+      .localCheckpoint(true)
     // 4. decontamination: drop eval docs AND any corpus doc sharing a
     //    4-token window with one (broadcast — eval sets are bounded)
     val wins = quality.select(col("doc_id"),

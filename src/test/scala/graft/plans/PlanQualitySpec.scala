@@ -82,6 +82,15 @@ class PlanQualitySpec extends SparkSuite {
       s"day filter leaked into the parquet row-group scan:\n$plan")
   }
 
+  test("pipeline_train_data: broadcast joins only, no sort-merge of the corpus") {
+    val df = Pipeline.trainDataPipeline(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"decontamination sides not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus is being shuffle-joined against a bounded side:\n$plan")
+  }
+
   test("ann brute force broadcasts the query side") {
     val plan = planOf(Similarity.bruteforceTopk(spark, sf))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
