@@ -29,6 +29,62 @@ import graft.functions.Fns._
   * contaminated-doc ids). */
 object Pipeline {
 
+  /** §2#89 the STREAMING ingest form of the same pipeline — the exact
+    * stage chain applied to an unbounded document stream (the Dataset
+    * API's batch/stream unification: every transform below runs
+    * unchanged on either kind of frame):
+    *
+    *   normalize → dedup (`dropDuplicates` on the normalized hash —
+    *   swap in `dropDuplicatesWithinWatermark` when ingest carries an
+    *   event time, see StreamingAggSpec) → quality gate →
+    *   decontamination → stratified sample
+    *
+    * Decontamination here is a STATELESS per-row filter:
+    * `arrays_overlap` between the doc's window hashes and the eval
+    * set's — eval sets are bounded by construction (curated, ~1e3–1e6
+    * windows), so they ship as a broadcast literal rather than a join
+    * side, which keeps the streaming plan free of stream-static join
+    * restrictions. Packing is deliberately absent: it needs a total
+    * per-source order, which an unbounded stream doesn't have — that's
+    * the batch job's backfill role. */
+  def streamIngest(docs: DataFrame, benchWindowHashes: Seq[Long],
+      minTokens: Int = 10): DataFrame = {
+    val norm = docs.select(col("doc_id"), col("source"), col("lang"),
+      regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""),
+        "\\s+", " ").as("norm_text"))
+    val bench = array(benchWindowHashes.map(lit): _*)
+    val bucket = (col("doc_id") * lit(2654435761L)) % lit(1000000007L) % lit(1000L)
+    val rate = Sampling.stratifiedRatesPm.toSeq.sortBy(_._1)
+      .foldLeft(lit(0L)) { case (acc, (lang, pm)) =>
+        when(col("lang") === lang, lit(pm)).otherwise(acc)
+      }
+    norm
+      .withColumn("norm_hash", md5(col("norm_text")))
+      .dropDuplicates("norm_hash")
+      .withColumn("toks", tokens(col("norm_text")))
+      .where(size(col("toks")) >= minTokens)
+      .where(!arrays_overlap(shingleHashes(col("toks"), 4), bench))
+      .where(bucket < rate)
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(col("toks")).cast("long").as("n_tokens"))
+  }
+
+  /** Window hashes of the benchmark/eval docs — the bounded side
+    * [[streamIngest]] broadcasts. Computed from the batch corpus. */
+  def benchWindowHashes(spark: SparkSession, sfDir: String,
+      minTokens: Int = 10): Seq[Long] = {
+    val norm = Tables.documents(spark, sfDir)
+      .where(col("doc_id") % 50 === 0)
+      .select(col("doc_id"),
+        tokens(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""),
+          "\\s+", " ")).as("toks"))
+      .where(size(col("toks")) >= minTokens)
+    norm.select(explode(shingleHashes(col("toks"), 4)).as("w"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+  }
+
   def trainDataPipeline(spark: SparkSession, sfDir: String,
       minTokens: Int = 10, capacity: Long = 512L): DataFrame = {
     // 1. normalize (same transform as text_normalize)
