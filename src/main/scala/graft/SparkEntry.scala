@@ -61,6 +61,7 @@ object SparkEntry {
     "ts_gap_fill" -> (TimeSeries.gapFill _),
     "ts_retention" -> (TimeSeries.retention _),
     "ts_running_total" -> (TimeSeries.runningTotal _),
+    "ts_anomaly" -> (TimeSeries.anomaly _),
     // §2.4 dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_exact_normalized" -> (Dedup.exactNormalized _),
@@ -452,6 +453,22 @@ object SparkEntry {
         |SELECT sp.event_type, sp.hour_us, coalesce(c.n, 0) AS n
         |FROM sp LEFT JOIN c ON sp.event_type = c.event_type AND sp.hour_us = c.hour_us
         |ORDER BY sp.event_type, sp.hour_us""".stripMargin,
+
+    "ts_anomaly" ->
+      """WITH ev AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us FROM events),
+        |c AS (SELECT event_type, hour_us, count(*) AS n FROM ev GROUP BY 1, 2),
+        |sp AS (SELECT event_type, unnest(generate_series(lo, hi, 3600000000)) AS hour_us
+        |  FROM (SELECT event_type, min(hour_us) AS lo, max(hour_us) AS hi FROM ev GROUP BY 1)),
+        |g AS (SELECT sp.event_type, sp.hour_us, coalesce(c.n, 0) AS n
+        |  FROM sp LEFT JOIN c ON sp.event_type = c.event_type AND sp.hour_us = c.hour_us),
+        |f AS (SELECT event_type, hour_us, n,
+        |  coalesce(CAST(sum(n) OVER tw AS BIGINT), 0) AS sum_w,
+        |  count(n) OVER tw AS n_w
+        |  FROM g WINDOW tw AS (PARTITION BY event_type ORDER BY hour_us
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hour_us, n, sum_w, n_w FROM f
+        |WHERE n_w >= 12 AND n >= 5 AND n * n_w > 3 * sum_w
+        |ORDER BY event_type, hour_us""".stripMargin,
 
     "ts_retention" ->
       """WITH act AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events),

@@ -59,6 +59,28 @@ object TimeSeries {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** §2#90 spike detection over the gap-filled hourly series: an hour
+    * is anomalous when its count exceeds 3× the trailing-24h average
+    * with at least half the baseline window present. The comparison is
+    * INTEGER cross-multiplication (`n · n_w > 3 · sum_w`) — no float
+    * mean or stddev, so the oracle agrees exactly and no engine's
+    * rounding can flip a verdict. Gap-filling first matters: without
+    * the zero rows, quiet hours vanish and the trailing window would
+    * silently span days. Same one-shuffle shape as [[gapFill]] plus a
+    * bounded 24-row window frame the reducer streams through. */
+  def anomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_us"))
+      .rowsBetween(-24, -1)
+    gapFill(spark, sfDir)
+      .withColumn("sum_w", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("n_w", count(col("n")).over(w))
+      .where(col("n_w") >= 12 && col("n") >= 5 &&
+        col("n") * col("n_w") > lit(3L) * col("sum_w"))
+      .select(col("event_type"), col("hour_us"), col("n"),
+        col("sum_w"), col("n_w"))
+      .orderBy(col("event_type"), col("hour_us"))
+  }
+
   /** §2#80 running (cumulative) per-user value total in commit order —
     * the balance/ledger shape. One shuffle on user_id; the running-sum
     * window is an unbounded-preceding frame the reducer streams

@@ -175,6 +175,27 @@ class NewOpsSpec extends SparkSuite {
     assert(hits * 10 >= total * 7, s"recall@5 too low: $hits/$total")
   }
 
+  test("ts_anomaly: flagged hours match a brute-force trailing-window recompute") {
+    val sf01 = "/root/testdata/sf0.01" // sf0.001 has no qualifying spikes
+    val flagged = TimeSeries.anomaly(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(flagged.nonEmpty)
+    // brute force from the gap-filled series
+    val series = TimeSeries.gapFill(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(v => (v._2, v._3)).toVector).toMap
+    val brute = series.flatMap { case (typ, hours) =>
+      hours.zipWithIndex.flatMap { case ((hourUs, n), i) =>
+        val trail = hours.slice(math.max(0, i - 24), i)
+        val (sumW, nW) = (trail.map(_._2).sum, trail.length.toLong)
+        if (nW >= 12 && n >= 5 && n * nW > 3 * sumW)
+          Some((typ, hourUs, n, sumW, nW))
+        else None
+      }
+    }.toSet
+    assert(flagged.toSet === brute)
+  }
+
   test("ts_gap_fill: contiguous hour spine per type, counts preserved") {
     val rows = TimeSeries.gapFill(spark, sf).collect()
     val ev = graft.Tables.events(spark, sf)
