@@ -274,10 +274,18 @@ object Similarity {
       .select(col("s"), col("code"), col("sv").as("c_sv"))
       .withColumn("c_sq", dot(col("c_sv"), col("c_sv")))
       .localCheckpoint(true)
+    // Codebooks train on a deterministic ~50% sample — the standard PQ
+    // recipe (k-means needs a representative sample, not the corpus; at
+    // 100 TB you'd train on ~1e5 vectors and encode everything). The
+    // hash-threshold sample is the same consistent-sampling trick as
+    // sample_stratified.
+    val train = subs.where(
+      (col("vec_id") * lit(2654435761L)) % lit(1000000007L) % lit(2L) === 0L)
+      .localCheckpoint(true)
     // Lloyd's per subspace: argmin L2 assign (map-side-combinable
     // min_by — no window over corpus×codes) + per-(s, code) mean
     for (_ <- 1 to iters) {
-      val assigned = subs.join(broadcast(cb), Seq("s"))
+      val assigned = train.join(broadcast(cb), Seq("s"))
         .withColumn("d2",
           col("svsq") - lit(2.0) * dot(col("sv"), col("c_sv")) + col("c_sq"))
         .groupBy(col("vec_id"), col("s"))
