@@ -56,6 +56,8 @@ object SparkEntry {
     "q_salted_agg" -> (Analytics.qSaltedAgg _),
     "q_topk_values_agg" -> (Analytics.qTopkValuesAgg _),
     "q_funnel" -> (Analytics.qFunnel _),
+    "q_funnel_conversion" -> (Analytics.qFunnelConversion _),
+    "text_seqlen_histogram" -> (Analytics.textSeqlenHistogram _),
     "q_histogram" -> (Analytics.qHistogram _),
     "q_skew_join_salted" -> (Analytics.qSkewJoinSalted _),
     "ts_gap_fill" -> (TimeSeries.gapFill _),
@@ -435,6 +437,30 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM s1) AS n_signup,
         |  (SELECT count(*) FROM s2) AS n_signup_click,
         |  (SELECT count(*) FROM s3) AS n_full_funnel""".stripMargin,
+
+    "q_funnel_conversion" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS signup_us FROM e WHERE event_type='signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.us) AS click_us FROM e JOIN s1 ON e.user_id = s1.user_id
+        |  AND e.us > s1.signup_us WHERE e.event_type='click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.us) AS purchase_us FROM e JOIN s2 ON e.user_id = s2.user_id
+        |  AND e.us > s2.click_us WHERE e.event_type='purchase' GROUP BY 1),
+        |c AS (SELECT (SELECT count(*) FROM s1) AS n_signup,
+        |  (SELECT count(*) FROM s2) AS n_signup_click,
+        |  (SELECT count(*) FROM s3) AS n_full_funnel)
+        |SELECT n_signup, n_signup_click, n_full_funnel,
+        |  n_signup_click * 1000 // n_signup AS click_conv_pm,
+        |  n_full_funnel * 1000 // greatest(n_signup_click, 1) AS purchase_conv_pm,
+        |  n_full_funnel * 1000 // n_signup AS overall_conv_pm
+        |FROM c""".stripMargin,
+
+    "text_seqlen_histogram" ->
+      """WITH t AS (SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS log2_bucket,
+        |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens,
+        |  min(n) AS min_tokens, max(n) AS max_tokens
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_histogram" ->
       """SELECT event_type, least(CAST(floor(value/50) AS BIGINT), 9) AS bucket, count(*) AS n

@@ -302,6 +302,36 @@ object Analytics {
       .crossJoin(s3.agg(count(lit(1)).as("n_full_funnel")))
   }
 
+  /** §2#91 funnel conversion rates — [[qFunnel]]'s counts turned into
+    * the per-stage per-mille conversions an analyst actually reads.
+    * Integer `div` on the counts (never a float ratio), one row out. */
+  def qFunnelConversion(spark: SparkSession, sfDir: String): DataFrame =
+    qFunnel(spark, sfDir)
+      .select(col("n_signup"), col("n_signup_click"), col("n_full_funnel"),
+        expr("n_signup_click * 1000 div n_signup").as("click_conv_pm"),
+        expr("n_full_funnel * 1000 div greatest(n_signup_click, 1)")
+          .as("purchase_conv_pm"),
+        expr("n_full_funnel * 1000 div n_signup").as("overall_conv_pm"))
+
+  /** §2#92 sequence-length histogram — the token-count distribution
+    * report every training-data pipeline emits before packing (it sets
+    * context-length and truncation policy). Power-of-two buckets via
+    * integer arithmetic; one map-side-combined aggregate. */
+  def textSeqlenHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documentsPar(spark, sfDir)
+      .select(size(graft.functions.Fns.tokens(col("text"))).cast("long").as("n"))
+      .select(
+        // bucket = floor(log2(n)) via the binary-digit count of n
+        // (n >= 1 always: the tokenizer emits [""] for empty text) —
+        // pure integer/string ops, no float log that could flip a
+        // boundary doc across engines
+        (length(bin(col("n"))) - lit(1)).cast("long").as("log2_bucket"),
+        col("n"))
+      .groupBy(col("log2_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"),
+        min(col("n")).as("min_tokens"), max(col("n")).as("max_tokens"))
+      .orderBy(col("log2_bucket"))
+
   /** §2#57 fixed-bucket value histogram per event_type (bucket width 50,
     * capped at bucket 9) — pure arithmetic bucketing, one shuffle. */
   def qHistogram(spark: SparkSession, sfDir: String): DataFrame =

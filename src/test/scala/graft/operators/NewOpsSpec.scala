@@ -175,6 +175,29 @@ class NewOpsSpec extends SparkSuite {
     assert(hits * 10 >= total * 7, s"recall@5 too low: $hits/$total")
   }
 
+  test("q_funnel_conversion: per-mille rates recompute from the funnel counts") {
+    val r = Analytics.qFunnelConversion(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (s, c, f) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(s >= c && c >= f && f >= 0)
+    assert(row.getLong(3) === c * 1000 / s)
+    assert(row.getLong(4) === f * 1000 / math.max(c, 1))
+    assert(row.getLong(5) === f * 1000 / s)
+  }
+
+  test("text_seqlen_histogram: docs land in their power-of-two bucket") {
+    val rows = Analytics.textSeqlenHistogram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      assert(r.getLong(3) >= (1L << b) && r.getLong(4) < (1L << (b + 1)),
+        s"bucket $b bounds violated: [${r.getLong(3)}, ${r.getLong(4)}]")
+    }
+  }
+
   test("ts_anomaly: flagged hours match a brute-force trailing-window recompute") {
     val sf01 = "/root/testdata/sf0.01" // sf0.001 has no qualifying spikes
     val flagged = TimeSeries.anomaly(spark, sf01).collect()
