@@ -105,10 +105,16 @@ object Fns {
     * `nBits` seeded-pseudo-random hyperplane projections. The weight
     * vectors are literal arrays (seeded, no stored model — reproducible
     * on any cluster) and each projection is one codegen'd DotProduct. */
-  def hyperplaneBucket(vec: Column, nBits: Int, dim: Int): Column = {
+  def hyperplaneBucket(vec: Column, nBits: Int, dim: Int): Column =
+    hyperplaneBucketSeeded(vec, nBits, dim, 0L)
+
+  /** Seeded variant: independent hyperplane sets per LSH table (seed
+    * partitions the pseudo-random Gaussian stream so tables never share
+    * a hyperplane). */
+  def hyperplaneBucketSeeded(vec: Column, nBits: Int, dim: Int, seed: Long): Column = {
     val vd = vec.cast("array<double>")
     (0 until nBits).map { j =>
-      val rnd = new scala.util.Random(2654435761L * (j + 1))
+      val rnd = new scala.util.Random(2654435761L * (j + 1) + 1099511628211L * seed)
       val w = typedLit(Seq.fill(dim)(rnd.nextGaussian()))
       when(dot(vd, w) >= lit(0.0d), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)

@@ -177,14 +177,22 @@ object Analytics {
     * t-digest-style `approx_percentile` sketch is constant-memory per
     * group and mergeable map-side. */
   def qQuantiles(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
-      .groupBy(col("l_returnflag"))
+    quantilesExactOf(Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("v")))
+
+  /** Exact `percentile` p50/p90 of `v` per `grp` (see [[qQuantiles]]).
+    * Generic over any (grp, v) frame so the property spec can feed
+    * randomized inputs through the SAME code path as the driver query. */
+  def quantilesExactOf(gv: DataFrame): DataFrame =
+    gv.groupBy(col("grp"))
       .agg(
-        round(call_function("percentile", col("l_extendedprice"), lit(0.5)) * 100)
+        round(call_function("percentile", col("v"), lit(0.5)) * 100)
           .cast("long").as("p50_price_c"),
-        round(call_function("percentile", col("l_extendedprice"), lit(0.9)) * 100)
+        round(call_function("percentile", col("v"), lit(0.9)) * 100)
           .cast("long").as("p90_price_c"),
         count(lit(1)).as("n"))
+      .select(col("grp").as("l_returnflag"), col("p50_price_c"),
+        col("p90_price_c"), col("n"))
       .orderBy(col("l_returnflag"))
 
   /** §2#63 EXACT quantiles, distributed: compact values into a
@@ -197,9 +205,14 @@ object Analytics {
     * prices that's bounded by the value domain, so a 100 TB group with
     * billions of rows compacts to at most a few million histogram rows.
     * Same oracle as q_quantiles (it computes the same number). */
-  def qQuantilesSortRank(spark: SparkSession, sfDir: String): DataFrame = {
-    val hist = Tables.lineitem(spark, sfDir)
-      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+  def qQuantilesSortRank(spark: SparkSession, sfDir: String): DataFrame =
+    quantilesSortRankOf(Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("v")))
+
+  /** Histogram-compaction exact quantiles (see [[qQuantilesSortRank]]),
+    * generic over any (grp, v) frame. */
+  def quantilesSortRankOf(gv: DataFrame): DataFrame = {
+    val hist = gv.select(col("grp").as("l_returnflag"), col("v"))
       .groupBy(col("l_returnflag"), col("v")).agg(count(lit(1)).as("cnt"))
     val byFlag = Window.partitionBy(col("l_returnflag"))
     val ranked = hist

@@ -47,18 +47,40 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** §2#30 LSH-bucketed approximate top-k: 8-bit random-hyperplane
-    * buckets; queries probe only their own bucket. At scale the corpus
-    * is bucketed once (one shuffle) and reused across query batches. */
-  def lshTopk(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
-    val bucketed = corpus(spark, sfDir)
-      .withColumn("bucket", hyperplaneBucket(col("emb"), 8, 64))
-    val q = bucketed.where(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
-        col("nrm").as("q_nrm"), col("bucket"))
-    val sims = bucketed.join(broadcast(q), Seq("bucket"))
+  /** §2#30 multi-table LSH ANN top-k: `nTables` independent
+    * random-hyperplane tables of `nBits` bits each (the classic
+    * Indyk–Motwani amplification — a neighbor at per-bit agreement p is
+    * missed by ALL tables with probability (1-p^b)^L, so recall rises
+    * with L while per-table bucket size stays |corpus|/2^b). The corpus
+    * is bucketed once into (table, bucket) — ONE explode ×L carrying
+    * only ids — queries probe their own bucket per table, candidate ids
+    * are deduped BEFORE the exact re-rank joins back to raw vectors, so
+    * the expensive read touches each candidate once. At 100 TB: probe
+    * work per query ≈ L·|corpus|/2^b rows of ids, never the corpus.
+    * Defaults (16×6) scan ~25% of the corpus in ids for 56% recall@5
+    * on THIS near-orthogonal corpus (tunable; real embedding clusters
+    * sit far above this floor — see the spec's measured value). */
+  def lshTopk(spark: SparkSession, sfDir: String, k: Int = 5,
+      nTables: Int = 16, nBits: Int = 6): DataFrame = {
+    val base = corpus(spark, sfDir)
+    val buckets = array((0 until nTables).map(t =>
+      hyperplaneBucketSeeded(col("emb"), nBits, 64, t.toLong)): _*)
+    val bucketed = base
+      .select(col("vec_id"), posexplode(buckets).as(Seq("t", "bucket")))
+    val qBuckets = bucketed.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("t"), col("bucket"))
+    val candIds = bucketed.join(broadcast(qBuckets), Seq("t", "bucket"))
       .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("bucket"),
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val qVecs = base.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val sims = candIds
+      .join(base.select(col("vec_id").as("neighbor_id"), col("emb"), col("nrm")),
+        "neighbor_id")
+      .join(broadcast(qVecs), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
         cosPre(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("cos_e6"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_e6").desc, col("neighbor_id"))

@@ -87,12 +87,15 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
-  test("ann lsh topk returns subsets of each query's bucket with valid ranks") {
+  test("ann lsh topk: <=5 ranked candidates per query, sims descending") {
     val rows = Similarity.lshTopk(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
       assert(rs.length <= 5)
-      assert(rs.map(_.getLong(4)).distinct.length === rs.length)
+      val byRank = rs.sortBy(_.getLong(3))
+      assert(byRank.map(_.getLong(3)).toSeq === (1L to rs.length).toSeq)
+      val sims = byRank.map(_.getLong(2)).toSeq
+      assert(sims === sims.sorted.reverse)
     }
   }
 
