@@ -60,6 +60,11 @@ object SparkEntry {
     "text_seqlen_histogram" -> (Analytics.textSeqlenHistogram _),
     "q_histogram" -> (Analytics.qHistogram _),
     "q_skew_join_salted" -> (Analytics.qSkewJoinSalted _),
+    "q_exists_subquery" -> (Analytics.qExistsSubquery _),
+    "q_scalar_subquery" -> (Analytics.qScalarSubquery _),
+    "q_ntile_decile" -> (Analytics.qNtileDecile _),
+    "q_corr_moments" -> (Analytics.qCorrMoments _),
+    "stream_session_native" -> (StreamOps.sessionizeNative _),
     "ts_gap_fill" -> (TimeSeries.gapFill _),
     "ts_retention" -> (TimeSeries.retention _),
     "ts_running_total" -> (TimeSeries.runningTotal _),
@@ -524,6 +529,60 @@ object SparkEntry {
          |  CAST(sum(${cents("e.value")} * dim.type_weight) AS BIGINT) AS weighted_cents
          |FROM events e JOIN dim USING (event_type)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_exists_subquery" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT p.p_brand, count(*) AS n_small,
+        |  CAST(sum(CAST(round(l1.l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS sum_price_c
+        |FROM lineitem l1 JOIN part p ON p.p_partkey = l1.l_partkey
+        |WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        |  AND CAST(round(l1.l_quantity*100, 0) AS BIGINT) * 5 *
+        |      (SELECT count(*) FROM lineitem l2
+        |       WHERE l2.l_partkey = l1.l_partkey)
+        |    < (SELECT CAST(sum(CAST(round(l3.l_quantity*100, 0) AS BIGINT)) AS BIGINT)
+        |       FROM lineitem l3 WHERE l3.l_partkey = l1.l_partkey)
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
+
+    "q_ntile_decile" ->
+      s"""WITH e AS (SELECT event_type, event_id, ${cents("value")} AS value_c FROM events),
+         |n AS (SELECT event_type, value_c,
+         |  ntile(10) OVER (PARTITION BY event_type ORDER BY value_c, event_id) AS decile
+         |  FROM e)
+         |SELECT event_type, CAST(decile AS BIGINT) AS decile, count(*) AS n,
+         |  min(value_c) AS lo_c, max(value_c) AS hi_c
+         |FROM n GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_corr_moments" ->
+      s"""WITH e AS (SELECT event_type, ${cents("value")} AS x,
+         |  CAST(hour(ts) AS BIGINT) AS y FROM events),
+         |m AS (SELECT event_type, count(*) AS n,
+         |  CAST(sum(x) // count(*) AS BIGINT) AS mx,
+         |  CAST(sum(y) // count(*) AS BIGINT) AS my
+         |  FROM e GROUP BY 1)
+         |SELECT e.event_type, m.n, m.mx AS mean_x_c, m.my AS mean_y,
+         |  CAST(sum((x - mx) * (x - mx)) AS BIGINT) AS m2x,
+         |  CAST(sum((y - my) * (y - my)) AS BIGINT) AS m2y,
+         |  CAST(sum((x - mx) * (y - my)) AS BIGINT) AS mxy
+         |FROM e JOIN m USING (event_type)
+         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+
+    "stream_session_native" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |d AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+        |s AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session FROM d),
+        |g AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM s)
+        |SELECT user_id, session_id, count(*) AS n_events, min(us) AS start_us, max(us) AS end_us
+        |FROM g GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
     "q_quantiles" ->
       """SELECT l_returnflag,

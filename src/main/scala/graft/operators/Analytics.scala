@@ -398,6 +398,97 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** §2#93 correlated EXISTS subquery (TPC-H Q4 shape): orders from
+    * 1996 with at least one lineitem shipped more than 90 days after
+    * the order date, counted per priority. Expressed as SQL `EXISTS` on
+    * purpose — Catalyst decorrelates it into a left-semi hash join on
+    * l_orderkey (the date predicate rides along as join condition), so
+    * the physical plan is the same one-shuffle semi join you would hand
+    * write, with no per-row subquery execution anywhere. */
+  def qExistsSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("g_ex_orders")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("g_ex_lineitem")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM g_ex_orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM g_ex_lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** §2#94 correlated SCALAR subqueries (TPC-H Q17 shape): lineitems
+    * whose quantity is below 20% of their part's average quantity, for
+    * three brands. The avg threshold is spelled as two correlated
+    * scalar subqueries (count + sum) compared by integer
+    * cross-multiplication — `5·qty_c·n < sum_c` — so the verdict can't
+    * flip on float rounding in either engine. Catalyst decorrelates
+    * both subqueries into ONE re-used aggregate joined on l_partkey. */
+  def qScalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("g_sc_lineitem")
+    Tables.part(spark, sfDir).createOrReplaceTempView("g_sc_part")
+    spark.sql(
+      """SELECT p.p_brand, count(*) AS n_small,
+        |  sum(CAST(round(l1.l_extendedprice*100, 0) AS BIGINT)) AS sum_price_c
+        |FROM g_sc_lineitem l1 JOIN g_sc_part p ON p.p_partkey = l1.l_partkey
+        |WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        |  AND CAST(round(l1.l_quantity*100, 0) AS BIGINT) * 5 *
+        |      (SELECT count(*) FROM g_sc_lineitem l2
+        |       WHERE l2.l_partkey = l1.l_partkey)
+        |    < (SELECT sum(CAST(round(l3.l_quantity*100, 0) AS BIGINT))
+        |       FROM g_sc_lineitem l3 WHERE l3.l_partkey = l1.l_partkey)
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin)
+  }
+
+  /** §2#95 decile banding: `ntile(10)` of purchase value per
+    * event_type with a TOTAL order (value_cents, event_id) so band
+    * boundaries are bit-identical across engines, rolled up to one row
+    * per (type, decile) with count + value range. The window sorts
+    * within each type partition once; the rollup is a partial-agg
+    * groupBy on top. */
+  def qNtileDecile(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value_c"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), cents(col("value")).as("value_c"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("event_type"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value_c")).as("lo_c"), max(col("value_c")).as("hi_c"))
+      .orderBy(col("event_type"), col("decile"))
+  }
+
+  /** §2#96 exact second moments / covariance per group, two-pass
+    * centered: pass 1 computes per-type n/Σx/Σy (one map-side-combined
+    * agg on a ~|groups| frame, broadcast back); pass 2 sums centered
+    * products (x−μx)(y−μy) around the INTEGER means. Centering first is
+    * both the numerically-stable textbook recipe and what keeps every
+    * sum within int64 at any realistic scale (naive n·Σxy − Σx·Σy
+    * overflows beyond ~1e5 rows of cent values; centered deviations
+    * are bounded by the value range, not the magnitude). x = value
+    * cents, y = hour-of-day: the moments are the exact sufficient
+    * statistics for variance/covariance/correlation of spend vs time. */
+  def qCorrMoments(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_type"), cents(col("value")).as("x"),
+        hour(col("ts")).cast("long").as("y"))
+    val means = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+      .select(col("event_type"), col("n"),
+        expr("sx div n").as("mx"), expr("sy div n").as("my"))
+    e.join(broadcast(means), "event_type")
+      .select(col("event_type"), col("n"), col("mx"), col("my"),
+        (col("x") - col("mx")).as("dx"), (col("y") - col("my")).as("dy"))
+      .groupBy(col("event_type"), col("n"), col("mx").as("mean_x_c"),
+        col("my").as("mean_y"))
+      .agg(sum(col("dx") * col("dx")).as("m2x"),
+        sum(col("dy") * col("dy")).as("m2y"),
+        sum(col("dx") * col("dy")).as("mxy"))
+      .orderBy(col("event_type"))
+  }
+
   /** §2#23 semi/anti join: per-nation counts of customers with and
     * without orders. Distinct custkeys from orders approaches |customer|
     * at scale — NOT broadcastable, so no hint: both sides shuffle on

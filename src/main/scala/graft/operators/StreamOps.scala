@@ -42,6 +42,29 @@ object StreamOps {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** §2#97 the NATIVE session-window twin of [[sessionize]]: Spark's
+    * built-in `session_window` aggregate (usable in batch AND under a
+    * real StreamingQuery with watermark-driven state eviction — the
+    * production streaming form, vs the lag+cumsum window which is
+    * batch-only). Gap is 30min+1µs because session_window opens a new
+    * session when gap >= G while the lag rule opens when gap > 30min —
+    * the +1µs makes the two boundary conditions identical, so this
+    * query shares stream_sessionize's oracle bit-for-bit. Session
+    * ordinals are re-derived by start time to match the cumsum ids. */
+  def sessionizeNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val sessions = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      .groupBy(col("user_id"), session_window(col("ts"), "1800000001 microseconds"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+    val byStart = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
+    sessions
+      .withColumn("session_id", row_number().over(byStart).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("start_us"), col("end_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** §2#15 streaming dropDuplicates semantics: first event per
     * (user_id, event_type) in event-time order. */
   def dedupByKey(spark: SparkSession, sfDir: String): DataFrame = {

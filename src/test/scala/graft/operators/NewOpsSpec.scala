@@ -307,4 +307,49 @@ class NewOpsSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(salted === plain)
   }
+
+  test("stream_session_native: session_window output == lag+cumsum sessionize bit-for-bit") {
+    val native = StreamOps.sessionizeNative(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val manual = StreamOps.sessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(native.toSeq === manual.toSeq)
+    assert(native.nonEmpty)
+  }
+
+  test("q_ntile_decile: 10 near-equal bands per type, ranges ordered and disjoint") {
+    val rows = Analytics.qNtileDecile(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (_, ds) =>
+      val byDecile = ds.sortBy(_._2)
+      assert(byDecile.map(_._2).toSeq === (1L to 10L))
+      // ntile: band sizes differ by at most 1, larger bands first
+      val sizes = byDecile.map(_._3)
+      assert(sizes.max - sizes.min <= 1 && sizes.toSeq === sizes.sortBy(-_).toSeq)
+      // value ranges are internally ordered and non-decreasing across bands
+      byDecile.foreach { case (_, _, _, lo, hi) => assert(lo <= hi) }
+      byDecile.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 <= b._4)
+        case _ => ()
+      }
+    }
+  }
+
+  test("q_corr_moments: centered moments match a driver-side exact computation") {
+    val got = Analytics.qCorrMoments(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val raw = graft.Tables.events(spark, sf)
+      .select(col("event_type"), graft.functions.Fns.cents(col("value")),
+        hour(col("ts")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    raw.groupBy(_._1).foreach { case (t, xs) =>
+      val n = xs.length.toLong
+      val mx = xs.map(_._2).sum / n; val my = xs.map(_._3).sum / n
+      val m2x = xs.map(v => (v._2 - mx) * (v._2 - mx)).sum
+      val m2y = xs.map(v => (v._3 - my) * (v._3 - my)).sum
+      val mxy = xs.map(v => (v._2 - mx) * (v._3 - my)).sum
+      assert(got(t) === ((n, mx, my, m2x, m2y, mxy)))
+    }
+  }
 }
