@@ -104,6 +104,9 @@ object SparkEntry {
     "text_repetition" -> (TextAnalysis.repetition _),
     "text_vocab" -> ((s: SparkSession, d: String) => TextAnalysis.vocab(s, d)),
     "text_salient_terms" -> (TextAnalysis.salientTerms _),
+    "text_rarity" -> (TextAnalysis.rarity _),
+    "text_chunk_dedup" -> ((s: SparkSession, d: String) => TextAnalysis.chunkDedup(s, d)),
+    "sample_weighted" -> ((s: SparkSession, d: String) => Sampling.sampleWeighted(s, d)),
     // §2.7 multimodal
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_decode_features" -> (Multimodal.decodeFeatures _),
@@ -907,6 +910,36 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, rk, tok, tf, df, score FROM r WHERE rk <= 3
         |ORDER BY doc_id, rk""".stripMargin,
+
+    "text_rarity" ->
+      """WITH t2 AS (SELECT DISTINCT doc_id, tok FROM (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents) WHERE tok <> ''),
+        |df AS (SELECT tok, count(*) AS df FROM t2 GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_distinct,
+        |  CAST(sum(1000000 // df) AS BIGINT) AS rarity_sum,
+        |  CAST(sum(1000000 // df) // count(*) AS BIGINT) AS rarity_mean
+        |FROM t2 JOIN df USING (tok) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_chunk_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |c0 AS (SELECT doc_id, list_transform(
+        |  generate_series(1, greatest(len(toks)//20, 1)),
+        |  i -> md5(array_to_string(toks[((i-1)*20+1):((i-1)*20+20)], ' '))) AS hs FROM d),
+        |c AS (SELECT doc_id, unnest(hs) AS h FROM c0),
+        |dp AS (SELECT h, count(DISTINCT doc_id) AS nd FROM c GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS dup_pm
+        |FROM c JOIN dp USING (h) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sample_weighted" ->
+      """WITH h AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |  (doc_id * 2654435761) % 1000000007 // greatest(n_chars, 1) AS priority
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (ORDER BY priority, doc_id) AS rn FROM h)
+        |SELECT doc_id, n_chars, priority, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 20 ORDER BY rn""".stripMargin,
 
     "mm_binary_meta" ->
       """SELECT doc_id,

@@ -84,6 +84,29 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** §2#98 WEIGHTED priority sampling: bottom-k documents by
+    * `hash(doc_id) div weight` with weight = n_chars — an integer
+    * priority-sampling scheme (Duffield/Lund/Thorup shape: a doc's
+    * priority is its uniform hash scaled down by its weight, so bigger
+    * documents get proportionally more chance to make the sample) kept
+    * entirely in integer division so both engines agree bit-for-bit.
+    *
+    * Scale: the bottom-k is `orderBy(...).limit(k)` →
+    * TakeOrderedAndProject — per-partition top-k heaps merged on the
+    * driver, never a global sort; the rank is assigned AFTER the limit
+    * on a k-row frame. Deterministic, merge-order independent,
+    * re-runnable (consistent hash). */
+  def sampleWeighted(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val topk = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      .withColumn("priority", expr("((doc_id * 2654435761) % 1000000007) div greatest(n_chars, 1)"))
+      .orderBy(col("priority"), col("doc_id")).limit(k)
+    topk
+      .withColumn("rn", row_number()
+        .over(Window.orderBy(col("priority"), col("doc_id"))).cast("long"))
+      .orderBy(col("rn"))
+  }
+
   /** §2#68 stratified sampling: per-language rates as a pure hash
     * threshold — `hash(doc_id) mod 1000 < rate_pm(lang)`.
     *

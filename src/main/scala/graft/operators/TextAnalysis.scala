@@ -175,6 +175,65 @@ object TextAnalysis {
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok")).limit(k)
 
+  /** §2#99 token-rarity scoring — the integer-exact stand-in for the
+    * unigram-LM perplexity filter every corpus pipeline runs (docs full
+    * of corpus-rare tokens ≈ high negative log-prob ≈ gibberish/OCR
+    * noise candidates; docs of only stock tokens ≈ boilerplate). Each
+    * distinct doc token scores `1e6 div df` (monotone-inverse document
+    * frequency, no float log); the doc reports sum and mean. Two
+    * aggregates + one join on tok; the df side is vocab-sized so AQE
+    * broadcasts it — the corpus never shuffles twice. */
+  def rarity(spark: SparkSession, sfDir: String): DataFrame =
+    rarityOf(Tables.documentsPar(spark, sfDir))
+
+  /** [[rarity]] over any (doc_id, text) frame. */
+  def rarityOf(docs: DataFrame): DataFrame = {
+    val dtok = docs
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+      .where(col("tok") =!= "")
+      .distinct()
+    val df = dtok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    dtok.join(df, "tok")
+      .withColumn("rar", expr("1000000 div df"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("rar")).as("rarity_sum"))
+      .withColumn("rarity_mean", expr("rarity_sum div n_distinct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** §2#100 chunk-level duplication stats — the practical form of
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): cut every document into
+    * fixed 20-token chunks, hash each chunk, and report per document
+    * how many of its chunks also occur in OTHER documents (near-
+    * verbatim span leakage that document-level hashing misses). The
+    * per-doc duplicated-chunk per-mille is the downweight/drop signal.
+    *
+    * Scale: chunking is a narrow codegen'd transform; the shuffle
+    * carries (chunk_hash, doc_id) only — never chunk text; the
+    * docs-per-chunk aggregate is map-side combinable and its result is
+    * |distinct chunks| rows joined back by hash. */
+  def chunkDedup(spark: SparkSession, sfDir: String, chunkTokens: Int = 20): DataFrame =
+    chunkDedupOf(Tables.documentsPar(spark, sfDir), chunkTokens)
+
+  /** [[chunkDedup]] over any (doc_id, text) frame. */
+  def chunkDedupOf(docs: DataFrame, chunkTokens: Int): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1L, greatest(size(toks) div $chunkTokens, 1L)),
+           |  i -> md5(array_join(slice(toks, CAST((i-1)*$chunkTokens+1 AS INT), $chunkTokens), ' ')))"""
+          .stripMargin)).as("h"))
+    val docsPerChunk = chunks.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+    chunks.join(docsPerChunk, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_pm", expr("n_dup_chunks * 1000 div n_chunks"))
+      .orderBy(col("doc_id"))
+  }
+
   /** §2#75 salient terms: top-3 terms per document by a tf-idf-style
     * score kept in INTEGER arithmetic (tf·1e6 div df) so the ranking is
     * bit-identical across engines — float idf (ln N/df) can flip

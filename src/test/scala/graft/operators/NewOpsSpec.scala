@@ -308,6 +308,68 @@ class NewOpsSpec extends SparkSuite {
     assert(salted === plain)
   }
 
+  test("sample_weighted: matches driver-side bottom-k and skews toward big docs") {
+    val got = Sampling.sampleWeighted(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = docs.map { case (id, nc) =>
+      (id, nc, (id * 2654435761L) % 1000000007L / math.max(nc, 1L)) }
+      .sortBy(t => (t._3, t._1)).take(20).zipWithIndex
+      .map { case ((id, nc, p), i) => (id, nc, p, i + 1L) }
+    assert(got.toSeq === want.toSeq)
+    // weighting works: the weighted sample's mean size beats the corpus mean
+    val corpusMean = docs.map(_._2).sum / docs.length
+    val sampleMean = got.map(_._2).sum / got.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
+  }
+
+  test("text_rarity: planted duplicate docs score identically; rare tokens raise the score") {
+    import spark.implicits._
+    // doc 1 and 2 are exact copies (common tokens); doc 3 adds tokens
+    // appearing ONLY in it — rarer vocabulary must raise its mean
+    val common = (1 to 30).map(i => s"w${i % 10}").mkString(" ")
+    val docs = Seq(
+      (1L, common), (2L, common),
+      (3L, common + " zzyzx qwfp vexing")).toDF("doc_id", "text")
+    val scores = TextAnalysis.rarityOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(scores(1L) === scores(2L))
+    assert(scores(3L)._3 > scores(1L)._3,
+      s"rare-token doc mean ${scores(3L)._3} <= common-only mean ${scores(1L)._3}")
+    assert(scores.valuesIterator.forall { case (_, _, mean) => mean >= 1 && mean <= 1000000 })
+    // full-corpus run: sane bounds on every doc
+    val corpus = TextAnalysis.rarity(spark, sf).collect()
+    assert(corpus.length === graft.Tables.documents(spark, sf).count())
+    assert(corpus.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 1000000))
+  }
+
+  test("text_chunk_dedup: copied docs are 100% duplicated chunks, unique docs 0%") {
+    import spark.implicits._
+    val mk = (seed: Int) => (1 to 60).map(i => s"t${seed}_$i").mkString(" ")
+    // 1+2 identical (60 tokens = 3 full chunks each), 3 unique, 4 shares
+    // its FIRST 20-token chunk with doc 3's first chunk but not the rest
+    val d3 = mk(3)
+    val firstChunk = d3.split(" ").take(20).mkString(" ")
+    val docs = Seq(
+      (1L, mk(1)), (2L, mk(1)), (3L, d3),
+      (4L, firstChunk + " " + (1 to 40).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val stats = TextAnalysis.chunkDedupOf(docs, 20).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(stats(1L) === ((3L, 3L, 1000L)))
+    assert(stats(2L) === ((3L, 3L, 1000L)))
+    assert(stats(3L) === ((3L, 1L, 333L))) // only its first chunk leaked into doc 4
+    assert(stats(4L) === ((3L, 1L, 333L)))
+    // full-corpus run: per-mille arithmetic internally consistent
+    val corpus = TextAnalysis.chunkDedup(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (n, nd, pm) => assert(nd <= n && pm === nd * 1000 / n) }
+  }
+
   test("stream_session_native: session_window output == lag+cumsum sessionize bit-for-bit") {
     val native = StreamOps.sessionizeNative(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
