@@ -111,7 +111,8 @@ object SparkEntry {
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_decode_features" -> (Multimodal.decodeFeatures _),
     "mm_resize" -> ((s: SparkSession, d: String) => Multimodal.resize(s, d)),
-    "mm_frame_sample" -> (Multimodal.frameSample _)
+    "mm_frame_sample" -> (Multimodal.frameSample _),
+    "mm_phash_dedup" -> ((s: SparkSession, d: String) => Multimodal.phashDedup(s, d))
   )
 
   // ---- shared oracle SQL fragments -------------------------------------

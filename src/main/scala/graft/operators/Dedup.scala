@@ -342,13 +342,19 @@ object Dedup {
       .select(col("doc_id"), simhashFromVotes(j => col(s"b$j")).as("sig"))
   }
 
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame =
+    hammingPairs64(simhashSigs(docs), maxHamming)
+
+  /** Banded Hamming-distance pairs over ANY (doc_id, sig: long) frame —
+    * the Manku block-pair machinery of [[simhashPairs]], reused by the
+    * perceptual-hash image dedup (Multimodal.phashDedup). Input is
+    * materialized once: both sides of the bucket self-join read it, and
+    * without the checkpoint each side re-runs the (typically expensive)
+    * signature computation from scratch. */
+  private[operators] def hammingPairs64(sigFrame: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 8,
       s"10-block pair banding guarantees recall only to Hamming 8, got $maxHamming")
-    // materialize once — both sides of the bucket self-join read the
-    // signature frame, and without this each side re-runs the 64-vote
-    // aggregation (the whole query's dominant stage) from scratch
-    val sigs = simhashSigs(docs).localCheckpoint(true)
+    val sigs = sigFrame.localCheckpoint(true)
     def block(i: Int): Column =
       shiftrightunsigned(col("sig"), simhashBlockOffsets(i))
         .bitwiseAND(lit((1L << simhashBlockSizes(i)) - 1))

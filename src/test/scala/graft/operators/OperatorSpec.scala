@@ -122,6 +122,23 @@ class OperatorSpec extends SparkSuite {
     })
   }
 
+  test("mm_phash_dedup: every planted mirrored-corner variant found within Hamming <= 4") {
+    val pairs = Multimodal.phashDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val planted = graft.Tables.documents(spark, sf)
+      .where(col("doc_id") % 10 === 0).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    // reversing 4 pixels preserves the mean → at most 4 aHash bits flip
+    // → every plant must pair with its original, at distance <= 4
+    val found = pairs.collect {
+      case (a, b, h) if b == a + 1000000L && planted(a) => (a, h)
+    }
+    assert(found.map(_._1).toSet === planted)
+    assert(found.forall(_._2 <= 4L))
+    // no pair beyond the advertised radius survives verification
+    assert(pairs.forall(_._3 <= 8L))
+  }
+
   test("ivf ann: valid ranks, neighbors drawn from probed cells, sane recall") {
     val ivf = Similarity.ivfTopk(spark, sf).collect()
     assert(ivf.nonEmpty)
