@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -77,24 +77,88 @@ class ChangefeedTable(properties: Map[String, String]) extends Table
     new ChangefeedWriteBuilder(dir, info)
 }
 
+/** Scan builder with the two pushdowns a log source can honor exactly:
+  *
+  *  - COLUMN PRUNING (`SupportsPushDownRequiredColumns`): the reader
+  *    materializes only the requested fields — a `select(value)` never
+  *    builds tbl/key UTF8Strings;
+  *  - `sort_us` RANGE FILTERS (`SupportsPushDownFilters`): >=, >, <=,
+  *    <, = on the offset column fold into one (min, max] range that
+  *    prunes whole SEGMENTS at planning time (names carry their range —
+  *    the same metadata-only pruning Kafka does with timestamp offsets)
+  *    and bounds the row filter inside surviving segments. Range
+  *    filters are consumed EXACTLY (not re-evaluated post-scan);
+  *    everything else stays residual for Spark.
+  */
 class ChangefeedScan(dir: String, startCursorUs: Option[Long],
-    explicitFloorUs: Option[Long]) extends ScanBuilder with Scan {
+    explicitFloorUs: Option[Long]) extends ScanBuilder with Scan
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
+  private var prunedSchema: StructType = ChangefeedDataSource.schema
+  // consumed range: sort_us > minExclusiveUs AND sort_us <= maxInclusiveUs
+  private var minExclusiveUs: Long = Long.MinValue
+  private var maxInclusiveUs: Long = Long.MaxValue
+  private var consumed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    prunedSchema = requiredSchema
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, residual) = filters.partition {
+      case GreaterThan("sort_us", v) => asLong(v).isDefined
+      case GreaterThanOrEqual("sort_us", v) => asLong(v).isDefined
+      case LessThan("sort_us", v) => asLong(v).isDefined
+      case LessThanOrEqual("sort_us", v) => asLong(v).isDefined
+      case EqualTo("sort_us", v) => asLong(v).isDefined
+      case _ => false
+    }
+    sup.foreach {
+      case GreaterThan("sort_us", v) =>
+        minExclusiveUs = math.max(minExclusiveUs, asLong(v).get)
+      case GreaterThanOrEqual("sort_us", v) =>
+        minExclusiveUs = math.max(minExclusiveUs, asLong(v).get - 1)
+      case LessThan("sort_us", v) =>
+        maxInclusiveUs = math.min(maxInclusiveUs, asLong(v).get - 1)
+      case LessThanOrEqual("sort_us", v) =>
+        maxInclusiveUs = math.min(maxInclusiveUs, asLong(v).get)
+      case EqualTo("sort_us", v) =>
+        minExclusiveUs = math.max(minExclusiveUs, asLong(v).get - 1)
+        maxInclusiveUs = math.min(maxInclusiveUs, asLong(v).get)
+      case _ => ()
+    }
+    consumed = sup
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = consumed
+
   override def build(): Scan = this
-  override def readSchema(): StructType = ChangefeedDataSource.schema
-  override def description(): String = s"graft-changefeed $dir"
+  override def readSchema(): StructType = prunedSchema
+  override def description(): String =
+    s"graft-changefeed $dir pushed=(${minExclusiveUs},${maxInclusiveUs}] " +
+      s"cols=${prunedSchema.fieldNames.mkString(",")}"
 
   override def toBatch: Batch = new Batch {
-    // batch read = full replay of every retained segment
+    // batch read = replay of the retained segments INTERSECTING the
+    // pushed sort_us range (metadata-only pruning, no segment opened)
     override def planInputPartitions(): Array[InputPartition] =
       ChangefeedLog.listSegments(dir)
-        .map(s => ChangefeedPartition(s.path.toString, Long.MinValue, Long.MaxValue)
+        .filter(s => s.lastUs > minExclusiveUs && s.firstUs <= maxInclusiveUs)
+        .map(s => ChangefeedPartition(s.path.toString, minExclusiveUs, maxInclusiveUs)
           : InputPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      ChangefeedReaderFactory()
+      ChangefeedReaderFactory(prunedSchema.fieldNames)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ChangefeedMicroBatchStream(dir, startCursorUs, explicitFloorUs)
+    new ChangefeedMicroBatchStream(dir, startCursorUs, explicitFloorUs, prunedSchema.fieldNames)
 }
 
 /** Offset = "every row with sort_us <= us has been consumed". */
@@ -103,7 +167,9 @@ case class ChangefeedOffset(us: Long) extends Offset {
 }
 
 class ChangefeedMicroBatchStream(dir: String, startCursorUs: Option[Long],
-    explicitFloorUs: Option[Long]) extends MicroBatchStream with SupportsTriggerAvailableNow {
+    explicitFloorUs: Option[Long],
+    fieldNames: Array[String] = ChangefeedDataSource.schema.fieldNames)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def floorUs: Option[Long] =
     explicitFloorUs.orElse(ChangefeedLog.gcFloorUs(dir))
@@ -156,7 +222,7 @@ class ChangefeedMicroBatchStream(dir: String, startCursorUs: Option[Long],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    ChangefeedReaderFactory()
+    ChangefeedReaderFactory(fieldNames)
 
   override def deserializeOffset(json: String): Offset = {
     val m = raw""""sort_us"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json)
@@ -255,20 +321,32 @@ case class ChangefeedCommitMessage(rows: Long) extends WriterCommitMessage
 case class ChangefeedPartition(file: String, startUs: Long, endUs: Long)
   extends InputPartition
 
-case class ChangefeedReaderFactory() extends PartitionReaderFactory {
+case class ChangefeedReaderFactory(
+    fieldNames: Array[String] = ChangefeedDataSource.schema.fieldNames)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ChangefeedPartition]
+    // pruned projection: only the requested fields are materialized
+    // (UTF8String conversion of an unread value/key never happens)
+    val extract: Array[ChangefeedLog.Record => Any] = fieldNames.map {
+      case "sort_us" => (r: ChangefeedLog.Record) => r.sortUs
+      case "tbl" => (r: ChangefeedLog.Record) =>
+        r.tbl.map(UTF8String.fromString).orNull
+      case "key" => (r: ChangefeedLog.Record) =>
+        r.key.map(UTF8String.fromString).orNull
+      case "value" => (r: ChangefeedLog.Record) =>
+        UTF8String.fromString(r.value)
+      case other => throw new IllegalArgumentException(
+        s"graft-changefeed has no column '$other'")
+    }
     new PartitionReader[InternalRow] {
       private val it = ChangefeedLog
         .readSegment(java.nio.file.Paths.get(p.file))
         .filter(r => r.sortUs > p.startUs && r.sortUs <= p.endUs)
       private var current: ChangefeedLog.Record = _
       override def next(): Boolean = { val has = it.hasNext; if (has) current = it.next(); has }
-      override def get(): InternalRow = new GenericInternalRow(Array[Any](
-        current.sortUs,
-        current.tbl.map(UTF8String.fromString).orNull,
-        current.key.map(UTF8String.fromString).orNull,
-        UTF8String.fromString(current.value)))
+      override def get(): InternalRow =
+        new GenericInternalRow(extract.map(f => f(current)))
       override def close(): Unit = ()
     }
   }

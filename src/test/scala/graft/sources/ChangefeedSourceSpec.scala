@@ -48,6 +48,32 @@ class ChangefeedSourceSpec extends SparkSuite {
       rows.count(_.tbl.isEmpty))
   }
 
+  test("batch scan pushes sort_us range filters to segment pruning and prunes columns") {
+    val (dir, rows) = buildLog(4)
+    val cut = rows(rows.size / 2).sortUs
+    val df = spark.read.format("graft-changefeed").option("path", dir).load()
+      .where(col("sort_us") > cut).select("value")
+    // pruned read schema reaches the DSv2 scan node
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+    assert(scans.exists(_.schema.fieldNames.toSeq === Seq("value")),
+      s"scan not pruned to value: ${scans.map(_.schema.fieldNames.toSeq)}")
+    // the filter string shows in the scan description as a consumed range
+    assert(df.queryExecution.executedPlan.toString.contains("pushed=("),
+      "pushed range missing from scan description")
+    // correctness under pruning + pushdown
+    val want = rows.filter(_.sortUs > cut).map(_.value).sorted
+    assert(df.collect().map(_.getString(0)).sorted.toSeq === want)
+    // metadata-only segment pruning: only segments intersecting the
+    // range become partitions; a full read plans one per retained
+    // segment (contiguous segments cut at the midpoint → some drop)
+    val prunedParts = df.rdd.getNumPartitions
+    val fullParts = spark.read.format("graft-changefeed").option("path", dir)
+      .load().rdd.getNumPartitions
+    assert(fullParts === graft.sources.ChangefeedLog.listSegments(dir).size)
+    assert(prunedParts < fullParts,
+      s"expected segment pruning: $prunedParts vs full $fullParts")
+  }
+
   test("streaming resumes after startCursor and drains new segments on restart") {
     val (dir, rows) = buildLog(3)
     val mid = rows(rows.size / 2).sortUs

@@ -41,6 +41,37 @@ class StreamingAggSpec extends SparkSuite {
     assert(out === Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
   }
 
+  test("stream-static enrichment join: live events pick up broadcast dim attributes") {
+    // the standard streaming-enrichment shape: an unbounded stream
+    // joined to a bounded dimension — Spark re-plans the static side
+    // per micro-batch and broadcasts it, no stream-side state at all
+    val in = MemoryStream[Ev](11, spark, None)
+    def ev(id: Long, typ: String, v: Double) =
+      Ev(id, new java.sql.Timestamp(id * 1000L), id, typ, v, "{}")
+    in.addData(ev(1, "click", 1.0), ev(2, "view", 2.0), ev(3, "click", 3.0),
+      ev(4, "purchase", 4.0))
+
+    val dim = Seq(("click", 10L), ("view", 20L)).toDF("event_type", "type_weight")
+    val joined = in.toDF()
+      .join(broadcast(dim), Seq("event_type")) // inner: unknown types drop
+      .select(col("event_id"), col("event_type"), col("type_weight"))
+
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory").queryName("enriched")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt-enrich").toString)
+      .start()
+    q.processAllAvailable()
+    // second batch: the same static dim serves later micro-batches
+    in.addData(ev(5, "view", 5.0), ev(6, "error", 6.0))
+    q.processAllAvailable()
+    val out = spark.table("enriched").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(out === Set((1L, "click", 10L), (3L, "click", 10L),
+      (2L, "view", 20L), (5L, "view", 20L))) // purchase/error: no dim row
+  }
+
   test("stream-stream join: purchases join clicks per user within the watermark") {
     val clicks = MemoryStream[Ev](12, spark, None)
     val purchases = MemoryStream[Ev](13, spark, None)
