@@ -65,6 +65,9 @@ object SparkEntry {
     "q_ntile_decile" -> (Analytics.qNtileDecile _),
     "q_corr_moments" -> (Analytics.qCorrMoments _),
     "stream_session_native" -> (StreamOps.sessionizeNative _),
+    "q_pivot_native" -> (Analytics.qPivotNative _),
+    "ts_ohlc" -> (TimeSeries.ohlc _),
+    "dedup_winnowing" -> ((s: SparkSession, d: String) => Dedup.winnowing(s, d)),
     "ts_gap_fill" -> (TimeSeries.gapFill _),
     "ts_retention" -> (TimeSeries.retention _),
     "ts_running_total" -> (TimeSeries.runningTotal _),
@@ -555,6 +558,29 @@ object SparkEntry {
         |    < (SELECT CAST(sum(CAST(round(l3.l_quantity*100, 0) AS BIGINT)) AS BIGINT)
         |       FROM lineitem l3 WHERE l3.l_partkey = l1.l_partkey)
         |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
+
+    "q_pivot_native" ->
+      s"""SELECT user_id,
+         |  CAST(coalesce(sum(CASE WHEN event_type='click' THEN ${cents("value")} END), 0) AS BIGINT) AS click_c,
+         |  CAST(coalesce(sum(CASE WHEN event_type='view' THEN ${cents("value")} END), 0) AS BIGINT) AS view_c,
+         |  CAST(coalesce(sum(CASE WHEN event_type='signup' THEN ${cents("value")} END), 0) AS BIGINT) AS signup_c,
+         |  CAST(coalesce(sum(CASE WHEN event_type='error' THEN ${cents("value")} END), 0) AS BIGINT) AS error_c,
+         |  CAST(coalesce(sum(CASE WHEN event_type='purchase' THEN ${cents("value")} END), 0) AS BIGINT) AS purchase_c
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ts_ohlc" ->
+      s"""WITH e AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+         |  epoch_us(ts) AS us, event_id, ${cents("value")} AS value_c FROM events),
+         |r AS (SELECT *,
+         |  row_number() OVER (PARTITION BY event_type, hour_us ORDER BY us, event_id) AS rn_a,
+         |  row_number() OVER (PARTITION BY event_type, hour_us ORDER BY us DESC, event_id DESC) AS rn_d
+         |  FROM e)
+         |SELECT event_type, hour_us,
+         |  max(CASE WHEN rn_a = 1 THEN value_c END) AS open_c,
+         |  max(value_c) AS high_c, min(value_c) AS low_c,
+         |  max(CASE WHEN rn_d = 1 THEN value_c END) AS close_c,
+         |  count(*) AS n, CAST(sum(value_c) AS BIGINT) AS volume_c
+         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_ntile_decile" ->
       s"""WITH e AS (SELECT event_type, event_id, ${cents("value")} AS value_c FROM events),

@@ -53,10 +53,15 @@ object Fns {
     * hash covers exactly the available tokens — mirroring the one
     * short shingle `shingles()` emits for the same doc. */
   def shingleHashes(words: Column, n: Int): Column =
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(words) - lit(n - 1), lit(1))),
-        i => xxhash64((0 until n).map(j => try_element_at(words, i + lit(j))): _*)))
+    array_distinct(shingleHashesOrdered(words, n))
+
+  /** POSITION-ORDERED n-gram window hashes (no distinct) — winnowing
+    * needs the document-order sequence to slide its selection window
+    * over. */
+  def shingleHashesOrdered(words: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(words) - lit(n - 1), lit(1))),
+      i => xxhash64((0 until n).map(j => try_element_at(words, i + lit(j))): _*))
 
   /** Per-element seeded hash for MinHash: xxhash64(value, seed). The
     * k-wide signature itself is built as k codegen'd `min` aggregates

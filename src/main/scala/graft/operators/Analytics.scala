@@ -442,6 +442,28 @@ object Analytics {
         |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin)
   }
 
+  /** §2#105 the NATIVE relational pivot — `RelationalGroupedDataset
+    * .pivot` with an EXPLICIT value list, the form that survives scale:
+    * without the list Spark first runs a distinct-collect job over the
+    * pivot column to discover values (a full extra pass plus a driver
+    * materialization that a high-cardinality column would blow up);
+    * with it the plan is a single pivot-aggregate, no discovery pass.
+    * Same result as [[qConditionalPivot]]'s hand-written CASE columns —
+    * pivot IS that rewrite, done by the engine. */
+  def qPivotNative(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), cents(col("value")).as("value_c"))
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "signup", "error", "purchase"))
+      .agg(sum(col("value_c")))
+      .select(col("user_id"),
+        coalesce(col("click"), lit(0L)).as("click_c"),
+        coalesce(col("view"), lit(0L)).as("view_c"),
+        coalesce(col("signup"), lit(0L)).as("signup_c"),
+        coalesce(col("error"), lit(0L)).as("error_c"),
+        coalesce(col("purchase"), lit(0L)).as("purchase_c"))
+      .orderBy(col("user_id"))
+
   /** §2#95 decile banding: `ntile(10)` of purchase value per
     * event_type with a TOTAL order (value_cents, event_id) so band
     * boundaries are bit-identical across engines, rolled up to one row

@@ -438,4 +438,45 @@ object Dedup {
       .where(col("cos_e6") >= 950000L)
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** §2#103 winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS algorithm): slide a window of `w` consecutive
+    * n-gram hashes over each document IN ORDER and keep each window's
+    * MINIMUM — the classic guarantee: any shared run of at least
+    * w+n-1 tokens yields at least one shared fingerprint, while only
+    * ~2/(w+1) of positions are kept. Completes the classic
+    * fingerprinting trio next to MinHash (global similarity) and
+    * SimHash (global distance): winnowing catches LOCAL verbatim runs
+    * regardless of how different the rest of the documents are.
+    *
+    * Candidate pairs = docs sharing >= `minShared` selected
+    * fingerprints, via the same bucket-join shape as every other
+    * generator here: one shuffle on the fingerprint, never doc×doc.
+    * Fingerprints hot across > `maxDf` docs (ubiquitous runs — the
+    * boilerplate the algorithm is allowed to ignore) are dropped
+    * before the self-join, bounding bucket fanout at scale.
+    * Hash-based output → rows-only; the spec pins plant recall. */
+  /** The selected (doc_id, fp) winnowing fingerprints — exposed for the
+    * spec's direct set-intersection ground truth. */
+  private[operators] def winnowFps(spark: SparkSession, sfDir: String,
+      ngram: Int, w: Int): DataFrame =
+    corpusWithPlants(spark, sfDir)
+      .select(col("doc_id"), shingleHashesOrdered(col("toks"), ngram).as("hs"))
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), greatest(size(col("hs")) - lit(w - 1), lit(1))),
+          i => array_min(slice(col("hs"), i, lit(w)))))).as("fp"))
+
+  def winnowing(spark: SparkSession, sfDir: String, ngram: Int = 4,
+      w: Int = 4, minShared: Int = 2, maxDf: Int = 128): DataFrame = {
+    val fps = winnowFps(spark, sfDir, ngram, w)
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+    val pruned = fps.join(rare.select(col("fp")), "fp")
+    pruned.as("x").join(pruned.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

@@ -104,4 +104,27 @@ object TimeSeries {
         col("value_c"), col("running_c"))
       .orderBy(col("user_id"), col("seq_n"))
   }
+
+  /** §2#104 OHLC resampling — the market-data downsampling shape: per
+    * (event_type, hour) bars of open (value at earliest event), high,
+    * low, close (value at latest event), count, and volume. Open/close
+    * are `min_by`/`max_by` over the TOTAL order (us, event_id) — one
+    * map-side-combinable aggregate, no window, no per-group sort: the
+    * partial states (candidate row per partition) merge associatively,
+    * so a 100 TB hour aggregates in one shuffle of |bars| rows. */
+  def ohlc(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        cents(col("value")).as("value_c"))
+      .groupBy(col("event_type"), col("hour_us"))
+      .agg(
+        min_by(col("value_c"), struct(col("us"), col("event_id"))).as("open_c"),
+        max(col("value_c")).as("high_c"),
+        min(col("value_c")).as("low_c"),
+        max_by(col("value_c"), struct(col("us"), col("event_id"))).as("close_c"),
+        count(lit(1)).as("n"),
+        sum(col("value_c")).as("volume_c"))
+      .orderBy(col("event_type"), col("hour_us"))
 }

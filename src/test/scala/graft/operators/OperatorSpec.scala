@@ -122,6 +122,33 @@ class OperatorSpec extends SparkSuite {
     })
   }
 
+  test("dedup_winnowing EQUALS direct fingerprint-set intersection; plants found") {
+    // ground truth straight from the selected fingerprints: pairwise
+    // |rare-fp intersection| >= 2 (rare = df <= 128 — MOSS-style: runs
+    // ubiquitous across the corpus don't count as evidence)
+    val fps = Dedup.winnowFps(spark, sf, 4, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val df = fps.groupBy(_._2).view.mapValues(_.length).toMap
+    val byDoc = fps.filter(p => df(p._2) <= 128)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val docs = byDoc.keys.toSeq.sorted
+    val want = (for {
+      (a, ia) <- docs.zipWithIndex; b <- docs.drop(ia + 1)
+      shared = (byDoc(a) & byDoc(b)).size if shared >= 2
+    } yield (a, b, shared.toLong)).toSet
+    val got = Dedup.winnowing(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    // the prefix-copy plants share their whole run: found unless ALL
+    // their fingerprints are corpus-ubiquitous (MOSS-correct to skip);
+    // on this corpus that's at most a couple of template-only docs
+    val planted = graft.Tables.documents(spark, sf)
+      .where(col("doc_id") % 10 === 0).count()
+    val foundPlants = got.count(p => p._2 == p._1 + 1000000L)
+    assert(foundPlants * 10 >= planted * 9,
+      s"plant recall too low: $foundPlants/$planted")
+  }
+
   test("mm_phash_dedup: every planted mirrored-corner variant found within Hamming <= 4") {
     val pairs = Multimodal.phashDedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

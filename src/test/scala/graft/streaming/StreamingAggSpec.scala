@@ -41,6 +41,38 @@ class StreamingAggSpec extends SparkSuite {
     assert(out === Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
   }
 
+  test("watermark eviction: a row older than the watermark is dropped, window emits once") {
+    val in = MemoryStream[Ev](14, spark, None)
+    val hourMs = 3600000L
+    def ev(id: Long, ms: Long) =
+      Ev(id, new java.sql.Timestamp(ms), id, "click", 1.0, "{}")
+
+    val agg = in.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("start_s"), col("n"))
+
+    val q = agg.writeStream
+      .outputMode("append") // append: a window emits exactly once, final
+      .format("memory").queryName("lateagg")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt-late").toString)
+      .start()
+    in.addData(ev(1, hourMs + 1), ev(2, hourMs + 2)) // two rows in hour 1
+    q.processAllAvailable()
+    in.addData(ev(3, 4 * hourMs)) // advances watermark past hour 1's end
+    q.processAllAvailable()
+    in.addData(ev(4, hourMs + 3), // LATE: below the watermark → dropped
+      ev(5, 5 * hourMs)) // and a fresh row to force the batch through
+    q.processAllAvailable()
+    val out = spark.table("lateagg").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    // hour-1 window: emitted exactly once, count 2 — the late row
+    // neither re-emits the window nor inflates it
+    assert(out.filter(_._1 === hourMs / 1000).toSeq === Seq((hourMs / 1000, 2L)))
+  }
+
   test("stream-static enrichment join: live events pick up broadcast dim attributes") {
     // the standard streaming-enrichment shape: an unbounded stream
     // joined to a bounded dimension — Spark re-plans the static side
