@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over the dedup candidate-pair graph
+  * (§2.4's edges reused as a general graph workload). Complements the
+  * hash-min connected components of [[Dedup.cluster]] with a
+  * RANK-style fixpoint — the other canonical "many rounds of joins"
+  * distributed computation.
+  */
+object Graph {
+
+  /** §2#106 PageRank over the near-dup graph, ALL-INTEGER: rank is
+    * carried in 1e9-units and every update is
+    * `rank' = 0.15·SCALE + 0.85·Σ contrib` with `contrib = rank div
+    * out_degree` — integer div, integer sums, so the result is
+    * bit-identical on any partitioning/core count (floating PageRank is
+    * famously not). Fixed iteration count, no convergence collect.
+    *
+    * Use in a dedup pipeline: within a duplicate cluster the
+    * highest-rank doc is the most-connected member — a principled
+    * canonical-representative choice (vs min-doc_id).
+    *
+    * Scale: the degree-annotated edge list is built ONCE and
+    * checkpointed; each round is one join (ranks ⋈ edges on src — both
+    * sides pre-partitionable on the same key) + one map-side-combinable
+    * sum per dst + a left join back to keep sink nodes at base rank.
+    * O(iters) shuffle rounds over |edges| rows — the standard
+    * distributed PageRank shape; lineage cut per round. */
+  def pagerank(spark: SparkSession, sfDir: String, iters: Int = 6): DataFrame = {
+    val scale = 1000000000L
+    val edges = Dedup.candidatePairs(spark, sfDir)
+    val bidir = edges.unionByName(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val deg = bidir.groupBy(col("doc_a").as("src"))
+      .agg(count(lit(1)).as("out_deg"))
+    // hash-partition the (big) edge side by the join key ONCE — the
+    // checkpoint preserves the partitioning, so every round's join
+    // shuffles only the rank frame (|nodes| rows), never the edges
+    val edgesDeg = bidir.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .join(deg, "src")
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val nodes = deg.select(col("src").as("doc_id")).localCheckpoint(true)
+    var ranks = nodes.select(col("doc_id"), lit(scale).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = edgesDeg
+        .join(ranks.select(col("doc_id").as("src"), col("rank")), "src")
+        .select(col("dst").as("doc_id"), expr("rank div out_deg").as("c"))
+        .groupBy(col("doc_id")).agg(sum(col("c")).as("in_sum"))
+      ranks = nodes.join(contrib, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(15L * scale / 100L) +
+            expr("85 * coalesce(in_sum, 0L) div 100")).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("doc_id"), col("rank").as("rank_e9"))
+      .orderBy(col("doc_id"))
+  }
+}
