@@ -66,6 +66,8 @@ object SparkEntry {
     "q_corr_moments" -> (Analytics.qCorrMoments _),
     "stream_session_native" -> (StreamOps.sessionizeNative _),
     "q_pivot_native" -> (Analytics.qPivotNative _),
+    "q_intersect_except" -> (Analytics.qIntersectExcept _),
+    "graph_pagerank" -> ((s: SparkSession, d: String) => Graph.pagerank(s, d)),
     "ts_ohlc" -> (TimeSeries.ohlc _),
     "dedup_winnowing" -> ((s: SparkSession, d: String) => Dedup.winnowing(s, d)),
     "ts_gap_fill" -> (TimeSeries.gapFill _),
@@ -581,6 +583,18 @@ object SparkEntry {
          |  max(CASE WHEN rn_d = 1 THEN value_c END) AS close_c,
          |  count(*) AS n, CAST(sum(value_c) AS BIGINT) AS volume_c
          |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_intersect_except" ->
+      """WITH c96 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+        |c97 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM c96 INTERSECT SELECT * FROM c97)
+        |UNION ALL
+        |SELECT o_custkey, 'only_1996' AS tag FROM (SELECT * FROM c96 EXCEPT SELECT * FROM c97)
+        |ORDER BY tag, o_custkey""".stripMargin,
 
     "q_ntile_decile" ->
       s"""WITH e AS (SELECT event_type, event_id, ${cents("value")} AS value_c FROM events),

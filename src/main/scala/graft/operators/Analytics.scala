@@ -442,6 +442,21 @@ object Analytics {
         |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin)
   }
 
+  /** §2#107 set operators: customers ordering in BOTH 1996 and 1997
+    * (`INTERSECT`) vs only in 1996 (`EXCEPT`), tagged in one frame.
+    * Spark plans both as aggregate-backed joins with set semantics
+    * (duplicate elimination included) — one shuffle each on custkey. */
+  def qIntersectExcept(spark: SparkSession, sfDir: String): DataFrame = {
+    def custIn(year: Int) = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf(s"$year-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf(s"${year + 1}-01-01 00:00:00")))
+      .select(col("o_custkey"))
+    val c96 = custIn(1996); val c97 = custIn(1997)
+    c96.intersect(c97).withColumn("tag", lit("both"))
+      .unionByName(c96.except(c97).withColumn("tag", lit("only_1996")))
+      .orderBy(col("tag"), col("o_custkey"))
+  }
+
   /** §2#105 the NATIVE relational pivot — `RelationalGroupedDataset
     * .pivot` with an EXPLICIT value list, the form that survives scale:
     * without the list Spark first runs a distinct-collect job over the
