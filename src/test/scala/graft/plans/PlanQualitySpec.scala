@@ -96,4 +96,44 @@ class PlanQualitySpec extends SparkSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"query side not broadcast:\n$plan")
   }
+
+  test("q_exists_subquery decorrelates to a semi join with the date filter pushed") {
+    val plan = planOf(Analytics.qExistsSubquery(spark, sf))
+    assert(plan.contains("LeftSemi"),
+      s"EXISTS did not decorrelate to a semi join:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"order-date range not pushed to the orders scan:\n$plan")
+  }
+
+  test("q_pivot_native with explicit values plans one aggregate, no discovery pass") {
+    val df = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view"))
+      .agg(count(lit(1)))
+    val plan = planOf(df)
+    // pivot with a value list = pivot_first aggregate; no separate
+    // collect/distinct job over the pivot column appears in the plan
+    assert(plan.contains("pivotfirst") || plan.contains("HashAggregate"),
+      s"pivot did not plan as an aggregate:\n$plan")
+    assert(!plan.toLowerCase.contains("collectlimit"),
+      s"pivot plan includes a value-discovery pass:\n$plan")
+  }
+
+  test("ts_ohlc is one two-phase aggregate: no window, no per-group sort") {
+    val plan = planOf(TimeSeries.ohlc(spark, sf))
+    assert(plan.contains("partial_min_by") || plan.contains("partial_max_by") ||
+      plan.contains("partial_min"),
+      s"OHLC open/close not computed as partial aggregates:\n$plan")
+    assert(!plan.contains("Window"),
+      s"OHLC should need no window function:\n$plan")
+  }
+
+  test("q_corr_moments broadcasts the per-group means back to the fact side") {
+    val plan = planOf(Analytics.qCorrMoments(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"means side not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"fact side shuffle-joined against |groups| means rows:\n$plan")
+  }
 }
