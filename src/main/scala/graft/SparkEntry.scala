@@ -67,6 +67,7 @@ object SparkEntry {
     "stream_session_native" -> (StreamOps.sessionizeNative _),
     "q_pivot_native" -> (Analytics.qPivotNative _),
     "q_intersect_except" -> (Analytics.qIntersectExcept _),
+    "q_heavy_hitters" -> (Analytics.qHeavyHitters _),
     "graph_pagerank" -> ((s: SparkSession, d: String) => Graph.pagerank(s, d)),
     "ts_ohlc" -> (TimeSeries.ohlc _),
     "dedup_winnowing" -> ((s: SparkSession, d: String) => Dedup.winnowing(s, d)),

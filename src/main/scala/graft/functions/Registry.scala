@@ -16,5 +16,11 @@ object Registry {
           exprs(1).eval(null).asInstanceOf[Number].intValue())
           .toAggregateExpression(),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_countmin", exprs =>
+        CountMinLongs(exprs(0),
+          exprs(1).eval(null).toString.split(",").map(_.trim.toLong).toSeq)
+          .toAggregateExpression(),
+      "scala_udf")
   }
 }

@@ -442,6 +442,39 @@ object Analytics {
         |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin)
   }
 
+  /** §2#108 heavy-hitter estimation via a custom Count–Min sketch
+    * TypedImperativeAggregate (graft_countmin — the SECOND custom
+    * Catalyst aggregate next to graft_topk_vals): one pass builds a
+    * fixed 4×1024 counter grid (32 KiB per partial, pointwise-summed
+    * map-side like any built-in sketch) and estimates the frequency of
+    * ten probe users; the exact counts ride along for comparison. CM
+    * was chosen over space-saving/Misra–Gries because counter sums
+    * commute — the estimate is bit-identical on any partitioning. At
+    * 100 TB the sketch replaces a |users|-sized exact aggregation with
+    * constant state; estimates never underestimate and overshoot by
+    * more than ~3·N/w only with small probability (spec-pinned on this
+    * corpus). */
+  def qHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.Registry.ensure(spark)
+    import spark.implicits._
+    val keys = 0L until 10L
+    val est = Tables.events(spark, sfDir)
+      .agg(call_function("graft_countmin", col("user_id"),
+        lit(keys.mkString(","))).as("cm"))
+    val keyIdx = keys.map(k => (k, (k + 1).toInt)).toDF("user_id", "idx")
+    val exact = Tables.events(spark, sfDir)
+      .where(col("user_id").isin(keys: _*))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+    exact.join(broadcast(keyIdx), "user_id")
+      .crossJoin(broadcast(est))
+      .select(col("user_id"), col("exact_n"),
+        element_at(split(element_at(split(col("cm"), ";"), 1), ","), col("idx"))
+          .cast("long").as("est_n"),
+        element_at(split(col("cm"), ";"), 2).cast("long").as("n_total"))
+      .withColumn("slack", col("est_n") - col("exact_n"))
+      .orderBy(col("user_id"))
+  }
+
   /** §2#107 set operators: customers ordering in BOTH 1996 and 1997
     * (`INTERSECT`) vs only in 1996 (`EXCEPT`), tagged in one frame.
     * Spark plans both as aggregate-backed joins with set semantics

@@ -370,6 +370,24 @@ class NewOpsSpec extends SparkSuite {
     corpus.foreach { case (n, nd, pm) => assert(nd <= n && pm === nd * 1000 / n) }
   }
 
+  test("q_heavy_hitters: count-min never underestimates, overshoot within bound") {
+    val rows = Analytics.qHeavyHitters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val n = rows.head._4
+    rows.foreach { case (uid, exact, est, _, slack) =>
+      assert(est >= exact, s"CM underestimated user $uid: $est < $exact")
+      assert(slack === est - exact)
+      // 4 rows × 1024 counters on this corpus: observed slack is tiny;
+      // 3·N/w is the standard w.h.p. bound
+      assert(slack <= 3 * n / 1024 + 1, s"user $uid slack $slack vs N=$n")
+    }
+    // determinism: the sketch is a commutative sum — rerun must match
+    val again = Analytics.qHeavyHitters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(again.toSeq === rows.map(r => (r._1, r._3)).toSeq)
+  }
+
   test("stream_session_native: session_window output == lag+cumsum sessionize bit-for-bit") {
     val native = StreamOps.sessionizeNative(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
