@@ -172,6 +172,7 @@ class NewOpsSpec extends SparkSuite {
     val hits = exact.keys.toSeq.map(q =>
       (approx.getOrElse(q, Set.empty) & exact(q)).size).sum
     val total = exact.values.map(_.size).sum
+    info(s"ann_pq_adc recall@5 = $hits/$total")
     assert(hits * 10 >= total * 7, s"recall@5 too low: $hits/$total")
   }
 
