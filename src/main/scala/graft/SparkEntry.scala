@@ -32,6 +32,8 @@ object SparkEntry {
     "cdc_scd2" -> (Changefeed.scd2 _),
     "cdc_compact_tombstones" -> (Changefeed.compactTombstones _),
     "cdc_payload_parse" -> (Changefeed.payloadParse _),
+    "cdc_lag" -> (Changefeed.lagReport _),
+    "q_window_range" -> (Analytics.qWindowRange _),
     "dedup_cluster" -> (Dedup.cluster _),
     // §2.2 streaming analytics (batch twins)
     "stream_window_agg" -> (StreamOps.windowAgg _),
@@ -253,6 +255,25 @@ object SparkEntry {
          |  CAST(json_extract_string(payload, '$$.value.after.value_cents') AS BIGINT) AS value_cents,
          |  coalesce(CAST(json_extract_string(payload, '$$.value.after.k') AS BIGINT), -1) AS k
          |FROM env ORDER BY event_id""".stripMargin,
+
+    "cdc_lag" ->
+      s"""WITH $chCte, $rsCte,
+         |cur AS (SELECT max(CAST(split_part(json_extract_string(value,'$$.resolved'),'.',1) AS BIGINT)) AS max_resolved_us FROM rs)
+         |SELECT event_id % 32 AS part_id, count(*) AS n_messages,
+         |  max(sort_us) AS last_published_us,
+         |  (SELECT max_resolved_us FROM cur) AS max_resolved_us,
+         |  (SELECT max_resolved_us FROM cur) - max(sort_us) AS lag_us
+         |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_window_range" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+         |  ${cents("value")} AS value_c FROM events)
+         |SELECT user_id, event_id, us, value_c,
+         |  CAST(sum(value_c) OVER w AS BIGINT) AS sum_5min_c,
+         |  count(*) OVER w AS n_5min
+         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us
+         |  RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, us, event_id""".stripMargin,
 
     "cdc_compact_tombstones" ->
       s"""WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us,

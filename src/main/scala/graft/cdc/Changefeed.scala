@@ -110,6 +110,27 @@ object Changefeed {
       .unionByName(resolvedRows(spark, sfDir))
       .orderBy(col("sort_us"), coalesce(col("key"), lit("")))
 
+  /** §2#109 relay lag report — the monitoring query an operator of the
+    * reference would run: per queue partition, the last PUBLISHED
+    * change timestamp vs the latest RESOLVED cursor; the gap is how far
+    * each partition's consumer view trails the changefeed's closed
+    * timestamp (resolved rows promise no earlier commits are coming —
+    * src/main.rs:240-253). One partial-agg per partition + one
+    * broadcast scalar join. */
+  def lagReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val cursor = resolvedCursor(spark, sfDir).select(col("max_resolved_us"))
+    changeRows(spark, sfDir)
+      .select(pmod(col("event_id"), lit(32L)).as("part_id"), col("sort_us"))
+      .groupBy(col("part_id"))
+      .agg(count(lit(1)).as("n_messages"),
+        max(col("sort_us")).as("last_published_us"))
+      .crossJoin(broadcast(cursor))
+      .select(col("part_id"), col("n_messages"), col("last_published_us"),
+        col("max_resolved_us"),
+        (col("max_resolved_us") - col("last_published_us")).as("lag_us"))
+      .orderBy(col("part_id"))
+  }
+
   /** §2#2 classify change vs resolved rows (reference src/main.rs:240-253:
     * table IS NULL AND key IS NULL → cursor row). */
   def classify(spark: SparkSession, sfDir: String): DataFrame =

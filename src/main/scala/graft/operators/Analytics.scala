@@ -442,6 +442,25 @@ object Analytics {
         |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin)
   }
 
+  /** §2#110 RANGE-frame sliding window — the event-time moving
+    * aggregate (vs the ROWS frames used elsewhere): per user, the sum
+    * and count of value over the trailing 5 MINUTES of event time.
+    * RANGE frames are peer-inclusive (all rows at the same `us` share a
+    * frame), so the result is deterministic regardless of tie order —
+    * the frame is defined by the ORDER-BY value, not row position. One
+    * shuffle on user_id; the frame scan is streaming within each
+    * partition (constant per-row state, sliding lower bound). */
+  def qWindowRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-300000000L, 0L)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        cents(col("value")).as("value_c"))
+      .withColumn("sum_5min_c", sum(col("value_c")).over(w))
+      .withColumn("n_5min", count(lit(1)).over(w).cast("long"))
+      .orderBy(col("user_id"), col("us"), col("event_id"))
+  }
+
   /** §2#108 heavy-hitter estimation via a custom Count–Min sketch
     * TypedImperativeAggregate (graft_countmin — the SECOND custom
     * Catalyst aggregate next to graft_topk_vals): one pass builds a

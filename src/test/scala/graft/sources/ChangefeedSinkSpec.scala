@@ -42,6 +42,27 @@ class ChangefeedSinkSpec extends SparkSuite {
     assert(readAll(out) === readAll(dir))
   }
 
+  test("sink-written segments carry prunable ranges: pushdown works on relayed logs") {
+    // integration across write + read paths: segments the SINK names
+    // must expose the same sort_us range metadata the reader's
+    // filter pushdown prunes on — a relayed log stays as queryable as
+    // a directly-written one
+    val (dir, rows) = buildLog(4)
+    val out = tmp("graft-sink-pushdown")
+    spark.read.format("graft-changefeed").option("path", dir).load()
+      .repartitionByRange(4, col("sort_us")) // several disjoint-range segments
+      .write.format("graft-changefeed").option("path", out).mode("append").save()
+    val cut = rows(rows.size / 2).sortUs
+    val df = spark.read.format("graft-changefeed").option("path", out).load()
+      .where(col("sort_us") > cut)
+    val fullParts = spark.read.format("graft-changefeed").option("path", out)
+      .load().rdd.getNumPartitions
+    assert(fullParts >= 3, s"range repartition produced too few segments: $fullParts")
+    assert(df.rdd.getNumPartitions < fullParts,
+      s"no segment pruning on sink-written log: ${df.rdd.getNumPartitions}/$fullParts")
+    assert(df.count() === rows.count(_.sortUs > cut))
+  }
+
   test("sink accepts a by-name subset (nullable cols null-filled) but rejects a missing value col") {
     import spark.implicits._
     // Spark's DSv2 by-name resolution null-fills missing NULLABLE columns
