@@ -30,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           exprs(1).eval(null).asInstanceOf[Number].intValue())
           .toAggregateExpression()))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // rewrite `row_number().over(...) <= k` window top-k into the
+    // bounded-buffer TopKPerKey operator (post-resolution batch; the
+    // rule itself is conservative about when it fires)
+    ext.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
   }
 }

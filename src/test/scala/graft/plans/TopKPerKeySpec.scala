@@ -27,4 +27,48 @@ class TopKPerKeySpec extends SparkSuite {
       assert(ranks.length <= 3)
     }
   }
+
+  test("TopKWindowRewrite: UNCHANGED window user code plans through TopKPerKeyExec") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ TopKWindowRewrite
+    TopKPerKey.ensureStrategy(spark)
+    try {
+      // qWindowTopk is the plain row_number()<=3 formulation — with the
+      // rule injected it must plan through the custom operator...
+      val rewritten = Analytics.qWindowTopk(spark, sf)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey") && plan.contains("TopKPerKeyPartial"),
+        s"rewrite did not fire:\n$plan")
+      assert(!plan.contains(" Window "),
+        s"window operator survived the rewrite:\n$plan")
+      val got = rewritten.collect().map(_.toSeq).toSeq
+      // ...and produce bit-identical results to the un-rewritten plan
+      spark.experimental.extraOptimizations = prev
+      val want = Analytics.qWindowTopk(spark, sf).collect().map(_.toSeq).toSeq
+      assert(got === want)
+    } finally {
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+
+  test("TopKWindowRewrite bails on patterns outside its contract") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ TopKWindowRewrite
+    try {
+      // rank() is not row_number(): must NOT rewrite, must stay correct
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("qty_c").desc, col("l_orderkey"))
+      val df = graft.Tables.lineitem(spark, sf)
+        .select(col("l_returnflag"), col("l_orderkey"),
+          graft.functions.Fns.cents(col("l_quantity")).as("qty_c"))
+        .withColumn("rk", rank().over(w))
+        .where(col("rk") <= 2)
+      assert(!df.queryExecution.executedPlan.toString.contains("TopKPerKeyPartial"))
+      assert(df.collect().nonEmpty)
+    } finally {
+      spark.experimental.extraOptimizations = prev
+    }
+  }
 }
