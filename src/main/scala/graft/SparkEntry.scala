@@ -33,7 +33,9 @@ object SparkEntry {
     "cdc_compact_tombstones" -> (Changefeed.compactTombstones _),
     "cdc_payload_parse" -> (Changefeed.payloadParse _),
     "cdc_lag" -> (Changefeed.lagReport _),
+    "cdc_variant_extract" -> (Changefeed.variantExtract _),
     "q_window_range" -> (Analytics.qWindowRange _),
+    "q_hll_union" -> (Analytics.qHllUnion _),
     "dedup_cluster" -> (Dedup.cluster _),
     // §2.2 streaming analytics (batch twins)
     "stream_window_agg" -> (StreamOps.windowAgg _),
@@ -264,6 +266,12 @@ object SparkEntry {
          |  (SELECT max_resolved_us FROM cur) AS max_resolved_us,
          |  (SELECT max_resolved_us FROM cur) - max(sort_us) AS lag_us
          |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "cdc_variant_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k,
+        |  CAST(-1 AS BIGINT) AS absent_k
+        |FROM events WHERE json_extract_string(props,'$.k') IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
 
     "q_window_range" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,

@@ -131,6 +131,24 @@ object Changefeed {
       .orderBy(col("part_id"))
   }
 
+  /** §2#112 VARIANT-typed payload extraction — the Spark 4 twin of
+    * [[jsonExtract]]: `parse_json` converts the props payload ONCE into
+    * the binary VARIANT encoding, then any number of `variant_get`
+    * paths read it without re-parsing text — the right 100 TB shape
+    * when many fields are extracted from the same payload (the
+    * string-JSON path re-tokenizes per extraction). Missing paths
+    * yield typed NULLs, surfaced here via a sentinel. */
+  def variantExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), expr("parse_json(props)").as("v"))
+      .select(col("event_id"),
+        expr("variant_get(v, '$.k', 'long')").as("k"),
+        expr("variant_get(v, '$.not_there', 'long')").as("absent"))
+      .where(col("k").isNotNull)
+      .select(col("event_id"), col("k"),
+        coalesce(col("absent"), lit(-1L)).as("absent_k"))
+      .orderBy(col("event_id"))
+
   /** §2#2 classify change vs resolved rows (reference src/main.rs:240-253:
     * table IS NULL AND key IS NULL → cursor row). */
   def classify(spark: SparkSession, sfDir: String): DataFrame =

@@ -442,6 +442,33 @@ object Analytics {
         |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin)
   }
 
+  /** §2#113 mergeable HLL sketches (Apache DataSketches surface, Spark
+    * 3.5+): per-type HLL sketches of distinct users, plus a TOTAL row
+    * whose estimate comes from `hll_union_agg` MERGING the per-type
+    * sketches — the operation a 1000-executor rollup actually needs
+    * (re-aggregating exact distincts across groups requires a second
+    * full shuffle of raw ids; unioning sketches ships a few KiB per
+    * group). Exact counts ride along; estimates are engine-specific →
+    * rows-only check, spec pins the error bound. */
+  def qHllUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir).select(col("event_type"), col("user_id"))
+    val perType = e.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("exact_users"))
+    val totalExact = e.agg(countDistinct(col("user_id")).as("exact_users"))
+    val total = perType
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+      .crossJoin(totalExact)
+      .select(lit("__ALL__").as("event_type"),
+        col("est_users").cast("long").as("est_users"), col("exact_users"))
+    perType
+      .select(col("event_type"),
+        hll_sketch_estimate(col("sk")).cast("long").as("est_users"),
+        col("exact_users"))
+      .unionByName(total)
+      .orderBy(col("event_type"))
+  }
+
   /** §2#110 RANGE-frame sliding window — the event-time moving
     * aggregate (vs the ROWS frames used elsewhere): per user, the sum
     * and count of value over the trailing 5 MINUTES of event time.

@@ -371,6 +371,33 @@ class NewOpsSpec extends SparkSuite {
     corpus.foreach { case (n, nd, pm) => assert(nd <= n && pm === nd * 1000 / n) }
   }
 
+  test("q_hll_union: union estimate tracks exact distinct within HLL error") {
+    val rows = Analytics.qHllUnion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (totals, perType) = rows.partition(_._1 == "__ALL__")
+    assert(totals.length === 1 && perType.nonEmpty)
+    // default lgConfigK=12 → relative error ~1.6%; allow 5% + slack
+    rows.foreach { case (t, est, exact) =>
+      assert(math.abs(est - exact) <= exact / 20 + 2,
+        s"$t: HLL est $est vs exact $exact")
+    }
+    // the union row's exact count is the true global distinct (not the
+    // sum of per-type exacts — users appear under several types)
+    val (_, _, totalExact) = totals.head
+    assert(totalExact <= perType.map(_._3).sum)
+    assert(totalExact >= perType.map(_._3).max)
+  }
+
+  test("cdc_variant_extract matches the string-JSON extraction path") {
+    val variant = graft.cdc.Changefeed.variantExtract(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val json = graft.cdc.Changefeed.jsonExtract(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(variant.map(v => (v._1, v._2)).toSeq === json.toSeq)
+    assert(variant.forall(_._3 === -1L)) // missing path → typed null → sentinel
+    assert(variant.nonEmpty)
+  }
+
   test("q_heavy_hitters: count-min never underestimates, overshoot within bound") {
     val rows = Analytics.qHeavyHitters(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
