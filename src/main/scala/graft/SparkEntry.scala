@@ -36,6 +36,7 @@ object SparkEntry {
     "cdc_variant_extract" -> (Changefeed.variantExtract _),
     "q_window_range" -> (Analytics.qWindowRange _),
     "q_hll_union" -> (Analytics.qHllUnion _),
+    "q_robust_stats" -> (Analytics.qRobustStats _),
     "dedup_cluster" -> (Dedup.cluster _),
     // §2.2 streaming analytics (batch twins)
     "stream_window_agg" -> (StreamOps.windowAgg _),
@@ -266,6 +267,19 @@ object SparkEntry {
          |  (SELECT max_resolved_us FROM cur) AS max_resolved_us,
          |  (SELECT max_resolved_us FROM cur) - max(sort_us) AS lag_us
          |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_robust_stats" ->
+      s"""WITH x AS (SELECT l_returnflag AS grp, ${cents("l_extendedprice")} AS x_c FROM lineitem),
+         |med AS (SELECT grp, CAST(round(quantile_cont(CAST(x_c AS DOUBLE), 0.5), 0) AS BIGINT) AS median_c
+         |  FROM x GROUP BY 1),
+         |dev AS (SELECT x.grp, median_c, abs(x_c - median_c) AS dev_c FROM x JOIN med USING (grp)),
+         |mad AS (SELECT grp, median_c,
+         |  CAST(round(quantile_cont(CAST(dev_c AS DOUBLE), 0.5), 0) AS BIGINT) AS mad_c
+         |  FROM dev GROUP BY 1, 2)
+         |SELECT dev.grp AS l_returnflag, dev.median_c, mad_c, count(*) AS n,
+         |  CAST(sum(CASE WHEN dev_c > 5 * mad_c THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM dev JOIN mad ON dev.grp = mad.grp AND dev.median_c = mad.median_c
+         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
 
     "cdc_variant_extract" ->
       """SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k,

@@ -442,6 +442,33 @@ object Analytics {
         |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin)
   }
 
+  /** §2#114 robust statistics — median absolute deviation and MAD-based
+    * outlier counts per group, the data-cleaning staple that survives
+    * what mean/stddev can't (a single corrupt 1e9 row drags a mean
+    * arbitrarily; the median doesn't move). Three aggregate passes
+    * (median → MAD → outlier count), each joined back via the
+    * broadcast-tiny per-group stats frame; all comparisons in integer
+    * cents with an integer 5×MAD outlier fence (the float 1.4826·3
+    * consistency fence would flip verdicts between engines on ties). */
+  def qRobustStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("grp"), cents(col("l_extendedprice")).as("x_c"))
+    val med = x.groupBy(col("grp"))
+      .agg(round(call_function("percentile", col("x_c"), lit(0.5)))
+        .cast("long").as("median_c"))
+    val dev = x.join(broadcast(med), "grp")
+      .withColumn("dev_c", abs(col("x_c") - col("median_c")))
+    val mad = dev.groupBy(col("grp"), col("median_c"))
+      .agg(round(call_function("percentile", col("dev_c"), lit(0.5)))
+        .cast("long").as("mad_c"))
+    dev.join(broadcast(mad), Seq("grp", "median_c"))
+      .groupBy(col("grp").as("l_returnflag"), col("median_c"), col("mad_c"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dev_c") > lit(5L) * col("mad_c"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** §2#113 mergeable HLL sketches (Apache DataSketches surface, Spark
     * 3.5+): per-type HLL sketches of distinct users, plus a TOTAL row
     * whose estimate comes from `hll_union_agg` MERGING the per-type
