@@ -37,6 +37,7 @@ object SparkEntry {
     "q_window_range" -> (Analytics.qWindowRange _),
     "q_hll_union" -> (Analytics.qHllUnion _),
     "q_robust_stats" -> (Analytics.qRobustStats _),
+    "ts_sliding_distinct" -> (TimeSeries.slidingDistinct _),
     "dedup_cluster" -> (Dedup.cluster _),
     // §2.2 streaming analytics (batch twins)
     "stream_window_agg" -> (StreamOps.windowAgg _),

@@ -105,6 +105,34 @@ object TimeSeries {
       .orderBy(col("user_id"), col("seq_n"))
   }
 
+  /** §2#116 SLIDING approximate distinct — trailing-24h distinct users
+    * per hour ("rolling DAU"), the op where sketches are not an
+    * optimization but the only feasible plan: distinct is not
+    * subtractable, so an exact sliding count must re-scan every window
+    * from raw ids (24× the corpus through a window), while HLL sketches
+    * union associatively — ONE pass compacts each hour to a KiB sketch
+    * and the 24-hour union runs over the |hours|-row frame, which the
+    * raw corpus never enters. The global orderBy window is safe for the
+    * same reason: it sorts hours, not events. Engine-specific estimates
+    * → rows-only; the spec pins the error against an exact driver-side
+    * recompute. */
+  def slidingDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .select(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+        col("user_id"))
+      .groupBy(col("hour_us"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("hour_exact"))
+    val w = Window.orderBy(col("hour_us")).rowsBetween(-23, 0)
+    hourly
+      .withColumn("est_24h",
+        hll_sketch_estimate(hll_union_agg(col("sk")).over(w)).cast("long"))
+      .withColumn("n_hours_window", count(lit(1)).over(w).cast("long"))
+      .select(col("hour_us"), col("hour_exact"), col("est_24h"),
+        col("n_hours_window"))
+      .orderBy(col("hour_us"))
+  }
+
   /** §2#104 OHLC resampling — the market-data downsampling shape: per
     * (event_type, hour) bars of open (value at earliest event), high,
     * low, close (value at latest event), count, and volume. Open/close

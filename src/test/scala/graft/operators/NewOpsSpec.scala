@@ -398,6 +398,26 @@ class NewOpsSpec extends SparkSuite {
     assert(variant.nonEmpty)
   }
 
+  test("ts_sliding_distinct: 24h union estimate tracks an exact recompute") {
+    val got = TimeSeries.slidingDistinct(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // exact trailing-24h distinct users, recomputed from raw events
+    val raw = graft.Tables.events(spark, sf)
+      .select(date_trunc("hour", col("ts")).cast("long").as("hour_us"), col("user_id"))
+      .collect().map(r => (r.getLong(0) * 1000000L, r.getLong(1)))
+    val hours = got.map(_._1)
+    got.foreach { case (h, hourExact, est, nw) =>
+      val idx = hours.indexOf(h)
+      assert(nw === math.min(idx + 1, 24).toLong)
+      val windowHours = hours.slice(math.max(idx - 23, 0), idx + 1).toSet
+      val exact = raw.filter(t => windowHours(t._1)).map(_._2).distinct.length
+      assert(math.abs(est - exact) <= exact / 20 + 2,
+        s"hour $h: est $est vs exact $exact")
+      assert(est >= hourExact - hourExact / 20 - 2) // window superset of the hour
+    }
+  }
+
   test("q_heavy_hitters: count-min never underestimates, overshoot within bound") {
     val rows = Analytics.qHeavyHitters(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
