@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
 
 case class LedgerEvent(user_id: Long, event_id: Long, us: Long, value_c: Long)
 case class LedgerUpdate(user_id: Long, last_event_id: Long, n_events: Long,
@@ -52,6 +52,46 @@ object RunningBalance {
     import spark.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new RunningBalanceProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+}
+
+case class RecentWindow(user_id: Long, n_in_window: Long, recent_ids: String)
+
+/** Bounded per-key event ring on `ListState` — the list-shaped state
+  * slot of the arbitrary-state API (ValueState: RunningBalance; timers:
+  * TimerSessions). Keeps each user's LAST `n` event ids across
+  * micro-batches: append the batch, trim to the tail — the
+  * recent-activity feature window every personalization pipeline
+  * maintains. State per key is EXACTLY n ids however long the stream
+  * runs. */
+class RecentEventsProcessor(n: Int)
+    extends StatefulProcessor[Long, LedgerEvent, RecentWindow] {
+
+  @transient private var recent: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    recent = getHandle.getListState[Long](
+      "recent", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[LedgerEvent],
+      timerValues: TimerValues): Iterator[RecentWindow] = {
+    val incoming = rows.toSeq.sortBy(e => (e.us, e.event_id)).map(_.event_id)
+    if (incoming.isEmpty) return Iterator.empty
+    val merged = (recent.get().toSeq ++ incoming).takeRight(n)
+    recent.put(merged.toArray)
+    Iterator.single(RecentWindow(key, merged.length.toLong, merged.mkString(",")))
+  }
+}
+
+object RecentEvents {
+  /** §2#117: the last `n` event ids per user, maintained across
+    * micro-batches in ListState. */
+  def windows(events: Dataset[LedgerEvent], n: Int = 5)
+      (implicit spark: SparkSession): Dataset[RecentWindow] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RecentEventsProcessor(n),
         TimeMode.None(), OutputMode.Update())
   }
 }

@@ -7,6 +7,36 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 class RunningBalanceSpec extends SparkSuite {
   import spark.implicits._
 
+  test("ListState recent-events ring keeps exactly the last 5 ids across batches") {
+    implicit val s = spark
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[LedgerEvent](33, spark, None)
+      val q = RecentEvents.windows(in.toDS())
+        .writeStream.outputMode("update")
+        .format("memory").queryName("recentevents")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt-recent").toString)
+        .start()
+      in.addData((1 to 4).map(i => LedgerEvent(9, i.toLong, i * 1000L, 1L)): _*)
+      q.processAllAvailable()
+      val r1 = spark.table("recentevents").as[RecentWindow].collect()
+        .filter(_.user_id == 9L).maxBy(_.recent_ids.length)
+      assert(r1 === RecentWindow(9L, 4L, "1,2,3,4"))
+      // second batch overflows the ring: only the last 5 survive, ordered
+      in.addData(Seq(6L, 5L).map(i => LedgerEvent(9, i, i * 1000L, 1L)): _*)
+      q.processAllAvailable()
+      val r2 = spark.table("recentevents").as[RecentWindow].collect()
+        .filter(_.user_id == 9L).last
+      q.stop()
+      assert(r2 === RecentWindow(9L, 5L, "2,3,4,5,6"))
+    } finally {
+      spark.conf.unset(key)
+    }
+  }
+
   test("transformWithState accumulates per-user balances across micro-batches") {
     implicit val s = spark
     // transformWithState requires the RocksDB state store provider
