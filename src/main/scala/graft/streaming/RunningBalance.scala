@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
-import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
-  TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 case class LedgerEvent(user_id: Long, event_id: Long, us: Long, value_c: Long)
 case class LedgerUpdate(user_id: Long, last_event_id: Long, n_events: Long,
@@ -92,6 +92,48 @@ object RecentEvents {
     import spark.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new RecentEventsProcessor(n),
+        TimeMode.None(), OutputMode.Update())
+  }
+}
+
+case class TypedCount(user_id: Long, event_type: String, n: Long)
+case class TypedEventIn(user_id: Long, event_type: String, event_id: Long)
+
+/** Per-(key, sub-key) counters on `MapState` — the map-shaped slot that
+  * completes the arbitrary-state quartet (ValueState: RunningBalance,
+  * ListState: RecentEvents, timers: TimerSessions). One map per user,
+  * one entry per event_type seen: the streaming twin of a two-level
+  * groupBy where only the OUTER key partitions the stream — sub-key
+  * updates never reshuffle, they mutate the local RocksDB map. */
+class TypedCountsProcessor
+    extends StatefulProcessor[Long, TypedEventIn, TypedCount] {
+
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long](
+      "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TypedEventIn],
+      timerValues: TimerValues): Iterator[TypedCount] = {
+    val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+    rows.foreach { e =>
+      val cur = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+      counts.updateValue(e.event_type, cur + 1L)
+      touched += e.event_type
+    }
+    touched.iterator.map(t => TypedCount(key, t, counts.getValue(t)))
+  }
+}
+
+object TypedCounts {
+  /** §2#118: per-user per-type running counts in MapState; emits only
+    * the (user, type) pairs touched by the micro-batch. */
+  def counts(events: Dataset[TypedEventIn])
+      (implicit spark: SparkSession): Dataset[TypedCount] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypedCountsProcessor,
         TimeMode.None(), OutputMode.Update())
   }
 }

@@ -37,6 +37,35 @@ class RunningBalanceSpec extends SparkSuite {
     }
   }
 
+  test("MapState per-type counters accumulate independently per sub-key") {
+    implicit val s = spark
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[TypedEventIn](34, spark, None)
+      val q = TypedCounts.counts(in.toDS())
+        .writeStream.outputMode("update")
+        .format("memory").queryName("typedcounts")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt-tc").toString)
+        .start()
+      in.addData(TypedEventIn(1, "click", 1), TypedEventIn(1, "click", 2),
+        TypedEventIn(1, "view", 3), TypedEventIn(2, "click", 4))
+      q.processAllAvailable()
+      in.addData(TypedEventIn(1, "click", 5)) // only (1, click) re-emits
+      q.processAllAvailable()
+      val out = spark.table("typedcounts").as[TypedCount].collect()
+      q.stop()
+      val latest = out.groupBy(c => (c.user_id, c.event_type))
+        .view.mapValues(_.map(_.n).max).toMap
+      assert(latest === Map((1L, "click") -> 3L, (1L, "view") -> 1L,
+        (2L, "click") -> 1L))
+    } finally {
+      spark.conf.unset(key)
+    }
+  }
+
   test("transformWithState accumulates per-user balances across micro-batches") {
     implicit val s = spark
     // transformWithState requires the RocksDB state store provider
