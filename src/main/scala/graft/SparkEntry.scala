@@ -758,18 +758,18 @@ object SparkEntry {
 
     "sample_docs" ->
       """WITH h AS (SELECT source, doc_id,
-        |  (doc_id * 2654435761) % 1000000007 AS h FROM documents),
+        |  (doc_id % 1000000007) * 2654435761 % 1000000007 AS h FROM documents),
         |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn FROM h)
         |SELECT source, doc_id, h, CAST(rn AS BIGINT) AS rn
         |FROM r WHERE rn <= 10 ORDER BY source, rn""".stripMargin,
 
     "sample_stratified" ->
       """SELECT doc_id, lang, source,
-        |  (doc_id * 2654435761) % 1000000007 % 1000 AS bucket,
+        |  (doc_id % 1000000007) * 2654435761 % 1000000007 % 1000 AS bucket,
         |  CAST(CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 400 WHEN 'fr' THEN 400
         |    WHEN 'es' THEN 400 WHEN 'zh' THEN 400 ELSE 0 END AS BIGINT) AS rate_pm
         |FROM documents
-        |WHERE (doc_id * 2654435761) % 1000000007 % 1000 <
+        |WHERE (doc_id % 1000000007) * 2654435761 % 1000000007 % 1000 <
         |  CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 400 WHEN 'fr' THEN 400
         |    WHEN 'es' THEN 400 WHEN 'zh' THEN 400 ELSE 0 END
         |ORDER BY doc_id""".stripMargin,
@@ -795,7 +795,7 @@ object SparkEntry {
         |clean AS (SELECT * FROM q WHERE doc_id % 50 <> 0
         |  AND doc_id NOT IN (SELECT doc_id FROM hits)),
         |samp AS (SELECT * FROM clean
-        |  WHERE (doc_id * 2654435761) % 1000000007 % 1000 <
+        |  WHERE (doc_id % 1000000007) * 2654435761 % 1000000007 % 1000 <
         |    CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 400 WHEN 'fr' THEN 400
         |      WHEN 'es' THEN 400 WHEN 'zh' THEN 400 ELSE 0 END),
         |packed AS (SELECT doc_id, source, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -809,7 +809,7 @@ object SparkEntry {
 
     "sample_mixture" ->
       """WITH d AS (SELECT source,
-        |  (doc_id * 2654435761) % 1000000007 % 1000 AS bucket,
+        |  (doc_id % 1000000007) * 2654435761 % 1000000007 % 1000 AS bucket,
         |  (CAST(substr(source, 4) AS BIGINT) * 53) % 900 + 100 AS keep_pm
         |  FROM documents)
         |SELECT source, keep_pm, count(*) AS n_total,
@@ -1021,7 +1021,7 @@ object SparkEntry {
 
     "sample_weighted" ->
       """WITH h AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-        |  (doc_id * 2654435761) % 1000000007 // greatest(n_chars, 1) AS priority
+        |  (doc_id % 1000000007) * 2654435761 % 1000000007 // greatest(n_chars, 1) AS priority
         |  FROM documents),
         |r AS (SELECT *, row_number() OVER (ORDER BY priority, doc_id) AS rn FROM h)
         |SELECT doc_id, n_chars, priority, CAST(rn AS BIGINT) AS rn

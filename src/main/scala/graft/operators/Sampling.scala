@@ -19,7 +19,7 @@ object Sampling {
 
   /** §2#48 k docs per source, deterministically. */
   def sampleDocs(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
-    val h = (col("doc_id") * lit(2654435761L)) % lit(1000000007L)
+    val h = (col("doc_id") % lit(1000000007L)) * lit(2654435761L) % lit(1000000007L)
     val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
     Tables.documents(spark, sfDir)
       .select(col("source"), col("doc_id"), h.as("h"))
@@ -69,7 +69,7 @@ object Sampling {
     * the aggregate is over the exact per-row keep decision, so the
     * oracle pins every row's fate. */
   def sampleMixture(spark: SparkSession, sfDir: String): DataFrame = {
-    val bucket = (col("doc_id") * lit(2654435761L)) % lit(1000000007L) % lit(1000L)
+    val bucket = (col("doc_id") % lit(1000000007L)) * lit(2654435761L) % lit(1000000007L) % lit(1000L)
     // keep‰ per source: 100 + (idx·53 mod 900) — spread over [100, 1000)
     val keepPm = (substring(col("source"), 4, 10).cast("long") * lit(53L))
       .mod(lit(900L)) + lit(100L)
@@ -95,11 +95,14 @@ object Sampling {
     * TakeOrderedAndProject — per-partition top-k heaps merged on the
     * driver, never a global sort; the rank is assigned AFTER the limit
     * on a k-row frame. Deterministic, merge-order independent,
-    * re-runnable (consistent hash). */
+    * re-runnable (consistent hash). The hash reduces doc_id mod p BEFORE
+    * multiplying (identical residue, since (x mod p)·k ≡ x·k mod p), so
+    * the product stays under 2^63 for the whole Long domain — no ANSI
+    * overflow in Spark, no BIGINT-overflow divergence in the oracle. */
   def sampleWeighted(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
     val topk = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
-      .withColumn("priority", expr("((doc_id * 2654435761) % 1000000007) div greatest(n_chars, 1)"))
+      .withColumn("priority", expr("((doc_id % 1000000007) * 2654435761 % 1000000007) div greatest(n_chars, 1)"))
       .orderBy(col("priority"), col("doc_id")).limit(k)
     topk
       .withColumn("rn", row_number()
@@ -117,7 +120,7 @@ object Sampling {
     * threshold = consistent sampling). That's the shape that holds at
     * 100 TB; a rate change is a predicate change, not a re-shard. */
   def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
-    val bucket = (col("doc_id") * lit(2654435761L)) % lit(1000000007L) % lit(1000L)
+    val bucket = (col("doc_id") % lit(1000000007L)) * lit(2654435761L) % lit(1000000007L) % lit(1000L)
     // rate lookup as a codegen'd when-chain over the tiny static map
     val rate = stratifiedRatesPm.toSeq.sortBy(_._1)
       .foldLeft(lit(0L)) { case (acc, (lang, pm)) =>

@@ -186,7 +186,7 @@ object Similarity {
   private def kmeansCentroids(base: DataFrame, k: Int, iters: Int): DataFrame = {
     val seedW = Window.orderBy(col("h"), col("vec_id"))
     var cents = base
-      .withColumn("h", (col("vec_id") * lit(2654435761L)) % lit(1000000007L))
+      .withColumn("h", (col("vec_id") % lit(1000000007L)) * lit(2654435761L) % lit(1000000007L))
       .orderBy(col("h"), col("vec_id")).limit(k) // k rows — driver-safe
       .withColumn("cell", row_number().over(seedW).cast("long") - 1L)
       .select(col("cell"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
@@ -287,7 +287,7 @@ object Similarity {
     // codebook seeds: the bottom-codesPerSub vectors by multiplicative
     // hash seed ALL m subspaces at once (cheap, deterministic, no collect)
     val seedIds = base
-      .withColumn("h", (col("vec_id") * lit(2654435761L)) % lit(1000000007L))
+      .withColumn("h", (col("vec_id") % lit(1000000007L)) * lit(2654435761L) % lit(1000000007L))
       .orderBy(col("h"), col("vec_id")).limit(codesPerSub)
       .withColumn("code",
         row_number().over(Window.orderBy(col("h"), col("vec_id"))).cast("long") - 1L)
@@ -302,7 +302,7 @@ object Similarity {
     // hash-threshold sample is the same consistent-sampling trick as
     // sample_stratified.
     val train = subs.where(
-      (col("vec_id") * lit(2654435761L)) % lit(1000000007L) % lit(2L) === 0L)
+      (col("vec_id") % lit(1000000007L)) * lit(2654435761L) % lit(1000000007L) % lit(2L) === 0L)
       .localCheckpoint(true)
     // Lloyd's per subspace: argmin L2 assign (map-side-combinable
     // min_by — no window over corpus×codes) + per-(s, code) mean

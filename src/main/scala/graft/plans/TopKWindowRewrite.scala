@@ -27,6 +27,17 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * the rewritten operator. The same nullability caveat as
   * [[TopKPerKey.ofDF]] applies (grouped integer measures).
   *
+  * MEMORY GUARD: [[TopKPerKey]]'s physical buffer is
+  * O(distinct-keys-per-partition × k) on heap with NO spill — safe for
+  * grouped keys, an executor-OOM hazard for near-unique keys at scale.
+  * The rule therefore only fires when the window input is an
+  * `Aggregate` whose grouping keys INCLUDE every partition key
+  * (directly or through a pass-through Project): in that shape the
+  * operator's input is one row per group, so the buffer is bounded by
+  * the already-aggregated input and can never exceed it. A
+  * `row_number()<=k` over a raw fact table with near-unique keys keeps
+  * Spark's spilling window sort.
+  *
   * Register via `spark.experimental.extraOptimizations` (runtime) or
   * GraftExtensions (session builder).
   */
@@ -58,13 +69,15 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
         val rkAttr = alias.toAttribute
         val conjuncts = splitConjuncts(cond)
         val hits = conjuncts.flatMap(c => rankLimit(c, rkAttr).map(c -> _))
-        hits.headOption.map { case (rankConjunct, k) =>
-          // Spark's InferWindowGroupLimit may already sit below the
-          // Window — our operator subsumes it, plan from its child
-          val input = wchild match {
-            case WindowGroupLimit(_, _, _, _, inner) => inner
-            case other => other
-          }
+        // Spark's InferWindowGroupLimit may already sit below the
+        // Window — our operator subsumes it, plan from its child
+        val input = wchild match {
+          case WindowGroupLimit(_, _, _, _, inner) => inner
+          case other => other
+        }
+        val partIds = parts.collect { case a: AttributeReference => a.exprId }.toSet
+        hits.headOption.filter(_ => aggregateCoversKeys(input, partIds))
+          .map { case (rankConjunct, k) =>
           val rkLong = AttributeReference("rk", LongType, nullable = false)()
           val topk = TopKPerKey(parts.map(_.asInstanceOf[AttributeReference]),
             s, t, k, input, rkLong)
@@ -80,6 +93,38 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
         }
       case _ => None
     }
+
+  /** True iff `plan` is an Aggregate (possibly under a pass-through /
+    * renaming Project) whose grouping keys include every window
+    * partition key — the shape where the no-spill TopKPerKey buffer is
+    * structurally bounded by its (already aggregated) input. Anything
+    * else — in particular a raw scan with near-unique keys — bails. */
+  private def aggregateCoversKeys(plan: LogicalPlan,
+      partIds: Set[ExprId]): Boolean = plan match {
+    case agg: Aggregate =>
+      val groupingIds = agg.groupingExpressions
+        .collect { case a: Attribute => a.exprId }.toSet
+      // a pass-through grouping column keeps its exprId in the output;
+      // an Alias over one exposes a new exprId mapping back to it
+      val exposed = agg.aggregateExpressions.collect {
+        case a: Attribute if groupingIds.contains(a.exprId) => a.exprId
+        case al @ Alias(a: Attribute, _) if groupingIds.contains(a.exprId) =>
+          al.exprId
+      }.toSet
+      partIds.subsetOf(exposed)
+    case p: Project =>
+      // map each partition key back through the projection, then
+      // re-check against the Project's child
+      val mapped = partIds.map { id =>
+        p.projectList.collectFirst {
+          case a: Attribute if a.exprId == id => a.exprId
+          case al @ Alias(a: Attribute, _) if al.exprId == id => a.exprId
+        }
+      }
+      if (mapped.exists(_.isEmpty)) false
+      else aggregateCoversKeys(p.child, mapped.flatten)
+    case _ => false
+  }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)

@@ -113,10 +113,15 @@ class ChangefeedScan(dir: String, startCursorUs: Option[Long],
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (sup, residual) = filters.partition {
       case GreaterThan("sort_us", v) => asLong(v).isDefined
-      case GreaterThanOrEqual("sort_us", v) => asLong(v).isDefined
-      case LessThan("sort_us", v) => asLong(v).isDefined
+      // the three cases below compute `literal - 1` to convert to the
+      // (minExclusive, maxInclusive] form; at Long.MinValue that wraps to
+      // Long.MaxValue and — because consumed filters are never re-evaluated
+      // post-scan — would silently invert the result. Leave the boundary
+      // literal in the residual instead (Spark evaluates it after the scan).
+      case GreaterThanOrEqual("sort_us", v) => asLong(v).exists(_ != Long.MinValue)
+      case LessThan("sort_us", v) => asLong(v).exists(_ != Long.MinValue)
       case LessThanOrEqual("sort_us", v) => asLong(v).isDefined
-      case EqualTo("sort_us", v) => asLong(v).isDefined
+      case EqualTo("sort_us", v) => asLong(v).exists(_ != Long.MinValue)
       case _ => false
     }
     sup.foreach {

@@ -42,8 +42,21 @@ class TimerSessionProcessor(gapUs: Long)
     sorted.foreach { e =>
       val us = tsUs(e)
       cur match {
-        case Some(s) if us - s.end_us <= gapUs =>
-          cur = Some(s.copy(n_events = s.n_events + 1, end_us = us))
+        // merge iff within gap of the session INTERVAL [start_us, end_us]
+        // (both comparisons are vacuously true when us falls inside it).
+        // A cross-batch out-of-order event that is newer than the
+        // watermark but older than the stored end_us must NOT regress
+        // end_us (that would re-arm the timer early and emit a session
+        // whose end is not the max event time) — clamp with max/min.
+        case Some(s) if us - s.end_us <= gapUs && s.start_us - us <= gapUs =>
+          cur = Some(s.copy(n_events = s.n_events + 1,
+            start_us = math.min(s.start_us, us),
+            end_us = math.max(s.end_us, us)))
+        case Some(s) if us < s.start_us =>
+          // >gap BEFORE the open session (only reachable if the watermark
+          // delay exceeds the gap): the late straggler is its own, already
+          // gap-closed session; the open session keeps its position.
+          out ::= TimerSession(key, 1L, us, us, "gap")
         case Some(s) => // in-batch gap split: close inline
           out ::= s.copy(closed_by = "gap")
           cur = Some(TimerSession(key, 1L, us, us, "open"))

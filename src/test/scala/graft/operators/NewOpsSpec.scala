@@ -316,7 +316,7 @@ class NewOpsSpec extends SparkSuite {
       .select(col("doc_id"), col("n_chars").cast("long")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val want = docs.map { case (id, nc) =>
-      (id, nc, (id * 2654435761L) % 1000000007L / math.max(nc, 1L)) }
+      (id, nc, (id % 1000000007L) * 2654435761L % 1000000007L / math.max(nc, 1L)) }
       .sortBy(t => (t._3, t._1)).take(20).zipWithIndex
       .map { case ((id, nc, p), i) => (id, nc, p, i + 1L) }
     assert(got.toSeq === want.toSeq)

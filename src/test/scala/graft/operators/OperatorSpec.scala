@@ -289,7 +289,7 @@ class OperatorSpec extends SparkSuite {
       .select(col("doc_id"), col("lang")).collect()
       .filter { r =>
         val rate = Sampling.stratifiedRatesPm.getOrElse(r.getString(1), 0L)
-        (r.getLong(0) * 2654435761L) % 1000000007L % 1000L < rate
+        (r.getLong(0) % 1000000007L) * 2654435761L % 1000000007L % 1000L < rate
       }.map(_.getLong(0)).toSet
     assert(sampled.map(_.getLong(0)).toSet === want)
     assert(sampled.nonEmpty)

@@ -51,6 +51,35 @@ class TopKPerKeySpec extends SparkSuite {
     }
   }
 
+  test("TopKWindowRewrite bails on near-unique keys (no Aggregate below the window)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ TopKWindowRewrite
+    try {
+      // row_number()<=k over the RAW scan partitioned by l_orderkey —
+      // near-unique keys, the no-spill buffer's OOM shape. The memory
+      // guard must keep Spark's spilling window sort.
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("qty_c").desc, col("l_linenumber"))
+      val df = graft.Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          graft.functions.Fns.cents(col("l_quantity")).as("qty_c"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 2)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("TopKPerKeyPartial"),
+        s"rewrite fired on a raw-scan (near-unique key) window:\n$plan")
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+        assert(rs.length <= 2)
+      }
+    } finally {
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+
   test("TopKWindowRewrite bails on patterns outside its contract") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window

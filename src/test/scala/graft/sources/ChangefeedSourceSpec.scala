@@ -74,6 +74,21 @@ class ChangefeedSourceSpec extends SparkSuite {
       s"expected segment pruning: $prunedParts vs full $fullParts")
   }
 
+  test("Long.MinValue range literals stay in the residual (no silent wrap)") {
+    val (dir, rows) = buildLog(3)
+    val base = spark.read.format("graft-changefeed").option("path", dir).load()
+    // >= Long.MinValue is vacuously true — consuming it used to wrap
+    // (MinValue - 1 = MaxValue) and return ZERO rows; it must return all
+    assert(base.where(col("sort_us") >= Long.MinValue).count() === rows.size)
+    // < Long.MinValue is vacuously false — the wrap returned EVERY row
+    assert(base.where(col("sort_us") < Long.MinValue).count() === 0)
+    assert(base.where(col("sort_us") === Long.MinValue).count() === 0)
+    // non-boundary pushdown still consumes (no residual re-evaluation)
+    val cut = rows(rows.size / 2).sortUs
+    assert(base.where(col("sort_us") >= cut).count() ===
+      rows.count(_.sortUs >= cut))
+  }
+
   test("streaming resumes after startCursor and drains new segments on restart") {
     val (dir, rows) = buildLog(3)
     val mid = rows(rows.size / 2).sortUs

@@ -50,6 +50,48 @@ class TimerSessionsSpec extends SparkSuite {
     }
   }
 
+  test("cross-batch out-of-order event merges without regressing end_us") {
+    implicit val s = spark
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val hourMs = 3600000L
+      val minMs = 60000L
+      def ev(user: Long, id: Long, ms: Long) =
+        TimedEvent(user, id, new Timestamp(ms))
+      val in = MemoryStream[TimedEvent](35, spark, None)
+      val q = TimerSessions.closed(in.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("timersessions3")
+        .option("checkpointLocation",
+          Files.createTempDirectory("ckpt-tsess3").toString)
+        .start()
+      // batch 1: session spans [1h, 1h20m]; watermark advances to 1h10m
+      in.addData(ev(5, 1, hourMs), ev(5, 2, hourMs + 20 * minMs))
+      q.processAllAvailable()
+      // batch 2: out-of-order event at 1h12m — newer than the watermark,
+      // OLDER than the stored end_us. It must merge WITHOUT regressing
+      // end_us (the bug: end_us = us re-armed the timer early and emitted
+      // a session whose end was not the max event time).
+      in.addData(ev(5, 3, hourMs + 12 * minMs))
+      q.processAllAvailable()
+      // advance the watermark far past the idle deadline; timer fires
+      in.addData(ev(2, 9, 10 * hourMs))
+      q.processAllAvailable()
+      in.addData(ev(2, 10, 10 * hourMs + 1000))
+      q.processAllAvailable()
+      val out = spark.table("timersessions3").as[TimerSession].collect()
+      q.stop()
+      val u5 = out.filter(_.user_id == 5L)
+      assert(u5.length === 1, s"expected one closed session, got ${out.toSeq}")
+      assert(u5.head === TimerSession(5L, 3L, hourMs * 1000L,
+        (hourMs + 20 * minMs) * 1000L, "timer"))
+    } finally {
+      spark.conf.unset(key)
+    }
+  }
+
   test("in-batch gap split closes the earlier session inline") {
     implicit val s = spark
     val key = "spark.sql.streaming.stateStore.providerClass"
