@@ -70,9 +70,34 @@ object Dedup {
     * interpreted set ops). */
   /** Shared candidate generation: (doc_a, doc_b, inter_n) for
     * same-source pairs sharing ≥1 surviving shingle, via the
-    * set-similarity join over df-filtered shingle hashes. */
+    * set-similarity join over df-filtered shingle hashes.
+    *
+    * MATERIALIZED ONCE PER SESSION: the set-similarity self-join is the
+    * single most expensive stage in the suite and FOUR queries consume
+    * it (ngram_jaccard, containment, cluster, pagerank). The memo hands
+    * every consumer the same eagerly-checkpointed (inter, sizes) frames
+    * — identical rows by construction, computed once. Keyed weakly by
+    * session so entries (and their checkpoint blocks) die with it. */
+  private val candidateMemo =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[(String, Int), (DataFrame, DataFrame)]]()
+
   private def candidateInter(spark: SparkSession, sfDir: String,
-      maxDf: Int = defaultMaxShingleDf): (DataFrame, DataFrame) = {
+      maxDf: Int = defaultMaxShingleDf): (DataFrame, DataFrame) =
+    candidateMemo.synchronized {
+      var perSession = candidateMemo.get(spark)
+      if (perSession == null) {
+        perSession = scala.collection.mutable.Map.empty
+        candidateMemo.put(spark, perSession)
+      }
+      perSession.getOrElseUpdate((sfDir, maxDf), {
+        val (inter, sizes) = computeCandidateInter(spark, sfDir, maxDf)
+        (inter.localCheckpoint(true), sizes.localCheckpoint(true))
+      })
+    }
+
+  private def computeCandidateInter(spark: SparkSession, sfDir: String,
+      maxDf: Int): (DataFrame, DataFrame) = {
     // shingle HASHES end to end — never materialize shingle strings:
     // set ops on 64-bit window hashes equal set ops on the strings
     // (collision odds ~1e-10 for this corpus), at ~1/3 the CPU and
