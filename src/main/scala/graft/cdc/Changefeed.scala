@@ -62,13 +62,25 @@ object Changefeed {
   def changeRows(spark: SparkSession, sfDir: String): DataFrame =
     changeRowsFrom(Tables.events(spark, sfDir))
 
-  /** Resolved-cursor rows, one per event hour end (the changefeed's
-    * periodic resolved timestamp). `dedup=false` keeps this usable on
+  /** Resolved-cursor cadence when none is configured: the reference's
+    * `resolved = '<frequency>'` default bucket used across the test
+    * oracle (one resolved row per event hour). */
+  val defaultResolvedFrequencyUs: Long = 3600000000L
+
+  /** Resolved-cursor rows, one per `frequencyUs` bucket end (the
+    * changefeed's periodic resolved timestamp — the reference's
+    * `resolved = '<frequency>'`, driven by `--cursor-frequency`;
+    * main.rs:110-116). Buckets are epoch-aligned: bucket end =
+    * (µs div f + 1)·f, which for the 1h default equals the UTC
+    * hour-end the oracle computes. `dedup=false` keeps this usable on
     * streaming frames (duplicates are harmless there — the cursor
     * commit takes max per micro-batch). */
-  def resolvedRowsFrom(events: DataFrame, dedup: Boolean = true): DataFrame = {
-    val endOfHourUs = unix_micros(date_trunc("hour", col("ts"))) + lit(3600000000L)
-    val hours = events.select(endOfHourUs.as("sort_us"))
+  def resolvedRowsFrom(events: DataFrame, dedup: Boolean = true,
+      frequencyUs: Long = defaultResolvedFrequencyUs): DataFrame = {
+    require(frequencyUs > 0, s"cursor frequency must be positive: $frequencyUs")
+    val us = unix_micros(col("ts"))
+    val endOfBucketUs = us - pmod(us, lit(frequencyUs)) + lit(frequencyUs)
+    val hours = events.select(endOfBucketUs.as("sort_us"))
     (if (dedup) hours.distinct() else hours)
       .select(
         col("sort_us"),
@@ -82,17 +94,20 @@ object Changefeed {
     resolvedRowsFrom(Tables.events(spark, sfDir))
 
   /** Streaming changefeed frame (change + resolved rows, no global
-    * sort — commit order is per-micro-batch) from any events frame. */
-  def changefeedFrameFrom(events: DataFrame): DataFrame =
+    * sort — commit order is per-micro-batch) from any events frame.
+    * `frequencyUs` is the resolved-row cadence (`--cursor-frequency`). */
+  def changefeedFrameFrom(events: DataFrame,
+      frequencyUs: Long = defaultResolvedFrequencyUs): DataFrame =
     changeRowsFrom(events).drop("event_id")
-      .unionByName(resolvedRowsFrom(events, dedup = false))
+      .unionByName(resolvedRowsFrom(events, dedup = false, frequencyUs))
 
   /** File-based streaming source over an events parquet directory/file
     * — the production shape of the changefeed ingest (new files appear,
     * the query drains them). The TIMESTAMP(NANOS) column needs the same
     * legacy-conf + µs-rebuild treatment as the batch reader, but a
     * streaming read requires the schema up front. */
-  def streamFromEventsDir(spark: SparkSession, path: String): DataFrame = {
+  def streamFromEventsDir(spark: SparkSession, path: String,
+      frequencyUs: Long = defaultResolvedFrequencyUs): DataFrame = {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = StructType(Seq(
@@ -101,8 +116,16 @@ object Changefeed {
       StructField("value", DoubleType), StructField("props", StringType)))
     val events = spark.readStream.schema(schema).parquet(path)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    changefeedFrameFrom(events)
+    changefeedFrameFrom(events, frequencyUs)
   }
+
+  /** Same, with the cadence taken from the parsed CLI config — the
+    * wiring that makes `--cursor-frequency 30s` govern how often the
+    * feed emits resolved rows, like the reference's
+    * `resolved = '<frequency>'` changefeed option (main.rs:110-116). */
+  def streamFromEventsDir(spark: SparkSession, path: String,
+      cfg: GraftConfig): DataFrame =
+    streamFromEventsDir(spark, path, cfg.cursorFrequencyUs)
 
   /** §2#1 the full synthetic changefeed frame, in commit order. */
   def changefeedRows(spark: SparkSession, sfDir: String): DataFrame =

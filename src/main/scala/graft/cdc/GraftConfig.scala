@@ -81,7 +81,16 @@ object GraftConfig {
     * `--checkpoint-dir`, `--metrics-port` (0 = any free port), and
     * `--once` (drain-and-exit via Trigger.AvailableNow — the reference
     * relay runs continuously; this is the batch/backfill mode). */
-  def fromArgs(args: Seq[String]): GraftConfig = {
+  def fromArgs(args: Seq[String]): GraftConfig = fromArgs(args, sys.env)
+
+  /** Precedence, mirroring the reference (src/main.rs:45-63): an
+    * explicit flag wins; otherwise the matching environment variable
+    * (`AMQP_ADDR` → --queue, `DATABASE_URL` → --cursor-store,
+    * `PROMETHEUS_ADDR` → --metrics-port, taking the port of a
+    * `host:port` address); otherwise the compiled default. The env map
+    * is injectable so the precedence is property-testable without
+    * mutating the process environment. */
+  def fromArgs(args: Seq[String], env: Map[String, String]): GraftConfig = {
     val kv = args.grouped(2).map {
       case Seq(flag, value) if flag.startsWith("--") => flag.drop(2) -> value
       case other => throw new IllegalArgumentException(
@@ -92,13 +101,25 @@ object GraftConfig {
     require(unknown.isEmpty, s"unknown flags: ${unknown.mkString(", ")}")
     var cfg = GraftConfig(table = kv.getOrElse("table",
       throw new IllegalArgumentException("--table is required")))
-    for (q <- kv.get("queue")) cfg = cfg.copy(queue = q)
-    for (s <- kv.get("cursor-store")) cfg = cfg.copy(cursorStore = s)
+    for (q <- kv.get("queue").orElse(env.get("AMQP_ADDR")))
+      cfg = cfg.copy(queue = q)
+    for (s <- kv.get("cursor-store").orElse(env.get("DATABASE_URL")))
+      cfg = cfg.copy(cursorStore = s)
     for (f <- kv.get("cursor-frequency")) cfg = cfg.copy(cursorFrequency = f)
     for (d <- kv.get("log-dir")) cfg = cfg.copy(logDir = Some(d))
     for (d <- kv.get("checkpoint-dir")) cfg = cfg.copy(checkpointDir = Some(d))
-    for (p <- kv.get("metrics-port")) cfg = cfg.copy(metricsPort = p.toInt)
+    for (p <- kv.get("metrics-port")
+        .orElse(env.get("PROMETHEUS_ADDR").map(portOf)))
+      cfg = cfg.copy(metricsPort = p.toInt)
     for (o <- kv.get("once")) cfg = cfg.copy(once = o.toBoolean)
     cfg
   }
+
+  /** `0.0.0.0:8000` (the reference's PROMETHEUS_ADDR shape) → `8000`;
+    * a bare port string passes through. */
+  private def portOf(addr: String): String =
+    addr.lastIndexOf(':') match {
+      case -1 => addr
+      case i => addr.substring(i + 1)
+    }
 }

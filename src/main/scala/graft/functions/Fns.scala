@@ -124,4 +124,34 @@ object Fns {
       when(dot(vd, w) >= lit(0.0d), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
   }
+
+  /** MULTIPROBE buckets for the same table as [[hyperplaneBucketSeeded]]
+    * (identical hyperplanes — a probe array's head IS that bucket): the
+    * base bucket plus `nProbes` variants, each flipping one of the
+    * lowest-|projection| bits. A near-miss neighbor differs from the
+    * query in exactly the hyperplanes the query is CLOSEST to (small
+    * margin), so flipping those bits probes the buckets most likely to
+    * hold it — the query-directed probing of Lv et al., VLDB'07
+    * ("Multi-Probe LSH"), which buys the recall of many extra tables
+    * for a few extra bucket reads of the same table. */
+  def hyperplaneProbesSeeded(vec: Column, nBits: Int, dim: Int, seed: Long,
+      nProbes: Int): Column = {
+    require(nProbes < nBits, s"nProbes must be < nBits, got $nProbes/$nBits")
+    val vd = vec.cast("array<double>")
+    val projs = (0 until nBits).map { j =>
+      val rnd = new scala.util.Random(2654435761L * (j + 1) + 1099511628211L * seed)
+      val w = typedLit(Seq.fill(dim)(rnd.nextGaussian()))
+      dot(vd, w)
+    }
+    val base = projs.zipWithIndex.map { case (p, j) =>
+      when(p >= lit(0.0d), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    // sort (|margin|, bitmask) pairs; struct order sorts by margin first
+    val byMargin = array_sort(array(projs.zipWithIndex.map { case (p, j) =>
+      struct(abs(p).as("m"), lit(1L << j).as("mask"))
+    }: _*))
+    val flips = (1 to nProbes).map(i =>
+      base.bitwiseXOR(element_at(byMargin, i).getField("mask")))
+    array(base +: flips: _*)
+  }
 }

@@ -94,6 +94,34 @@ class ChangefeedPipelineSpec extends SparkSuite {
     assert(pipeline.messagesSent.value === 1000L)
   }
 
+  test("--cursor-frequency drives the resolved-row cadence seen by the DSv2 stream") {
+    import org.apache.spark.sql.functions.col
+    val cfg = GraftConfig.fromArgs(
+      Seq("--table", "events", "--cursor-frequency", "30m"), Map.empty)
+    val f = cfg.cursorFrequencyUs
+    assert(f === 1800000000L)
+    val minUs = 60000000L
+    // events at 0:05, 0:20, 0:40, 1:10 → 30-min bucket ends 0:30, 1:00, 1:30
+    val events = Seq(ev(1, 5 * minUs), ev(2, 20 * minUs),
+      ev(3, 40 * minUs), ev(4, 70 * minUs)).toDF()
+    val logDir = Files.createTempDirectory("graft-cadence").toString
+    Changefeed.changefeedFrameFrom(events, f)
+      .write.format("graft-changefeed").option("path", logDir)
+      .mode("append").save()
+    val q = spark.readStream.format("graft-changefeed")
+      .option("path", logDir).load()
+      .writeStream.format("memory").queryName("cadence")
+      .option("checkpointLocation", ckpt()).start()
+    q.processAllAvailable(); q.stop()
+    val resolved = spark.table("cadence")
+      .where(col("tbl").isNull && col("key").isNull)
+      .select("sort_us").collect().map(_.getLong(0)).toSet
+    assert(resolved === Set(1L, 2L, 3L).map(_ * f),
+      s"resolved cadence off the 30m grid: $resolved")
+    // the hourly default would have emitted only 1:00 and 2:00
+    assert(resolved.exists(_ % 3600000000L != 0))
+  }
+
   test("file queue writes idempotent per-batch JSONL; cursor store survives restart") {
     val dir = Files.createTempDirectory("graft-fq").toString
     val fq = new FileQueue(dir)

@@ -33,6 +33,32 @@ object GraftConfigProps extends Properties("GraftConfig") {
         cfg.cursorFrequencyUs == 5000000L && cfg.metricsPort == 1234 && cfg.once
     }
 
+  private val envGen: Gen[Map[String, String]] = for {
+    q <- Gen.option(Gen.alphaNumStr.suchThat(_.nonEmpty).map(n => s"inmemory:$n"))
+    s <- Gen.option(Gen.alphaNumStr.suchThat(_.nonEmpty).map(n => s"file:/tmp/$n"))
+    p <- Gen.option(Gen.chooseNum(1, 65535))
+  } yield Map.empty[String, String] ++
+    q.map("AMQP_ADDR" -> _) ++ s.map("DATABASE_URL" -> _) ++
+    p.map(pp => "PROMETHEUS_ADDR" -> s"0.0.0.0:$pp")
+
+  property("env fills unset flags; defaults apply when env absent too") =
+    forAll(envGen) { env =>
+      val cfg = GraftConfig.fromArgs(Seq("--table", "t"), env)
+      cfg.queue == env.getOrElse("AMQP_ADDR", "inmemory:default") &&
+        cfg.cursorStore == env.getOrElse("DATABASE_URL", "inmemory:default") &&
+        cfg.metricsPort == env.get("PROMETHEUS_ADDR")
+          .map(_.split(':').last.toInt).getOrElse(0)
+    }
+
+  property("explicit flags always beat the environment") =
+    forAll(envGen) { env =>
+      val cfg = GraftConfig.fromArgs(Seq("--table", "t",
+        "--queue", "inmemory:flagq", "--cursor-store", "inmemory:flagc",
+        "--metrics-port", "4321"), env)
+      cfg.queue == "inmemory:flagq" && cfg.cursorStore == "inmemory:flagc" &&
+        cfg.metricsPort == 4321
+    }
+
   property("fromArgs rejects unknown flags") =
     forAll(Gen.alphaNumStr.suchThat(s => s.nonEmpty &&
         !Set("table", "queue", "cursor-store", "cursor-frequency",

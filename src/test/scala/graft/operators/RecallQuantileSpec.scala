@@ -12,10 +12,11 @@ class RecallQuantileSpec extends SparkSuite {
   test("ann_lsh_topk recall@5 vs brute force meets the documented floor") {
     // This corpus is WORST-CASE for LSH: the true top-5 of a random
     // query sit at cosine 0.25-0.49 (near-orthogonal), where per-bit
-    // sign agreement is only ~0.58-0.67. 16 tables x 6 bits amplify
-    // that to 56% measured recall@5 while probing ~25% of the corpus
-    // as id-rows (real embedding clusters at cos>=0.8 recall >99% at
-    // the same setting). Floor documented here: >= 40%.
+    // sign agreement is only ~0.58-0.67. 16 tables x 6 bits x 2
+    // lowest-margin multiprobes amplify that to 92% measured recall@5
+    // (was 56% before multiprobe), with only the query side fanning
+    // out x3 (real embedding clusters at cos>=0.8 recall >99% at the
+    // same setting). Floor documented here: >= 70%.
     val exact = Similarity.bruteforceTopk(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
       .view.mapValues(_.map(_._2).toSet).toMap
@@ -26,7 +27,7 @@ class RecallQuantileSpec extends SparkSuite {
       .map(q => (approx.getOrElse(q, Set.empty) & exact(q)).size).sum
     val total = exact.values.map(_.size).sum
     info(s"ann_lsh_topk recall@5 = $hits/$total")
-    assert(hits * 10 >= total * 4, s"recall@5 too low: $hits/$total")
+    assert(hits * 10 >= total * 7, s"recall@5 too low: $hits/$total")
   }
 
   test("property: quantilesSortRankOf == quantilesExactOf on randomized frames") {
