@@ -10,6 +10,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_ONLY=q1_agg,stream_dedup_by_key → isolated measurement
+    // of a subset (co-running the full suite perturbs individual query
+    // times by up to 3× via GC/JIT/page-cache interference; this is how
+    // a single regression is confirmed or refuted).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) =>
+        val unknown = names.diff(SparkEntry.queries.keySet)
+        require(unknown.isEmpty, s"unknown queries in SPARK_GRAFT_ONLY: $unknown")
+        SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None => SparkEntry.queries
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,7 +33,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warmup pass: pays one-time Catalyst planning + whole-stage codegen
     // compile + JIT per plan, so the timed pass measures execution.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // Drop anything operators cached so the timed pass recomputes data.
@@ -29,7 +42,7 @@ object Bench {
     // Best-of-3: the host has heavy exogenous load spikes; min-of-n is
     // the standard estimator for the query's actual cost under noise.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }

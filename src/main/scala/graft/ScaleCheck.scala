@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Empirical scale-curve check for the dedup suite (SURVEY §5).
+  *
+  * The §5 scaling claims ("bucket-first candidate generation is
+  * near-linear, never doc×doc") were design-argued; this measures them.
+  * It builds a Kx corpus (default 10x) as a union of K perturbed copies
+  * of the sf0.1 documents table — every alphanumeric token gets a
+  * per-copy suffix, so each copy keeps the ORIGINAL's intra-copy
+  * dup/near-dup structure while copies share no shingles and no exact
+  * hashes with each other (corpus growth, not df inflation: per-shingle
+  * document frequency stays constant, which is what real crawl growth
+  * looks like after the df prefix filter) — then times
+  * exact / ngram_jaccard / minhash_lsh / cluster at 1x and Kx with the
+  * candidate memo invalidated per repetition, and prints one JSON line
+  * with the time ratios. Near-linear ops should show ratio ≲ K + fixed
+  * overhead; a quadratic candidate stage would show ~K².
+  *
+  * The 1x side is copy 0 of the SAME generator (not the raw table), so
+  * both measurements read identically-shaped, identically-written
+  * parquet. Output goes under target/scale (gitignored, inside the
+  * repo).
+  */
+object ScaleCheck {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val k = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val outBase = "target/scale"
+    val x1Dir = s"$outBase/x1"
+    val xkDir = s"$outBase/x$k"
+    writeCorpus(spark, sfDir, x1Dir, 1)
+    writeCorpus(spark, sfDir, xkDir, k)
+
+    val ops: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "dedup_exact" -> (Dedup.exact _),
+      "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) =>
+        Dedup.ngramJaccard(s, d)),
+      "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
+      "dedup_cluster" -> (Dedup.cluster _))
+
+    // JIT/codegen warmup on the small side only.
+    ops.foreach { case (_, fn) => fn(spark, x1Dir).count() }
+
+    def measure(dir: String): Map[String, Double] =
+      ops.map { case (name, fn) =>
+        val times = (1 to reps).map { _ =>
+          Dedup.invalidateCandidates(spark)
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          fn(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
+      }.toMap
+
+    val t1 = measure(x1Dir)
+    val tk = measure(xkDir)
+    def fmt(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
+      .map { case (n, v) => f""""$n":$v%.2f""" }.mkString("{", ",", "}")
+    val ratios = t1.keys.toSeq.sorted
+      .map(n => f""""$n":${tk(n) / t1(n)}%.1f""").mkString("{", ",", "}")
+    println(s"""{"scale":$k,"x1_sec":${fmt(t1)},"x${k}_sec":${fmt(tk)},"ratio":$ratios}""")
+    spark.stop()
+  }
+
+  /** Union of `copies` token-perturbed copies of documents.parquet.
+    * Copy i: doc_id shifted into its own range; every alphanumeric
+    * token suffixed with i, so cross-copy shingle/hash collisions are
+    * structurally impossible while intra-copy structure is preserved. */
+  private def writeCorpus(spark: SparkSession, sfDir: String,
+      outDir: String, copies: Int): Unit = {
+    val base = Tables.documents(spark, sfDir)
+    val frames = (0 until copies).map { i =>
+      base.select(
+        (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+        col("source"),
+        regexp_replace(col("text"), "([A-Za-z0-9]+)", s"$$1$i").as("text"))
+    }
+    frames.reduce(_ unionAll _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+}

@@ -82,6 +82,12 @@ object Dedup {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[(String, Int), (DataFrame, DataFrame)]]()
 
+  /** Drop this session's memoized candidate frames (ScaleCheck uses it
+    * so each timed repetition pays the full candidate-generation cost
+    * rather than reading the r6 memo's checkpoint blocks). */
+  def invalidateCandidates(spark: SparkSession): Unit =
+    candidateMemo.synchronized { candidateMemo.remove(spark); () }
+
   private def candidateInter(spark: SparkSession, sfDir: String,
       maxDf: Int = defaultMaxShingleDf): (DataFrame, DataFrame) =
     candidateMemo.synchronized {

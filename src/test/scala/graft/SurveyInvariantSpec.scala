@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mechanical sync between SURVEY.md §2 (the judge's coverage
+  * checklist) and the code's actual query surface. Checklist drift is
+  * how operators escape gates — r5 shipped four queries the §8b prose
+  * still counted as 95 — so the invariant is enforced by a spec, not
+  * by discipline:
+  *
+  *   - every §2 row marked `sql`  ⇒ a `queries` entry AND an
+  *     `oracleSql` entry (the DuckDB hash gate applies);
+  *   - every §2 row marked `rows` ⇒ a `queries` entry and NO
+  *     `oracleSql` entry (rows-only by design);
+  *   - `queries.keySet` ⊆ §2 — nothing ships without a checklist row;
+  *   - §2 component ids are unique (no double-numbered rows).
+  */
+class SurveyInvariantSpec extends AnyFunSuite {
+
+  private case class Row(id: String, name: Option[String], check: String)
+
+  private lazy val surveyRows: Seq[Row] = {
+    val f = new java.io.File("SURVEY.md")
+    assert(f.exists(), s"SURVEY.md not found at ${f.getAbsolutePath}")
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    val lines = try src.getLines().toVector finally src.close()
+    val backtick = "`([A-Za-z0-9_.]+)`".r
+    // | id | name | what | check | — description cells legitimately
+    // contain literal `|` (|A∩B|, |events|²), so anchor on the first
+    // and last cells and take the first backticked token after the id
+    // (the name cell precedes the description).
+    val row = "^\\|\\s*([^|]*?)\\s*\\|(.*)\\|\\s*(sql|rows|test)\\s*\\|\\s*$".r
+    lines.flatMap {
+      case row(id, middle, check) =>
+        Some(Row(id, backtick.findFirstMatchIn(middle).map(_.group(1)), check))
+      case _ => None
+    }
+  }
+
+  test("SURVEY §2 totals: 81 sql + 18 rows + 19 test") {
+    val byCheck = surveyRows.groupBy(_.check).view.mapValues(_.size).toMap
+    assert(byCheck.getOrElse("sql", 0) === SparkEntry.oracleSql.size,
+      s"sql rows (${byCheck.getOrElse("sql", 0)}) != oracleSql entries (${SparkEntry.oracleSql.size})")
+    assert(byCheck.getOrElse("sql", 0) + byCheck.getOrElse("rows", 0)
+      === SparkEntry.queries.size,
+      "sql+rows rows != queries entries")
+  }
+
+  test("every sql row has a queries entry and an oracleSql entry") {
+    val sqlRows = surveyRows.filter(_.check == "sql")
+    val missingName = sqlRows.filter(_.name.isEmpty)
+    assert(missingName.isEmpty,
+      s"sql rows without a backticked name: ${missingName.map(_.id)}")
+    val names = sqlRows.flatMap(_.name)
+    val noQuery = names.filterNot(SparkEntry.queries.contains)
+    val noOracle = names.filterNot(SparkEntry.oracleSql.contains)
+    assert(noQuery.isEmpty, s"sql rows missing from queries: $noQuery")
+    assert(noOracle.isEmpty, s"sql rows missing from oracleSql: $noOracle")
+  }
+
+  test("every rows row has a queries entry and NO oracleSql entry") {
+    val names = surveyRows.filter(_.check == "rows").flatMap(_.name)
+    val noQuery = names.filterNot(SparkEntry.queries.contains)
+    val hasOracle = names.filter(SparkEntry.oracleSql.contains)
+    assert(noQuery.isEmpty, s"rows rows missing from queries: $noQuery")
+    assert(hasOracle.isEmpty,
+      s"rows rows unexpectedly oracle-checked (promote to sql in SURVEY): $hasOracle")
+  }
+
+  test("queries.keySet has no entry missing from SURVEY §2") {
+    val surveyNames = surveyRows.filterNot(_.check == "test").flatMap(_.name).toSet
+    val unlisted = SparkEntry.queries.keySet.diff(surveyNames)
+    assert(unlisted.isEmpty, s"queries with no SURVEY §2 row: $unlisted")
+  }
+
+  test("oracleSql keys are all queries keys") {
+    val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
+    assert(orphans.isEmpty, s"oracleSql entries with no query: $orphans")
+  }
+
+  test("§2 component ids are unique") {
+    val ids = surveyRows.map(_.id).filter(_.forall(_.isDigit))
+    val dups = ids.groupBy(identity).collect { case (k, v) if v.size > 1 => k }
+    assert(dups.isEmpty, s"duplicate SURVEY §2 ids: $dups")
+  }
+}
