@@ -92,6 +92,7 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_embedding" -> (Dedup.embeddingNearDup _),
     "dedup_embedding_lsh" -> (Dedup.embeddingNearDupLsh _),
+    "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semantic(s, d)),
     "sample_docs" -> ((s: SparkSession, d: String) => Sampling.sampleDocs(s, d)),
     "sample_stratified" -> (Sampling.sampleStratified _),
     "sample_mixture" -> (Sampling.sampleMixture _),

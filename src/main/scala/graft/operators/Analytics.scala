@@ -442,6 +442,34 @@ object Analytics {
         |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin)
   }
 
+  /** Exact per-group median of a LONG column, distributed: histogram
+    * compaction (`groupBy(grp, v).count` — partial-agg hash aggregate)
+    * + rank interpolation over the COMPACTED histogram, the
+    * [[quantilesSortRankOf]] method specialized to q=0.5. Bit-equal to
+    * `round(percentile(v, 0.5))` (same lower+(higher−lower)·frac
+    * association; frac ∈ {0, 0.5} and long midpoints are exact in
+    * double below 2^52) — WITHOUT buffering whole groups on a reducer:
+    * per-reducer state is distinct values per group, bounded by the
+    * value domain, not the row count. Input columns (grp, v). */
+  private def medianOfLongs(gv: DataFrame): DataFrame = {
+    val hist = gv.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("cnt"))
+    val byG = Window.partitionBy(col("grp"))
+    val ranked = hist
+      .withColumn("cum", sum(col("cnt")).over(byG.orderBy(col("v"))))
+      .withColumn("n", sum(col("cnt")).over(byG))
+    val loRank = floor((col("n") - lit(1)) * lit(0.5)).cast("long") + lit(1)
+    ranked.groupBy(col("grp"))
+      .agg(min(when(col("cum") >= loRank, col("v"))).as("lo"),
+        min(when(col("cum") >= loRank + 1, col("v"))).as("hi"),
+        sum(col("cnt")).as("n"))
+      .select(col("grp"),
+        round(col("lo") +
+          (coalesce(col("hi"), col("lo")) - col("lo")) *
+            ((col("n") - lit(1)) * lit(0.5) -
+              floor((col("n") - lit(1)) * lit(0.5))))
+          .cast("long").as("median_c"))
+  }
+
   /** §2#114 robust statistics — median absolute deviation and MAD-based
     * outlier counts per group, the data-cleaning staple that survives
     * what mean/stddev can't (a single corrupt 1e9 row drags a mean
@@ -449,19 +477,21 @@ object Analytics {
     * (median → MAD → outlier count), each joined back via the
     * broadcast-tiny per-group stats frame; all comparisons in integer
     * cents with an integer 5×MAD outlier fence (the float 1.4826·3
-    * consistency fence would flip verdicts between engines on ties). */
+    * consistency fence would flip verdicts between engines on ties).
+    * Both medians run on [[medianOfLongs]]'s histogram compaction (r6:
+    * previously exact `percentile`, which buffers every group row in
+    * one reducer's ObjectHashAggregate — the one whole-group buffer
+    * left in the sql suite; now per-reducer state is the distinct
+    * cents domain, and the result is bit-identical). */
   def qRobustStats(spark: SparkSession, sfDir: String): DataFrame = {
     val x = Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag").as("grp"), cents(col("l_extendedprice")).as("x_c"))
-    val med = x.groupBy(col("grp"))
-      .agg(round(call_function("percentile", col("x_c"), lit(0.5)))
-        .cast("long").as("median_c"))
+    val med = medianOfLongs(x.select(col("grp"), col("x_c").as("v")))
     val dev = x.join(broadcast(med), "grp")
       .withColumn("dev_c", abs(col("x_c") - col("median_c")))
-    val mad = dev.groupBy(col("grp"), col("median_c"))
-      .agg(round(call_function("percentile", col("dev_c"), lit(0.5)))
-        .cast("long").as("mad_c"))
-    dev.join(broadcast(mad), Seq("grp", "median_c"))
+    val mad = medianOfLongs(dev.select(col("grp"), col("dev_c").as("v")))
+      .withColumnRenamed("median_c", "mad_c")
+    dev.join(broadcast(mad), Seq("grp"))
       .groupBy(col("grp").as("l_returnflag"), col("median_c"), col("mad_c"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("dev_c") > lit(5L) * col("mad_c"), 1L).otherwise(0L))

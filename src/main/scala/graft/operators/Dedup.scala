@@ -444,6 +444,73 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** §2#119 SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    * dedup — k-means-cluster the embedding space, then within each
+    * cluster drop all but one member of every cos≥threshold near-dup
+    * group, KEEPING the member FARTHEST from its centroid (the paper's
+    * keep-low-centroid-similarity rule: boundary examples carry more
+    * training signal than cluster-archetype repeats). This is the
+    * curation recipe behind LAION-scale web-data pruning, and it
+    * catches what lexical dedup can't: paraphrases, translations,
+    * re-encodings — same meaning, disjoint shingles.
+    *
+    * Distributed shape: Lloyd's runs two map-side-combinable shuffles
+    * per iteration (see [[Similarity.kmeansCentroids]]); the pair
+    * stage shuffles once on the cell id and joins WITHIN cells only —
+    * never corpus×corpus. At 100 TB you grow nCells ∝ corpus (the
+    * paper uses 50k clusters for LAION) so per-cell pair work stays
+    * constant; the cell join is the same bucket-first shape as every
+    * other candidate generator here.
+    *
+    * Drop rule is the one-pass dominance form: b is dropped iff SOME
+    * same-cell a has cos(a,b) ≥ threshold and a is strictly closer to
+    * keeping (lower cos-to-centroid, ties to lower vec_id). On
+    * transitive chains this drops every dominated member (the paper's
+    * sequential greedy would re-admit a member whose dominators were
+    * themselves dropped) — deterministic, one aggregate, and
+    * conservative in the right direction for dedup.
+    *
+    * k-means centroids are float averages → rows-only check; the spec
+    * pins the structural contract (plants dropped, originals kept,
+    * verdict partition, dup-free subset untouched). */
+  def semantic(spark: SparkSession, sfDir: String, nCells: Int = 8,
+      iters: Int = 2, thresholdE6: Long = 950000L): DataFrame = {
+    graft.functions.Registry.ensure(spark)
+    val base = Tables.embeddingsPar(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    // same plant convention as embeddingNearDup: exact copies of
+    // vec_id<100 give the operator real semantic dups to find
+    val plants = base.where(col("vec_id") < 100)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("emb"))
+    val corpus = base.unionByName(plants)
+      .withColumn("nrm", norm2(col("emb"))).localCheckpoint(true)
+    val cents = Similarity.kmeansCentroids(corpus, nCells, iters)
+    // hard-assign each vector to its best cell; cc = cos to OWN centroid
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cell"),
+        Similarity.cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")).as("cc"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("emb"), col("nrm"), col("cell"), col("cc")),
+        struct(col("cc"), -col("cell"))).as("best"))
+      .select(col("vec_id"), col("best.emb").as("emb"), col("best.nrm").as("nrm"),
+        col("best.cell").as("cell"), col("best.cc").as("cc"))
+      .localCheckpoint(true) // feeds both sides of the pair join + output
+    val slim = assigned.select(col("vec_id"), col("emb"), col("nrm"),
+      col("cell"), col("cc"))
+    val dropped = slim.as("x").join(slim.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id") &&
+        (col("x.cc") < col("y.cc") ||
+          (col("x.cc") === col("y.cc") && col("x.vec_id") < col("y.vec_id"))))
+      .where(Similarity.cosPre(col("x.emb"), col("x.nrm"),
+        col("y.emb"), col("y.nrm")) >= thresholdE6)
+      .select(col("y.vec_id").as("vec_id")).distinct()
+    assigned.join(dropped.withColumn("is_dropped", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("cc").as("cos_centroid_e6"),
+        when(col("is_dropped").isNull, 1L).otherwise(0L).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   /** §2#59 LABEL-FREE embedding near-dup: blocking via 12-bit
     * random-hyperplane LSH buckets instead of any metadata column —
     * works on unlabeled corpora. Identical vectors always share a

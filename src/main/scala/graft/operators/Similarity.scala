@@ -26,7 +26,7 @@ object Similarity {
       .withColumn("nrm", norm2(col("emb")))
   }
 
-  private def cosPre(aEmb: Column, aNrm: Column, bEmb: Column, bNrm: Column): Column =
+  private[operators] def cosPre(aEmb: Column, aNrm: Column, bEmb: Column, bNrm: Column): Column =
     scaled(dot(aEmb, bEmb) / (aNrm * bNrm), 1000000L)
 
   /** §2#29 exact cosine top-5 per query vector (vec_id < 10). The tiny
@@ -193,7 +193,7 @@ object Similarity {
     * Every stage is a map-side-combinable aggregate, so an iteration
     * costs two shuffles regardless of corpus size — the standard
     * distributed Lloyd's shape. Lineage cut per iteration. */
-  private def kmeansCentroids(base: DataFrame, k: Int, iters: Int): DataFrame = {
+  private[operators] def kmeansCentroids(base: DataFrame, k: Int, iters: Int): DataFrame = {
     val seedW = Window.orderBy(col("h"), col("vec_id"))
     var cents = base
       .withColumn("h", (col("vec_id") % lit(1000000007L)) * lit(2654435761L) % lit(1000000007L))
