@@ -136,4 +136,26 @@ class PlanQualitySpec extends SparkSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"fact side shuffle-joined against |groups| means rows:\n$plan")
   }
+
+  test("q_robust_stats buffers histograms, not whole groups (r6 rewrite)") {
+    val plan = planOf(Analytics.qRobustStats(spark, sf))
+    // the exact `percentile` aggregate buffers every group row in one
+    // reducer's ObjectHashAggregate — the rewrite must keep it out
+    assert(!plan.toLowerCase.contains("percentile"),
+      s"whole-group percentile buffer crept back into robust stats:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"histogram compaction not map-side combined:\n$plan")
+  }
+
+  test("dedup_semantic pair join is keyed on the cell, never cartesian") {
+    val plan = planOf(Dedup.semantic(spark, sf))
+    // the only cartesian allowed is the broadcast of k centroid rows
+    // (assignment); the PAIR stage must be an equi-join on cell
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"semantic-dedup pair stage is not an equi-join:\n$plan")
+    val cartesians = "CartesianProduct".r.findAllIn(plan).size
+    assert(cartesians == 0,
+      s"corpus-side cartesian in semantic dedup ($cartesians):\n$plan")
+  }
 }
