@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextAnalysis}
 
 /** Empirical scale-curve check for the dedup suite (SURVEY §5).
   *
@@ -52,7 +52,15 @@ object ScaleCheck {
       "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) =>
         Dedup.ngramJaccard(s, d)),
       "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
-      "dedup_cluster" -> (Dedup.cluster _))
+      "dedup_cluster" -> (Dedup.cluster _),
+      // text family: narrow maps + bounded aggregates — these should
+      // track the data growth even more tightly than the dedup joins
+      "text_normalize" -> (TextAnalysis.normalize _),
+      "text_chunk_dedup" -> ((s: SparkSession, d: String) =>
+        TextAnalysis.chunkDedup(s, d)),
+      "text_salient_terms" -> (TextAnalysis.salientTerms _),
+      "text_decontaminate" -> ((s: SparkSession, d: String) =>
+        TextAnalysis.decontaminate(s, d)))
 
     // JIT/codegen warmup on the small side only.
     ops.foreach { case (_, fn) => fn(spark, x1Dir).count() }

@@ -451,7 +451,7 @@ object Analytics {
     * double below 2^52) — WITHOUT buffering whole groups on a reducer:
     * per-reducer state is distinct values per group, bounded by the
     * value domain, not the row count. Input columns (grp, v). */
-  private def medianOfLongs(gv: DataFrame): DataFrame = {
+  private[operators] def medianOfLongs(gv: DataFrame): DataFrame = {
     val hist = gv.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("cnt"))
     val byG = Window.partitionBy(col("grp"))
     val ranked = hist

@@ -60,4 +60,35 @@ class RecallQuantileSpec extends SparkSuite {
     assert(sortRank.toSeq === exact.toSeq)
     assert(exact.length === 64) // 60 random + 4 edge groups all present
   }
+
+  test("property: medianOfLongs == round(percentile(v, 0.5)) on randomized long frames") {
+    import spark.implicits._
+    // the r6 robust-stats rewrite rides on this helper; pin it to the
+    // reference aggregate on the same adversarial shapes the sortrank
+    // property uses — heavy ties, singletons, all-equal, odd/even sizes
+    // (even => frac 0.5 midpoint interpolation), negative values (dev
+    // columns are >= 0 but the helper shouldn't care)
+    val rnd = new scala.util.Random(0xBEEF)
+    val random = (1 to 60).flatMap { g =>
+      val n = 1 + rnd.nextInt(40)
+      val domain = 1 + rnd.nextInt(12)
+      (1 to n).map(_ => (f"g$g%02d", (rnd.nextInt(domain * 25) - 30).toLong))
+    }
+    val edges = Seq(
+      ("edge_singleton", 4217L),
+      ("edge_pair_mid", 1L), ("edge_pair_mid", 2L), // midpoint 1.5 -> round 2
+      ("edge_allsame", 7L), ("edge_allsame", 7L), ("edge_allsame", 7L),
+      ("edge_neg", -5L), ("edge_neg", -3L), ("edge_neg", -1L), ("edge_neg", 10L))
+    val gv = (random ++ edges).toDF("grp", "v")
+    val viaPercentile = gv.groupBy(col("grp"))
+      .agg(round(call_function("percentile", col("v"), lit(0.5)))
+        .cast("long").as("median_c"))
+      .orderBy(col("grp")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val viaHistogram = Analytics.medianOfLongs(gv)
+      .orderBy(col("grp")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(viaHistogram.toSeq === viaPercentile.toSeq)
+    assert(viaHistogram.length === 64)
+  }
 }
