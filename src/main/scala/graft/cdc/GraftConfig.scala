@@ -37,10 +37,13 @@ final case class GraftConfig(
   def newQueue(): MessageQueue = split(queue, "queue") match {
     case ("inmemory", name) => new InMemoryQueue(name)
     case ("changefeed", dir) => new ChangefeedLogQueue(dir)
+    // amqp://[user:pass@]host:port/queue — the reference's RabbitMQ
+    // path (AMQP_ADDR env or --queue flag) on the built-in 0-9-1
+    // publisher client; connects lazily on first publish
+    case ("amqp", _) => new AmqpQueue(queue)
     case (scheme, _) => throw new IllegalArgumentException(
       s"unsupported queue scheme '$scheme' (this build compiles: inmemory, " +
-        "changefeed; the reference's rabbitmq needs a broker client not " +
-        "available offline)")
+        "changefeed, amqp)")
   }
 
   /** File queues need per-batch writers (not per-record publish) — the

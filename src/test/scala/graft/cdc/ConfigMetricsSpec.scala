@@ -45,6 +45,12 @@ class ConfigMetricsSpec extends SparkSuite {
     assert(GraftConfig(table = "t", queue = "file:/tmp/fq").newFileQueue().isDefined)
     intercept[IllegalArgumentException](
       GraftConfig(table = "t", queue = "rabbitmq:amqp://x").newQueue())
+    // the reference's AMQP path (AMQP_ADDR / --queue amqp://...) maps
+    // to the built-in 0-9-1 publisher; parse is eager, connect is lazy
+    assert(GraftConfig(table = "t", queue = "amqp://u:p@h:5672/q")
+      .newQueue().isInstanceOf[AmqpQueue])
+    intercept[IllegalArgumentException](
+      GraftConfig(table = "t", queue = "amqp://missing-port/q").newQueue())
     intercept[IllegalArgumentException](
       GraftConfig(table = "t", cursorStore = "cockroachdb:pg://x").newCursorStore())
     intercept[IllegalArgumentException](
