@@ -6,25 +6,23 @@ import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.ChangefeedLog
 
-/** Offline drive of the JDBC changefeed tail against scripted java.sql
-  * proxies: the full reference loop — statement text (cursor option
-  * in/out), row classification, segment-per-resolved landing,
-  * commit-after-durable ordering, replica-GC restart-from-now, and
-  * deterministic-replay idempotence — with no database. */
-class JdbcChangefeedTailSpec extends AnyFunSuite {
+/** Scripted java.sql proxies for driving [[JdbcChangefeedTail]] with no
+  * database — shared by JdbcChangefeedTailSpec and FullRelaySpec. */
+private[cdc] object ScriptedJdbc {
 
-  /** One scripted feed row, or a failure injected at that position. */
-  private type Row = (Option[String], Option[String], String)
+  /** One scripted feed row: (table, key, value) with NULLs as None. */
+  type Row = (Option[String], Option[String], String)
 
-  private def change(k: Long, us: Long): Row =
+  def change(k: Long, us: Long): Row =
     (Some("events"), Some(s"[$k]"),
       s"""{"after": {"event_id": $k}, "updated": "$us.0000000000"}""")
-  private def resolvedRow(us: Long): Row =
+  def resolvedRow(us: Long): Row =
     (None, None, s"""{"resolved": "$us.0000000000"}""")
 
-  /** ResultSet proxy over a script; throws `fail` before yielding row
-    * index `failAt` (0-based). getString is 1-based: table, key, value. */
-  private def resultSet(rows: Seq[Row], failAt: Int = -1,
+  /** ResultSet proxy over a script; throws `failWith` instead of
+    * yielding row index `failAt` (0-based). getString is 1-based:
+    * table, key, value. */
+  def resultSet(rows: Seq[Row], failAt: Int = -1,
       failWith: SQLException = null): ResultSet = {
     var i = -1
     var lastNull = false
@@ -41,7 +39,7 @@ class JdbcChangefeedTailSpec extends AnyFunSuite {
               case 1 => rows(i)._1
               case 2 => rows(i)._2
               case 3 => Some(rows(i)._3)
-              case other => fail(s"unexpected column $other"); None
+              case other => throw new AssertionError(s"unexpected column $other")
             }
             lastNull = v.isEmpty
             v.orNull
@@ -49,16 +47,17 @@ class JdbcChangefeedTailSpec extends AnyFunSuite {
           case "close" => null
           case "isClosed" => java.lang.Boolean.valueOf(false)
           case "toString" => "scripted-resultset"
-          case other => fail(s"unexpected ResultSet.$other"); null
+          case other => throw new AssertionError(s"unexpected ResultSet.$other")
         }
     }
     Proxy.newProxyInstance(getClass.getClassLoader,
       Array(classOf[ResultSet]), h).asInstanceOf[ResultSet]
   }
 
-  /** Connection proxy: each executeQuery records its SQL and serves the
-    * next scripted result set (or throws the scripted exception). */
-  private class ScriptedDb(script: Seq[Either[SQLException, ResultSet]]) {
+  /** Connection proxy factory: each executeQuery records its SQL and
+    * serves the next scripted result set (or throws the scripted
+    * exception). */
+  class ScriptedDb(script: Seq[Either[SQLException, ResultSet]]) {
     val sqls = scala.collection.mutable.ArrayBuffer.empty[String]
     private var calls = 0
     val connect: () => Connection = () => {
@@ -71,7 +70,7 @@ class JdbcChangefeedTailSpec extends AnyFunSuite {
               r match { case Left(e) => throw e; case Right(rs) => rs }
             case "close" => null
             case "toString" => "scripted-statement"
-            case other => fail(s"unexpected Statement.$other"); null
+            case other => throw new AssertionError(s"unexpected Statement.$other")
           }
       }
       val stmt = Proxy.newProxyInstance(getClass.getClassLoader,
@@ -83,13 +82,23 @@ class JdbcChangefeedTailSpec extends AnyFunSuite {
             case "close" => null
             case "isClosed" => java.lang.Boolean.valueOf(false)
             case "toString" => "scripted-connection"
-            case other => fail(s"unexpected Connection.$other"); null
+            case other => throw new AssertionError(s"unexpected Connection.$other")
           }
       }
       Proxy.newProxyInstance(getClass.getClassLoader,
         Array(classOf[Connection]), connH).asInstanceOf[Connection]
     }
   }
+}
+
+/** Offline drive of the JDBC changefeed tail against scripted java.sql
+  * proxies: the full reference loop — statement text (cursor option
+  * in/out), row classification, segment-per-resolved landing,
+  * commit-after-durable ordering, replica-GC restart-from-now, and
+  * deterministic-replay idempotence — with no database. */
+class JdbcChangefeedTailSpec extends AnyFunSuite {
+  import ScriptedJdbc._
+
 
   private def tmpDir(tag: String): String =
     Files.createTempDirectory(s"jdbc-tail-$tag").toString
