@@ -57,13 +57,20 @@ final class JdbcChangefeedTail(
     logDir: String,
     cursorStore: CursorStore,
     resolvedFrequency: String = "1h",
-    maxSegmentRows: Int = 4096) {
+    maxSegmentRows: Int = 4096,
+    hlcWallDivisor: Long = 1L) {
+  // hlcWallDivisor: the feed's HLC wall-clock unit relative to the
+  // log's µs convention. The synthetic feeds here emit µs (divisor 1);
+  // a real CockroachDB emits NANOS in its HLC strings — pass 1000.
+  require(hlcWallDivisor > 0, s"bad hlcWallDivisor $hlcWallDivisor")
 
-  /** The statement the reference builds in main.rs:110-116. */
+  /** The statement the reference builds in main.rs:110-116. The stored
+    * µs cursor is rendered back in the feed's wall-clock unit. */
   def changefeedSql(cursorUs: Option[Long]): String = {
     val base = s"EXPERIMENTAL CHANGEFEED FOR $table " +
       s"WITH updated, resolved = '$resolvedFrequency'"
-    cursorUs.fold(base)(us => s"$base, cursor = '$us.0000000000'")
+    cursorUs.fold(base)(us =>
+      s"$base, cursor = '${us * hlcWallDivisor}.0000000000'")
   }
 
   private val HlcField = """"(resolved|updated)"\s*:\s*"(\d+)(?:\.\d+)?"""".r
@@ -71,7 +78,8 @@ final class JdbcChangefeedTail(
   /** First µs timestamp under the given JSON field, if present. */
   private def hlcUs(json: String, field: String): Option[Long] =
     HlcField.findAllMatchIn(json)
-      .collectFirst { case m if m.group(1) == field => m.group(2).toLong }
+      .collectFirst { case m if m.group(1) == field =>
+        m.group(2).toLong / hlcWallDivisor }
 
   private def isGcError(e: SQLException): Boolean =
     Option(e.getMessage).exists(_.contains("replica GC threshold"))
@@ -89,6 +97,9 @@ final class JdbcChangefeedTail(
         s.copy(gcRestarts = s.gcRestarts + 1)
     }
   }
+
+  // (constructor params close over everything; companion below wires
+  // DriverManager URLs — the reference's DATABASE_URL shape)
 
   private def drain(startCursorUs: Option[Long]): TailStats = {
     var rows = 0L; var resolved = 0L; var segments = 0L; var commits = 0L
@@ -132,4 +143,19 @@ final class JdbcChangefeedTail(
       TailStats(rows, resolved, segments, commits, 0L)
     } finally conn.close()
   }
+}
+
+object JdbcChangefeedTail {
+  /** Tail from a JDBC URL via the standard DriverManager registry —
+    * the reference's `DATABASE_URL` deployment shape (main.rs:57-60).
+    * CockroachDB speaks pgwire, so `hlcWallDivisor` defaults to 1000
+    * here (HLC wall clocks are nanos); the registered driver does the
+    * rest. Spec-covered with a registered fake java.sql.Driver. */
+  def forUrl(url: String, table: String, logDir: String,
+      cursorStore: CursorStore, resolvedFrequency: String = "1h",
+      hlcWallDivisor: Long = 1000L): JdbcChangefeedTail =
+    new JdbcChangefeedTail(
+      () => java.sql.DriverManager.getConnection(url),
+      table, logDir, cursorStore, resolvedFrequency,
+      hlcWallDivisor = hlcWallDivisor)
 }

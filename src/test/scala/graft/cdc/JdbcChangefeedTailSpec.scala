@@ -199,4 +199,50 @@ class JdbcChangefeedTailSpec extends AnyFunSuite {
     val segs = ChangefeedLog.listSegments(dir)
     assert(segs.map(s => (s.firstUs, s.lastUs)) === Seq((1010, 2000), (2010, 2020)))
   }
+
+  test("nanos HLC feed (real CockroachDB shape): divisor lands µs in the log") {
+    val dir = tmpDir("nanos")
+    val store = freshStore()
+    store.set("3000") // µs, the log/pipeline convention
+    // feed speaks NANOS: updated/resolved wall clocks are µs × 1000
+    val db = new ScriptedDb(Seq(Right(resultSet(Seq(
+      (Some("events"), Some("[7]"),
+        """{"after": {"event_id": 7}, "updated": "3010000.0000000000"}"""),
+      (None, None, """{"resolved": "4000000.0000000000"}"""))))))
+    val tail = new JdbcChangefeedTail(db.connect, "events", dir, store,
+      hlcWallDivisor = 1000L)
+    tail.runOnce()
+    // cursor option rendered back in the feed's unit (3000 µs → nanos)
+    assert(db.sqls.head.contains("cursor = '3000000.0000000000'"))
+    // log keyed in µs; cursor committed in µs
+    val segs = ChangefeedLog.listSegments(dir)
+    assert(segs.map(s => (s.firstUs, s.lastUs)) === Seq((3010, 4000)))
+    assert(store.get() === Some("4000"))
+  }
+
+  test("forUrl: DriverManager wiring works (registered fake driver)") {
+    val dir = tmpDir("url")
+    val db = new ScriptedDb(Seq(Right(resultSet(Seq(
+      change(1, 1010), resolvedRow(2000))))))
+    val driver = new java.sql.Driver {
+      override def acceptsURL(url: String): Boolean =
+        url.startsWith("jdbc:graft-fake:")
+      override def connect(url: String, info: java.util.Properties) =
+        if (acceptsURL(url)) db.connect() else null
+      override def getMajorVersion = 1
+      override def getMinorVersion = 0
+      override def getPropertyInfo(url: String, info: java.util.Properties) =
+        Array.empty
+      override def jdbcCompliant() = false
+      override def getParentLogger = throw new SQLException("no logger")
+    }
+    java.sql.DriverManager.registerDriver(driver)
+    try {
+      val tail = JdbcChangefeedTail.forUrl("jdbc:graft-fake:db", "events",
+        dir, freshStore(), hlcWallDivisor = 1L)
+      val stats = tail.runOnce()
+      assert(stats.rowsIngested === 1 && stats.cursorsCommitted === 1)
+      assert(ChangefeedLog.listSegments(dir).size === 1)
+    } finally java.sql.DriverManager.deregisterDriver(driver)
+  }
 }
