@@ -22,7 +22,8 @@ final case class GraftConfig(
     logDir: Option[String] = None,
     checkpointDir: Option[String] = None,
     metricsPort: Int = 0,
-    once: Boolean = false) {
+    once: Boolean = false,
+    database: Option[String] = None) {
 
   /** Cursor cadence in microseconds (reference `resolved = '10s'`). */
   def cursorFrequencyUs: Long = GraftConfig.parseDurationUs(cursorFrequency)
@@ -100,7 +101,8 @@ object GraftConfig {
         s"expected --flag value pairs, got: ${other.mkString(" ")}")
     }.toMap
     val unknown = kv.keySet -- Set("table", "queue", "cursor-store",
-      "cursor-frequency", "log-dir", "checkpoint-dir", "metrics-port", "once")
+      "cursor-frequency", "log-dir", "checkpoint-dir", "metrics-port", "once",
+      "database")
     require(unknown.isEmpty, s"unknown flags: ${unknown.mkString(", ")}")
     var cfg = GraftConfig(table = kv.getOrElse("table",
       throw new IllegalArgumentException("--table is required")))
@@ -115,6 +117,12 @@ object GraftConfig {
         .orElse(env.get("PROMETHEUS_ADDR").map(portOf)))
       cfg = cfg.copy(metricsPort = p.toInt)
     for (o <- kv.get("once")) cfg = cfg.copy(once = o.toBoolean)
+    // the reference's DATABASE_URL names the database the changefeed is
+    // read from (main.rs:57-60) — and the cursor store lives in the
+    // same database there, hence the dual fallback above
+    for (d <- kv.get("database").orElse(env.get("DATABASE_URL")
+        .filter(_.startsWith("jdbc:"))))
+      cfg = cfg.copy(database = Some(d))
     cfg
   }
 

@@ -34,17 +34,48 @@ object GraftMain {
 
   /** App body, session-agnostic so specs can drive it on a shared
     * session. Returns the final Prometheus metrics text (what a last
-    * scrape of `/metrics` would have seen). */
+    * scrape of `/metrics` would have seen).
+    *
+    * With `--database jdbc:...` (or a `jdbc:` DATABASE_URL) the app
+    * ALSO runs the changefeed tail — the reference's full relay,
+    * database to queue: the tail lands the `EXPERIMENTAL CHANGEFEED`
+    * rows in the log, the streaming pipeline relays them out. In
+    * `--once` mode the tail drains the feed synchronously before the
+    * pipeline's AvailableNow pass (the backfill shape); continuously,
+    * a supervised daemon thread re-runs the tail with backoff, like the
+    * reference's reconnect loop (main.rs:140-198). The tail keeps its
+    * OWN cursor (`_tail_cursor` inside the log dir): "ingested up to"
+    * and "published up to" are different resume points — committing the
+    * ingestion cursor into the publish store would make the pipeline
+    * skip rows the tail landed but nobody relayed yet. (The reference
+    * has one loop and so one cursor; splitting ingest from publish is
+    * what makes the Spark form scale, and it needs both.) */
   def run(spark: SparkSession, cfg: GraftConfig): String = {
     val logDir = cfg.logDir.getOrElse(
       throw new IllegalArgumentException("--log-dir is required"))
     val checkpoint = cfg.checkpointDir.getOrElse(
       Files.createTempDirectory("graft-ckpt").toString)
-    val pipeline = new ChangefeedPipeline(cfg.newQueue(), cfg.newCursorStore(),
+    val store = cfg.newCursorStore()
+    val pipeline = new ChangefeedPipeline(cfg.newQueue(), store,
       checkpoint, trigger = if (cfg.once) Some(Trigger.AvailableNow()) else None)
     val metrics = new GraftMetrics(spark)
     val server = metrics.serve(cfg.metricsPort)
     try {
+      cfg.database.foreach { url =>
+        val tail = JdbcChangefeedTail.forUrl(url, cfg.table, logDir,
+          new FileCursorStore(s"$logDir/_tail_cursor"),
+          resolvedFrequency = cfg.cursorFrequency)
+        if (cfg.once) { tail.runOnce(); () }
+        else {
+          val t = new Thread(() => while (true) {
+            try { tail.runOnce(); () }
+            catch { case _: java.sql.SQLException => () } // reconnect
+            Thread.sleep(1000)
+          }, "graft-changefeed-tail")
+          t.setDaemon(true)
+          t.start()
+        }
+      }
       // registration runs after every (re)start: start() re-creates the
       // accumulators, so the retry's fresh counters replace the dead ones
       pipeline.runFromLogWithRetry(spark, logDir, _ => {

@@ -126,7 +126,13 @@ final class JdbcChangefeedTail(
           val us = hlcUs(value, "resolved").getOrElse(
             throw new IllegalArgumentException(s"malformed resolved row: $value"))
           lastUs = math.max(lastUs, us)
-          buf += Record(us, None, None, value)
+          // land the resolved row in the LOG's µs convention — every
+          // downstream consumer (pipeline cursor commits, DSv2 offset
+          // planning) parses this value; change-row values stay
+          // verbatim like the reference's pass-through
+          val normValue = if (hlcWallDivisor == 1L) value
+            else s"""{"resolved": "$us.0000000000"}"""
+          buf += Record(us, None, None, normValue)
           resolved += 1
           flush()
           cursorStore.set(us.toString)

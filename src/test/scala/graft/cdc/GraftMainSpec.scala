@@ -64,4 +64,40 @@ class GraftMainSpec extends SparkSuite {
     assert(new InMemoryCursorStore("t-main-relay").get() === Some("30"))
     assert(metricsText.contains("messages_sent 2"))
   }
+
+  test("--database runs the whole relay: tail ingests the feed, pipeline publishes") {
+    val dir = Files.createTempDirectory("graft-main-db-log").toString
+    // the scripted feed speaks NANOS HLCs — forUrl's CockroachDB
+    // default divisor (1000) must land µs in the log
+    val db = new ScriptedJdbc.ScriptedDb(Seq(Right(ScriptedJdbc.resultSet(Seq(
+      ScriptedJdbc.change(1, 1010000), ScriptedJdbc.change(2, 1020000),
+      ScriptedJdbc.resolvedRow(2000000))))))
+    val driver = ScriptedJdbc.fakeDriver(db, "jdbc:graft-main-fake:")
+    java.sql.DriverManager.registerDriver(driver)
+    try {
+      val qname = "t-main-db"
+      InMemoryQueue.clear(qname)
+      val cfg = GraftConfig.fromArgs(Seq(
+        "--table", "events",
+        "--log-dir", dir,
+        "--database", "jdbc:graft-main-fake:db",
+        "--queue", s"inmemory:$qname",
+        "--cursor-store", "inmemory:t-main-db-cur",
+        "--checkpoint-dir", Files.createTempDirectory("graft-main-db-ck").toString,
+        "--cursor-frequency", "10s",
+        "--once", "true"))
+      val metricsText = GraftMain.run(spark, cfg)
+
+      // the tail's statement carried the configured cursor frequency
+      assert(db.sqls.head.contains("resolved = '10s'"))
+      // feed rows crossed the whole app: DB → log → stream → queue
+      val msgs = InMemoryQueue.messages(qname)
+      assert(msgs.size === 2)
+      assert(msgs.exists(_.contains("\"key\":\"[1]\"")))
+      // publish cursor (µs) and the tail's own resume point both landed
+      assert(new InMemoryCursorStore("t-main-db-cur").get() === Some("2000"))
+      assert(new FileCursorStore(s"$dir/_tail_cursor").get() === Some("2000"))
+      assert(metricsText.contains("messages_sent 2"))
+    } finally java.sql.DriverManager.deregisterDriver(driver)
+  }
 }

@@ -89,6 +89,21 @@ private[cdc] object ScriptedJdbc {
         Array(classOf[Connection]), connH).asInstanceOf[Connection]
     }
   }
+
+  /** A registrable java.sql.Driver serving a ScriptedDb for URLs with
+    * the given prefix — proves the DriverManager wiring offline. */
+  def fakeDriver(db: ScriptedDb, prefix: String): java.sql.Driver =
+    new java.sql.Driver {
+      override def acceptsURL(url: String): Boolean = url.startsWith(prefix)
+      override def connect(url: String, info: java.util.Properties) =
+        if (acceptsURL(url)) db.connect() else null
+      override def getMajorVersion = 1
+      override def getMinorVersion = 0
+      override def getPropertyInfo(url: String, info: java.util.Properties) =
+        Array.empty
+      override def jdbcCompliant() = false
+      override def getParentLogger = throw new SQLException("no logger")
+    }
 }
 
 /** Offline drive of the JDBC changefeed tail against scripted java.sql
@@ -224,18 +239,7 @@ class JdbcChangefeedTailSpec extends AnyFunSuite {
     val dir = tmpDir("url")
     val db = new ScriptedDb(Seq(Right(resultSet(Seq(
       change(1, 1010), resolvedRow(2000))))))
-    val driver = new java.sql.Driver {
-      override def acceptsURL(url: String): Boolean =
-        url.startsWith("jdbc:graft-fake:")
-      override def connect(url: String, info: java.util.Properties) =
-        if (acceptsURL(url)) db.connect() else null
-      override def getMajorVersion = 1
-      override def getMinorVersion = 0
-      override def getPropertyInfo(url: String, info: java.util.Properties) =
-        Array.empty
-      override def jdbcCompliant() = false
-      override def getParentLogger = throw new SQLException("no logger")
-    }
+    val driver = fakeDriver(db, "jdbc:graft-fake:")
     java.sql.DriverManager.registerDriver(driver)
     try {
       val tail = JdbcChangefeedTail.forUrl("jdbc:graft-fake:db", "events",
