@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 
 /** Empirical scale-curve check for the dedup suite (SURVEY §5).
   *
@@ -60,7 +60,18 @@ object ScaleCheck {
         TextAnalysis.chunkDedup(s, d)),
       "text_salient_terms" -> (TextAnalysis.salientTerms _),
       "text_decontaminate" -> ((s: SparkSession, d: String) =>
-        TextAnalysis.decontaminate(s, d)))
+        TextAnalysis.decontaminate(s, d)),
+      // similarity family over the scaled embeddings corpus: brute
+      // force reads the whole corpus per query (expected ~K×); LSH and
+      // IVF probe buckets/cells whose sizes grow ∝ corpus at fixed
+      // bits/cells (also ~K× — the scale LEVER is more bits/cells,
+      // which this run holds constant by design)
+      "ann_bruteforce_topk" -> ((s: SparkSession, d: String) =>
+        Similarity.bruteforceTopk(s, d)),
+      "ann_lsh_topk" -> ((s: SparkSession, d: String) =>
+        Similarity.lshTopk(s, d)),
+      "ann_ivf_topk" -> ((s: SparkSession, d: String) =>
+        Similarity.ivfTopk(s, d)))
 
     // JIT/codegen warmup on the small side only.
     ops.foreach { case (_, fn) => fn(spark, x1Dir).count() }
@@ -103,5 +114,15 @@ object ScaleCheck {
     frames.reduce(_ unionAll _)
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    // embeddings: vec_id shifted per copy, vectors verbatim (identical
+    // FLOP cost per row; queries are vec_id<10, i.e. copy 0 only, so
+    // the query set stays fixed while the corpus grows Kx)
+    val emb = Tables.embeddings(spark, sfDir)
+    (0 until copies).map { i =>
+      emb.select((col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionAll _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 }
