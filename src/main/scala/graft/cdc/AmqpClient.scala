@@ -114,6 +114,8 @@ final class AmqpClient(host: String, port: Int, user: String = "guest",
   private var socket: Socket = _
   private var in: DataInputStream = _
   private var out: DataOutputStream = _
+  // negotiated in connect(); 0 = unlimited (the spec's Tune sentinel)
+  private var frameMaxBytes: Long = 0L
 
   private def expectMethod(f: Frame, classId: Int, methodId: Int): Reader = {
     require(f.tpe == FrameMethod, s"expected method frame, got type ${f.tpe}")
@@ -138,6 +140,7 @@ final class AmqpClient(host: String, port: Int, user: String = "guest",
     })
     val tune = expectMethod(readFrame(in), ClassConnection, 30)
     val (chMax, frMax) = (tune.u16(), tune.u32())
+    frameMaxBytes = frMax
     writeFrame(out, FrameMethod, 0, method(ClassConnection, 31)(
       _.u16(chMax).u32(frMax).u16(0))) // heartbeat 0: no keepalive thread
     writeFrame(out, FrameMethod, 0, method(ClassConnection, 40)(
@@ -148,7 +151,7 @@ final class AmqpClient(host: String, port: Int, user: String = "guest",
   }
 
   /** Durable, non-exclusive, non-auto-delete — queues.rs:31-40's shape. */
-  def declareQueue(name: String): Unit = {
+  def declareQueue(name: String): Unit = synchronized {
     writeFrame(out, FrameMethod, 1, method(ClassQueue, 10)(
       _.u16(0).shortstr(name).u8(0x02).emptyTable())) // bit1 = durable
     expectMethod(readFrame(in), ClassQueue, 11)
@@ -156,47 +159,75 @@ final class AmqpClient(host: String, port: Int, user: String = "guest",
   }
 
   /** Fire-and-forget persistent publish (queues.rs:44-64's
-    * basic_publish): method + content-header + single body frame.
-    * Single-frame bodies are fine for CDC envelopes (far below every
-    * broker's frame-max; Tune's frame-max is honored by construction). */
-  def publish(queue: String, body: Array[Byte]): Unit = {
+    * basic_publish): method + content-header + body frames. Bodies
+    * larger than the Tune-negotiated frame-max are split into
+    * (frame-max − 8)-byte chunks — the 8 bytes are the frame envelope
+    * (type+channel+size+end), per the spec's framing rule. Synchronized:
+    * the three-frame publish sequence must not interleave when tasks in
+    * one JVM share a cached connection. */
+  def publish(queue: String, body: Array[Byte]): Unit = synchronized {
     writeFrame(out, FrameMethod, 1, basicPublish(queue))
     writeFrame(out, FrameHeader, 1, contentHeader(body.length.toLong))
-    writeFrame(out, FrameBody, 1, body)
+    val chunk =
+      if (frameMaxBytes <= 8) body.length.max(1)
+      else (frameMaxBytes - 8).toInt
+    var off = 0
+    while (off < body.length) {
+      val n = math.min(chunk, body.length - off)
+      writeFrame(out, FrameBody, 1, java.util.Arrays.copyOfRange(body, off, off + n))
+      off += n
+    }
   }
 
-  def close(): Unit = if (socket != null) {
+  def close(): Unit = synchronized { if (socket != null) {
     try {
       writeFrame(out, FrameMethod, 0, method(ClassConnection, 50)(
         _.u16(200).shortstr("OK").u16(0).u16(0)))
       expectMethod(readFrame(in), ClassConnection, 51) // CloseOk
       ()
     } finally { socket.close(); socket = null }
-  }
+  } }
 }
 
 /** [[MessageQueue]] over [[AmqpClient]] — `amqp://[user:pass@]host:port/
-  * queue`. Serializable by address; each executor task lazily opens its
-  * own connection and declares the durable queue once (the standard
-  * producer-per-task shape; the reference opens one connection in its
-  * single-process loop, queues.rs:17-29). */
+  * queue`. Serializable by address; connections live in a PER-JVM cache
+  * keyed by address (AmqpQueue.clientFor), so the thousands of task
+  * closures a continuous streaming relay deserializes share one
+  * connection per executor instead of dialing the broker per task —
+  * Spark tasks never close what they open, and one socket per task per
+  * micro-batch exhausts broker connection limits within hours. Publish
+  * is serialized per connection inside [[AmqpClient]] (the reference
+  * holds one connection in its single-process loop, queues.rs:17-29;
+  * one per executor JVM is the distributed analogue). */
 class AmqpQueue(val addr: String) extends MessageQueue {
-  private val (user, pass, host, port, queue) = AmqpQueue.parse(addr)
+  private val (_, _, _, _, queue) = AmqpQueue.parse(addr) // validate eagerly
 
-  @transient private lazy val client: AmqpClient = {
-    val c = new AmqpClient(host, port, user, pass)
-    c.connect()
-    c.declareQueue(queue)
-    c
-  }
-
-  override def publish(data: Array[Byte]): Unit = client.publish(queue, data)
-  def close(): Unit = client.close()
+  override def publish(data: Array[Byte]): Unit =
+    AmqpQueue.clientFor(addr).publish(queue, data)
+  def close(): Unit = AmqpQueue.closeClient(addr)
 }
 
 object AmqpQueue {
   private val Addr =
     raw"amqp://(?:([^:@/]+):([^:@/]+)@)?([^:@/]+):(\d+)/([^/]+)".r
+
+  private val clients =
+    scala.collection.mutable.Map.empty[String, AmqpClient]
+
+  /** One connected, queue-declared client per address per JVM. */
+  private def clientFor(addr: String): AmqpClient = clients.synchronized {
+    clients.getOrElseUpdate(addr, {
+      val (user, pass, host, port, queue) = parse(addr)
+      val c = new AmqpClient(host, port, user, pass)
+      c.connect()
+      c.declareQueue(queue)
+      c
+    })
+  }
+
+  private def closeClient(addr: String): Unit = clients.synchronized {
+    clients.remove(addr).foreach(_.close())
+  }
 
   /** (user, pass, host, port, queue); credentials default to
     * guest/guest like every AMQP client. */

@@ -108,7 +108,11 @@ object GraftConfig {
       throw new IllegalArgumentException("--table is required")))
     for (q <- kv.get("queue").orElse(env.get("AMQP_ADDR")))
       cfg = cfg.copy(queue = q)
-    for (s <- kv.get("cursor-store").orElse(env.get("DATABASE_URL")))
+    // a jdbc: DATABASE_URL names the changefeed database (mapped to
+    // `database` below) — feeding it into the scheme:arg cursor-store
+    // slot would crash newCursorStore() at startup
+    for (s <- kv.get("cursor-store").orElse(env.get("DATABASE_URL")
+        .filterNot(_.startsWith("jdbc:"))))
       cfg = cfg.copy(cursorStore = s)
     for (f <- kv.get("cursor-frequency")) cfg = cfg.copy(cursorFrequency = f)
     for (d <- kv.get("log-dir")) cfg = cfg.copy(logDir = Some(d))

@@ -67,10 +67,25 @@ object GraftMain {
           resolvedFrequency = cfg.cursorFrequency)
         if (cfg.once) { tail.runOnce(); () }
         else {
-          val t = new Thread(() => while (true) {
-            try { tail.runOnce(); () }
-            catch { case _: java.sql.SQLException => () } // reconnect
-            Thread.sleep(1000)
+          // supervision must survive EVERY recoverable failure, not
+          // just SQLException — a malformed row or an IO error killing
+          // this thread silently would leave the pipeline half looking
+          // healthy while ingesting nothing
+          val t = new Thread(() => {
+            var running = true
+            while (running) {
+              try { tail.runOnce(); () }
+              catch {
+                case _: InterruptedException => running = false
+                case scala.util.control.NonFatal(e) =>
+                  System.err.println(
+                    s"graft-changefeed-tail: ${e.getClass.getSimpleName}: " +
+                      s"${e.getMessage}; reconnecting")
+              }
+              if (running)
+                try Thread.sleep(1000)
+                catch { case _: InterruptedException => running = false }
+            }
           }, "graft-changefeed-tail")
           t.setDaemon(true)
           t.start()

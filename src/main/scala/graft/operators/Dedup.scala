@@ -77,14 +77,24 @@ object Dedup {
     * it (ngram_jaccard, containment, cluster, pagerank). The memo hands
     * every consumer the same eagerly-checkpointed (inter, sizes) frames
     * — identical rows by construction, computed once. Keyed weakly by
-    * session so entries (and their checkpoint blocks) die with it. */
+    * session; values are SOFT references because a DataFrame strongly
+    * references its SparkSession — a plain value would pin the map key
+    * forever (the classic WeakHashMap self-reference pitfall) and keep
+    * stopped sessions plus their checkpoint blocks on heap for the JVM
+    * lifetime. Soft refs survive normal operation, die under memory
+    * pressure, and once collected the ContextCleaner frees the
+    * checkpoint blocks; a consumer just recomputes. */
   private val candidateMemo =
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[(String, Int), (DataFrame, DataFrame)]]()
+      scala.collection.mutable.Map[(String, Int),
+        java.lang.ref.SoftReference[(DataFrame, DataFrame)]]]()
 
   /** Drop this session's memoized candidate frames (ScaleCheck uses it
     * so each timed repetition pays the full candidate-generation cost
-    * rather than reading the r6 memo's checkpoint blocks). */
+    * rather than reading the r6 memo's checkpoint blocks). The dropped
+    * frames' checkpoint blocks are released by the ContextCleaner once
+    * the frames are garbage-collected — there is no public API to free
+    * localCheckpoint blocks eagerly. */
   def invalidateCandidates(spark: SparkSession): Unit =
     candidateMemo.synchronized { candidateMemo.remove(spark); () }
 
@@ -96,10 +106,15 @@ object Dedup {
         perSession = scala.collection.mutable.Map.empty
         candidateMemo.put(spark, perSession)
       }
-      perSession.getOrElseUpdate((sfDir, maxDf), {
-        val (inter, sizes) = computeCandidateInter(spark, sfDir, maxDf)
-        (inter.localCheckpoint(true), sizes.localCheckpoint(true))
-      })
+      perSession.get((sfDir, maxDf)).flatMap(r => Option(r.get())) match {
+        case Some(v) => v
+        case None =>
+          val (inter, sizes) = computeCandidateInter(spark, sfDir, maxDf)
+          val v = (inter.localCheckpoint(true), sizes.localCheckpoint(true))
+          perSession((sfDir, maxDf)) =
+            new java.lang.ref.SoftReference((v._1, v._2))
+          v
+      }
     }
 
   private def computeCandidateInter(spark: SparkSession, sfDir: String,

@@ -39,6 +39,13 @@ class TimerSessionProcessor(gapUs: Long)
     if (sorted.isEmpty) return Iterator.empty
     var out = List.empty[TimerSession]
     var cur = if (sess.exists()) Some(sess.get()) else None
+    // working session for LATE stragglers (>gap before the stored
+    // session's start — reachable only when the watermark delay exceeds
+    // the gap): consecutive stragglers within gap of each other belong
+    // to ONE session, so they accumulate here instead of each emitting
+    // a singleton; sorted input means the group flushes at loop end (or
+    // when a straggler arrives >gap after the previous one).
+    var late: Option[TimerSession] = None
     sorted.foreach { e =>
       val us = tsUs(e)
       cur match {
@@ -53,10 +60,16 @@ class TimerSessionProcessor(gapUs: Long)
             start_us = math.min(s.start_us, us),
             end_us = math.max(s.end_us, us)))
         case Some(s) if us < s.start_us =>
-          // >gap BEFORE the open session (only reachable if the watermark
-          // delay exceeds the gap): the late straggler is its own, already
-          // gap-closed session; the open session keeps its position.
-          out ::= TimerSession(key, 1L, us, us, "gap")
+          late match {
+            case Some(l) if us - l.end_us <= gapUs =>
+              late = Some(l.copy(n_events = l.n_events + 1,
+                end_us = math.max(l.end_us, us)))
+            case Some(l) =>
+              out ::= l
+              late = Some(TimerSession(key, 1L, us, us, "gap"))
+            case None =>
+              late = Some(TimerSession(key, 1L, us, us, "gap"))
+          }
         case Some(s) => // in-batch gap split: close inline
           out ::= s.copy(closed_by = "gap")
           cur = Some(TimerSession(key, 1L, us, us, "open"))
@@ -64,6 +77,7 @@ class TimerSessionProcessor(gapUs: Long)
           cur = Some(TimerSession(key, 1L, us, us, "open"))
       }
     }
+    late.foreach(l => out ::= l) // flush the trailing straggler group
     cur.foreach { s =>
       sess.update(s)
       // one timer per key: re-arm at the new idle deadline

@@ -44,6 +44,20 @@ class AmqpQueueSpec extends AnyFunSuite {
     } finally broker.stop()
   }
 
+  test("bodies over the negotiated frame-max are split, broker reassembles") {
+    val broker = new FakeAmqpBroker(tuneFrameMax = 64) // tiny: forces splits
+    try {
+      val big = ("x" * 500).getBytes(UTF_8) // 500 B body, 56 B chunks
+      val q = new AmqpQueue(s"amqp://127.0.0.1:${broker.port}/big")
+      q.publish(big)
+      q.close()
+      val got = broker.awaitPublished(1)
+      assert(broker.error == null, s"broker error: ${broker.error}")
+      assert(got.head._2.length === 500) // reassembled losslessly
+      assert(got.head._2.forall(_ == 'x'))
+    } finally broker.stop()
+  }
+
   test("address parsing: credentials optional, malformed rejected") {
     assert(AmqpQueue.parse("amqp://u:p@h:5672/q") === (("u", "p", "h", 5672, "q")))
     assert(AmqpQueue.parse("amqp://broker:5672/changes") ===

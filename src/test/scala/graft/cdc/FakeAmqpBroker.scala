@@ -12,7 +12,7 @@ import scala.collection.mutable.ArrayBuffer
   * Basic.Publish delivery. A connection dropped without Connection.Close
   * (a completed Spark task abandoning its producer) is tolerated:
   * everything published before the drop is retained. */
-private[cdc] class FakeAmqpBroker {
+private[cdc] class FakeAmqpBroker(tuneFrameMax: Long = 131072L) {
   import AmqpWire._
 
   private val server = new ServerSocket(0)
@@ -65,7 +65,7 @@ private[cdc] class FakeAmqpBroker {
     val resp = new String(startOk.longstr(), UTF_8).split("\u0000")
     auth = (resp(1), resp(2)) // [authzid(empty), user, pass]
     writeFrame(out, FrameMethod, 0, method(ClassConnection, 30)(
-      _.u16(2047).u32(131072L).u16(0)))
+      _.u16(2047).u32(tuneFrameMax).u16(0)))
     readFrame(in) // TuneOk
     val open = new Reader(readFrame(in).payload)
     require((open.u16(), open.u16()) == ((ClassConnection, 40)))
@@ -98,6 +98,11 @@ private[cdc] class FakeAmqpBroker {
           while (remaining > 0) {
             val bf = readFrame(in)
             require(bf.tpe == FrameBody, "expected body frame")
+            // a real broker rejects frames over the negotiated max —
+            // enforce it so the client's body splitting is actually
+            // verified, not just tolerated
+            require(tuneFrameMax <= 8 || bf.payload.length + 8 <= tuneFrameMax,
+              s"body frame ${bf.payload.length + 8}B exceeds frame-max $tuneFrameMax")
             body.write(bf.payload)
             remaining -= bf.payload.length
           }

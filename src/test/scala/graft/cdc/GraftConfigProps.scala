@@ -35,7 +35,10 @@ object GraftConfigProps extends Properties("GraftConfig") {
 
   private val envGen: Gen[Map[String, String]] = for {
     q <- Gen.option(Gen.alphaNumStr.suchThat(_.nonEmpty).map(n => s"inmemory:$n"))
-    s <- Gen.option(Gen.alphaNumStr.suchThat(_.nonEmpty).map(n => s"file:/tmp/$n"))
+    // DATABASE_URL is either a store spec (file:) or — the reference's
+    // own shape — a jdbc: connection URL; the two must route differently
+    s <- Gen.option(Gen.alphaNumStr.suchThat(_.nonEmpty).flatMap(n =>
+      Gen.oneOf(s"file:/tmp/$n", s"jdbc:postgresql://h/$n")))
     p <- Gen.option(Gen.chooseNum(1, 65535))
   } yield Map.empty[String, String] ++
     q.map("AMQP_ADDR" -> _) ++ s.map("DATABASE_URL" -> _) ++
@@ -44,10 +47,20 @@ object GraftConfigProps extends Properties("GraftConfig") {
   property("env fills unset flags; defaults apply when env absent too") =
     forAll(envGen) { env =>
       val cfg = GraftConfig.fromArgs(Seq("--table", "t"), env)
+      val dbUrl = env.get("DATABASE_URL")
+      val (wantStore, wantDb) = dbUrl match {
+        // a jdbc: DATABASE_URL names the changefeed database; feeding it
+        // into the scheme:arg cursor-store slot would crash at startup
+        case Some(u) if u.startsWith("jdbc:") => ("inmemory:default", Some(u))
+        case Some(u) => (u, None)
+        case None => ("inmemory:default", None)
+      }
       cfg.queue == env.getOrElse("AMQP_ADDR", "inmemory:default") &&
-        cfg.cursorStore == env.getOrElse("DATABASE_URL", "inmemory:default") &&
+        cfg.cursorStore == wantStore && cfg.database == wantDb &&
         cfg.metricsPort == env.get("PROMETHEUS_ADDR")
-          .map(_.split(':').last.toInt).getOrElse(0)
+          .map(_.split(':').last.toInt).getOrElse(0) &&
+        // the crash the routing prevents: newCursorStore never sees jdbc:
+        (cfg.cursorStore.startsWith("jdbc:") == false)
     }
 
   property("explicit flags always beat the environment") =
@@ -62,7 +75,8 @@ object GraftConfigProps extends Properties("GraftConfig") {
   property("fromArgs rejects unknown flags") =
     forAll(Gen.alphaNumStr.suchThat(s => s.nonEmpty &&
         !Set("table", "queue", "cursor-store", "cursor-frequency",
-          "log-dir", "checkpoint-dir", "metrics-port", "once").contains(s))) { flag =>
+          "log-dir", "checkpoint-dir", "metrics-port", "once",
+          "database").contains(s))) { flag =>
       Prop.throws(classOf[IllegalArgumentException]) {
         GraftConfig.fromArgs(Seq("--table", "t", s"--$flag", "v"))
       }

@@ -92,6 +92,45 @@ class TimerSessionsSpec extends SparkSuite {
     }
   }
 
+  test("consecutive late stragglers merge into one gap-closed session") {
+    implicit val s = spark
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val hourMs = 3600000L
+      val minMs = 60000L
+      def ev(user: Long, id: Long, ms: Long) =
+        TimedEvent(user, id, new Timestamp(ms))
+      val in = MemoryStream[TimedEvent](36, spark, None)
+      // gap (2 min) SMALLER than the 10-min watermark delay: late events
+      // can be admitted that are >gap before the stored session
+      val q = TimerSessions.closed(in.toDS(), gapUs = 2 * minMs * 1000L)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("timersessions4")
+        .option("checkpointLocation",
+          Files.createTempDirectory("ckpt-tsess4").toString)
+        .start()
+      // batch 1: stored session [1h, 1h]
+      in.addData(ev(7, 1, hourMs))
+      q.processAllAvailable()
+      // batch 2: two stragglers at 1h-9m and 1h-8m — both newer than the
+      // watermark (1h-10m), both >gap before the stored start, within
+      // gap of EACH OTHER: correct sessionization yields ONE two-event
+      // "gap" session (the bug emitted two singletons)
+      in.addData(ev(7, 2, hourMs - 9 * minMs), ev(7, 3, hourMs - 8 * minMs))
+      q.processAllAvailable()
+      val out = spark.table("timersessions4").as[TimerSession].collect()
+      q.stop()
+      val straggler = out.filter(r => r.user_id == 7L && r.closed_by == "gap")
+      assert(straggler.length === 1, s"expected one straggler session, got ${out.toSeq}")
+      assert(straggler.head === TimerSession(7L, 2L,
+        (hourMs - 9 * minMs) * 1000L, (hourMs - 8 * minMs) * 1000L, "gap"))
+    } finally {
+      spark.conf.unset(key)
+    }
+  }
+
   test("in-batch gap split closes the earlier session inline") {
     implicit val s = spark
     val key = "spark.sql.streaming.stateStore.providerClass"
