@@ -75,6 +75,7 @@ object SparkEntry {
     "q_intersect_except" -> (Analytics.qIntersectExcept _),
     "q_heavy_hitters" -> (Analytics.qHeavyHitters _),
     "graph_pagerank" -> ((s: SparkSession, d: String) => Graph.pagerank(s, d)),
+    "graph_triangles" -> (Graph.triangles _),
     "ts_ohlc" -> (TimeSeries.ohlc _),
     "dedup_winnowing" -> ((s: SparkSession, d: String) => Dedup.winnowing(s, d)),
     "ts_gap_fill" -> (TimeSeries.gapFill _),
@@ -119,6 +120,7 @@ object SparkEntry {
     "text_salient_terms" -> (TextAnalysis.salientTerms _),
     "text_rarity" -> (TextAnalysis.rarity _),
     "text_chunk_dedup" -> ((s: SparkSession, d: String) => TextAnalysis.chunkDedup(s, d)),
+    "text_bpe_pairs" -> (TextAnalysis.bpePairs _),
     "sample_weighted" -> ((s: SparkSession, d: String) => Sampling.sampleWeighted(s, d)),
     // §2.7 multimodal
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
@@ -723,6 +725,27 @@ object SparkEntry {
         |FROM d LEFT JOIN ex USING (h) WHERE d.doc_id % 5 = 4
         |ORDER BY d.doc_id""".stripMargin,
 
+    "graph_triangles" ->
+      s"""WITH $shCte,
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+         |t AS (
+         |  SELECT p1.doc_a AS x, p1.doc_b AS y, p2.doc_b AS z
+         |  FROM p p1
+         |  JOIN p p2 ON p2.doc_a = p1.doc_b
+         |  JOIN p p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
+         |c AS (SELECT unnest([x, y, z]) AS doc_id FROM t)
+         |SELECT doc_id, count(*) AS n_tri FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_bpe_pairs" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+        |i AS (
+        |  SELECT tok, unnest(generate_series(1, len(tok)-1)) AS i
+        |  FROM t WHERE len(tok) >= 2)
+        |SELECT substr(tok, CAST(i AS INT), 2) AS pair, count(*) AS n
+        |FROM i GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shCte
          |SELECT doc_a, doc_b, inter_n, union_n,

@@ -58,4 +58,47 @@ object Graph {
     ranks.select(col("doc_id"), col("rank").as("rank_e9"))
       .orderBy(col("doc_id"))
   }
+
+  /** §2#122 triangle counting over the near-dup candidate graph, with
+    * DEGREE ORIENTATION (the distributed-triangle standard, cf. Suri &
+    * Vassilvitskii WWW'11 "Counting Triangles and the Curse of the Last
+    * Reducer"): every undirected edge is oriented from its
+    * (degree, id)-smaller endpoint to the larger, so each triangle has
+    * exactly one apex with two out-edges and is counted once. The wedge
+    * join fans out Σ out_deg(v)² which degree orientation bounds by
+    * O(|E|·arboricity) — a hub of degree d contributes d wedges as an
+    * apex only if everything it touches is even better connected,
+    * instead of the d² a naive id-orientation gives the "last reducer".
+    *
+    * Shape: degree agg (map-side combinable) + two broadcast-free
+    * equi-joins; the edge frame is the memoized candidate-pair stage
+    * shared with jaccard/containment/cluster/pagerank. Use in a dedup
+    * pipeline: triangle-dense docs sit in tight copy-clusters (mutual
+    * near-dups), triangle-free candidates are usually pairwise-only
+    * accidents — a cheap cluster-density signal next to [[pagerank]].
+    */
+  def triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Dedup.candidatePairs(spark, sfDir) // doc_a < doc_b, unique
+    val deg = e.select(col("doc_a").as("doc_id"))
+      .unionAll(e.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+    val ed = e
+      .join(deg.select(col("doc_id").as("doc_a"), col("deg").as("deg_a")), "doc_a")
+      .join(deg.select(col("doc_id").as("doc_b"), col("deg").as("deg_b")), "doc_b")
+      .select(
+        // ties broken by id; doc_a < doc_b, so equal degrees orient a→b
+        when(col("deg_a") <= col("deg_b"), col("doc_a")).otherwise(col("doc_b")).as("lo"),
+        when(col("deg_a") <= col("deg_b"), col("doc_b")).otherwise(col("doc_a")).as("hi"))
+    // wedges at the apex; hi1 < hi2 by id so each unordered wedge
+    // appears once, and the closing edge lookup key is already the
+    // id-canonical (doc_a, doc_b) form the edge list stores
+    val w = ed.as("e1").join(ed.as("e2"),
+        col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
+      .select(col("e1.lo").as("x"), col("e1.hi").as("y"), col("e2.hi").as("z"))
+    val tri = w.join(e, col("y") === col("doc_a") && col("z") === col("doc_b"))
+      .select(col("x"), col("y"), col("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("doc_id"))
+  }
 }

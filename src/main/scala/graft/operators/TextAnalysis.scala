@@ -260,6 +260,31 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** §2#123 BPE merge-pair counting (Sennrich et al. 2016,
+    * arXiv:1508.07909) — ONE iteration of byte-pair-encoding tokenizer
+    * training: count adjacent symbol-pair frequencies across the corpus
+    * and surface the top merge candidates. Symbols here are characters
+    * of whitespace tokens (the first BPE round); each later round is
+    * this same shape over re-segmented symbols.
+    *
+    * Scale: the pair explode is a narrow per-row transform; the count
+    * is map-side combinable on the pair key, so the shuffle carries
+    * |distinct pairs| rows (≤ alphabet², tiny), never corpus tokens;
+    * the top-k is TakeOrderedAndProject (no global sort). This is why
+    * distributed BPE training is cheap per merge: the corpus-sized work
+    * is embarrassingly parallel and the reducer state is alphabet-
+    * bounded. */
+  def bpePairs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documentsPar(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .where(length(col("tok")) >= 2)
+      .select(col("tok"),
+        explode(sequence(lit(1), length(col("tok")) - 1)).as("i"))
+      .select(expr("substr(tok, i, 2)").as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+
   /** §2#35 rolling-hash document fingerprint (order-sensitive — unlike
     * a bag-of-words hash, catches reorderings). */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
