@@ -34,6 +34,8 @@ object SparkEntry {
     "cdc_payload_parse" -> (Changefeed.payloadParse _),
     "cdc_lag" -> (Changefeed.lagReport _),
     "cdc_variant_extract" -> (Changefeed.variantExtract _),
+    "cdc_schema_drift" -> (Changefeed.schemaDrift _),
+    "ts_interpolate" -> (TimeSeries.interpolate _),
     "q_window_range" -> (Analytics.qWindowRange _),
     "q_hll_union" -> (Analytics.qHllUnion _),
     "q_robust_stats" -> (Analytics.qRobustStats _),
@@ -725,6 +727,46 @@ object SparkEntry {
         |FROM d LEFT JOIN ex USING (h) WHERE d.doc_id % 5 = 4
         |ORDER BY d.doc_id""".stripMargin,
 
+    "cdc_schema_drift" ->
+      s"""WITH $chCte,
+         |k AS (SELECT tbl, sort_us, unnest(json_keys(value, '$$.after')) AS key FROM ch),
+         |inv AS (SELECT tbl, key, count(*) AS n,
+         |  min(sort_us) AS first_seen_us, max(sort_us) AS last_seen_us
+         |  FROM k GROUP BY 1, 2),
+         |b AS (SELECT tbl, min(sort_us) AS t_lo, max(sort_us) AS t_hi FROM ch GROUP BY 1)
+         |SELECT inv.tbl, key, n, first_seen_us, last_seen_us,
+         |  CASE WHEN first_seen_us > t_lo THEN 'added'
+         |       WHEN last_seen_us < t_hi THEN 'removed'
+         |       ELSE 'stable' END AS status
+         |FROM inv JOIN b ON inv.tbl = b.tbl
+         |ORDER BY inv.tbl, key""".stripMargin,
+    "ts_interpolate" ->
+      s"""WITH ev AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+         |  ${cents("value")} AS v_c FROM events),
+         |o AS (SELECT event_type, h, count(*) AS n, CAST(sum(v_c) AS BIGINT) AS sum_c
+         |  FROM ev GROUP BY 1, 2),
+         |sp AS (SELECT event_type, unnest(generate_series(lo, hi)) AS h
+         |  FROM (SELECT event_type, min(h) AS lo, max(h) AS hi FROM ev GROUP BY 1)),
+         |g AS (SELECT sp.event_type, sp.h, coalesce(o.n, 0) AS n, o.sum_c
+         |  FROM sp LEFT JOIN o ON sp.event_type = o.event_type AND sp.h = o.h),
+         |f AS (SELECT event_type, h, n, sum_c,
+         |  last_value(CASE WHEN n > 0 THEN h END IGNORE NULLS) OVER wb AS ph,
+         |  last_value(sum_c IGNORE NULLS) OVER wb AS pv,
+         |  first_value(CASE WHEN n > 0 THEN h END IGNORE NULLS) OVER wa AS nh,
+         |  first_value(sum_c IGNORE NULLS) OVER wa AS nv
+         |  FROM g WINDOW
+         |    wb AS (PARTITION BY event_type ORDER BY h
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    wa AS (PARTITION BY event_type ORDER BY h
+         |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+         |SELECT event_type, h AS hour_idx, n,
+         |  CASE WHEN n > 0 THEN sum_c
+         |       WHEN ph IS NOT NULL AND nh IS NOT NULL
+         |         THEN (pv * (nh - h) + nv * (h - ph)) // (nh - ph) END AS filled_c,
+         |  CASE WHEN n > 0 THEN 'obs'
+         |       WHEN ph IS NOT NULL AND nh IS NOT NULL THEN 'interp'
+         |       ELSE 'edge' END AS src
+         |FROM f ORDER BY event_type, hour_idx""".stripMargin,
     "graph_triangles" ->
       s"""WITH $shCte,
          |p AS (

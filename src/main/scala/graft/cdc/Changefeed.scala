@@ -361,6 +361,43 @@ object Changefeed {
       .where(col("k").isNotNull)
       .orderBy(col("event_id"))
 
+  /** §2#125 payload schema-drift report: per (table, key-of-`after`)
+    * first-seen / last-seen commit timestamps and row counts, with a
+    * drift verdict against the table's own feed window — `added` if the
+    * key shows up after the feed started, `removed` if it stops before
+    * the feed ends, else `stable`. This is the consumer-side schema
+    * registry an operator of the reference builds to notice upstream
+    * `ALTER TABLE` landing in the published payloads (the changefeed
+    * itself is schema-less JSON; src/model.rs:60-99 just forwards
+    * bytes).
+    *
+    * Shape: `json_object_keys` over the `after` object is a narrow
+    * codegen'd parse; the inventory agg is map-side combinable on
+    * (table, key) — the shuffle carries |tables|×|keys| rows, never the
+    * feed; the per-table window bounds join back broadcast-tiny. On the
+    * synthetic feed every key spans the window (all `stable`) — the
+    * added/removed verdicts are pinned by a crafted-frame ScalaTest. */
+  def schemaDrift(spark: SparkSession, sfDir: String): DataFrame =
+    schemaDriftFrom(changeRows(spark, sfDir))
+
+  def schemaDriftFrom(change: DataFrame): DataFrame = {
+    val keyed = change.select(col("tbl"), col("sort_us"),
+      explode(json_object_keys(get_json_object(col("value"), "$.after"))).as("key"))
+    val inv = keyed.groupBy(col("tbl"), col("key"))
+      .agg(count(lit(1)).as("n"),
+        min(col("sort_us")).as("first_seen_us"),
+        max(col("sort_us")).as("last_seen_us"))
+    val bounds = change.groupBy(col("tbl"))
+      .agg(min(col("sort_us")).as("t_lo"), max(col("sort_us")).as("t_hi"))
+    inv.join(broadcast(bounds), "tbl")
+      .select(col("tbl"), col("key"), col("n"),
+        col("first_seen_us"), col("last_seen_us"),
+        when(col("first_seen_us") > col("t_lo"), lit("added"))
+          .when(col("last_seen_us") < col("t_hi"), lit("removed"))
+          .otherwise(lit("stable")).as("status"))
+      .orderBy(col("tbl"), col("key"))
+  }
+
   /** §2#8 deterministic queue-partition assignment + per-partition publish
     * stats (generalizes the single rabbitmq queue + messages_sent counter,
     * reference src/queues.rs:44-64, src/metrics.rs). */

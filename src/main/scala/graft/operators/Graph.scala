@@ -77,8 +77,11 @@ object Graph {
     * near-dups), triangle-free candidates are usually pairwise-only
     * accidents — a cheap cluster-density signal next to [[pagerank]].
     */
-  def triangles(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Dedup.candidatePairs(spark, sfDir) // doc_a < doc_b, unique
+  def triangles(spark: SparkSession, sfDir: String): DataFrame =
+    trianglesFrom(Dedup.candidatePairs(spark, sfDir))
+
+  /** Core of [[triangles]] over any unique `(doc_a < doc_b)` edge list. */
+  def trianglesFrom(e: DataFrame): DataFrame = {
     val deg = e.select(col("doc_a").as("doc_id"))
       .unionAll(e.select(col("doc_b").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))

@@ -155,4 +155,54 @@ object TimeSeries {
         count(lit(1)).as("n"),
         sum(col("value_c")).as("volume_c"))
       .orderBy(col("event_type"), col("hour_us"))
+
+  /** §2#124 linear interpolation over the gap-filled hourly series:
+    * quiet hours get the integer weighted average of the nearest
+    * observed neighbors, `(pv·(nh−h) + nv·(h−ph)) div (nh−ph)` — the
+    * standard time-series imputation step before modeling. Hours
+    * before the first / after the last observation stay NULL
+    * (`src='edge'`): extrapolation is a policy choice, not data.
+    *
+    * Numerics: event values are nonnegative (values in cents ≥ 0), so
+    * numerator and denominator are both nonnegative and `div` ==
+    * floor == trunc in every engine — no float lerp, no negative-
+    * division semantics to diverge on. Shape: the spine + neighbor
+    * lookup is ONE window pass per direction over the per-hour
+    * pre-aggregate (|types|×|hours| rows — tiny next to the events
+    * that built it), partitioned by event_type; constant per-row
+    * frame state, no whole-group buffering. */
+  def interpolate(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr(s"unix_micros(date_trunc('hour', ts)) div $hourUs").as("h"),
+        cents(col("value")).as("v_c"))
+    val obs = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"), sum(col("v_c")).as("sum_c"))
+    val spine = ev.groupBy(col("event_type"))
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("h"))
+    val g = spine.join(obs, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("n"), lit(0L)).as("n"), col("sum_c"))
+      .withColumn("h_obs", when(col("n") > 0, col("h")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val before = w.rowsBetween(Window.unboundedPreceding, -1)
+    val after = w.rowsBetween(1, Window.unboundedFollowing)
+    g.withColumn("ph", last(col("h_obs"), ignoreNulls = true).over(before))
+      .withColumn("pv", last(col("sum_c"), ignoreNulls = true).over(before))
+      .withColumn("nh", first(col("h_obs"), ignoreNulls = true).over(after))
+      .withColumn("nv", first(col("sum_c"), ignoreNulls = true).over(after))
+      .withColumn("filled_c",
+        when(col("n") > 0, col("sum_c"))
+          .when(col("ph").isNotNull && col("nh").isNotNull,
+            expr("(pv * (nh - h) + nv * (h - ph)) div (nh - ph)")))
+      .withColumn("src",
+        when(col("n") > 0, lit("obs"))
+          .when(col("filled_c").isNotNull, lit("interp"))
+          .otherwise(lit("edge")))
+      .select(col("event_type"), col("h").as("hour_idx"), col("n"),
+        col("filled_c"), col("src"))
+      .orderBy(col("event_type"), col("hour_idx"))
+  }
 }

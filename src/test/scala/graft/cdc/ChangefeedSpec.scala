@@ -34,4 +34,30 @@ class ChangefeedSpec extends SparkSuite {
     assert(cs.count() === users)
     assert(cs.select("user_id").distinct().count() === users)
   }
+
+  test("schema drift classifies added, removed, and stable payload keys") {
+    // Crafted feed: `id` spans the window, `old_col` vanishes after
+    // t=1, `new_col` appears at t=3 — the upstream ALTER TABLE shapes.
+    import spark.implicits._
+    val change = Seq(
+      (1L, """{"after": {"id": 1, "old_col": 7}}"""),
+      (2L, """{"after": {"id": 2}}"""),
+      (3L, """{"after": {"id": 3, "new_col": 9}}"""),
+      (4L, """{"after": {"id": 4, "new_col": 9}}"""))
+      .toDF("sort_us", "value")
+      .select(lit("t").as("tbl"), col("sort_us"), col("value"))
+    val out = Changefeed.schemaDriftFrom(change).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getString(5))).toMap
+    assert(out("id") === (4L, "stable"))
+    assert(out("old_col") === (1L, "removed"))
+    assert(out("new_col") === (2L, "added"))
+  }
+
+  test("schema drift on the synthetic feed is all-stable with full spans") {
+    val rows = Changefeed.schemaDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(5) == "stable"))
+    val keys = rows.map(_.getString(1)).toSet
+    assert(keys.contains("event_id") && keys.contains("value_cents"))
+  }
 }

@@ -480,4 +480,58 @@ class NewOpsSpec extends SparkSuite {
       assert(got(t) === ((n, mx, my, m2x, m2y, mxy)))
     }
   }
+
+  test("graph_triangles: K4 plus a pendant path counts exactly") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) + path 4-5-6 (none)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Graph.trianglesFrom(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("graph_triangles: skewed star has no triangles, wheel hub does") {
+    import spark.implicits._
+    // star hub 0 with 20 leaves: no closing edges → no triangles;
+    // add rim edges between consecutive leaves → each rim edge closes
+    val star = (1L to 20L).map(i => (0L, i))
+    val rim = (1L until 20L).map(i => (i, i + 1))
+    assert(Graph.trianglesFrom(star.toDF("doc_a", "doc_b")).count() === 0)
+    val wheel = Graph.trianglesFrom((star ++ rim).toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wheel(0L) === 19L) // hub sits in every rim triangle
+    assert(wheel(1L) === 1L && wheel(10L) === 2L)
+  }
+
+  test("text_bpe_pairs: pairs are 2 chars, counts descend, real corpus pair leads") {
+    val rows = TextAnalysis.bpePairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length === 20)
+    assert(rows.forall(_._1.length == 2))
+    assert(rows.map(_._2).sliding(2).forall { w => w.length < 2 || w(0) >= w(1) })
+    // counts are corpus-scale, not accidental: top pair appears a lot
+    assert(rows.head._2 > 100L)
+  }
+
+  test("ts_interpolate: observed rows keep sums, interp rows sit between neighbors") {
+    val rows = TimeSeries.interpolate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, series) =>
+      val s = series.sortBy(_.getLong(1))
+      // every row is obs, interp, or edge; obs/interp have filled values
+      s.foreach { r =>
+        val src = r.getString(4)
+        assert(Set("obs", "interp", "edge").contains(src))
+        assert((src == "edge") === r.isNullAt(3))
+      }
+      // interp rows are bounded by the surrounding observed values
+      val obsIdx = s.zipWithIndex.filter(_._1.getString(4) == "obs").map(_._2)
+      s.zipWithIndex.filter(_._1.getString(4) == "interp").foreach { case (r, i) =>
+        val lo = obsIdx.filter(_ < i).max; val hi = obsIdx.filter(_ > i).min
+        val (a, b) = (s(lo).getLong(3), s(hi).getLong(3))
+        assert(r.getLong(3) >= math.min(a, b) && r.getLong(3) <= math.max(a, b))
+      }
+    }
+  }
 }
