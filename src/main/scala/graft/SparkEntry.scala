@@ -53,6 +53,8 @@ object SparkEntry {
     "q_topk_native" -> (Analytics.qTopkNative _),
     "q_rollup" -> (Analytics.qRollup _),
     "q_cube" -> (Analytics.qCube _),
+    "q_grouping_sets" -> (Analytics.qGroupingSets _),
+    "layout_zorder" -> (Layout.zorder _),
     "q_conditional_pivot" -> (Analytics.qConditionalPivot _),
     "q_semi_anti" -> (Analytics.qSemiAnti _),
     "q_asof_join" -> (Temporal.asofJoin _),
@@ -727,6 +729,22 @@ object SparkEntry {
         |FROM d LEFT JOIN ex USING (h) WHERE d.doc_id % 5 = 4
         |ORDER BY d.doc_id""".stripMargin,
 
+    "q_grouping_sets" ->
+      s"""SELECT CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid,
+         |  coalesce(l_returnflag, 'ALL') AS returnflag,
+         |  coalesce(l_linestatus, 'ALL') AS linestatus,
+         |  CAST(sum(${cents("l_quantity")}) AS BIGINT) AS sum_qty_c, count(*) AS n
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY 1, 2, 3""".stripMargin,
+    "layout_zorder" ->
+      s"""WITH b AS (SELECT user_id % 1024 AS x,
+         |  (epoch_us(date_trunc('hour', ts)) // 3600000000) % 1024 AS y FROM events),
+         |z AS (SELECT x, y, ${graft.operators.Layout.zorderOracleExpr} AS z FROM b)
+         |SELECT z // 16384 AS file_id, count(*) AS n,
+         |  min(x) AS x_lo, max(x) AS x_hi, min(y) AS y_lo, max(y) AS y_hi,
+         |  min(z) AS z_lo, max(z) AS z_hi
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     "cdc_schema_drift" ->
       s"""WITH $chCte,
          |k AS (SELECT tbl, sort_us, unnest(json_keys(value, '$$.after')) AS key FROM ch),

@@ -152,6 +152,31 @@ object Analytics {
         col("sum_qty_c"), col("n"))
       .orderBy(col("returnflag"), col("linestatus"))
 
+  /** §2#127 explicit GROUPING SETS — the general form ROLLUP/CUBE
+    * specialize: exactly the requested set list ((flag), (status), ()),
+    * none of CUBE's unwanted cross terms. `grouping()` disambiguates a
+    * real NULL group key from a rolled-up one; the composite
+    * `grouping(a)·2 + grouping(b)` id is spelled out (not engine
+    * grouping_id()) so the column is bit-identical across engines.
+    * Like rollup/cube, the sets expand BEFORE the exchange, so partial
+    * aggregation still combines map-side — one shuffle for all three
+    * groupings of the corpus. */
+  def qGroupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        cents(col("l_quantity")).as("qty_c"))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg((grouping(col("l_returnflag")) * lit(2) +
+          grouping(col("l_linestatus"))).cast("long").as("gid"),
+        sum(col("qty_c")).as("sum_qty_c"), count(lit(1)).as("n"))
+      .select(col("gid"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty_c"), col("n"))
+      .orderBy(col("gid"), col("returnflag"), col("linestatus"))
+
   /** §2#22 pivot-style conditional aggregation: per-user event-type
     * profile (single shuffle; conditional aggs are map-side partial). */
   def qConditionalPivot(spark: SparkSession, sfDir: String): DataFrame = {

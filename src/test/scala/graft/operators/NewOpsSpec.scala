@@ -514,6 +514,38 @@ class NewOpsSpec extends SparkSuite {
     assert(rows.head._2 > 100L)
   }
 
+  test("layout_zorder: every file spans at most 128 of each 1024-wide dimension") {
+    val rows = Layout.zorder(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) < 128L, s"x span too wide in $r")
+      assert(r.getLong(5) - r.getLong(4) < 128L, s"y span too wide in $r")
+    }
+    // z ranges partition the curve: files are disjoint and ordered
+    val zs = rows.map(r => (r.getLong(6), r.getLong(7)))
+    zs.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0)._2 < w(1)._1)
+    }
+  }
+
+  test("q_grouping_sets: each grouping matches its direct aggregate") {
+    val rows = Analytics.qGroupingSets(spark, sf).collect()
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        graft.functions.Fns.cents(col("l_quantity")).as("q"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // gid 1 = by returnflag, gid 2 = by linestatus, gid 3 = grand total
+    val byFlag = rows.filter(_.getLong(0) == 1L)
+      .map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(byFlag === li.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap)
+    val byStatus = rows.filter(_.getLong(0) == 2L)
+      .map(r => r.getString(2) -> r.getLong(3)).toMap
+    assert(byStatus === li.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap)
+    val total = rows.filter(_.getLong(0) == 3L)
+    assert(total.length === 1 && total(0).getLong(3) === li.map(_._3).sum)
+    assert(rows.map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+  }
+
   test("ts_interpolate: observed rows keep sums, interp rows sit between neighbors") {
     val rows = TimeSeries.interpolate(spark, sf).collect()
     assert(rows.nonEmpty)
