@@ -35,6 +35,8 @@ object SparkEntry {
     "cdc_lag" -> (Changefeed.lagReport _),
     "cdc_variant_extract" -> (Changefeed.variantExtract _),
     "cdc_schema_drift" -> (Changefeed.schemaDrift _),
+    "cdc_dlq" -> (Changefeed.dlq _),
+    "text_bigram_lm" -> (TextAnalysis.bigramLm _),
     "ts_interpolate" -> (TimeSeries.interpolate _),
     "q_window_range" -> (Analytics.qWindowRange _),
     "q_hll_union" -> (Analytics.qHllUnion _),
@@ -729,6 +731,34 @@ object SparkEntry {
         |FROM d LEFT JOIN ex USING (h) WHERE d.doc_id % 5 = 4
         |ORDER BY d.doc_id""".stripMargin,
 
+    "cdc_dlq" ->
+      s"""WITH $chCte,
+         |w AS (SELECT event_id,
+         |  CASE WHEN event_id % 97 = 0 THEN substr(value, 1, length(value) - 3)
+         |       ELSE value END AS wire
+         |  FROM ch),
+         |c AS (SELECT event_id % 32 AS part_id, event_id,
+         |  CASE WHEN json_valid(wire)
+         |       THEN json_extract_string(wire, '$$.after.event_id') IS NOT NULL
+         |       ELSE false END AS ok
+         |  FROM w)
+         |SELECT part_id,
+         |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+         |  CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_dlq,
+         |  min(CASE WHEN NOT ok THEN event_id END) AS first_bad_event_id
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |p AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS bg
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i
+        |        FROM t WHERE len(toks) >= 2)),
+        |u AS (SELECT w1, count(*) AS n1 FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY 1),
+        |b AS (SELECT bg, count(*) AS n2 FROM p GROUP BY 1),
+        |s AS (SELECT doc_id, (1000000 * n2) // n1 AS score
+        |  FROM p JOIN b USING (bg) JOIN u USING (w1))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(score) // count(*) AS BIGINT) AS coherence_ppm
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_grouping_sets" ->
       s"""SELECT CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid,
          |  coalesce(l_returnflag, 'ALL') AS returnflag,

@@ -398,6 +398,37 @@ object Changefeed {
       .orderBy(col("tbl"), col("key"))
   }
 
+  /** §2#129 dead-letter routing: the consumer-side handling the
+    * reference leaves implicit — a malformed payload must not poison
+    * the relay (the Rust side would NACK it; src/queues.rs:44-64
+    * publishes fire-and-forget). Corruption is INJECTED deterministically
+    * (every 97th payload loses its last 3 bytes, which always breaks the
+    * trailing `"}}"` braces) so both engines see the same wire; a row
+    * routes to the DLQ when the `after.event_id` extraction fails —
+    * Spark's PERMISSIVE `get_json_object` NULL, the oracle's
+    * `json_valid` guard. Output is the per-queue-partition ok/dlq
+    * ledger + first bad key an operator would alert on.
+    *
+    * Shape: classification is a narrow codegen'd parse; the ledger agg
+    * is map-side combinable on part_id (32 rows out). At 100 TB the
+    * DLQ side would also be WRITTEN (a second sink in the same
+    * foreachBatch) — the routing predicate here is that sink's
+    * partition filter. */
+  def dlq(spark: SparkSession, sfDir: String): DataFrame =
+    changeRows(spark, sfDir)
+      .select(col("event_id"),
+        when(pmod(col("event_id"), lit(97L)) === 0L,
+          expr("substr(value, 1, length(value) - 3)"))
+          .otherwise(col("value")).as("wire"))
+      .select(pmod(col("event_id"), lit(32L)).as("part_id"),
+        col("event_id"),
+        get_json_object(col("wire"), "$.after.event_id").isNotNull.as("ok"))
+      .groupBy(col("part_id"))
+      .agg(sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_dlq"),
+        min(when(!col("ok"), col("event_id"))).as("first_bad_event_id"))
+      .orderBy(col("part_id"))
+
   /** §2#8 deterministic queue-partition assignment + per-partition publish
     * stats (generalizes the single rabbitmq queue + messages_sent counter,
     * reference src/queues.rs:44-64, src/metrics.rs). */

@@ -285,6 +285,45 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair"))
       .limit(20)
 
+  /** §2#128 bigram-LM coherence scoring — the two-gram step of the
+    * n-gram-LM perplexity quality filter (the CCNet/Gopher recipe, in
+    * integers): per bigram instance the corpus conditional frequency
+    * `P(w2|w1) ≈ c(w1 w2)/c(w1)` in ppm (`1e6·c2 div c1` — positive
+    * operands, so div==floor in every engine), per doc the mean over
+    * its bigram instances. Word-salad and boilerplate-shuffled docs
+    * score low (their bigrams are corpus-rare given their unigrams);
+    * natural prose scores high. Complements [[rarity]], which is the
+    * unigram (order-blind) form.
+    *
+    * Shape: bigram construction is a NARROW `zip_with` over the token
+    * array (no self-join, no window shuffle); the two count tables are
+    * map-side-combinable and vocab-/bigram-vocab-sized, so AQE
+    * broadcasts them here and shuffle-joins at 100 TB; the per-doc mean
+    * is one more combinable agg. Nothing ever shuffles corpus text. */
+  def bigramLm(spark: SparkSession, sfDir: String): DataFrame =
+    bigramLmFrom(Tables.documentsPar(spark, sfDir))
+
+  /** Core of [[bigramLm]] over any `(doc_id, text)` frame. */
+  def bigramLmFrom(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val pairs = base.where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(toks, 1, size(toks)-1), slice(toks, 2, size(toks)-1)," +
+          " (x, y) -> struct(x AS w1, concat(x, ' ', y) AS bg))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+    val uni = base.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+    val big = pairs.groupBy(col("bg")).agg(count(lit(1)).as("n2"))
+    pairs.join(big, "bg").join(uni, "w1")
+      .select(col("doc_id"), expr("1000000 * n2 div n1").as("score"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("score")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("s div n_bigrams").as("coherence_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** §2#35 rolling-hash document fingerprint (order-sensitive — unlike
     * a bag-of-words hash, catches reorderings). */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =

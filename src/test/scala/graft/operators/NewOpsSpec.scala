@@ -546,6 +546,33 @@ class NewOpsSpec extends SparkSuite {
     assert(rows.map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
   }
 
+  test("cdc_dlq: exactly the injected corruptions route to the dead letter queue") {
+    val rows = Changefeed.dlq(spark, sf).collect()
+    val events = graft.Tables.events(spark, sf)
+      .select(col("event_id")).collect().map(_.getLong(0))
+    val bad = events.filter(_ % 97 == 0)
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === events.length.toLong)
+    assert(rows.map(_.getLong(2)).sum === bad.length.toLong)
+    // first bad id per partition is the min corrupted id of that partition
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      val part = r.getLong(0)
+      assert(r.getLong(3) === bad.filter(_ % 32 == part).min)
+    }
+  }
+
+  test("text_bigram_lm: word salad scores below natural repetition") {
+    import spark.implicits._
+    // 8 docs of identical prose (their bigrams dominate the corpus)
+    // vs one doc using the same words in a scrambled, unseen order
+    val prose = (1L to 8L).map(i => (i, "the cat sat on the mat " * 4))
+    val salad = Seq((99L, "mat the on sat cat cat mat on the sat the"))
+    val out = TextAnalysis.bigramLmFrom((prose ++ salad).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) > out(99L) * 2, s"prose ${out(1L)} !>> salad ${out(99L)}")
+    val real = TextAnalysis.bigramLm(spark, sf).collect()
+    assert(real.forall(r => r.getLong(2) > 0L && r.getLong(2) <= 1000000L))
+  }
+
   test("ts_interpolate: observed rows keep sums, interp rows sit between neighbors") {
     val rows = TimeSeries.interpolate(spark, sf).collect()
     assert(rows.nonEmpty)
