@@ -7,7 +7,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -88,11 +90,21 @@ class ChangefeedTable(properties: Map[String, String]) extends Table
   *    the same metadata-only pruning Kafka does with timestamp offsets)
   *    and bounds the row filter inside surviving segments. Range
   *    filters are consumed EXACTLY (not re-evaluated post-scan);
-  *    everything else stays residual for Spark.
+  *    everything else stays residual for Spark;
+  *  - global MIN/MAX(sort_us) AGGREGATES
+  *    (`SupportsPushDownAggregates`): segment names already carry their
+  *    exact row range, so the cursor-discovery query every consumer
+  *    runs on restart — `SELECT max(sort_us) FROM changefeed`
+  *    (src/main.rs:117-139's read-cursor-back) — is answered from the
+  *    directory LISTING, zero segments opened: O(segments) metadata at
+  *    100 TB instead of a full log scan. Pushed only when no grouping
+  *    and no consumed range filter could cut a segment's interior
+  *    (conservative: any pushed filter disables aggregate pushdown).
   */
 class ChangefeedScan(dir: String, startCursorUs: Option[Long],
     explicitFloorUs: Option[Long]) extends ScanBuilder with Scan
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
 
   private var prunedSchema: StructType = ChangefeedDataSource.schema
@@ -144,23 +156,76 @@ class ChangefeedScan(dir: String, startCursorUs: Option[Long],
 
   override def pushedFilters(): Array[Filter] = consumed
 
+  // "min" / "max" per pushed aggregate, in Spark's requested order
+  private var pushedAggs: Array[String] = Array.empty
+
+  private def isSortUs(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: NamedReference =>
+        nr.fieldNames.length == 1 && nr.fieldNames()(0) == "sort_us"
+      case _ => false
+    }
+
+  private def canPushAgg(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      minExclusiveUs == Long.MinValue && maxInclusiveUs == Long.MaxValue &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case m: Min => isSortUs(m.column)
+        case m: Max => isSortUs(m.column)
+        case _ => false
+      }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = canPushAgg(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (!canPushAgg(agg)) false
+    else {
+      pushedAggs = agg.aggregateExpressions.map {
+        case _: Min => "min"
+        case _: Max => "max"
+      }
+      true
+    }
+
   override def build(): Scan = this
-  override def readSchema(): StructType = prunedSchema
+  override def readSchema(): StructType =
+    if (pushedAggs.isEmpty) prunedSchema
+    else StructType(pushedAggs.map(f =>
+      StructField(s"$f(sort_us)", LongType, nullable = true)))
   override def description(): String =
     s"graft-changefeed $dir pushed=(${minExclusiveUs},${maxInclusiveUs}] " +
-      s"cols=${prunedSchema.fieldNames.mkString(",")}"
+      s"cols=${prunedSchema.fieldNames.mkString(",")}" +
+      (if (pushedAggs.isEmpty) ""
+       else s" aggs=${pushedAggs.map(_ + "(sort_us)").mkString(",")}")
 
-  override def toBatch: Batch = new Batch {
-    // batch read = replay of the retained segments INTERSECTING the
-    // pushed sort_us range (metadata-only pruning, no segment opened)
-    override def planInputPartitions(): Array[InputPartition] =
-      ChangefeedLog.listSegments(dir)
-        .filter(s => s.lastUs > minExclusiveUs && s.firstUs <= maxInclusiveUs)
-        .map(s => ChangefeedPartition(s.path.toString, minExclusiveUs, maxInclusiveUs)
-          : InputPartition).toArray
-    override def createReaderFactory(): PartitionReaderFactory =
-      ChangefeedReaderFactory(prunedSchema.fieldNames)
-  }
+  override def toBatch: Batch =
+    if (pushedAggs.nonEmpty) new Batch {
+      // answered ENTIRELY from the directory listing: segment names
+      // carry exact row ranges, so min/max over rows == min/max over
+      // segment bounds; an empty log yields SQL-correct NULLs
+      override def planInputPartitions(): Array[InputPartition] = {
+        val segs = ChangefeedLog.listSegments(dir)
+        val mn = if (segs.isEmpty) None else Some(segs.map(_.firstUs).min)
+        val mx = if (segs.isEmpty) None else Some(segs.map(_.lastUs).max)
+        Array(ChangefeedAggPartition(pushedAggs.map {
+          case "min" => mn
+          case "max" => mx
+        }))
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        ChangefeedAggReaderFactory()
+    } else new Batch {
+      // batch read = replay of the retained segments INTERSECTING the
+      // pushed sort_us range (metadata-only pruning, no segment opened)
+      override def planInputPartitions(): Array[InputPartition] =
+        ChangefeedLog.listSegments(dir)
+          .filter(s => s.lastUs > minExclusiveUs && s.firstUs <= maxInclusiveUs)
+          .map(s => ChangefeedPartition(s.path.toString, minExclusiveUs, maxInclusiveUs)
+            : InputPartition).toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        ChangefeedReaderFactory(prunedSchema.fieldNames)
+    }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ChangefeedMicroBatchStream(dir, startCursorUs, explicitFloorUs, prunedSchema.fieldNames)
@@ -325,6 +390,24 @@ case class ChangefeedCommitMessage(rows: Long) extends WriterCommitMessage
 /** One retained segment file, filtered to (startUs, endUs]. */
 case class ChangefeedPartition(file: String, startUs: Long, endUs: Long)
   extends InputPartition
+
+/** Complete-pushdown aggregate result, precomputed at PLANNING time
+  * from the segment listing (None = NULL on an empty log). */
+case class ChangefeedAggPartition(values: Array[Option[Long]])
+  extends InputPartition
+
+case class ChangefeedAggReaderFactory() extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ChangefeedAggPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val has = !emitted; emitted = true; has }
+      override def get(): InternalRow =
+        new GenericInternalRow(p.values.map(_.map(Long.box).orNull): Array[Any])
+      override def close(): Unit = ()
+    }
+  }
+}
 
 case class ChangefeedReaderFactory(
     fieldNames: Array[String] = ChangefeedDataSource.schema.fieldNames)

@@ -200,4 +200,54 @@ class ChangefeedSourceSpec extends SparkSuite {
     val maxResolved = retained.filter(_.tbl.isEmpty).map(_.sortUs).max
     assert(store.get() === Some(maxResolved.toString))
   }
+
+  test("min/max(sort_us) aggregates are answered from segment metadata alone") {
+    val (dir, rows) = buildLog(4)
+    val df = spark.read.format("graft-changefeed").option("path", dir).load()
+    val agg = df.agg(min(col("sort_us")), max(col("sort_us")))
+    val desc = agg.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.description()
+    }
+    assert(desc.exists(_.contains("aggs=min(sort_us),max(sort_us)")), desc.mkString)
+    val first = agg.head()
+    assert(first.getLong(0) === rows.map(_.sortUs).min)
+    assert(first.getLong(1) === rows.map(_.sortUs).max)
+    // behavioral proof rows are never read: clobber every segment's
+    // BYTES (names intact) — the cursor-discovery query still answers
+    Files.list(java.nio.file.Paths.get(dir)).iterator.asScala
+      .filter(_.getFileName.toString.startsWith("seg-"))
+      .foreach(p => Files.writeString(p, "not a record"))
+    val again = spark.read.format("graft-changefeed").option("path", dir).load()
+      .agg(min(col("sort_us")), max(col("sort_us"))).head()
+    assert(again === first)
+  }
+
+  test("aggregate pushdown declines groupings, filtered scans, and other aggs") {
+    val (dir, rows) = buildLog(3)
+    def fresh = spark.read.format("graft-changefeed").option("path", dir).load()
+    // a consumed range filter can cut a segment's interior → no pushdown,
+    // and the row-level answer is still exact
+    val cuts = rows.map(_.sortUs).distinct.sorted
+    val cut = cuts(cuts.size / 2)
+    val f = fresh.where(col("sort_us") > cut)
+      .agg(min(col("sort_us")), max(col("sort_us"))).head()
+    assert(f.getLong(0) === rows.map(_.sortUs).filter(_ > cut).min)
+    assert(f.getLong(1) === rows.map(_.sortUs).max)
+    // grouping → declined (correct per-group values from rows)
+    val grouped = fresh.groupBy(col("tbl")).agg(max(col("sort_us")).as("mx"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(grouped(None) === rows.filter(_.tbl.isEmpty).map(_.sortUs).max)
+    assert(grouped(Some("events")) ===
+      rows.filter(_.tbl.isDefined).map(_.sortUs).max)
+    // count(*) is not metadata-derivable here → declined, exact from rows
+    assert(fresh.agg(count(lit(1))).head().getLong(0) === rows.size.toLong)
+  }
+
+  test("aggregates on an empty log are SQL NULLs") {
+    val dir = tmp("graft-cflog-empty")
+    val r = spark.read.format("graft-changefeed").option("path", dir).load()
+      .agg(min(col("sort_us")), max(col("sort_us"))).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
 }
