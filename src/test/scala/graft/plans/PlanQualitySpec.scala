@@ -147,6 +147,43 @@ class PlanQualitySpec extends SparkSuite {
       s"histogram compaction not map-side combined:\n$plan")
   }
 
+  test("runtime bloom filter from a selective dim reaches the fact scan") {
+    // Spark's runtime row-level filtering: a selective filter on the
+    // join's build side should inject bloom_filter_agg → the fact side
+    // scans through BloomFilterMightContain BEFORE the shuffle — at
+    // 100 TB this is the difference between shuffling the whole fact
+    // table and shuffling the ~matching fraction. Thresholds are
+    // lowered because sf0.001 sits under the production defaults; the
+    // assertion is about PLAN SHAPE, which is scale-independent.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // a broadcastable dim never gets a bloom filter (the broadcast
+      // hash table already prunes); model the 100 TB case where the
+      // dim exceeds the broadcast threshold and the join shuffles
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dim = Tables.orders(spark, sf)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val fact = Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter") ||
+        optimized.contains("BloomFilterMightContain"),
+        s"no runtime bloom filter injected on the fact side:\n$optimized")
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dedup_semantic pair join is keyed on the cell, never cartesian") {
     val plan = planOf(Dedup.semantic(spark, sf))
     // the only cartesian allowed is the broadcast of k centroid rows
