@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Graph, Similarity, TextAnalysis}
 
 /** Empirical scale-curve check for the dedup suite (SURVEY §5).
   *
@@ -53,12 +53,17 @@ object ScaleCheck {
         Dedup.ngramJaccard(s, d)),
       "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
       "dedup_cluster" -> (Dedup.cluster _),
+      // degree-oriented wedge join over the candidate graph: fanout is
+      // bounded by arboricity, which the perturbed copies hold constant
+      "graph_triangles" -> (Graph.triangles _),
       // text family: narrow maps + bounded aggregates — these should
       // track the data growth even more tightly than the dedup joins
       "text_normalize" -> (TextAnalysis.normalize _),
       "text_chunk_dedup" -> ((s: SparkSession, d: String) =>
         TextAnalysis.chunkDedup(s, d)),
       "text_salient_terms" -> (TextAnalysis.salientTerms _),
+      "text_bpe_pairs" -> (TextAnalysis.bpePairs _),
+      "text_bigram_lm" -> (TextAnalysis.bigramLm _),
       "text_decontaminate" -> ((s: SparkSession, d: String) =>
         TextAnalysis.decontaminate(s, d)),
       // similarity family over the scaled embeddings corpus: brute

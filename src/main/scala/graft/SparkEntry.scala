@@ -38,6 +38,7 @@ object SparkEntry {
     "cdc_dlq" -> (Changefeed.dlq _),
     "text_bigram_lm" -> (TextAnalysis.bigramLm _),
     "ts_interpolate" -> (TimeSeries.interpolate _),
+    "ts_seasonal" -> (TimeSeries.seasonal _),
     "q_window_range" -> (Analytics.qWindowRange _),
     "q_hll_union" -> (Analytics.qHllUnion _),
     "q_robust_stats" -> (Analytics.qRobustStats _),
@@ -815,6 +816,22 @@ object SparkEntry {
          |       WHEN ph IS NOT NULL AND nh IS NOT NULL THEN 'interp'
          |       ELSE 'edge' END AS src
          |FROM f ORDER BY event_type, hour_idx""".stripMargin,
+    "ts_seasonal" ->
+      """WITH ev AS (SELECT event_type,
+        |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS h FROM events),
+        |c AS (SELECT event_type, h, count(*) AS n FROM ev GROUP BY 1, 2),
+        |sp AS (SELECT event_type, unnest(generate_series(lo, hi)) AS h
+        |  FROM (SELECT event_type, min(h) AS lo, max(h) AS hi FROM ev GROUP BY 1)),
+        |g AS (SELECT sp.event_type, sp.h, coalesce(c.n, 0) AS n, sp.h % 24 AS hod
+        |  FROM sp LEFT JOIN c ON sp.event_type = c.event_type AND sp.h = c.h),
+        |p AS (SELECT event_type, hod,
+        |  CAST(sum(n) AS BIGINT) // count(*) AS seasonal_n
+        |  FROM g GROUP BY 1, 2)
+        |SELECT g.event_type, g.h AS hour_idx, g.hod, g.n,
+        |  CAST(p.seasonal_n AS BIGINT) AS seasonal_n,
+        |  CAST(g.n - p.seasonal_n AS BIGINT) AS residual
+        |FROM g JOIN p ON g.event_type = p.event_type AND g.hod = p.hod
+        |ORDER BY g.event_type, hour_idx""".stripMargin,
     "graph_triangles" ->
       s"""WITH $shCte,
          |p AS (

@@ -156,6 +156,44 @@ object TimeSeries {
         sum(col("value_c")).as("volume_c"))
       .orderBy(col("event_type"), col("hour_us"))
 
+  /** §2#130 seasonal decomposition by hour-of-day: the gap-filled
+    * hourly series splits into a 24-slot seasonal profile (integer mean
+    * count per (event_type, hour-of-day), quiet hours counted as 0 so
+    * the profile is honest) and a residual `n − seasonal_n` per hour —
+    * classic seasonal-naive decomposition, the step before any
+    * calendar-aware anomaly rule ([[anomaly]]'s trailing-window test is
+    * season-blind; this one knows 3 AM is always quiet). All-integer:
+    * the seasonal mean is `sum div count` over nonnegative operands.
+    *
+    * Shape: two map-side-combinable aggregates (per-hour counts, then
+    * per-slot sums) + a broadcast-tiny profile join back (|types|×24
+    * rows); the spine is the same distributed calendar as [[gapFill]].
+    * Residuals can be negative — they are differences of counts, not
+    * divisions, so no floor-semantics divergence. */
+  def seasonal(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr(s"unix_micros(date_trunc('hour', ts)) div $hourUs").as("h"))
+    val counts = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"))
+    val spine = ev.groupBy(col("event_type"))
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("h"))
+    val g = spine.join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        pmod(col("h"), lit(24L)).as("hod"))
+    val profile = g.groupBy(col("event_type"), col("hod"))
+      .agg(sum(col("n")).as("s"), count(lit(1)).as("c"))
+      .select(col("event_type"), col("hod"), expr("s div c").as("seasonal_n"))
+    g.join(broadcast(profile), Seq("event_type", "hod"))
+      .select(col("event_type"), col("h").as("hour_idx"), col("hod"),
+        col("n"), col("seasonal_n"),
+        (col("n") - col("seasonal_n")).as("residual"))
+      .orderBy(col("event_type"), col("hour_idx"))
+  }
+
   /** §2#124 linear interpolation over the gap-filled hourly series:
     * quiet hours get the integer weighted average of the nearest
     * observed neighbors, `(pv·(nh−h) + nv·(h−ph)) div (nh−ph)` — the

@@ -573,6 +573,21 @@ class NewOpsSpec extends SparkSuite {
     assert(real.forall(r => r.getLong(2) > 0L && r.getLong(2) <= 1000000L))
   }
 
+  test("ts_seasonal: profile is the floor mean, residuals rebalance within each slot") {
+    val rows = TimeSeries.seasonal(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // hod is h mod 24 and seasonal_n is constant within a (type, hod) slot
+    rows.foreach(r => assert(r.getLong(2) === ((r.getLong(1) % 24) + 24) % 24))
+    rows.groupBy(r => (r.getString(0), r.getLong(2))).foreach { case (_, slot) =>
+      assert(slot.map(_.getLong(4)).distinct.length === 1)
+      // floor-mean property: 0 <= sum(n) - c*seasonal == sum(residual) < c
+      val resid = slot.map(_.getLong(5)).sum
+      assert(resid >= 0L && resid < slot.length.toLong, s"slot residual $resid")
+      // residual is n - seasonal on every row
+      slot.foreach(r => assert(r.getLong(5) === r.getLong(3) - r.getLong(4)))
+    }
+  }
+
   test("ts_interpolate: observed rows keep sums, interp rows sit between neighbors") {
     val rows = TimeSeries.interpolate(spark, sf).collect()
     assert(rows.nonEmpty)
