@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -74,7 +74,8 @@ class ChangefeedTable(properties: Map[String, String]) extends Table
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ChangefeedScan(dir,
       Option(options.get("startCursor")).map(_.toLong),
-      Option(options.get("gcFloorUs")).map(_.toLong))
+      Option(options.get("gcFloorUs")).map(_.toLong),
+      Option(options.get("maxSegmentsPerTrigger")).map(_.toInt))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ChangefeedWriteBuilder(dir, info)
 }
@@ -102,7 +103,8 @@ class ChangefeedTable(properties: Map[String, String]) extends Table
   *    (conservative: any pushed filter disables aggregate pushdown).
   */
 class ChangefeedScan(dir: String, startCursorUs: Option[Long],
-    explicitFloorUs: Option[Long]) extends ScanBuilder with Scan
+    explicitFloorUs: Option[Long],
+    maxSegmentsPerTrigger: Option[Int] = None) extends ScanBuilder with Scan
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
@@ -228,7 +230,8 @@ class ChangefeedScan(dir: String, startCursorUs: Option[Long],
     }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ChangefeedMicroBatchStream(dir, startCursorUs, explicitFloorUs, prunedSchema.fieldNames)
+    new ChangefeedMicroBatchStream(dir, startCursorUs, explicitFloorUs,
+      prunedSchema.fieldNames, maxSegmentsPerTrigger)
 }
 
 /** Offset = "every row with sort_us <= us has been consumed". */
@@ -238,7 +241,8 @@ case class ChangefeedOffset(us: Long) extends Offset {
 
 class ChangefeedMicroBatchStream(dir: String, startCursorUs: Option[Long],
     explicitFloorUs: Option[Long],
-    fieldNames: Array[String] = ChangefeedDataSource.schema.fieldNames)
+    fieldNames: Array[String] = ChangefeedDataSource.schema.fieldNames,
+    maxSegmentsPerTrigger: Option[Int] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def floorUs: Option[Long] =
@@ -272,11 +276,36 @@ class ChangefeedMicroBatchStream(dir: String, startCursorUs: Option[Long],
   override def latestOffset(): Offset =
     ChangefeedOffset(availableNowEndUs.getOrElse(maxAvailableUs))
 
-  /** Admission-control variant (SupportsTriggerAvailableNow extends
-    * SupportsAdmissionControl): this source has no rate limit — every
-    * retained row up to the snapshot/current end is admitted. */
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    latestOffset()
+  /** Admission control (SupportsTriggerAvailableNow extends
+    * SupportsAdmissionControl): `maxSegmentsPerTrigger` caps each
+    * micro-batch at the next N pending segments — the `maxFilesPerTrigger`
+    * of this log. Without it a week-long backfill replays as ONE
+    * micro-batch whose state/shuffle must fit executor memory all at
+    * once; with it the backfill drains as a sequence of bounded batches
+    * (AvailableNow loops until the prepared end, checkpointing each).
+    * The cap is segment-granular and approximate: the admitted offset
+    * is the max lastUs of the taken segments, so an overlapping
+    * same-epoch segment can ride along — offsets stay watermark-exact
+    * either way. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxSegmentsPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[ChangefeedOffset].us
+    val cap = availableNowEndUs.getOrElse(maxAvailableUs)
+    val end = limit match {
+      case mf: ReadMaxFiles =>
+        val pending = ChangefeedLog.listSegments(dir)
+          .filter(seg => seg.lastUs > s && seg.lastUs <= cap)
+        if (pending.isEmpty) cap
+        else pending.take(mf.maxFiles).map(_.lastUs).max
+      case _ => cap
+    }
+    // never regress below the consumed offset (a stale AvailableNow
+    // snapshot must not rewind a checkpoint-resumed stream)
+    ChangefeedOffset(math.max(s, math.min(end, cap)))
+  }
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowEndUs = Some(maxAvailableUs)

@@ -244,6 +244,27 @@ class ChangefeedSourceSpec extends SparkSuite {
     assert(fresh.agg(count(lit(1))).head().getLong(0) === rows.size.toLong)
   }
 
+  test("maxSegmentsPerTrigger drains a backfill as bounded micro-batches") {
+    val (dir, rows) = buildLog(4)
+    val nSegs = ChangefeedLog.listSegments(dir).size
+    assert(nSegs >= 4)
+    val sizes = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format("graft-changefeed")
+      .option("path", dir).option("maxSegmentsPerTrigger", "1").load()
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        sizes += df.count(); ()
+      }
+      .option("checkpointLocation", tmp("graft-ratelimit-ckpt"))
+      .start()
+    q.awaitTermination()
+    // complete drain, but never as one mega-batch: one segment per
+    // trigger → as many non-empty batches as segments
+    assert(sizes.sum === rows.size.toLong)
+    assert(sizes.count(_ > 0) === nSegs)
+    assert(sizes.max < rows.size.toLong)
+  }
+
   test("aggregates on an empty log are SQL NULLs") {
     val dir = tmp("graft-cflog-empty")
     val r = spark.read.format("graft-changefeed").option("path", dir).load()
