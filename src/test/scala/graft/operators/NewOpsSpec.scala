@@ -504,6 +504,39 @@ class NewOpsSpec extends SparkSuite {
     assert(wheel(1L) === 1L && wheel(10L) === 2L)
   }
 
+  test("property: trianglesFrom == brute force on randomized graphs") {
+    import spark.implicits._
+    // 8 random graphs of varied density in one frame (node ids offset
+    // per graph so they are independent components): degree orientation,
+    // wedge dedup, and the closing-edge join must reproduce the O(n³)
+    // reference count exactly — including hub-heavy shapes where a
+    // naive id-orientation would blow up the wedge fanout.
+    val rnd = new scala.util.Random(0x7121A)
+    val all = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val expected = scala.collection.mutable.Map[Long, Long]()
+    for (g <- 0 until 8) {
+      val n = 6 + rnd.nextInt(20)
+      val p = 0.15 + rnd.nextDouble() * 0.5
+      val base = g.toLong * 1000L
+      val edges = for {
+        i <- 0 until n; j <- (i + 1) until n
+        if rnd.nextDouble() < p
+      } yield (base + i, base + j)
+      all ++= edges
+      val es = edges.toSet
+      for {
+        i <- 0 until n; j <- (i + 1) until n; k <- (j + 1) until n
+        if es((base + i, base + j)) && es((base + j, base + k)) &&
+          es((base + i, base + k))
+      } Seq(i, j, k).foreach { v =>
+        expected(base + v) = expected.getOrElse(base + v, 0L) + 1L
+      }
+    }
+    val got = Graph.trianglesFrom(all.toSeq.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected.toMap)
+  }
+
   test("text_bpe_pairs: pairs are 2 chars, counts descend, real corpus pair leads") {
     val rows = TextAnalysis.bpePairs(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)))
