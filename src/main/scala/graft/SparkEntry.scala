@@ -36,6 +36,7 @@ object SparkEntry {
     "cdc_variant_extract" -> (Changefeed.variantExtract _),
     "cdc_schema_drift" -> (Changefeed.schemaDrift _),
     "cdc_dlq" -> (Changefeed.dlq _),
+    "cdc_snapshot_diff" -> (Changefeed.snapshotDiff _),
     "text_bigram_lm" -> (TextAnalysis.bigramLm _),
     "ts_interpolate" -> (TimeSeries.interpolate _),
     "ts_seasonal" -> (TimeSeries.seasonal _),
@@ -732,6 +733,33 @@ object SparkEntry {
         |FROM d LEFT JOIN ex USING (h) WHERE d.doc_id % 5 = 4
         |ORDER BY d.doc_id""".stripMargin,
 
+    "cdc_snapshot_diff" ->
+      s"""WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+         |  ${cents("value")} AS value_cents FROM events),
+         |cut AS (SELECT (min(us) + max(us)) // 2 AS cut FROM e),
+         |b AS (SELECT user_id, event_type, event_id AS b_event_id,
+         |  value_cents AS b_value_cents FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+         |      ORDER BY us DESC, event_id DESC) AS rn FROM e)
+         |  WHERE rn = 1),
+         |a AS (SELECT user_id, event_type, event_id AS a_event_id,
+         |  value_cents AS a_value_cents FROM (
+         |    SELECT e.*, row_number() OVER (PARTITION BY user_id, event_type
+         |      ORDER BY us DESC, event_id DESC) AS rn
+         |    FROM e, cut WHERE e.us <= cut.cut)
+         |  WHERE rn = 1),
+         |d AS (SELECT coalesce(b.user_id, a.user_id) AS user_id,
+         |  coalesce(b.event_type, a.event_type) AS event_type,
+         |  CASE WHEN a_event_id IS NULL THEN 'added'
+         |       WHEN b_event_id IS NULL THEN 'removed'
+         |       WHEN a_event_id <> b_event_id
+         |            OR a_value_cents <> b_value_cents THEN 'changed'
+         |       ELSE 'same' END AS status,
+         |  a_event_id, a_value_cents, b_event_id, b_value_cents
+         |  FROM b FULL OUTER JOIN a
+         |    ON b.user_id = a.user_id AND b.event_type = a.event_type)
+         |SELECT * FROM d WHERE status <> 'same'
+         |ORDER BY user_id, event_type""".stripMargin,
     "cdc_dlq" ->
       s"""WITH $chCte,
          |w AS (SELECT event_id,

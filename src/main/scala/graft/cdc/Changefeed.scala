@@ -361,6 +361,55 @@ object Changefeed {
       .where(col("k").isNotNull)
       .orderBy(col("event_id"))
 
+  /** §2#131 snapshot diff — CDC time travel: compact the feed at an
+    * earlier cursor T (here the feed's midpoint, computed distributed)
+    * and at the head, then diff the two materialized states per PK:
+    * `added` (PK born after T) or `changed` (newer version won) — the
+    * "what changed since the last report ran" query every downstream
+    * consumer of the reference eventually writes. `removed` cannot
+    * occur on an append-only feed (T's keys ⊆ head's keys); the
+    * full-outer join keeps the diff honest if a tombstoning feed is
+    * swapped in. `same` rows are filtered server-side — at 100 TB the
+    * diff output is ∝ churn, not ∝ state.
+    *
+    * Shape: one window pass computes BOTH snapshots (row_number over
+    * the full feed; the ≤T snapshot is the same partition ordered by
+    * the same key, filtered) — so the feed shuffles ONCE on the PK,
+    * not once per snapshot; the cutoff is a broadcast scalar. */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"), cents(col("value")).as("value_cents"))
+    val cutoff = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      .select(expr("(mn + mx) div 2").as("cut"))
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    val wCut = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("in_a").desc, col("us").desc, col("event_id").desc)
+    val ranked = ev.crossJoin(broadcast(cutoff))
+      .withColumn("in_a", when(col("us") <= col("cut"), 1L).otherwise(0L))
+      .withColumn("rn_b", row_number().over(w))
+      .withColumn("rn_a", row_number().over(wCut))
+    val b = ranked.where(col("rn_b") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("b_event_id"), col("value_cents").as("b_value_cents"))
+    val a = ranked.where(col("rn_a") === 1 && col("in_a") === 1L)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("a_event_id"), col("value_cents").as("a_value_cents"))
+    b.join(a, Seq("user_id", "event_type"), "full_outer")
+      .withColumn("status",
+        when(col("a_event_id").isNull, lit("added"))
+          .when(col("b_event_id").isNull, lit("removed"))
+          .when(col("a_event_id") =!= col("b_event_id") ||
+            col("a_value_cents") =!= col("b_value_cents"), lit("changed"))
+          .otherwise(lit("same")))
+      .where(col("status") =!= "same")
+      .select(col("user_id"), col("event_type"), col("status"),
+        col("a_event_id"), col("a_value_cents"),
+        col("b_event_id"), col("b_value_cents"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** §2#125 payload schema-drift report: per (table, key-of-`after`)
     * first-seen / last-seen commit timestamps and row counts, with a
     * drift verdict against the table's own feed window — `added` if the

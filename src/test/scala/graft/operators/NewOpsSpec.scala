@@ -579,6 +579,36 @@ class NewOpsSpec extends SparkSuite {
     assert(rows.map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
   }
 
+  test("cdc_snapshot_diff: statuses reconcile with a driver-side recompute") {
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        graft.functions.Fns.cents(col("value")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val cut = (evs.map(_._4).min + evs.map(_._4).max) / 2
+    def latest(rows: Seq[(Long, String, Long, Long, Long)]) =
+      rows.groupBy(r => (r._1, r._2)).view
+        .mapValues(_.maxBy(r => (r._4, r._3))).toMap
+    val b = latest(evs.toSeq)
+    val a = latest(evs.toSeq.filter(_._4 <= cut))
+    val expected = b.flatMap { case (pk, bv) =>
+      a.get(pk) match {
+        case None => Some(pk -> ("added", None, Some(bv._3)))
+        case Some(av) if av._3 != bv._3 || av._5 != bv._5 =>
+          Some(pk -> ("changed", Some(av._3), Some(bv._3)))
+        case _ => None
+      }
+    }
+    val got = Changefeed.snapshotDiff(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getString(1)) -> (r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))
+    }.toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("cdc_dlq: exactly the injected corruptions route to the dead letter queue") {
     val rows = Changefeed.dlq(spark, sf).collect()
     val events = graft.Tables.events(spark, sf)
