@@ -9,7 +9,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -106,7 +107,7 @@ class ChangefeedScan(dir: String, startCursorUs: Option[Long],
     explicitFloorUs: Option[Long],
     maxSegmentsPerTrigger: Option[Int] = None) extends ScanBuilder with Scan
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsRuntimeFiltering {
   import org.apache.spark.sql.sources._
 
   private var prunedSchema: StructType = ChangefeedDataSource.schema
@@ -157,6 +158,26 @@ class ChangefeedScan(dir: String, startCursorUs: Option[Long],
   }
 
   override def pushedFilters(): Array[Filter] = consumed
+
+  // RUNTIME filtering (SupportsRuntimeFiltering): when the feed is
+  // equi-joined on sort_us against a small frame (point-lookup replay
+  // of specific commit timestamps — the audit query "show me exactly
+  // the rows at these HLC instants"), Spark hands the build side's
+  // values over at execution time and planInputPartitions re-runs —
+  // segments whose [first,last] range contains none of them are never
+  // opened. Best-effort by contract: row-level equality is still
+  // enforced by the join, so range-level pruning here is sound.
+  private var runtimeSortUs: Option[Seq[Long]] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column("sort_us"))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimeSortUs = filters.collectFirst {
+      case In("sort_us", vs) => vs.toSeq.flatMap(asLong)
+      case EqualTo("sort_us", v) => asLong(v).toSeq
+    }
+  }
 
   // "min" / "max" per pushed aggregate, in Spark's requested order
   private var pushedAggs: Array[String] = Array.empty
@@ -219,10 +240,14 @@ class ChangefeedScan(dir: String, startCursorUs: Option[Long],
         ChangefeedAggReaderFactory()
     } else new Batch {
       // batch read = replay of the retained segments INTERSECTING the
-      // pushed sort_us range (metadata-only pruning, no segment opened)
+      // pushed sort_us range (metadata-only pruning, no segment opened);
+      // a runtime join-key filter additionally drops segments whose
+      // range contains none of the joined values
       override def planInputPartitions(): Array[InputPartition] =
         ChangefeedLog.listSegments(dir)
           .filter(s => s.lastUs > minExclusiveUs && s.firstUs <= maxInclusiveUs)
+          .filter(s => runtimeSortUs.forall(_.exists(v =>
+            v >= s.firstUs && v <= s.lastUs)))
           .map(s => ChangefeedPartition(s.path.toString, minExclusiveUs, maxInclusiveUs)
             : InputPartition).toArray
       override def createReaderFactory(): PartitionReaderFactory =

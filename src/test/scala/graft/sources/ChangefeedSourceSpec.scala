@@ -265,6 +265,37 @@ class ChangefeedSourceSpec extends SparkSuite {
     assert(sizes.max < rows.size.toLong)
   }
 
+  test("runtime join-key filtering prunes segments never opened") {
+    val (dir, rows) = buildLog(6)
+    val segs = ChangefeedLog.listSegments(dir)
+    assert(segs.size >= 4)
+    val target = segs.head
+    val keys = ChangefeedLog.readSegment(target.path).toSeq.map(_.sortUs)
+      .distinct.take(3)
+    // values live only in the first segment's range — clobber every
+    // segment whose range excludes them; with runtime filtering those
+    // are never opened, without it the join would read garbage and blow up
+    segs.filter(s => !keys.exists(v => v >= s.firstUs && v <= s.lastUs))
+      .foreach(s => Files.writeString(s.path, "garbage"))
+    import spark.implicits._
+    // the dim must carry a REAL (non-constant-foldable) selective
+    // filter or Spark's partition-pruning rule sees no benefit — a
+    // parquet-backed cursor list with a tag predicate, like an audit
+    // table would be
+    val dimPath = tmp("graft-dpp-dim")
+    keys.toDF("k").withColumn("tag", lit("x"))
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).where(col("tag") === "x").select("k")
+    val feed = spark.read.format("graft-changefeed").option("path", dir).load()
+    val joined = feed.join(broadcast(dim), col("sort_us") === col("k"))
+    val got = joined.collect()
+    assert(got.length === rows.count(r => keys.contains(r.sortUs)))
+    // and the plan actually carries the dynamic-pruning subquery
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no runtime filter in plan:\n$plan")
+  }
+
   test("aggregates on an empty log are SQL NULLs") {
     val dir = tmp("graft-cflog-empty")
     val r = spark.read.format("graft-changefeed").option("path", dir).load()
