@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           exprs(1).eval(null).asInstanceOf[Number].intValue())
           .toAggregateExpression()))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // rewrite `row_number().over(...) <= k` window top-k into the
     // bounded-buffer TopKPerKey operator (post-resolution batch; the
     // rule itself is conservative about when it fires)

@@ -62,6 +62,7 @@ object SparkEntry {
     "q_conditional_pivot" -> (Analytics.qConditionalPivot _),
     "q_semi_anti" -> (Analytics.qSemiAnti _),
     "q_asof_join" -> (Temporal.asofJoin _),
+    "q_asof_native" -> (Temporal.asofNative _),
     "q_range_join" -> (Temporal.rangeJoin _),
     "q_quantiles" -> (Analytics.qQuantiles _),
     "q_quantiles_approx" -> (Analytics.qQuantilesApprox _),
@@ -193,6 +194,22 @@ object SparkEntry {
   private val embBase =
     """base AS (SELECT vec_id, label,
       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings)""".stripMargin
+
+  /** Shared by q_asof_join (window formulation) and q_asof_native
+    * (custom physical operator) — both must hash-match this. */
+  private val asofOracle =
+    """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+      |  FROM events WHERE event_type IN ('click','purchase')),
+      |w AS (SELECT *,
+      |  last_value(CASE WHEN event_type='click' THEN event_id END IGNORE NULLS) OVER
+      |    (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_id,
+      |  last_value(CASE WHEN event_type='click' THEN us END IGNORE NULLS) OVER
+      |    (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+      | FROM ev)
+      |SELECT user_id, event_id AS purchase_id, us AS purchase_us,
+      |  last_click_id, last_click_us, us - last_click_us AS gap_us
+      |FROM w WHERE event_type='purchase' AND last_click_id IS NOT NULL
+      |ORDER BY purchase_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "cdc_changefeed_rows" ->
@@ -468,19 +485,10 @@ object SparkEntry {
         |FROM customer c LEFT JOIN ok ON c.c_custkey = ok.o_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "q_asof_join" ->
-      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
-        |  FROM events WHERE event_type IN ('click','purchase')),
-        |w AS (SELECT *,
-        |  last_value(CASE WHEN event_type='click' THEN event_id END IGNORE NULLS) OVER
-        |    (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_id,
-        |  last_value(CASE WHEN event_type='click' THEN us END IGNORE NULLS) OVER
-        |    (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
-        | FROM ev)
-        |SELECT user_id, event_id AS purchase_id, us AS purchase_us,
-        |  last_click_id, last_click_us, us - last_click_us AS gap_us
-        |FROM w WHERE event_type='purchase' AND last_click_id IS NOT NULL
-        |ORDER BY purchase_id""".stripMargin,
+    "q_asof_join" -> asofOracle,
+    // the custom physical operator must reproduce the declarative
+    // formulation's oracle EXACTLY — same SQL, bit-for-bit
+    "q_asof_native" -> asofOracle,
 
     "q_range_join" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events)

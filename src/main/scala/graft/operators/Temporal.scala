@@ -37,6 +37,28 @@ object Temporal {
       .orderBy(col("purchase_id"))
   }
 
+  /** §2#132 the NATIVE twin of [[asofJoin]]: the same purchases-to-
+    * last-prior-click match through the custom [[graft.plans.AsOfJoin]]
+    * physical operator (hash-cluster + sort per side, then an O(1)-
+    * memory streaming merge) instead of the union-tag window. Shares
+    * q_asof_join's DuckDB oracle bit-for-bit — the strongest possible
+    * check a custom join operator can get. */
+  def asofNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("us"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("us"))
+    graft.plans.AsOfJoin.ofDF(purchases, clicks,
+        Seq("user_id", "purchase_id", "purchase_us",
+          "last_click_id", "last_click_us"))
+      .withColumn("gap_us", col("purchase_us") - col("last_click_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** §2#39 bucketed range join: unordered pairs of same-user events
     * within 5 minutes of each other. Each left row fans out to its
     * 3 candidate time buckets (prev/self/next); the join key is

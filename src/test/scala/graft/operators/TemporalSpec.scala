@@ -11,6 +11,44 @@ class TemporalSpec extends SparkSuite {
     assert(rows.forall(_.getLong(5) > 0L))                // gap_us positive
   }
 
+  test("asof native == asof window formulation on the real frame") {
+    val window = Temporal.asofJoin(spark, sf).collect().map(_.toSeq).toSeq
+    val native = Temporal.asofNative(spark, sf).collect().map(_.toSeq).toSeq
+    assert(native === window)
+  }
+
+  test("property: native asof merge == driver recompute on randomized frames") {
+    import spark.implicits._
+    // adversarial shapes: shared timestamps (tiny time domain), keys
+    // with only-left / only-right rows, bursts of rights between lefts
+    val rnd = new scala.util.Random(0xA50F)
+    val lefts = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val rights = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    var id = 0L
+    for (key <- 0L until 40L) {
+      val nL = rnd.nextInt(6) // 0..5 left rows (0 = right-only key)
+      val nR = rnd.nextInt(6)
+      for (_ <- 0 until nL) { lefts += ((key, id, rnd.nextInt(8).toLong)); id += 1 }
+      for (_ <- 0 until nR) { rights += ((key, id, rnd.nextInt(8).toLong)); id += 1 }
+    }
+    val got = graft.plans.AsOfJoin.ofDF(
+        lefts.toSeq.toDF("k", "id", "t"), rights.toSeq.toDF("k", "id", "t"),
+        Seq("k", "l_id", "l_t", "r_id", "r_t"))
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).toSet
+    val expected = lefts.flatMap { case (k, lid, lt) =>
+      val prior = rights.filter { case (rk, rid, rt) =>
+        rk == k && (rt < lt || (rt == lt && rid < lid))
+      }
+      if (prior.isEmpty) None
+      else {
+        val (_, rid, rt) = prior.maxBy { case (_, rid, rt) => (rt, rid) }
+        Some((lid, rid, rt))
+      }
+    }.toSet
+    assert(got === expected)
+    assert(expected.nonEmpty)
+  }
+
   test("range join: all pairs within the 5-minute window, ids ordered") {
     val rows = Temporal.rangeJoin(spark, sf).collect()
     assert(rows.forall(r => r.getLong(3) <= 300000000L))

@@ -184,6 +184,19 @@ class PlanQualitySpec extends SparkSuite {
     }
   }
 
+  test("q_asof_native plans one exchange + sort per side into AsOfJoinExec") {
+    val df = Temporal.asofNative(spark, sf)
+    // AQE's string repeats the pre-adaptive plan under "== Initial
+    // Plan ==" — count exchanges in the FINAL plan section only
+    val plan = planOf(df).split("== Initial Plan ==").head
+    assert(plan.contains("AsOfJoin"), s"custom asof operator not planned:\n$plan")
+    // the streaming merge needs exactly the two hash exchanges the
+    // distribution requirement asks for — no extra shuffle, no window
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$plan")
+    assert(!plan.contains("Window"), s"window crept into the native asof plan:\n$plan")
+  }
+
   test("dedup_semantic pair join is keyed on the cell, never cartesian") {
     val plan = planOf(Dedup.semantic(spark, sf))
     // the only cartesian allowed is the broadcast of k centroid rows
