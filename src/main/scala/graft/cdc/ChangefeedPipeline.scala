@@ -33,12 +33,15 @@ class ChangefeedPipeline(
     cursorStore: CursorStore,
     checkpointDir: String,
     gcFloorUs: Option[Long] = None,
-    trigger: Option[Trigger] = None) extends Serializable {
+    trigger: Option[Trigger] = None,
+    deadLetterQueue: Option[MessageQueue] = None) extends Serializable {
 
   /** rabbitmq_messages_sent equivalent (reference src/metrics.rs). */
   @volatile var messagesSent: LongAccumulator = _
   /** Cursor-store commits (one per micro-batch with resolved rows). */
   @volatile var cursorsCommitted: LongAccumulator = _
+  /** Change rows routed to the dead-letter queue (unparseable payload). */
+  @volatile var messagesDeadLettered: LongAccumulator = _
 
   private def resumeFrom(frame: DataFrame, ignoreCursor: Boolean): DataFrame =
     (if (ignoreCursor) None else cursorStore.get().map(_.toLong)) match {
@@ -57,40 +60,65 @@ class ChangefeedPipeline(
       ignoreCursor: Boolean = false): StreamingQuery = {
     messagesSent = spark.sparkContext.longAccumulator("graft.messages_sent")
     cursorsCommitted = spark.sparkContext.longAccumulator("graft.cursors_committed")
+    messagesDeadLettered = spark.sparkContext.longAccumulator("graft.messages_dead_lettered")
     val acc = messagesSent
     val curAcc = cursorsCommitted
+    val dlqAcc = messagesDeadLettered
     val q = queue
+    val dlq = deadLetterQueue
     val store = cursorStore
+    // a change row must carry a parseable `{"after": ...}` payload;
+    // anything else (truncation, encoding damage) is poison — with a
+    // DLQ configured it is PRESERVED there raw instead of crashing or
+    // silently vanishing from the relay (the consumer-side NACK path
+    // the reference's fire-and-forget publish leaves implicit)
+    val malformed = col("tbl").isNotNull &&
+      get_json_object(col("value"), "$.after").isNull
     val writer = resumeFrom(frame, ignoreCursor).writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        q match {
-          case log: ChangefeedLogQueue =>
-            // whole-batch publish through the DSv2 sink: one atomic
-            // segment per partition, e<batch>p<part> ids → idempotent
-            // across foreachBatch retries (effectively-once)
-            val changes = batch.where(col("tbl").isNotNull)
-            changes.write.format("graft-changefeed")
-              .option("path", log.dir).option("epochId", batchId)
-              .mode("append").save()
-            acc.add(changes.count())
-          case _ =>
-            val payloads = batch.where(col("tbl").isNotNull)
-              .select(Changefeed.payloadCol.as("payload"))
-            payloads.foreachPartition { (it: Iterator[Row]) =>
-              it.foreach { r =>
-                q.publish(r.getString(0).getBytes("UTF-8"))
-                acc.add(1L)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        // with a DLQ the batch is read twice (route + publish) — keep
+        // the micro-batch from recomputing its source
+        val batch = if (dlq.isDefined) batch0.persist() else batch0
+        try {
+          dlq.foreach { dq =>
+            batch.where(malformed).select(col("value"))
+              .foreachPartition { (it: Iterator[Row]) =>
+                it.foreach { r =>
+                  dq.publish(r.getString(0).getBytes("UTF-8"))
+                  dlqAcc.add(1L)
+                }
               }
-            }
-        }
-        val maxResolved = batch
-          .where(col("tbl").isNull && col("key").isNull)
-          .agg(max(Changefeed.resolvedUsCol)).collect()(0)
-        if (!maxResolved.isNullAt(0)) {
-          store.set(maxResolved.getLong(0).toString)
-          curAcc.add(1L)
-        }
+          }
+          val good = if (dlq.isDefined) !malformed else lit(true)
+          q match {
+            case log: ChangefeedLogQueue =>
+              // whole-batch publish through the DSv2 sink: one atomic
+              // segment per partition, e<batch>p<part> ids → idempotent
+              // across foreachBatch retries (effectively-once)
+              val changes = batch.where(col("tbl").isNotNull && good)
+              changes.write.format("graft-changefeed")
+                .option("path", log.dir).option("epochId", batchId)
+                .mode("append").save()
+              acc.add(changes.count())
+            case _ =>
+              val payloads = batch.where(col("tbl").isNotNull && good)
+                .select(Changefeed.payloadCol.as("payload"))
+              payloads.foreachPartition { (it: Iterator[Row]) =>
+                it.foreach { r =>
+                  q.publish(r.getString(0).getBytes("UTF-8"))
+                  acc.add(1L)
+                }
+              }
+          }
+          val maxResolved = batch
+            .where(col("tbl").isNull && col("key").isNull)
+            .agg(max(Changefeed.resolvedUsCol)).collect()(0)
+          if (!maxResolved.isNullAt(0)) {
+            store.set(maxResolved.getLong(0).toString)
+            curAcc.add(1L)
+          }
+        } finally if (dlq.isDefined) { batch.unpersist(); () }
         ()
       }
     trigger.fold(writer)(writer.trigger).start()

@@ -23,7 +23,8 @@ final case class GraftConfig(
     checkpointDir: Option[String] = None,
     metricsPort: Int = 0,
     once: Boolean = false,
-    database: Option[String] = None) {
+    database: Option[String] = None,
+    deadLetterQueue: Option[String] = None) {
 
   /** Cursor cadence in microseconds (reference `resolved = '10s'`). */
   def cursorFrequencyUs: Long = GraftConfig.parseDurationUs(cursorFrequency)
@@ -46,6 +47,12 @@ final case class GraftConfig(
       s"unsupported queue scheme '$scheme' (this build compiles: inmemory, " +
         "changefeed, amqp)")
   }
+
+  /** Poison-payload destination (--dead-letter-queue, same scheme:arg
+    * grammar as --queue); None = forward bytes verbatim like the
+    * reference. */
+  def newDeadLetterQueue(): Option[MessageQueue] =
+    deadLetterQueue.map(spec => copy(queue = spec).newQueue())
 
   /** File queues need per-batch writers (not per-record publish) — the
     * pipeline dispatches on this. */
@@ -102,7 +109,7 @@ object GraftConfig {
     }.toMap
     val unknown = kv.keySet -- Set("table", "queue", "cursor-store",
       "cursor-frequency", "log-dir", "checkpoint-dir", "metrics-port", "once",
-      "database")
+      "database", "dead-letter-queue")
     require(unknown.isEmpty, s"unknown flags: ${unknown.mkString(", ")}")
     var cfg = GraftConfig(table = kv.getOrElse("table",
       throw new IllegalArgumentException("--table is required")))
@@ -127,6 +134,8 @@ object GraftConfig {
     for (d <- kv.get("database").orElse(env.get("DATABASE_URL")
         .filter(_.startsWith("jdbc:"))))
       cfg = cfg.copy(database = Some(d))
+    for (d <- kv.get("dead-letter-queue"))
+      cfg = cfg.copy(deadLetterQueue = Some(d))
     cfg
   }
 

@@ -57,7 +57,8 @@ object GraftMain {
       Files.createTempDirectory("graft-ckpt").toString)
     val store = cfg.newCursorStore()
     val pipeline = new ChangefeedPipeline(cfg.newQueue(), store,
-      checkpoint, trigger = if (cfg.once) Some(Trigger.AvailableNow()) else None)
+      checkpoint, trigger = if (cfg.once) Some(Trigger.AvailableNow()) else None,
+      deadLetterQueue = cfg.newDeadLetterQueue())
     val metrics = new GraftMetrics(spark)
     val server = metrics.serve(cfg.metricsPort)
     try {

@@ -140,4 +140,51 @@ class ChangefeedPipelineSpec extends SparkSuite {
     val s2 = new FileCursorStore(curPath) // "restart"
     assert(s2.get() === Some("12345"))
   }
+
+  test("malformed payloads route to the DLQ; good rows publish; cursor advances") {
+    val qname = "t-dlq"; val dname = "t-dlq-dead"
+    InMemoryQueue.clear(qname); InMemoryQueue.clear(dname)
+    val store = new InMemoryCursorStore("t-dlq")
+    val pipeline = new ChangefeedPipeline(new InMemoryQueue(qname), store, ckpt(),
+      deadLetterQueue = Some(new InMemoryQueue(dname)))
+    val in = MemoryStream[RawFeedRow](91, spark, None)
+    val good = (1 to 4).map(i => RawFeedRow(i, Some("events"), Some(s"[$i]"),
+      s"""{"after": {"event_id": $i}}"""))
+    val bad = Seq(
+      RawFeedRow(5, Some("events"), Some("[5]"), """{"afte"""), // truncated
+      RawFeedRow(6, Some("events"), Some("[6]"), """{"nope": 1}""")) // no after
+    val resolved = RawFeedRow(7, None, None,
+      """{"resolved": "7.0000000000"}""")
+    in.addData(good ++ bad :+ resolved: _*)
+    val q = pipeline.start(spark, in.toDF())
+    q.processAllAvailable(); q.stop()
+    // exactly the parseable change rows reached the queue
+    val msgs = InMemoryQueue.messages(qname)
+    assert(msgs.size === 4)
+    assert(msgs.forall(_.contains(""""value":{"after":""")))
+    // poison rows preserved RAW in the dead letter queue
+    assert(InMemoryQueue.messages(dname).toSet === bad.map(_.value).toSet)
+    assert(pipeline.messagesSent.value === 4L)
+    assert(pipeline.messagesDeadLettered.value === 2L)
+    // the resolved cursor still committed — poison never stalls the feed
+    assert(store.get() === Some("7"))
+  }
+
+  test("without a DLQ the relay forwards bytes verbatim (reference behavior)") {
+    val qname = "t-nodlq"
+    InMemoryQueue.clear(qname)
+    val pipeline = new ChangefeedPipeline(new InMemoryQueue(qname),
+      new InMemoryCursorStore("t-nodlq"), ckpt())
+    val in = MemoryStream[RawFeedRow](92, spark, None)
+    in.addData(RawFeedRow(1, Some("events"), Some("[1]"), """{"nope": 1}"""))
+    val q = pipeline.start(spark, in.toDF())
+    q.processAllAvailable(); q.stop()
+    // the reference publishes whatever the feed carried (model.rs:74-91)
+    assert(InMemoryQueue.messages(qname).size === 1)
+    assert(pipeline.messagesDeadLettered.value === 0L)
+  }
 }
+
+/** Raw (sort_us, tbl, key, value) feed row for poison-payload tests. */
+case class RawFeedRow(sort_us: Long, tbl: Option[String],
+    key: Option[String], value: String)

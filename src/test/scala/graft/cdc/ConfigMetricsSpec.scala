@@ -94,4 +94,17 @@ class ConfigMetricsSpec extends SparkSuite {
       assert(body.contains("cursors_committed 1"))
     } finally server.stop(0)
   }
+
+  test("dead-letter-queue flag parses with the queue grammar, defaults off") {
+    val cfg = GraftConfig.fromArgs(Seq("--table", "events"), Map.empty)
+    assert(cfg.deadLetterQueue === None && cfg.newDeadLetterQueue() === None)
+    val withDlq = GraftConfig.fromArgs(
+      Seq("--table", "events", "--dead-letter-queue", "inmemory:poison"), Map.empty)
+    assert(withDlq.newDeadLetterQueue().exists(_.isInstanceOf[InMemoryQueue]))
+    intercept[IllegalArgumentException] {
+      GraftConfig.fromArgs(
+        Seq("--table", "events", "--dead-letter-queue", "bogus:x"), Map.empty)
+        .newDeadLetterQueue()
+    }
+  }
 }
