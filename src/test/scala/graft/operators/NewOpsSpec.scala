@@ -651,6 +651,37 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("ts_interpolate equals an exact driver-side piecewise recompute") {
+    val hourUs = 3600000000L
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        graft.functions.Fns.cents(col("value")).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / hourUs, r.getLong(2)))
+    val expected = evs.groupBy(_._1).flatMap { case (t, xs) =>
+      val sums = xs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      val ns = xs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val (lo, hi) = (xs.map(_._2).min, xs.map(_._2).max)
+      (lo to hi).map { h =>
+        val n = ns.getOrElse(h, 0L)
+        val filled: Option[Long] =
+          if (n > 0) Some(sums(h))
+          else {
+            val ph = (lo until h).reverse.find(ns.contains)
+            val nh = ((h + 1) to hi).find(ns.contains)
+            for (p <- ph; q <- nh)
+              yield (sums(p) * (q - h) + sums(q) * (h - p)) / (q - p)
+          }
+        val src = if (n > 0) "obs" else if (filled.isDefined) "interp" else "edge"
+        (t, h) -> (n, filled, src)
+      }
+    }
+    val got = TimeSeries.interpolate(spark, sf).collect().map { r =>
+      (r.getString(0), r.getLong(1)) -> (r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getString(4))
+    }.toMap
+    assert(got === expected)
+  }
+
   test("ts_interpolate: observed rows keep sums, interp rows sit between neighbors") {
     val rows = TimeSeries.interpolate(spark, sf).collect()
     assert(rows.nonEmpty)
