@@ -97,6 +97,7 @@ object GraftMain {
       pipeline.runFromLogWithRetry(spark, logDir, _ => {
         metrics.register("messages_sent", pipeline.messagesSent)
         metrics.register("cursors_committed", pipeline.cursorsCommitted)
+        metrics.register("messages_dead_lettered", pipeline.messagesDeadLettered)
       })
       metrics.prometheusText()
     } finally server.stop(0)

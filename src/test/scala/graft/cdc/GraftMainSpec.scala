@@ -35,6 +35,7 @@ class GraftMainSpec extends SparkSuite {
     assert(new FileCursorStore(cursorFile.toString).get() === Some("30"))
     assert(metricsText.contains("messages_sent 2"))
     assert(metricsText.contains("cursors_committed 1"))
+    assert(metricsText.contains("messages_dead_lettered 0"))
   }
 
   test("changefeed queue scheme relays the log through the DSv2 sink") {
