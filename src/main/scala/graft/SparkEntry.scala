@@ -85,6 +85,7 @@ object SparkEntry {
     "q_heavy_hitters" -> (Analytics.qHeavyHitters _),
     "graph_pagerank" -> ((s: SparkSession, d: String) => Graph.pagerank(s, d)),
     "graph_triangles" -> (Graph.triangles _),
+    "graph_kcore" -> ((s: SparkSession, d: String) => Graph.kcore(s, d)),
     "ts_ohlc" -> (TimeSeries.ohlc _),
     "dedup_winnowing" -> ((s: SparkSession, d: String) => Dedup.winnowing(s, d)),
     "ts_gap_fill" -> (TimeSeries.gapFill _),

@@ -59,6 +59,56 @@ object Graph {
       .orderBy(col("doc_id"))
   }
 
+  /** §2#133 k-core decomposition by iterative peeling: repeatedly drop
+    * nodes of degree < k (and their edges) until a fixpoint — what
+    * survives is the maximal subgraph where every member has ≥ k
+    * neighbors INSIDE the subgraph. On the near-dup candidate graph the
+    * k-core separates genuinely duplicated cliques from stars of
+    * pairwise accidents: a hub with 50 one-off matches peels away the
+    * moment its leaves do, while a 4-clique of true copies survives
+    * k=3 forever. The density ladder next to [[triangles]] (local
+    * count) and [[pagerank]] (global weight).
+    *
+    * Scale: each round is one map-side-combinable degree agg + two
+    * left-semi joins on the edge frame, lineage cut per round
+    * ([[Dedup.cluster]]'s checkpoint discipline); rounds ≤ peeling
+    * depth (tiny on bounded-degeneracy dup graphs — each round removes
+    * EVERY currently-underdegree node, not one). The one `count()` per
+    * round is the standard convergence check on in-memory blocks. */
+  def kcore(spark: SparkSession, sfDir: String, k: Int = 2): DataFrame = {
+    kcoreFrom(Dedup.candidatePairs(spark, sfDir), k)
+  }
+
+  /** Core of [[kcore]] over any unique `(doc_a < doc_b)` edge list. */
+  def kcoreFrom(edges0: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    var edges = edges0.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    var prevEdges = edges.count()
+    var converged = prevEdges == 0L
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      require(rounds <= 200, s"k-core peeling did not converge in $rounds rounds")
+      val deg = edges.select(col("doc_a").as("d"))
+        .unionAll(edges.select(col("doc_b").as("d")))
+        .groupBy(col("d")).agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= k).select(col("d"))
+      val pruned = edges
+        .join(keep.select(col("d").as("doc_a")), Seq("doc_a"), "left_semi")
+        .join(keep.select(col("d").as("doc_b")), Seq("doc_b"), "left_semi")
+        .localCheckpoint(true)
+      val n = pruned.count()
+      converged = n == prevEdges || n == 0L
+      prevEdges = n
+      edges = pruned
+    }
+    edges.select(col("doc_a").as("doc_id"))
+      .unionAll(edges.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("core_deg"))
+      .where(col("core_deg") >= k)
+      .orderBy(col("doc_id"))
+  }
+
   /** §2#122 triangle counting over the near-dup candidate graph, with
     * DEGREE ORIENTATION (the distributed-triangle standard, cf. Suri &
     * Vassilvitskii WWW'11 "Counting Triangles and the Curse of the Last

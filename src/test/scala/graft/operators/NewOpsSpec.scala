@@ -504,6 +504,52 @@ class NewOpsSpec extends SparkSuite {
     assert(wheel(1L) === 1L && wheel(10L) === 2L)
   }
 
+  test("graph_kcore: crafted cores peel exactly") {
+    import spark.implicits._
+    // triangle {1,2,3} + tail 3-4-5: the 2-core is exactly the triangle
+    val g1 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val core2 = Graph.kcoreFrom(g1.toDF("doc_a", "doc_b"), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // K4 {1..4} + pendant chain: 3-core is exactly the K4...
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+    val core3 = Graph.kcoreFrom(k4.toDF("doc_a", "doc_b"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // ...and the 4-core is empty
+    assert(Graph.kcoreFrom(k4.toDF("doc_a", "doc_b"), 4).count() === 0L)
+    // a star never has a 2-core no matter how big the hub degree
+    val star = (1L to 30L).map(i => (0L, i))
+    assert(Graph.kcoreFrom(star.toDF("doc_a", "doc_b"), 2).count() === 0L)
+  }
+
+  test("property: kcoreFrom == driver peeling on randomized graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xC04E)
+    for (trial <- 0 until 3) {
+      val n = 15 + rnd.nextInt(15)
+      val edges = (for {
+        i <- 0 until n; j <- (i + 1) until n
+        if rnd.nextDouble() < 0.2
+      } yield (i.toLong, j.toLong)).toVector
+      val k = 2 + trial // k = 2, 3, 4
+      var es = edges.toSet
+      var done = false
+      while (!done) {
+        val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val pruned = es.filter(e => deg(e._1) >= k && deg(e._2) >= k)
+        done = pruned == es; es = pruned
+      }
+      val expected = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got = Graph.kcoreFrom(edges.toDF("doc_a", "doc_b"), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial k=$k")
+    }
+  }
+
   test("property: trianglesFrom == brute force on randomized graphs") {
     import spark.implicits._
     // 8 random graphs of varied density in one frame (node ids offset
