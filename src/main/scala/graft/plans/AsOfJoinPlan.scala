@@ -80,16 +80,24 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       // three longs immediately, never hold a row reference
       var rValid = false
       var rKey = 0L; var rId = 0L; var rT = 0L
-      def advanceRight(): Unit =
-        if (rIter.hasNext) {
+      def advanceRight(): Unit = {
+        rValid = false
+        while (!rValid && rIter.hasNext) {
           val r = rIter.next()
-          rKey = r.getLong(0); rId = r.getLong(1); rT = r.getLong(2)
-          rValid = true
-        } else rValid = false
+          if (!(r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2))) {
+            rKey = r.getLong(0); rId = r.getLong(1); rT = r.getLong(2)
+            rValid = true
+          }
+        }
+      }
       advanceRight()
       var haveCur = false; var curKey = 0L
       var lastValid = false; var lastId = 0L; var lastT = 0L
-      lIter.flatMap { l =>
+      // SQL equi-join semantics: a NULL on either side never matches.
+      // Spark sorts NULLS FIRST, so null right rows drain before any
+      // real key and null left rows emit nothing.
+      lIter.filterNot(l => l.isNullAt(0) || l.isNullAt(1) || l.isNullAt(2))
+        .flatMap { l =>
         val lKey = l.getLong(0); val lId = l.getLong(1); val lT = l.getLong(2)
         if (!haveCur || lKey != curKey) {
           haveCur = true; curKey = lKey; lastValid = false

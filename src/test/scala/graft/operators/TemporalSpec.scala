@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSuite
+import org.apache.spark.sql.functions.col
 
 class TemporalSpec extends SparkSuite {
 
@@ -47,6 +48,19 @@ class TemporalSpec extends SparkSuite {
     }.toSet
     assert(got === expected)
     assert(expected.nonEmpty)
+  }
+
+  test("native asof drops null keys like a SQL equi-join") {
+    import spark.implicits._
+    val lefts = Seq((Some(1L), 10L, 5L), (None, 11L, 5L))
+      .toDF("k", "id", "t").select(col("k").cast("long").as("k"), col("id"), col("t"))
+    val rights = Seq((Some(1L), 20L, 1L), (None, 21L, 1L))
+      .toDF("k", "id", "t").select(col("k").cast("long").as("k"), col("id"), col("t"))
+    val got = graft.plans.AsOfJoin.ofDF(lefts, rights,
+      Seq("k", "l_id", "l_t", "r_id", "r_t")).collect()
+    // only the non-null key matches; the null-key rows vanish entirely
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq ===
+      Seq((1L, 10L, 20L)))
   }
 
   test("range join: all pairs within the 5-minute window, ids ordered") {
