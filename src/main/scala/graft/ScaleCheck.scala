@@ -56,6 +56,7 @@ object ScaleCheck {
       // degree-oriented wedge join over the candidate graph: fanout is
       // bounded by arboricity, which the perturbed copies hold constant
       "graph_triangles" -> (Graph.triangles _),
+      "graph_kcore" -> ((s: SparkSession, d: String) => Graph.kcore(s, d)),
       // text family: narrow maps + bounded aggregates — these should
       // track the data growth even more tightly than the dedup joins
       "text_normalize" -> (TextAnalysis.normalize _),

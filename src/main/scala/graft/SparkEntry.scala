@@ -58,6 +58,7 @@ object SparkEntry {
     "q_rollup" -> (Analytics.qRollup _),
     "q_cube" -> (Analytics.qCube _),
     "q_grouping_sets" -> (Analytics.qGroupingSets _),
+    "q_mode" -> (Analytics.qMode _),
     "layout_zorder" -> (Layout.zorder _),
     "q_conditional_pivot" -> (Analytics.qConditionalPivot _),
     "q_semi_anti" -> (Analytics.qSemiAnti _),
@@ -797,6 +798,13 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  CAST(sum(score) // count(*) AS BIGINT) AS coherence_ppm
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_mode" ->
+      s"""WITH c AS (SELECT event_type, ${cents("value")} AS v_c, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (
+         |  PARTITION BY event_type ORDER BY n DESC, v_c ASC) AS rn FROM c)
+         |SELECT event_type, v_c AS mode_c, n AS mode_n
+         |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "q_grouping_sets" ->
       s"""SELECT CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid,
          |  coalesce(l_returnflag, 'ALL') AS returnflag,

@@ -152,6 +152,24 @@ object Analytics {
         col("sum_qty_c"), col("n"))
       .orderBy(col("returnflag"), col("linestatus"))
 
+  /** §2#134 deterministic MODE: the most frequent value-cents per
+    * event_type, ties broken toward the SMALLEST value — `mode()` with
+    * a pinned tiebreak, since the engine refuses
+    * partitioning-dependent answers (Spark's own `mode` is
+    * non-deterministic under ties). Two map-side-combinable aggregates
+    * ((type, value) counts, then `max_by` over (count, −value)); the
+    * second agg's input is |types|×|values| rows, never the corpus. */
+  def qMode(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), cents(col("value")).as("v_c"))
+      .groupBy(col("event_type"), col("v_c"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(
+        max_by(col("v_c"), struct(col("n"), (-col("v_c")).as("neg"))).as("mode_c"),
+        max(col("n")).as("mode_n"))
+      .orderBy(col("event_type"))
+
   /** §2#127 explicit GROUPING SETS — the general form ROLLUP/CUBE
     * specialize: exactly the requested set list ((flag), (status), ()),
     * none of CUBE's unwanted cross terms. `grouping()` disambiguates a
