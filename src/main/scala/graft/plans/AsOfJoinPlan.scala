@@ -70,7 +70,19 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       SortOrder(right.output(2), Ascending),
       SortOrder(right.output(1), Ascending)))
 
-  override def outputPartitioning: Partitioning = left.outputPartitioning
+  // rows leave clustered by the key VALUE exactly as the left exchange
+  // hashed them — advertise that on OUR key attribute (the child's
+  // partitioning names child exprIds, invisible above this node), so a
+  // downstream groupBy(key) legitimately skips its exchange
+  override def outputPartitioning: Partitioning =
+    left.outputPartitioning match {
+      case p: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+        org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(
+          Seq(out.head), p.numPartitions)
+      case other =>
+        org.apache.spark.sql.catalyst.plans.physical
+          .UnknownPartitioning(other.numPartitions)
+    }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val outTypes = out.map(_.dataType).toArray

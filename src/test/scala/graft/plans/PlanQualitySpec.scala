@@ -197,6 +197,21 @@ class PlanQualitySpec extends SparkSuite {
     assert(!plan.contains("Window"), s"window crept into the native asof plan:\n$plan")
   }
 
+  test("asof output clustering feeds a per-key aggregate with no extra exchange") {
+    import spark.implicits._
+    val l = (1L to 50L).map(i => (i % 7, i, i * 10L)).toDF("k", "id", "t")
+    val r = (1L to 50L).map(i => (i % 7, 1000L + i, i * 10L - 5L)).toDF("k", "id", "t")
+    val agg = graft.plans.AsOfJoin.ofDF(l, r, Seq("k", "lid", "lt", "rid", "rt"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the merge's output is hash-clustered on k — the aggregate reuses
+    // it; only the two child exchanges may appear
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
+  }
+
   test("dedup_semantic pair join is keyed on the cell, never cartesian") {
     val plan = planOf(Dedup.semantic(spark, sf))
     // the only cartesian allowed is the broadcast of k centroid rows
