@@ -38,6 +38,31 @@ class GraftMainSpec extends SparkSuite {
     assert(metricsText.contains("messages_dead_lettered 0"))
   }
 
+  test("poison rows in the log land in the dead-letter queue end to end") {
+    val dir = Files.createTempDirectory("graft-main-dlq-log").toString
+    ChangefeedLog.writeSegment(dir, Seq(
+      ChangefeedLog.Record(10, Some("events"), Some("[1]"), "{\"after\": {\"event_id\": 1}}"),
+      ChangefeedLog.Record(15, Some("events"), Some("[2]"), "{\"afte"), // truncated
+      ChangefeedLog.Record(30, None, None, "{\"resolved\": \"30.0000000000\"}")))
+    val qname = "t-main-dlq"; val dname = "t-main-dlq-dead"
+    InMemoryQueue.clear(qname); InMemoryQueue.clear(dname)
+    val cfg = GraftConfig.fromArgs(Seq(
+      "--table", "events",
+      "--log-dir", dir,
+      "--queue", s"inmemory:$qname",
+      "--dead-letter-queue", s"inmemory:$dname",
+      "--cursor-store", "inmemory:t-main-dlq",
+      "--checkpoint-dir", Files.createTempDirectory("graft-main-dlq-ckpt").toString,
+      "--metrics-port", "0",
+      "--once", "true"))
+    val metricsText = GraftMain.run(spark, cfg)
+    assert(InMemoryQueue.messages(qname).size === 1)
+    assert(InMemoryQueue.messages(dname) === Seq("{\"afte"))
+    assert(metricsText.contains("messages_sent 1"))
+    assert(metricsText.contains("messages_dead_lettered 1"))
+    assert(new InMemoryCursorStore("t-main-dlq").get() === Some("30"))
+  }
+
   test("changefeed queue scheme relays the log through the DSv2 sink") {
     val dir = Files.createTempDirectory("graft-main-relay-in").toString
     ChangefeedLog.writeSegment(dir, Seq(
