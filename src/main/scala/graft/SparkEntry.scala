@@ -40,6 +40,7 @@ object SparkEntry {
     "text_bigram_lm" -> (TextAnalysis.bigramLm _),
     "ts_interpolate" -> (TimeSeries.interpolate _),
     "ts_seasonal" -> (TimeSeries.seasonal _),
+    "ts_xcorr" -> ((s: SparkSession, d: String) => TimeSeries.xcorr(s, d)),
     "q_window_range" -> (Analytics.qWindowRange _),
     "q_hll_union" -> (Analytics.qHllUnion _),
     "q_robust_stats" -> (Analytics.qRobustStats _),
@@ -861,6 +862,26 @@ object SparkEntry {
          |       WHEN ph IS NOT NULL AND nh IS NOT NULL THEN 'interp'
          |       ELSE 'edge' END AS src
          |FROM f ORDER BY event_type, hour_idx""".stripMargin,
+    "ts_xcorr" ->
+      """WITH ev AS (SELECT event_type,
+        |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS h FROM events
+        |  WHERE event_type IN ('click','purchase')),
+        |c AS (SELECT event_type, h, count(*) AS n FROM ev GROUP BY 1, 2),
+        |span AS (SELECT max(lo) AS lo, min(hi) AS hi FROM (
+        |  SELECT event_type, min(h) AS lo, max(h) AS hi FROM ev GROUP BY 1)),
+        |sp AS (SELECT unnest(generate_series(lo, hi)) AS h FROM span),
+        |a AS (SELECT sp.h, coalesce(c.n, 0) AS n FROM sp
+        |  LEFT JOIN c ON c.event_type = 'click' AND c.h = sp.h),
+        |b AS (SELECT sp.h, coalesce(c.n, 0) AS n FROM sp
+        |  LEFT JOIN c ON c.event_type = 'purchase' AND c.h = sp.h),
+        |m AS (SELECT (SELECT CAST(sum(n) AS BIGINT) // count(*) FROM a) AS ma,
+        |             (SELECT CAST(sum(n) AS BIGINT) // count(*) FROM b) AS mb),
+        |l AS (SELECT a.h, a.n AS na, lag FROM a
+        |  CROSS JOIN (SELECT unnest(generate_series(-3, 3)) AS lag))
+        |SELECT lag, count(*) AS n_pairs,
+        |  CAST(sum((na - ma) * (b.n - mb)) AS BIGINT) AS sxy
+        |FROM l JOIN b ON b.h = l.h + l.lag CROSS JOIN m
+        |GROUP BY lag ORDER BY lag""".stripMargin,
     "ts_seasonal" ->
       """WITH ev AS (SELECT event_type,
         |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS h FROM events),

@@ -156,6 +156,54 @@ object TimeSeries {
         sum(col("value_c")).as("volume_c"))
       .orderBy(col("event_type"), col("hour_us"))
 
+  /** §2#135 lead–lag cross-correlation between two event streams:
+    * the centered integer cross-moment `Σ (a_t−ā)(b_{t+k}−b̄)` of the
+    * click and purchase hourly series at lags −3..+3 h — the "do
+    * clicks lead purchases, and by how much?" causality probe. The
+    * peak lag is the answer; the moment is left UN-normalized (a
+    * correlation coefficient needs sqrt — float — and the ARGMAX over
+    * lags is invariant to the shared positive scale, so the integer
+    * form decides the same question bit-stably; cf. [[Analytics.qCorrMoments]]'
+    * two-pass centered recipe).
+    *
+    * Shape: both series gap-fill over the COMMON hour span (quiet
+    * hours are real zeros, not missing pairs); means are one scalar
+    * agg broadcast back; the lag fan-out is ×7 on the |hours|-sized
+    * pre-aggregate, never on events; the final agg is combinable on
+    * the lag. Integer-exact: counts are nonnegative so the floor
+    * means are engine-identical, and products of centered counts
+    * cannot overflow (|hours| × max-count² bounded far under 2^63). */
+  def xcorr(spark: SparkSession, sfDir: String, maxLag: Int = 3): DataFrame = {
+    val hourUs = 3600000000L
+    val ev = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"),
+        expr(s"unix_micros(date_trunc('hour', ts)) div $hourUs").as("h"))
+    val counts = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"))
+    val span = ev.groupBy(col("event_type"))
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .agg(max(col("lo")).as("lo"), min(col("hi")).as("hi"))
+    val spine = span.select(explode(sequence(col("lo"), col("hi"))).as("h"))
+    def series(t: String) = spine
+      .join(counts.where(col("event_type") === t).select(col("h"), col("n")),
+        Seq("h"), "left")
+      .select(col("h"), coalesce(col("n"), lit(0L)).as("n"))
+    val a = series("click")
+    val b = series("purchase")
+    val means = a.agg(expr("sum(n) div count(1)").as("ma")).crossJoin(
+      b.agg(expr("sum(n) div count(1)").as("mb")))
+    val lagged = a.select(col("h"), col("n").as("na"),
+        explode(sequence(lit(-maxLag.toLong), lit(maxLag.toLong))).as("lag"))
+      .join(b.select(col("h").as("hb"), col("n").as("nb")),
+        col("hb") === col("h") + col("lag"))
+    lagged.crossJoin(broadcast(means))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("na") - col("ma")) * (col("nb") - col("mb"))).as("sxy"))
+      .orderBy(col("lag"))
+  }
+
   /** §2#130 seasonal decomposition by hour-of-day: the gap-filled
     * hourly series splits into a 24-slot seasonal profile (integer mean
     * count per (event_type, hour-of-day), quiet hours counted as 0 so

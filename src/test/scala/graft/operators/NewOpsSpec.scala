@@ -682,6 +682,33 @@ class NewOpsSpec extends SparkSuite {
     assert(real.forall(r => r.getLong(2) > 0L && r.getLong(2) <= 1000000L))
   }
 
+  test("ts_xcorr equals a driver-side centered cross-moment recompute") {
+    val hourUs = 3600000000L
+    val evs = graft.Tables.events(spark, sf)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / hourUs))
+    def counts(t: String) = evs.filter(_._1 == t).groupBy(_._2)
+      .view.mapValues(_.size.toLong).toMap
+    val (ca, cb) = (counts("click"), counts("purchase"))
+    val lo = math.max(ca.keys.min, cb.keys.min)
+    val hi = math.min(ca.keys.max, cb.keys.max)
+    val span = (lo to hi).toVector
+    val a = span.map(h => ca.getOrElse(h, 0L))
+    val b = span.map(h => cb.getOrElse(h, 0L))
+    val (ma, mb) = (a.sum / a.size, b.sum / b.size)
+    val expected = (-3 to 3).map { k =>
+      val pairs = span.indices.filter(i => i + k >= 0 && i + k < span.size)
+      k.toLong -> (pairs.size.toLong,
+        pairs.map(i => (a(i) - ma) * (b(i + k) - mb)).sum)
+    }.toMap
+    val got = TimeSeries.xcorr(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected)
+    // full-overlap lag 0 covers the whole span; |lag|=3 loses 3 pairs
+    assert(got(0L)._1 === span.size.toLong && got(3L)._1 === span.size - 3L)
+  }
+
   test("ts_seasonal: profile is the floor mean, residuals rebalance within each slot") {
     val rows = TimeSeries.seasonal(spark, sf).collect()
     assert(rows.nonEmpty)
