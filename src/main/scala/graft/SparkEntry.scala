@@ -108,6 +108,7 @@ object SparkEntry {
     "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semantic(s, d)),
     "sample_docs" -> ((s: SparkSession, d: String) => Sampling.sampleDocs(s, d)),
     "sample_stratified" -> (Sampling.sampleStratified _),
+    "sample_split" -> (Sampling.sampleSplit _),
     "sample_mixture" -> (Sampling.sampleMixture _),
     "pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "pipeline_train_data" -> ((s: SparkSession, d: String) => Pipeline.trainDataPipeline(s, d)),
@@ -862,6 +863,17 @@ object SparkEntry {
          |       WHEN ph IS NOT NULL AND nh IS NOT NULL THEN 'interp'
          |       ELSE 'edge' END AS src
          |FROM f ORDER BY event_type, hour_idx""".stripMargin,
+    "sample_split" ->
+      """WITH b AS (SELECT source,
+        |  (doc_id % 1000000007) * 2654435761 % 1000000007 % 1000 AS bucket
+        |  FROM documents),
+        |s AS (SELECT source, bucket,
+        |  CASE WHEN bucket < 900 THEN 'train'
+        |       WHEN bucket < 950 THEN 'val' ELSE 'test' END AS split
+        |  FROM b)
+        |SELECT source, split, count(*) AS n,
+        |  min(bucket) AS bucket_lo, max(bucket) AS bucket_hi
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ts_xcorr" ->
       """WITH ev AS (SELECT event_type,
         |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS h FROM events

@@ -119,6 +119,31 @@ object Sampling {
     * re-run over grown data keeps every previously-sampled doc (hash
     * threshold = consistent sampling). That's the shape that holds at
     * 100 TB; a rate change is a predicate change, not a re-shard. */
+  /** §2#136 train/val/test split assignment: the last step before any
+    * model sees the data. The SAME stateless consistent-hash-threshold
+    * shape as [[sampleStratified]] (per-doc bucket in ‰; <900 train,
+    * <950 val, else test = 90/5/5): membership is a pure function of
+    * doc_id, so a document NEVER migrates between splits as the corpus
+    * grows or re-shards (the leakage bug a random split has), and the
+    * assignment needs no shuffle at all. Output is the per-(source,
+    * split) contingency table — the report a data audit reads — plus
+    * each split's min/max bucket as a self-check that thresholds held.
+    */
+  def sampleSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = (col("doc_id") % lit(1000000007L)) * lit(2654435761L) %
+      lit(1000000007L) % lit(1000L)
+    Tables.documents(spark, sfDir)
+      .select(col("source"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 900L, lit("train"))
+          .when(col("bucket") < 950L, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n"),
+        min(col("bucket")).as("bucket_lo"), max(col("bucket")).as("bucket_hi"))
+      .orderBy(col("source"), col("split"))
+  }
+
   def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
     val bucket = (col("doc_id") % lit(1000000007L)) * lit(2654435761L) % lit(1000000007L) % lit(1000L)
     // rate lookup as a codegen'd when-chain over the tiny static map
