@@ -37,6 +37,7 @@ object SparkEntry {
     "cdc_schema_drift" -> (Changefeed.schemaDrift _),
     "cdc_dlq" -> (Changefeed.dlq _),
     "cdc_snapshot_diff" -> (Changefeed.snapshotDiff _),
+    "cdc_resolved_gaps" -> ((s: SparkSession, d: String) => Changefeed.resolvedGaps(s, d)),
     "text_bigram_lm" -> (TextAnalysis.bigramLm _),
     "ts_interpolate" -> (TimeSeries.interpolate _),
     "ts_seasonal" -> (TimeSeries.seasonal _),
@@ -745,6 +746,16 @@ object SparkEntry {
         |FROM d LEFT JOIN ex USING (h) WHERE d.doc_id % 5 = 4
         |ORDER BY d.doc_id""".stripMargin,
 
+    "cdc_resolved_gaps" ->
+      """WITH rs AS (SELECT DISTINCT
+        |  epoch_us(ts) - epoch_us(ts) % 600000000 + 600000000 AS sort_us
+        |  FROM events),
+        |g AS (SELECT sort_us,
+        |  lag(sort_us, 1) OVER (ORDER BY sort_us) AS prev_us FROM rs)
+        |SELECT prev_us, sort_us AS next_us, sort_us - prev_us AS gap_us,
+        |  (sort_us - prev_us) // 600000000 - 1 AS missed_ticks
+        |FROM g WHERE prev_us IS NOT NULL AND sort_us - prev_us > 600000000
+        |ORDER BY prev_us""".stripMargin,
     "cdc_snapshot_diff" ->
       s"""WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
          |  ${cents("value")} AS value_cents FROM events),

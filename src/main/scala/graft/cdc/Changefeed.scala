@@ -361,6 +361,37 @@ object Changefeed {
       .where(col("k").isNotNull)
       .orderBy(col("event_id"))
 
+  /** §2#137 resolved-cadence audit: gaps between CONSECUTIVE resolved
+    * timestamps larger than the configured frequency — on a healthy
+    * feed resolved rows arrive every `resolved='<freq>'` tick
+    * (main.rs:110-126), so a gap means the changefeed stalled, the
+    * relay fell behind, or (in this synthetic feed) the source went
+    * quiet; `missed_ticks` counts how many cadence intervals went by
+    * silently. This is the alert an operator pages on next to
+    * [[lagReport]] (lag = how far behind; gaps = how bumpy).
+    *
+    * Audited at a 10-min cadence (`resolved='10m'` — finer than the
+    * oracle-shared hourly feed, because at test densities every hour
+    * has traffic and an hourly audit is vacuously clean; quiet 10-min
+    * buckets are where the gaps live). Shape: the resolved frame is
+    * |buckets|-sized, one lag window over a single ordered sequence —
+    * the window input is the pre-shrunk resolved stream, never the
+    * change feed. */
+  def resolvedGaps(spark: SparkSession, sfDir: String,
+      frequencyUs: Long = 600000000L): DataFrame = {
+    val w = Window.orderBy(col("sort_us"))
+    resolvedRowsFrom(Tables.events(spark, sfDir), dedup = true,
+        frequencyUs = frequencyUs)
+      .select(col("sort_us"))
+      .withColumn("prev_us", lag(col("sort_us"), 1).over(w))
+      .where(col("prev_us").isNotNull &&
+        col("sort_us") - col("prev_us") > frequencyUs)
+      .select(col("prev_us"), col("sort_us").as("next_us"),
+        (col("sort_us") - col("prev_us")).as("gap_us"),
+        expr(s"(sort_us - prev_us) div $frequencyUs - 1").as("missed_ticks"))
+      .orderBy(col("prev_us"))
+  }
+
   /** §2#131 snapshot diff — CDC time travel: compact the feed at an
     * earlier cursor T (here the feed's midpoint, computed distributed)
     * and at the head, then diff the two materialized states per PK:
