@@ -49,6 +49,7 @@ object SparkEntry {
     "dedup_cluster" -> (Dedup.cluster _),
     // §2.2 streaming analytics (batch twins)
     "stream_window_agg" -> (StreamOps.windowAgg _),
+    "stream_sliding_agg" -> (StreamOps.slidingAgg _),
     "stream_sessionize" -> (StreamOps.sessionize _),
     "stream_dedup_by_key" -> (StreamOps.dedupByKey _),
     // §2.3 analytics core
@@ -378,6 +379,15 @@ object SparkEntry {
       s"""SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
          |  count(*) AS n, CAST(sum(${cents("value")}) AS BIGINT) AS sum_value_c
          |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "stream_sliding_agg" ->
+      s"""WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+         |  ${cents("value")} AS v FROM events),
+         |w AS (SELECT event_type, v,
+         |  (us - us % 900000000) - 900000000 * k AS win_start_us
+         |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k))
+         |SELECT win_start_us, event_type, count(*) AS n,
+         |  CAST(sum(v) AS BIGINT) AS sum_value_c
+         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "stream_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

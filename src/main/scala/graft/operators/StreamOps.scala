@@ -21,6 +21,23 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_value_c"))
       .orderBy(col("window_start_us"), col("event_type"))
 
+  /** §2#138 SLIDING-window aggregate (1 h window, 15 min slide) via the
+    * NATIVE `window()` function — completes the window-kind trio next
+    * to the tumbling [[windowAgg]] and session [[sessionizeNative]]:
+    * every event lands in exactly 4 overlapping epoch-aligned windows,
+    * the streaming-capable form of a trailing-hour dashboard refreshed
+    * every 15 min. The ×4 fan-out happens BEFORE the partial aggregate,
+    * so map-side combine still shrinks the shuffle to
+    * |windows|×|types| rows — at 100 TB the slide factor multiplies
+    * pre-combine work, never shuffle width. */
+  def slidingAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n"), col("sum_value_c"))
+      .orderBy(col("win_start_us"), col("event_type"))
+
   /** §2#14 30-minute-gap sessionization per user (lag + cumulative sum;
     * the streaming twin uses flatMapGroupsWithState). One shuffle on
     * user_id; both window functions share that partitioning. */
