@@ -67,13 +67,18 @@ class ChangefeedPipeline(
     val q = queue
     val dlq = deadLetterQueue
     val store = cursorStore
-    // a change row must carry a parseable `{"after": ...}` payload;
+    // a change row must carry parseable JSON WITH an `after` key;
     // anything else (truncation, encoding damage) is poison — with a
     // DLQ configured it is PRESERVED there raw instead of crashing or
     // silently vanishing from the relay (the consumer-side NACK path
-    // the reference's fire-and-forget publish leaves implicit)
+    // the reference's fire-and-forget publish leaves implicit).
+    // Key-PRESENCE, not value: a tombstone `{"after": null}` (the
+    // CockroachDB DELETE form) is a legitimate change row and must
+    // publish, which a naive `$.after IS NULL` check would dead-letter.
+    val parsed = get_json_object(col("value"), "$")
     val malformed = col("tbl").isNotNull &&
-      get_json_object(col("value"), "$.after").isNull
+      (parsed.isNull ||
+        !array_contains(json_object_keys(parsed), "after"))
     val writer = resumeFrom(frame, ignoreCursor).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>

@@ -153,18 +153,22 @@ class ChangefeedPipelineSpec extends SparkSuite {
     val bad = Seq(
       RawFeedRow(5, Some("events"), Some("[5]"), """{"afte"""), // truncated
       RawFeedRow(6, Some("events"), Some("[6]"), """{"nope": 1}""")) // no after
+    // a tombstone (DELETE) carries `"after": null` — legitimate, must
+    // publish, NOT dead-letter
+    val tombstone = RawFeedRow(8, Some("events"), Some("[8]"),
+      """{"after": null}""")
     val resolved = RawFeedRow(7, None, None,
       """{"resolved": "7.0000000000"}""")
-    in.addData(good ++ bad :+ resolved: _*)
+    in.addData(good ++ bad :+ tombstone :+ resolved: _*)
     val q = pipeline.start(spark, in.toDF())
     q.processAllAvailable(); q.stop()
-    // exactly the parseable change rows reached the queue
+    // exactly the parseable change rows (incl. the tombstone) published
     val msgs = InMemoryQueue.messages(qname)
-    assert(msgs.size === 4)
-    assert(msgs.forall(_.contains(""""value":{"after":""")))
+    assert(msgs.size === 5)
+    assert(msgs.count(_.contains(""""value":{"after": null}""")) === 1)
     // poison rows preserved RAW in the dead letter queue
     assert(InMemoryQueue.messages(dname).toSet === bad.map(_.value).toSet)
-    assert(pipeline.messagesSent.value === 4L)
+    assert(pipeline.messagesSent.value === 5L)
     assert(pipeline.messagesDeadLettered.value === 2L)
     // the resolved cursor still committed — poison never stalls the feed
     assert(store.get() === Some("7"))
