@@ -682,6 +682,34 @@ class NewOpsSpec extends SparkSuite {
     assert(real.forall(r => r.getLong(2) > 0L && r.getLong(2) <= 1000000L))
   }
 
+  test("sample_split: fractions near 90/5/5 and membership survives corpus growth") {
+    val rows = Sampling.sampleSplit(spark, sf).collect()
+    val bySplit = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum)
+    val total = bySplit.values.sum.toDouble
+    assert(math.abs(bySplit("train") / total - 0.9) < 0.05)
+    assert(math.abs(bySplit("val") / total - 0.05) < 0.03)
+    assert(math.abs(bySplit("test") / total - 0.05) < 0.03)
+    // bucket thresholds actually held per split
+    rows.foreach { r =>
+      r.getString(1) match {
+        case "train" => assert(r.getLong(4) < 900L)
+        case "val" => assert(r.getLong(3) >= 900L && r.getLong(4) < 950L)
+        case "test" => assert(r.getLong(3) >= 950L)
+      }
+    }
+    // the no-leakage property: membership is a pure function of doc_id,
+    // so a doc's split under a HALF corpus equals its split under the
+    // full corpus (a random split would reshuffle everything)
+    def splitOf(id: Long): String = {
+      val b = (id % 1000000007L) * 2654435761L % 1000000007L % 1000L
+      if (b < 900) "train" else if (b < 950) "val" else "test"
+    }
+    val ids = graft.Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val fullAssign = ids.map(id => id -> splitOf(id)).toMap
+    ids.filter(_ % 2 == 0).foreach(id => assert(splitOf(id) === fullAssign(id)))
+  }
+
   test("ts_xcorr equals a driver-side centered cross-moment recompute") {
     val hourUs = 3600000000L
     val evs = graft.Tables.events(spark, sf)
