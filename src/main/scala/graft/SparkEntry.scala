@@ -676,13 +676,15 @@ object SparkEntry {
         |ORDER BY tag, o_custkey""".stripMargin,
 
     "q_ntile_decile" ->
-      s"""WITH e AS (SELECT event_type, event_id, ${cents("value")} AS value_c FROM events),
-         |n AS (SELECT event_type, value_c,
-         |  ntile(10) OVER (PARTITION BY event_type ORDER BY value_c, event_id) AS decile
-         |  FROM e)
-         |SELECT event_type, CAST(decile AS BIGINT) AS decile, count(*) AS n,
-         |  min(value_c) AS lo_c, max(value_c) AS hi_c
-         |FROM n GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""WITH h AS (SELECT event_type, ${cents("value")} AS value_c, count(*) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |r AS (SELECT event_type, value_c, cnt,
+         |  sum(cnt) OVER (PARTITION BY event_type ORDER BY value_c) - cnt AS cum_before,
+         |  sum(cnt) OVER (PARTITION BY event_type) AS n_grp
+         |  FROM h)
+         |SELECT event_type, CAST(1 + (10 * cum_before) // n_grp AS BIGINT) AS decile,
+         |  CAST(sum(cnt) AS BIGINT) AS n, min(value_c) AS lo_c, max(value_c) AS hi_c
+         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_corr_moments" ->
       s"""WITH e AS (SELECT event_type, ${cents("value")} AS x,

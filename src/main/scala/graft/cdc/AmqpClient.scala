@@ -19,6 +19,12 @@ private[cdc] object AmqpWire {
   val FrameHeartbeat = 8; val FrameEnd = 0xCE
   val ClassConnection = 10; val ClassChannel = 20
   val ClassQueue = 50; val ClassBasic = 60
+  // RabbitMQ publisher-confirms extension (public spec amqp0-9-1
+  // errata + rabbitmq confirms doc): Confirm.Select/SelectOk,
+  // Basic.Ack/Nack reused from the delivery grammar.
+  val ClassConfirm = 85
+  val MethodConfirmSelect = 10; val MethodConfirmSelectOk = 11
+  val MethodBasicAck = 80; val MethodBasicNack = 120
   val ProtocolHeader: Array[Byte] =
     Array('A', 'M', 'Q', 'P', 0, 0, 9, 1).map(_.toByte)
 
@@ -104,18 +110,49 @@ private[cdc] object AmqpWire {
   * broker (AmqpQueueSpec); pointed at a real RabbitMQ it speaks the
   * same bytes.
   *
-  * Deliberately publisher-only (no consume/ack machinery): the
-  * reference never consumes. Not thread-safe — one client per task,
-  * which is also the lapin usage shape in the reference. */
+  * Deliberately publisher-only (no consume machinery beyond publisher
+  * confirms): the reference never consumes.
+  *
+  * Concurrency model: ONE connection, a POOL of channels. AMQP §2.3.7
+  * allows frames of DIFFERENT channels to interleave on the wire (only
+  * a single channel's content sequence must stay contiguous), so each
+  * publishing task borrows a channel id from the pool, writes its
+  * method/header/body frames under a PER-FRAME socket lock, and
+  * returns the id — tasks on one executor no longer queue behind a
+  * single whole-publish lock, and the broker still sees one socket per
+  * JVM. The reference is single-threaded on one channel
+  * (queues.rs:17-29); the pool is the distributed analogue.
+  *
+  * `confirms = true` (off by default — the reference's publish is
+  * fire-and-forget, queues.rs:44-64) negotiates RabbitMQ publisher
+  * confirms: Confirm.Select per channel at connect, then every publish
+  * blocks for the broker's Basic.Ack on its borrowed channel. A Nack,
+  * a channel/connection close, a dropped socket, or a confirm timeout
+  * surfaces as IOException — a broker crash between socket write and
+  * disk becomes a retryable ERROR, not silence. */
 final class AmqpClient(host: String, port: Int, user: String = "guest",
-    pass: String = "guest", vhost: String = "/") {
+    pass: String = "guest", vhost: String = "/", channels: Int = 8,
+    confirms: Boolean = false, confirmTimeoutMs: Long = 30000L) {
   import AmqpWire._
+  import java.util.concurrent.{ArrayBlockingQueue, LinkedBlockingQueue, TimeUnit}
 
   private var socket: Socket = _
   private var in: DataInputStream = _
   private var out: DataOutputStream = _
   // negotiated in connect(); 0 = unlimited (the spec's Tune sentinel)
   private var frameMaxBytes: Long = 0L
+  // socket-write lock: held per FRAME, not per publish — concurrent
+  // publishers on different channels contend only for single frame
+  // writes, never for a whole multi-frame publish
+  private val outLock = new Object
+  private var pool: ArrayBlockingQueue[Integer] = _
+  // confirm mode: per-channel mailboxes fed by the reader thread;
+  // Right(deliveryTag) = acked, Left(reason) = failed
+  private var acks: Map[Int, LinkedBlockingQueue[Either[String, Long]]] = Map.empty
+  private var reader: Thread = _
+
+  private def send(tpe: Int, ch: Int, payload: Array[Byte]): Unit =
+    outLock.synchronized { writeFrame(out, tpe, ch, payload) }
 
   private def expectMethod(f: Frame, classId: Int, methodId: Int): Reader = {
     require(f.tpe == FrameMethod, s"expected method frame, got type ${f.tpe}")
@@ -146,11 +183,27 @@ final class AmqpClient(host: String, port: Int, user: String = "guest",
     writeFrame(out, FrameMethod, 0, method(ClassConnection, 40)(
       _.shortstr(vhost).shortstr("").u8(0)))
     expectMethod(readFrame(in), ClassConnection, 41) // OpenOk
-    writeFrame(out, FrameMethod, 1, method(ClassChannel, 10)(_.shortstr("")))
-    expectMethod(readFrame(in), ClassChannel, 11) // Channel.OpenOk
+    // channel pool: ids 1..n, each opened with a synchronous
+    // Open/OpenOk exchange (safe — the reader thread isn't running yet)
+    val n = math.max(1, if (chMax > 0) math.min(channels, chMax) else channels)
+    pool = new ArrayBlockingQueue[Integer](n)
+    acks = (1 to n).map(_ -> new LinkedBlockingQueue[Either[String, Long]]()).toMap
+    for (ch <- 1 to n) {
+      writeFrame(out, FrameMethod, ch, method(ClassChannel, 10)(_.shortstr("")))
+      expectMethod(readFrame(in), ClassChannel, 11) // Channel.OpenOk
+      if (confirms) {
+        writeFrame(out, FrameMethod, ch,
+          method(ClassConfirm, MethodConfirmSelect)(_.u8(0))) // nowait=0
+        expectMethod(readFrame(in), ClassConfirm, MethodConfirmSelectOk)
+        ()
+      }
+      pool.put(ch)
+    }
   }
 
-  /** Durable, non-exclusive, non-auto-delete — queues.rs:31-40's shape. */
+  /** Durable, non-exclusive, non-auto-delete — queues.rs:31-40's shape.
+    * Called once at setup, before any publish — and so before the
+    * confirm-mode reader thread owns the socket's read side. */
   def declareQueue(name: String): Unit = synchronized {
     writeFrame(out, FrameMethod, 1, method(ClassQueue, 10)(
       _.u16(0).shortstr(name).u8(0x02).emptyTable())) // bit1 = durable
@@ -158,34 +211,96 @@ final class AmqpClient(host: String, port: Int, user: String = "guest",
     ()
   }
 
-  /** Fire-and-forget persistent publish (queues.rs:44-64's
-    * basic_publish): method + content-header + body frames. Bodies
-    * larger than the Tune-negotiated frame-max are split into
-    * (frame-max − 8)-byte chunks — the 8 bytes are the frame envelope
-    * (type+channel+size+end), per the spec's framing rule. Synchronized:
-    * the three-frame publish sequence must not interleave when tasks in
-    * one JVM share a cached connection. */
-  def publish(queue: String, body: Array[Byte]): Unit = synchronized {
-    writeFrame(out, FrameMethod, 1, basicPublish(queue))
-    writeFrame(out, FrameHeader, 1, contentHeader(body.length.toLong))
-    val chunk =
-      if (frameMaxBytes <= 8) body.length.max(1)
-      else (frameMaxBytes - 8).toInt
-    var off = 0
-    while (off < body.length) {
-      val n = math.min(chunk, body.length - off)
-      writeFrame(out, FrameBody, 1, java.util.Arrays.copyOfRange(body, off, off + n))
-      off += n
+  /** Confirm-mode reads (acks, closes) happen on ONE reader thread that
+    * routes frames by channel id into per-channel mailboxes; started
+    * lazily on the first publish so the synchronous setup reads
+    * (connect, declareQueue) never race it. */
+  private def ensureReader(): Unit = synchronized {
+    if (reader == null) {
+      reader = new Thread(() => readLoop(), s"amqp-confirm-reader-$host:$port")
+      reader.setDaemon(true)
+      reader.start()
     }
+  }
+
+  private def failAll(reason: String): Unit =
+    acks.valuesIterator.foreach(_.put(Left(reason)))
+
+  private def readLoop(): Unit =
+    try while (true) {
+      val f = readFrame(in)
+      if (f.tpe == FrameMethod) {
+        val r = new Reader(f.payload)
+        (r.u16(), r.u16()) match {
+          case (ClassBasic, MethodBasicAck) =>
+            acks(f.channel).put(Right(r.u64()))
+          case (ClassBasic, MethodBasicNack) =>
+            acks(f.channel).put(Left(s"broker nacked delivery ${r.u64()}"))
+          case (ClassChannel, 40) => // Channel.Close
+            acks(f.channel).put(Left("channel closed by broker"))
+          case (ClassConnection, 50) => // Connection.Close
+            failAll("connection closed by broker"); return
+          case _ => () // CloseOk etc.
+        }
+      }
+    } catch {
+      case _: EOFException => failAll("connection dropped by broker")
+      case e: java.io.IOException => failAll(s"read failed: ${e.getMessage}")
+    }
+
+  /** Persistent publish (queues.rs:44-64's basic_publish): method +
+    * content-header + body frames on a channel borrowed from the pool
+    * for the duration of the publish. Bodies larger than the
+    * Tune-negotiated frame-max are split into (frame-max − 8)-byte
+    * chunks — the 8 bytes are the frame envelope
+    * (type+channel+size+end), per the spec's framing rule. In confirm
+    * mode, blocks until the broker acks this channel's delivery. */
+  def publish(queue: String, body: Array[Byte]): Unit = {
+    if (confirms) ensureReader()
+    val ch: Int = pool.take()
+    try {
+      // drop acks that leaked from an aborted predecessor on this
+      // channel (e.g. a confirm that timed out, then arrived late)
+      if (confirms) acks(ch).clear()
+      send(FrameMethod, ch, basicPublish(queue))
+      send(FrameHeader, ch, contentHeader(body.length.toLong))
+      val chunk =
+        if (frameMaxBytes <= 8) body.length.max(1)
+        else (frameMaxBytes - 8).toInt
+      var off = 0
+      while (off < body.length) {
+        val n = math.min(chunk, body.length - off)
+        send(FrameBody, ch, java.util.Arrays.copyOfRange(body, off, off + n))
+        off += n
+      }
+      if (confirms) {
+        acks(ch).poll(confirmTimeoutMs, TimeUnit.MILLISECONDS) match {
+          case null => throw new java.io.IOException(
+            s"publisher confirm timed out after ${confirmTimeoutMs}ms")
+          case Left(reason) => throw new java.io.IOException(
+            s"publish not confirmed: $reason")
+          case Right(_) => ()
+        }
+      }
+    } finally { pool.put(ch); () }
   }
 
   def close(): Unit = synchronized { if (socket != null) {
     try {
-      writeFrame(out, FrameMethod, 0, method(ClassConnection, 50)(
+      send(FrameMethod, 0, method(ClassConnection, 50)(
         _.u16(200).shortstr("OK").u16(0).u16(0)))
-      expectMethod(readFrame(in), ClassConnection, 51) // CloseOk
-      ()
+      // with a confirm-reader running, IT consumes the CloseOk (read
+      // side has one owner); otherwise read it here for a clean drain
+      if (reader == null) { expectMethod(readFrame(in), ClassConnection, 51); () }
     } finally { socket.close(); socket = null }
+  } }
+
+  /** Drop the socket WITHOUT the Close handshake — for a connection
+    * already known dead (a publish just threw): the graceful close
+    * would block reading CloseOk from the dead peer. */
+  def abort(): Unit = synchronized { if (socket != null) {
+    try socket.close() catch { case _: java.io.IOException => () }
+    socket = null
   } }
 }
 
@@ -202,37 +317,76 @@ final class AmqpClient(host: String, port: Int, user: String = "guest",
 class AmqpQueue(val addr: String) extends MessageQueue {
   private val (_, _, _, _, queue) = AmqpQueue.parse(addr) // validate eagerly
 
-  override def publish(data: Array[Byte]): Unit =
-    AmqpQueue.clientFor(addr).publish(queue, data)
+  /** On an I/O failure the cached client is EVICTED before the error
+    * propagates: the connection is dead, and without eviction every
+    * Spark task retry would reuse the same dead socket until JVM
+    * restart — the reference instead reconnects in its retry loop
+    * (src/main.rs:140-198), and eviction + task retry is the
+    * distributed analogue of that redial. */
+  override def publish(data: Array[Byte]): Unit = {
+    val c = AmqpQueue.clientFor(addr)
+    try c.publish(queue, data)
+    catch {
+      case e: java.io.IOException => AmqpQueue.evict(addr, c); throw e
+    }
+  }
   def close(): Unit = AmqpQueue.closeClient(addr)
 }
 
 object AmqpQueue {
   private val Addr =
-    raw"amqp://(?:([^:@/]+):([^:@/]+)@)?([^:@/]+):(\d+)/([^/]+)".r
+    raw"amqp://(?:([^:@/]+):([^:@/]+)@)?([^:@/]+):(\d+)/([^/?]+)(?:\?([^/]*))?".r
 
-  private val clients =
+  private[cdc] val clients =
     scala.collection.mutable.Map.empty[String, AmqpClient]
 
   /** One connected, queue-declared client per address per JVM. */
   private def clientFor(addr: String): AmqpClient = clients.synchronized {
     clients.getOrElseUpdate(addr, {
       val (user, pass, host, port, queue) = parse(addr)
-      val c = new AmqpClient(host, port, user, pass)
+      val o = opts(addr)
+      val c = new AmqpClient(host, port, user, pass,
+        channels = o.getOrElse("channels", "8").toInt,
+        confirms = o.get("confirm").exists(_.toBoolean),
+        confirmTimeoutMs = o.getOrElse("confirmTimeoutMs", "30000").toLong)
       c.connect()
       c.declareQueue(queue)
       c
     })
   }
 
+  /** Query-string options (`?confirm=true&channels=4`): `channels`
+    * sizes the per-connection channel pool, `confirm` turns on
+    * publisher confirms (default OFF — reference parity:
+    * fire-and-forget, queues.rs:44-64). */
+  private[cdc] def opts(addr: String): Map[String, String] = addr match {
+    case Addr(_, _, _, _, _, q) =>
+      Option(q).filter(_.nonEmpty).fold(Map.empty[String, String]) {
+        _.split("&").iterator.map(_.split("=", 2)).collect {
+          case Array(k, v) => k -> v
+        }.toMap
+      }
+    case _ => Map.empty
+  }
+
   private def closeClient(addr: String): Unit = clients.synchronized {
     clients.remove(addr).foreach(_.close())
+  }
+
+  /** Remove a DEAD client so the next publish redials. Identity-checked:
+    * if a concurrent task already evicted and redialed, the fresh
+    * client stays cached. */
+  private def evict(addr: String, dead: AmqpClient): Unit = {
+    clients.synchronized {
+      if (clients.get(addr).exists(_ eq dead)) { clients.remove(addr); () }
+    }
+    dead.abort()
   }
 
   /** (user, pass, host, port, queue); credentials default to
     * guest/guest like every AMQP client. */
   def parse(addr: String): (String, String, String, Int, String) = addr match {
-    case Addr(u, p, host, port, queue) =>
+    case Addr(u, p, host, port, queue, _) =>
       (Option(u).getOrElse("guest"), Option(p).getOrElse("guest"),
         host, port.toInt, queue)
     case other => throw new IllegalArgumentException(

@@ -75,10 +75,15 @@ class ChangefeedPipeline(
     // Key-PRESENCE, not value: a tombstone `{"after": null}` (the
     // CockroachDB DELETE form) is a legitimate change row and must
     // publish, which a naive `$.after IS NULL` check would dead-letter.
+    // The key test is coalesce'd to false because valid non-OBJECT JSON
+    // (a bare scalar or array) parses but has no keys: json_object_keys
+    // returns NULL, and a NULL `malformed` would fail BOTH the DLQ
+    // route and the publish route — the silent drop this predicate
+    // exists to prevent.
     val parsed = get_json_object(col("value"), "$")
     val malformed = col("tbl").isNotNull &&
       (parsed.isNull ||
-        !array_contains(json_object_keys(parsed), "after"))
+        !coalesce(array_contains(json_object_keys(parsed), "after"), lit(false)))
     val writer = resumeFrom(frame, ignoreCursor).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>

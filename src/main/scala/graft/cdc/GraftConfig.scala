@@ -50,9 +50,19 @@ final case class GraftConfig(
 
   /** Poison-payload destination (--dead-letter-queue, same scheme:arg
     * grammar as --queue); None = forward bytes verbatim like the
-    * reference. */
+    * reference. The `changefeed:` scheme is rejected HERE, at config
+    * time: ChangefeedLogQueue only supports whole-batch DSv2 writes,
+    * and the DLQ path publishes per record — accepting it would pass
+    * startup validation and then fail the stream on the first
+    * malformed row. */
   def newDeadLetterQueue(): Option[MessageQueue] =
-    deadLetterQueue.map(spec => copy(queue = spec).newQueue())
+    deadLetterQueue.map { spec =>
+      require(!spec.startsWith("changefeed:"),
+        s"dead-letter-queue spec '$spec': the changefeed: scheme is " +
+          "batch-write-only and cannot receive per-record dead letters " +
+          "(use inmemory: or amqp:)")
+      copy(queue = spec).newQueue()
+    }
 
   /** File queues need per-batch writers (not per-record publish) — the
     * pipeline dispatches on this. */

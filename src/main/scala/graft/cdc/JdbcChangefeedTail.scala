@@ -58,10 +58,11 @@ final class JdbcChangefeedTail(
     cursorStore: CursorStore,
     resolvedFrequency: String = "1h",
     maxSegmentRows: Int = 4096,
-    hlcWallDivisor: Long = 1L) {
+    hlcWallDivisor: Long = 1000L) {
   // hlcWallDivisor: the feed's HLC wall-clock unit relative to the
-  // log's µs convention. The synthetic feeds here emit µs (divisor 1);
-  // a real CockroachDB emits NANOS in its HLC strings — pass 1000.
+  // log's µs convention. A real CockroachDB emits NANOS in its HLC
+  // strings, so the PRODUCTION value (1000) is the default; the
+  // synthetic µs feeds in the specs override with 1.
   require(hlcWallDivisor > 0, s"bad hlcWallDivisor $hlcWallDivisor")
 
   /** The statement the reference builds in main.rs:110-116. The stored

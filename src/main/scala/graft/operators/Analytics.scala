@@ -658,20 +658,32 @@ object Analytics {
         coalesce(col("purchase"), lit(0L)).as("purchase_c"))
       .orderBy(col("user_id"))
 
-  /** §2#95 decile banding: `ntile(10)` of purchase value per
-    * event_type with a TOTAL order (value_cents, event_id) so band
-    * boundaries are bit-identical across engines, rolled up to one row
-    * per (type, decile) with count + value range. The window sorts
-    * within each type partition once; the rollup is a partial-agg
-    * groupBy on top. */
+  /** §2#95 decile banding via HISTOGRAM RANKS, not a raw-row window:
+    * a `ntile(10) over (partition by event_type order by ...)` sorts
+    * every event of a type inside ONE reducer — a parallelism ceiling
+    * of |event_types| that turns a 100× scale-up into ~5 tasks
+    * streaming the whole table. Instead the rows compact map-side to a
+    * per-(type, value_cents) histogram (same machinery as
+    * [[quantilesSortRankOf]]), a window over the |values|-sized
+    * histogram assigns each DISTINCT value its cumulative rank band —
+    * decile = 1 + (10 · rows_before) div n — and the rollup sums
+    * counts per band. Per-reducer state is the value domain, not the
+    * group size. Tie rule (mirrored bit-for-bit in the DuckDB oracle):
+    * a run of equal values shares the decile of its FIRST row, so band
+    * sizes flex by tie mass instead of splitting a value across
+    * bands — the statistically honest banding for discrete data. */
   def qNtileDecile(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("value_c"), col("event_id"))
-    Tables.events(spark, sfDir)
-      .select(col("event_type"), col("event_id"), cents(col("value")).as("value_c"))
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    val hist = Tables.events(spark, sfDir)
+      .select(col("event_type"), cents(col("value")).as("value_c"))
+      .groupBy(col("event_type"), col("value_c"))
+      .agg(count(lit(1)).as("cnt"))
+    val byType = Window.partitionBy(col("event_type"))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(byType.orderBy(col("value_c"))))
+      .withColumn("n_grp", sum(col("cnt")).over(byType))
+      .withColumn("decile", expr("1 + (10 * (cum - cnt)) div n_grp"))
       .groupBy(col("event_type"), col("decile"))
-      .agg(count(lit(1)).as("n"),
+      .agg(sum(col("cnt")).as("n"),
         min(col("value_c")).as("lo_c"), max(col("value_c")).as("hi_c"))
       .orderBy(col("event_type"), col("decile"))
   }

@@ -24,6 +24,59 @@ object Multimodal {
         base64(substring(col("blob"), 1, 6)).as("header_b64"))
       .orderBy(col("doc_id"))
 
+  /** REAL pure-JVM image codec: binary PPM (netpbm "P6", public spec)
+    * — header `P6`, whitespace-separated width/height/maxval with `#`
+    * comments, one whitespace byte, then width×height packed RGB
+    * triples. Zero dependencies, so the decode path is exercised with
+    * REAL pixels even in this container; JPEG/PNG/video codecs slot in
+    * at exactly this seam. Returns None for non-PPM blobs (they fall
+    * through to the stub). */
+  private[operators] def decodePpm(blob: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (blob.length < 2 || blob(0) != 'P' || blob(1) != '6') return None
+    var i = 2
+    def skipWs(): Unit = {
+      var done = false
+      while (!done && i < blob.length) {
+        val b = blob(i)
+        if (b == '#') { while (i < blob.length && blob(i) != '\n') i += 1 }
+        else if (b == ' ' || b == '\n' || b == '\r' || b == '\t') i += 1
+        else done = true
+      }
+    }
+    def int(): Int = {
+      skipWs()
+      var v = 0; var any = false
+      while (i < blob.length && blob(i) >= '0' && blob(i) <= '9') {
+        v = v * 10 + (blob(i) - '0'); i += 1; any = true
+      }
+      if (any) v else -1
+    }
+    val w = int(); val h = int(); val maxval = int()
+    // 2-byte-per-sample PPMs (maxval > 255) exist; out of scope here
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
+    i += 1 // the single whitespace byte after maxval
+    val need = w.toLong * h * 3
+    if (need > Int.MaxValue || i + need.toInt > blob.length) return None
+    Some((w, h, java.util.Arrays.copyOfRange(blob, i, i + need.toInt)))
+  }
+
+  private[operators] def checksumOf(bytes: Array[Byte]): Long = {
+    var cs = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { cs = cs * 31 + bytes(i); i += 1 }
+    cs
+  }
+
+  /** Codec front door: REAL decode for formats the JVM can parse here
+    * (PPM), deterministic stub for everything else. (width, height,
+    * n_frames, feature checksum over the DECODED pixels for real
+    * formats / the raw bytes for stubbed ones). */
+  private[operators] def decodeAny(blob: Array[Byte]): (Int, Int, Int, Long) =
+    decodePpm(blob) match {
+      case Some((w, h, px)) => (w, h, 1, checksumOf(px))
+      case None => stubDecode(blob)
+    }
+
   /** STUB CODEC — stands in for an image/video decoder (not available
     * in this container). Deterministic in the blob bytes so tests are
     * stable. A real deployment swaps only this function; the
@@ -42,16 +95,25 @@ object Multimodal {
     * each partition decodes its blobs locally (this is where a real
     * pipeline amortizes codec init per partition, the moral equivalent
     * of mapInPandas batch shape in PySpark). */
-  def decodeFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+  def decodeFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    decodeFeaturesOf(
+      Tables.documentsPar(spark, sfDir)
+        .select(col("doc_id"), col("text").cast("binary").as("blob")))
+
+  /** The decode pipeline over ANY (doc_id, blob) frame — the sfDir
+    * entry point feeds it document bytes (stub path); the spec feeds
+    * it real PPM images (real path). Same plan either way. */
+  def decodeFeaturesOf(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
     import spark.implicits._
-    Tables.documentsPar(spark, sfDir)
-      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    blobs
+      .select(col("doc_id").cast("long"), col("blob"))
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
         // codec init happens once per partition here (amortized, like
         // mapInPandas batch shape in PySpark)
         iter.map { case (docId, blob) =>
-          val (w, h, f, c) = stubDecode(blob)
+          val (w, h, f, c) = decodeAny(blob)
           (docId, w, h, f, c)
         }
       }
@@ -59,20 +121,72 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** §2#42 stub resize: decode → downscale to a 32×32 thumbnail →
-    * thumbnail checksum. Same mapPartitions plumbing as decodeFeatures;
-    * only the codec body is stubbed. */
-  def resize(spark: SparkSession, sfDir: String, outW: Int = 32, outH: Int = 32): DataFrame = {
+  /** REAL thumbnail for decodable blobs: box-filter (average-pool)
+    * the RGB plane onto an outW×outH grid — each output pixel is the
+    * integer mean of its source rectangle, the standard area-average
+    * downscale. Returns the packed RGB thumbnail bytes. */
+  private[operators] def averagePool(w: Int, h: Int, px: Array[Byte],
+      outW: Int, outH: Int): Array[Byte] = {
+    val outPx = new Array[Byte](outW * outH * 3)
+    var oy = 0
+    while (oy < outH) {
+      val y0 = (oy.toLong * h / outH).toInt
+      val y1 = math.max(y0 + 1, ((oy + 1).toLong * h / outH).toInt)
+      var ox = 0
+      while (ox < outW) {
+        val x0 = (ox.toLong * w / outW).toInt
+        val x1 = math.max(x0 + 1, ((ox + 1).toLong * w / outW).toInt)
+        var c = 0
+        while (c < 3) {
+          var sum = 0L; var n = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              sum += px((y * w + x) * 3 + c) & 0xff
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          outPx((oy * outW + ox) * 3 + c) = (sum / n).toByte
+          c += 1
+        }
+        ox += 1
+      }
+      oy += 1
+    }
+    outPx
+  }
+
+  /** §2#42 resize: decode → downscale to an outW×outH thumbnail →
+    * thumbnail checksum. PPM blobs take the REAL path (decode + box
+    * average pool over actual pixels); other blobs the stub (scale
+    * factors folded into the checksum). Same mapPartitions plumbing
+    * either way. */
+  def resize(spark: SparkSession, sfDir: String, outW: Int = 32, outH: Int = 32): DataFrame =
+    resizeOf(
+      Tables.documentsPar(spark, sfDir)
+        .select(col("doc_id"), col("text").cast("binary").as("blob")),
+      outW, outH)
+
+  /** The resize pipeline over ANY (doc_id, blob) frame. */
+  def resizeOf(blobs: DataFrame, outW: Int = 32, outH: Int = 32): DataFrame = {
+    val spark = blobs.sparkSession
     import spark.implicits._
-    Tables.documentsPar(spark, sfDir)
-      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    blobs
+      .select(col("doc_id").cast("long"), col("blob"))
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
         iter.map { case (docId, blob) =>
-          val (w, h, _, c) = stubDecode(blob)
-          // a real impl would rescale pixels; the stub folds the scale
-          // factors into the checksum deterministically
-          val thumb = c * 31 + (w.toLong * outW) + (h.toLong * outH)
+          val thumb = decodePpm(blob) match {
+            case Some((w, h, px)) =>
+              // real pixels: pool, then checksum the REAL thumbnail
+              checksumOf(averagePool(w, h, px, outW, outH))
+            case None =>
+              val (w, h, _, c) = stubDecode(blob)
+              c * 31 + (w.toLong * outW) + (h.toLong * outH)
+          }
           (docId, outW, outH, thumb)
         }
       }

@@ -19,11 +19,15 @@ class SurveyInvariantSpec extends AnyFunSuite {
 
   private case class Row(id: String, name: Option[String], check: String)
 
-  private lazy val surveyRows: Seq[Row] = {
+  private lazy val surveyText: String = {
     val f = new java.io.File("SURVEY.md")
     assert(f.exists(), s"SURVEY.md not found at ${f.getAbsolutePath}")
     val src = scala.io.Source.fromFile(f, "UTF-8")
-    val lines = try src.getLines().toVector finally src.close()
+    try src.mkString finally src.close()
+  }
+
+  private lazy val surveyRows: Seq[Row] = {
+    val lines = surveyText.linesIterator.toVector
     val backtick = "`([A-Za-z0-9_.]+)`".r
     // | id | name | what | check | — description cells legitimately
     // contain literal `|` (|A∩B|, |events|²), so anchor on the first
@@ -82,5 +86,41 @@ class SurveyInvariantSpec extends AnyFunSuite {
     val ids = surveyRows.map(_.id).filter(_.forall(_.isDigit))
     val dups = ids.groupBy(identity).collect { case (k, v) if v.size > 1 => k }
     assert(dups.isEmpty, s"duplicate SURVEY §2 ids: $dups")
+  }
+
+  /** §8's prose quotes totals per round; older rounds legitimately
+    * quote OLDER numbers, so only the LAST occurrence of each claim —
+    * the one describing the current tree — is pinned to the mechanical
+    * counts. (r5 drifted 95→99, r6 drifted 141→138 and 192→183: prose
+    * totals the spec didn't cover drifted within one round each time.) */
+  test("§8 prose totals: the latest claims match the mechanical counts") {
+    def lastMatch(re: scala.util.matching.Regex): Option[scala.util.matching.Regex.Match] =
+      re.findAllMatchIn(surveyText).toSeq.lastOption
+
+    for (m <- lastMatch(raw"(\d+) SURVEY components".r))
+      assert(m.group(1).toInt === surveyRows.size,
+        s"latest '.. SURVEY components' prose claims ${m.group(1)}, " +
+          s"but §2 has ${surveyRows.size} rows")
+
+    for (m <- lastMatch(raw"(\d+) queries = (\d+) sql \+ (\d+) rows".r)) {
+      val byCheck = surveyRows.groupBy(_.check).view.mapValues(_.size).toMap
+      assert(m.group(1).toInt === SparkEntry.queries.size,
+        s"latest query-count prose claims ${m.group(1)}, " +
+          s"but queries has ${SparkEntry.queries.size} entries")
+      assert(m.group(2).toInt === byCheck.getOrElse("sql", 0) &&
+        m.group(3).toInt === byCheck.getOrElse("rows", 0),
+        s"latest sql/rows split prose (${m.group(2)}+${m.group(3)}) != " +
+          s"§2 (${byCheck.getOrElse("sql", 0)}+${byCheck.getOrElse("rows", 0)})")
+    }
+
+    // spec totals can't be counted from inside a running spec — the
+    // policy is to stop hand-writing them; pin that the CURRENT round's
+    // prose never reintroduces one after this line
+    val specClaim = raw"(\d+) ScalaTest specs green".r
+    val afterR7 = surveyText.indexOf("SurveyInvariantSpec pins the component")
+    if (afterR7 >= 0)
+      assert(specClaim.findFirstMatchIn(surveyText.substring(afterR7)).isEmpty,
+        "hand-written 'N ScalaTest specs green' reintroduced after the " +
+          "r7 policy line — quote the suite as green without a count")
   }
 }

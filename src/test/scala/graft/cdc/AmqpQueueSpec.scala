@@ -65,4 +65,97 @@ class AmqpQueueSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](AmqpQueue.parse("amqp://h/q"))
     intercept[IllegalArgumentException](AmqpQueue.parse("rabbitmq:whatever"))
   }
+
+  test("address query options: confirm/channels parse, queue name unchanged") {
+    assert(AmqpQueue.parse("amqp://h:5672/q?confirm=true&channels=4") ===
+      (("guest", "guest", "h", 5672, "q")))
+    assert(AmqpQueue.opts("amqp://h:5672/q?confirm=true&channels=4") ===
+      Map("confirm" -> "true", "channels" -> "4"))
+    assert(AmqpQueue.opts("amqp://h:5672/q") === Map.empty)
+  }
+
+  test("concurrent publishers fan out over the channel pool, nothing corrupted") {
+    val broker = new FakeAmqpBroker
+    try {
+      val q = new AmqpQueue(s"amqp://127.0.0.1:${broker.port}/pool?channels=4")
+      val n = 8; val per = 25
+      val threads = (0 until n).map { t =>
+        new Thread(() => {
+          var i = 0
+          while (i < per) { q.publish(s"m-$t-$i".getBytes(UTF_8)); i += 1 }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(20000))
+      val got = broker.awaitPublished(n * per)
+      assert(broker.error == null, s"broker error: ${broker.error}")
+      // every message arrived exactly once, bodies intact
+      assert(got.map(_._2).sorted ===
+        (for (t <- 0 until n; i <- 0 until per) yield s"m-$t-$i").sorted)
+      // the pool was actually USED concurrently: >1 channel id on the wire
+      assert(broker.publishChannels.size >= 2,
+        s"all publishes serialized on ${broker.publishChannels}")
+      q.close()
+    } finally broker.stop()
+  }
+
+  test("publisher confirms: acked publish succeeds, unacked publish errors") {
+    val acking = new FakeAmqpBroker
+    try {
+      val q = new AmqpQueue(
+        s"amqp://127.0.0.1:${acking.port}/conf?confirm=true&channels=2")
+      q.publish("confirmed".getBytes(UTF_8)) // blocks until Basic.Ack
+      assert(acking.awaitPublished(1).head._2 === "confirmed")
+      assert(acking.error == null, s"broker error: ${acking.error}")
+      q.close()
+    } finally acking.stop()
+
+    // a broker that TAKES the message but never confirms it must turn
+    // into an error (retry), not silent at-least-once data loss
+    val silent = new FakeAmqpBroker(dropAcks = true)
+    try {
+      val c = new AmqpClient("127.0.0.1", silent.port, channels = 1,
+        confirms = true, confirmTimeoutMs = 500)
+      c.connect()
+      c.declareQueue("conf")
+      val e = intercept[java.io.IOException](
+        c.publish("conf", "lost".getBytes(UTF_8)))
+      assert(e.getMessage.contains("confirm timed out"))
+      c.abort()
+    } finally silent.stop()
+  }
+
+  test("dead connection is evicted on publish failure; retry redials") {
+    val broker1 = new FakeAmqpBroker
+    val port = broker1.port
+    val addr = s"amqp://127.0.0.1:$port/revive"
+    val q = new AmqpQueue(addr)
+    try {
+      q.publish("before-crash".getBytes(UTF_8))
+      broker1.awaitPublished(1)
+    } finally broker1.stop() // server closed + live sockets killed
+
+    // writes to the dead socket buffer before the RST lands, so the
+    // IOException may take a few publishes to surface — but it MUST
+    // surface, and evict the cached client when it does
+    var died = false
+    var attempts = 0
+    while (!died && attempts < 200) {
+      attempts += 1
+      try q.publish(s"into-the-void-$attempts".getBytes(UTF_8))
+      catch { case _: java.io.IOException => died = true }
+      if (!died) Thread.sleep(10)
+    }
+    assert(died, "publish never failed against a dead broker")
+    assert(!AmqpQueue.clients.synchronized(AmqpQueue.clients.contains(addr)),
+      "dead client still cached after publish IOException")
+
+    // same address, new broker: the next publish redials and succeeds
+    val broker2 = new FakeAmqpBroker(fixedPort = port)
+    try {
+      q.publish("after-restart".getBytes(UTF_8))
+      assert(broker2.awaitPublished(1).head._2 === "after-restart")
+      assert(broker2.error == null, s"broker error: ${broker2.error}")
+      q.close()
+    } finally broker2.stop()
+  }
 }

@@ -152,7 +152,12 @@ class ChangefeedPipelineSpec extends SparkSuite {
       s"""{"after": {"event_id": $i}}"""))
     val bad = Seq(
       RawFeedRow(5, Some("events"), Some("[5]"), """{"afte"""), // truncated
-      RawFeedRow(6, Some("events"), Some("[6]"), """{"nope": 1}""")) // no after
+      RawFeedRow(6, Some("events"), Some("[6]"), """{"nope": 1}"""), // no after
+      // valid NON-OBJECT JSON: parses, but has no keys — three-valued
+      // logic would make `malformed` NULL and silently drop these;
+      // they must dead-letter like any other poison
+      RawFeedRow(9, Some("events"), Some("[9]"), "42"), // bare scalar
+      RawFeedRow(10, Some("events"), Some("[10]"), "[1, 2]")) // bare array
     // a tombstone (DELETE) carries `"after": null` — legitimate, must
     // publish, NOT dead-letter
     val tombstone = RawFeedRow(8, Some("events"), Some("[8]"),
@@ -169,7 +174,7 @@ class ChangefeedPipelineSpec extends SparkSuite {
     // poison rows preserved RAW in the dead letter queue
     assert(InMemoryQueue.messages(dname).toSet === bad.map(_.value).toSet)
     assert(pipeline.messagesSent.value === 5L)
-    assert(pipeline.messagesDeadLettered.value === 2L)
+    assert(pipeline.messagesDeadLettered.value === 4L)
     // the resolved cursor still committed — poison never stalls the feed
     assert(store.get() === Some("7"))
   }

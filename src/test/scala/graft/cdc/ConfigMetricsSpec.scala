@@ -106,5 +106,12 @@ class ConfigMetricsSpec extends SparkSuite {
         Seq("--table", "events", "--dead-letter-queue", "bogus:x"), Map.empty)
         .newDeadLetterQueue()
     }
+    // changefeed: is batch-write-only — a DLQ publishes per record, so
+    // the spec must be rejected HERE, not explode mid-stream later
+    intercept[IllegalArgumentException] {
+      GraftConfig.fromArgs(
+        Seq("--table", "events", "--dead-letter-queue", "changefeed:/tmp/x"),
+        Map.empty).newDeadLetterQueue()
+    }
   }
 }

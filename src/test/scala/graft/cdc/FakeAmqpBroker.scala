@@ -3,6 +3,7 @@ package graft.cdc
 import java.io.{DataInputStream, DataOutputStream, EOFException}
 import java.net.{ServerSocket, Socket, SocketException}
 import java.nio.charset.StandardCharsets.UTF_8
+import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 
 /** Scripted in-process AMQP 0-9-1 broker (test double): accepts ANY
@@ -11,13 +12,24 @@ import scala.collection.mutable.ArrayBuffer
   * full handshake on each, serves Queue.Declare, and records every
   * Basic.Publish delivery. A connection dropped without Connection.Close
   * (a completed Spark task abandoning its producer) is tolerated:
-  * everything published before the drop is retained. */
-private[cdc] class FakeAmqpBroker(tuneFrameMax: Long = 131072L) {
+  * everything published before the drop is retained.
+  *
+  * Channel-aware: Channel.Open is served on any channel id, content
+  * frames are reassembled PER CHANNEL (so interleaved publishes from a
+  * channel pool are handled like a real broker), the channel id of
+  * every delivery is recorded, and Confirm.Select arms per-channel
+  * publisher confirms — each completed delivery on a confirm channel
+  * gets a Basic.Ack unless `dropAcks` simulates a broker that takes
+  * the message but never confirms it. */
+private[cdc] class FakeAmqpBroker(tuneFrameMax: Long = 131072L,
+    dropAcks: Boolean = false, fixedPort: Int = 0) {
   import AmqpWire._
 
-  private val server = new ServerSocket(0)
+  private val server = new ServerSocket(fixedPort)
   val port: Int = server.getLocalPort
   private val buf = ArrayBuffer.empty[(String, String)] // (routingKey, body)
+  private val pubChannels = mutable.Set.empty[Int]
+  private val live = mutable.Set.empty[Socket]
   @volatile var auth: (String, String) = ("", "")
   @volatile var vhost: String = ""
   @volatile var declared: String = ""
@@ -30,6 +42,9 @@ private[cdc] class FakeAmqpBroker(tuneFrameMax: Long = 131072L) {
 
   def published: Seq[(String, String)] = buf.synchronized(buf.toList)
 
+  /** Distinct channel ids deliveries arrived on (across connections). */
+  def publishChannels: Set[Int] = buf.synchronized(pubChannels.toSet)
+
   /** Poll until `n` messages arrived (publish frames are read
     * asynchronously from the socket after the task returns). */
   def awaitPublished(n: Int, timeoutMs: Long = 10000): Seq[(String, String)] = {
@@ -40,15 +55,28 @@ private[cdc] class FakeAmqpBroker(tuneFrameMax: Long = 131072L) {
     got
   }
 
-  def stop(): Unit = { closed = true; server.close() }
+  def stop(): Unit = { closed = true; server.close(); killConnections() }
+
+  /** Hard-drop every live client socket (simulated broker crash). */
+  def killConnections(): Unit = live.synchronized {
+    live.foreach(s => try s.close() catch { case _: java.io.IOException => () })
+    live.clear()
+  }
 
   private def acceptLoop(): Unit =
     try while (!closed) {
       val sock = server.accept()
+      live.synchronized { live += sock; () }
       val t = new Thread(() => serve(sock))
       t.setDaemon(true)
       t.start()
     } catch { case _: SocketException => () /* stop() */ }
+
+  // in-flight content state for one channel of one connection
+  private final class Pending(val rk: String) {
+    var expected: Long = -1L // unset until the content header arrives
+    val body = new java.io.ByteArrayOutputStream()
+  }
 
   private def serve(sock: Socket): Unit = try {
     val in = new DataInputStream(sock.getInputStream)
@@ -71,51 +99,82 @@ private[cdc] class FakeAmqpBroker(tuneFrameMax: Long = 131072L) {
     require((open.u16(), open.u16()) == ((ClassConnection, 40)))
     vhost = open.shortstr()
     writeFrame(out, FrameMethod, 0, method(ClassConnection, 41)(_.shortstr("")))
-    val chOpen = readFrame(in)
-    require(chOpen.channel == 1)
-    writeFrame(out, FrameMethod, 1, method(ClassChannel, 11)(_.longstr("")))
+
+    val pending = mutable.Map.empty[Int, Pending] // channel → in-flight content
+    val confirming = mutable.Set.empty[Int] // channels with confirms armed
+    val deliveryTag = mutable.Map.empty[Int, Long].withDefaultValue(0L)
+
+    def complete(ch: Int, p: Pending): Unit = {
+      buf.synchronized {
+        buf += ((p.rk, new String(p.body.toByteArray, UTF_8)))
+        pubChannels += ch
+        ()
+      }
+      pending.remove(ch)
+      if (confirming(ch) && !dropAcks) {
+        val tag = deliveryTag(ch) + 1
+        deliveryTag(ch) = tag
+        // Basic.Ack: delivery-tag u64, multiple bit 0
+        writeFrame(out, FrameMethod, ch,
+          method(ClassBasic, MethodBasicAck)(_.u64(tag).u8(0)))
+      }
+    }
 
     var running = true
     while (running) {
       val f = readFrame(in)
-      val r = new Reader(f.payload)
-      (r.u16(), r.u16()) match {
-        case (ClassQueue, 10) =>
-          r.u16() // ticket
-          declared = r.shortstr()
-          writeFrame(out, FrameMethod, 1, method(ClassQueue, 11)(
-            _.shortstr(declared).u32(0L).u32(0L)))
-        case (ClassBasic, 40) =>
-          r.u16() // ticket
-          r.shortstr() // exchange ("")
-          val rk = r.shortstr()
-          val hdrFrame = readFrame(in)
-          require(hdrFrame.tpe == FrameHeader, "expected content header")
-          val h = new Reader(hdrFrame.payload)
-          require(h.u16() == ClassBasic); h.u16() // weight
-          var remaining = h.u64()
-          val body = new java.io.ByteArrayOutputStream()
-          while (remaining > 0) {
-            val bf = readFrame(in)
-            require(bf.tpe == FrameBody, "expected body frame")
-            // a real broker rejects frames over the negotiated max —
-            // enforce it so the client's body splitting is actually
-            // verified, not just tolerated
-            require(tuneFrameMax <= 8 || bf.payload.length + 8 <= tuneFrameMax,
-              s"body frame ${bf.payload.length + 8}B exceeds frame-max $tuneFrameMax")
-            body.write(bf.payload)
-            remaining -= bf.payload.length
+      f.tpe match {
+        case FrameMethod =>
+          val r = new Reader(f.payload)
+          (r.u16(), r.u16()) match {
+            case (ClassChannel, 10) => // Channel.Open — any id
+              writeFrame(out, FrameMethod, f.channel,
+                method(ClassChannel, 11)(_.longstr("")))
+            case (ClassConfirm, MethodConfirmSelect) =>
+              confirming += f.channel
+              writeFrame(out, FrameMethod, f.channel,
+                method(ClassConfirm, MethodConfirmSelectOk)(w => w))
+            case (ClassQueue, 10) =>
+              r.u16() // ticket
+              declared = r.shortstr()
+              writeFrame(out, FrameMethod, f.channel, method(ClassQueue, 11)(
+                _.shortstr(declared).u32(0L).u32(0L)))
+            case (ClassBasic, 40) =>
+              r.u16() // ticket
+              r.shortstr() // exchange ("")
+              val rk = r.shortstr()
+              require(!pending.contains(f.channel),
+                s"publish started on channel ${f.channel} mid-content")
+              pending(f.channel) = new Pending(rk)
+            case (ClassConnection, 50) =>
+              writeFrame(out, FrameMethod, 0, method(ClassConnection, 51)(w => w))
+              running = false
+            case (c, m) => throw new AssertionError(s"unexpected method $c.$m")
           }
-          buf.synchronized { buf += ((rk, new String(body.toByteArray, UTF_8))); () }
-        case (ClassConnection, 50) =>
-          writeFrame(out, FrameMethod, 0, method(ClassConnection, 51)(w => w))
-          running = false
-        case (c, m) => throw new AssertionError(s"unexpected method $c.$m")
+        case FrameHeader =>
+          val p = pending.getOrElse(f.channel,
+            throw new AssertionError(s"header without publish on ch ${f.channel}"))
+          val h = new Reader(f.payload)
+          require(h.u16() == ClassBasic); h.u16() // weight
+          p.expected = h.u64()
+          if (p.expected == 0L) complete(f.channel, p)
+        case FrameBody =>
+          val p = pending.getOrElse(f.channel,
+            throw new AssertionError(s"body without publish on ch ${f.channel}"))
+          // a real broker rejects frames over the negotiated max —
+          // enforce it so the client's body splitting is actually
+          // verified, not just tolerated
+          require(tuneFrameMax <= 8 || f.payload.length + 8 <= tuneFrameMax,
+            s"body frame ${f.payload.length + 8}B exceeds frame-max $tuneFrameMax")
+          p.body.write(f.payload)
+          if (p.expected >= 0 && p.body.size() >= p.expected)
+            complete(f.channel, p)
+        case other => throw new AssertionError(s"unexpected frame type $other")
       }
     }
     sock.close()
   } catch {
     case _: EOFException | _: SocketException => () // task dropped its producer
     case t: Throwable => error = t
-  }
+  } finally live.synchronized { live -= sock; () }
 }

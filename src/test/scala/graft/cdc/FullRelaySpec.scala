@@ -23,7 +23,8 @@ class FullRelaySpec extends SparkSuite {
       change(1, hourUs + 10), change(2, hourUs + 20), resolvedRow(2 * hourUs),
       change(3, 2 * hourUs + 10), resolvedRow(3 * hourUs))
     val db = new ScriptedDb(Seq(Right(resultSet(feed))))
-    val tail = new JdbcChangefeedTail(db.connect, "events", logDir, tailStore)
+    val tail = new JdbcChangefeedTail(db.connect, "events", logDir, tailStore,
+      hlcWallDivisor = 1L)
     val stats = tail.runOnce()
     assert(stats.rowsIngested === 3 && stats.segmentsWritten === 2)
 

@@ -129,7 +129,7 @@ class JdbcChangefeedTailSpec extends AnyFunSuite {
       change(4, 2010), resolvedRow(3000))
     val db = new ScriptedDb(Seq(Right(resultSet(feed))))
     val tail = new JdbcChangefeedTail(db.connect, "events", dir, store,
-      resolvedFrequency = "30s")
+      resolvedFrequency = "30s", hlcWallDivisor = 1L)
     val stats = tail.runOnce()
 
     assert(stats === TailStats(4, 2, 2, 2, 0))
@@ -153,7 +153,8 @@ class JdbcChangefeedTailSpec extends AnyFunSuite {
     store.set("3000")
     val db = new ScriptedDb(Seq(Right(resultSet(Seq(
       change(5, 3010), resolvedRow(4000))))))
-    val tail = new JdbcChangefeedTail(db.connect, "events", dir, store)
+    val tail = new JdbcChangefeedTail(db.connect, "events", dir, store,
+      hlcWallDivisor = 1L)
     tail.runOnce()
     assert(db.sqls.toSeq === Seq(
       "EXPERIMENTAL CHANGEFEED FOR events WITH updated, resolved = '1h', " +
@@ -170,7 +171,8 @@ class JdbcChangefeedTailSpec extends AnyFunSuite {
     val db = new ScriptedDb(Seq(
       Left(gc),
       Right(resultSet(Seq(change(9, 9010), resolvedRow(9100))))))
-    val tail = new JdbcChangefeedTail(db.connect, "events", dir, store)
+    val tail = new JdbcChangefeedTail(db.connect, "events", dir, store,
+      hlcWallDivisor = 1L)
     val stats = tail.runOnce()
 
     assert(stats.gcRestarts === 1)
@@ -181,7 +183,8 @@ class JdbcChangefeedTailSpec extends AnyFunSuite {
 
     // a non-GC SQLException must propagate, not restart
     val db2 = new ScriptedDb(Seq(Left(new SQLException("connection refused"))))
-    val tail2 = new JdbcChangefeedTail(db2.connect, "events", dir, freshStore())
+    val tail2 = new JdbcChangefeedTail(db2.connect, "events", dir, freshStore(),
+      hlcWallDivisor = 1L)
     intercept[SQLException](tail2.runOnce())
   }
 
@@ -194,7 +197,8 @@ class JdbcChangefeedTailSpec extends AnyFunSuite {
     val db = new ScriptedDb(Seq(
       Right(resultSet(feed, failAt = 2, failWith = gc)),
       Right(resultSet(feed))))
-    val tail = new JdbcChangefeedTail(db.connect, "events", dir, store)
+    val tail = new JdbcChangefeedTail(db.connect, "events", dir, store,
+      hlcWallDivisor = 1L)
     tail.runOnce()
     // first attempt wrote seg 1 (id j0x0) then died; the restart (also
     // cursorless → same id base) replayed identical content: segment
@@ -208,7 +212,8 @@ class JdbcChangefeedTailSpec extends AnyFunSuite {
     val dir = tmpDir("trail")
     val db = new ScriptedDb(Seq(Right(resultSet(Seq(
       change(1, 1010), resolvedRow(2000), change(2, 2010), change(3, 2020))))))
-    val tail = new JdbcChangefeedTail(db.connect, "events", dir, freshStore())
+    val tail = new JdbcChangefeedTail(db.connect, "events", dir, freshStore(),
+      hlcWallDivisor = 1L)
     val stats = tail.runOnce()
     assert(stats.segmentsWritten === 2)
     val segs = ChangefeedLog.listSegments(dir)
@@ -224,8 +229,7 @@ class JdbcChangefeedTailSpec extends AnyFunSuite {
       (Some("events"), Some("[7]"),
         """{"after": {"event_id": 7}, "updated": "3010000.0000000000"}"""),
       (None, None, """{"resolved": "4000000.0000000000"}"""))))))
-    val tail = new JdbcChangefeedTail(db.connect, "events", dir, store,
-      hlcWallDivisor = 1000L)
+    val tail = new JdbcChangefeedTail(db.connect, "events", dir, store)
     tail.runOnce()
     // cursor option rendered back in the feed's unit (3000 µs → nanos)
     assert(db.sqls.head.contains("cursor = '3000000.0000000000'"))

@@ -445,19 +445,37 @@ class NewOpsSpec extends SparkSuite {
     assert(native.nonEmpty)
   }
 
-  test("q_ntile_decile: 10 near-equal bands per type, ranges ordered and disjoint") {
+  test("q_ntile_decile: histogram-rank bands match a driver-side recompute") {
     val rows = Analytics.qNtileDecile(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // recompute the tie-sharing rank-band rule per type on the driver:
+    // a run of equal values lands wholly in the decile of its first row
+    val raw = graft.Tables.events(spark, sf)
+      .select(col("event_type"), graft.functions.Fns.cents(col("value")))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = raw.groupBy(_._1).flatMap { case (t, vs) =>
+      val n = vs.length.toLong
+      val hist = vs.map(_._2).groupBy(identity).toSeq.sortBy(_._1)
+      var before = 0L
+      val banded = hist.map { case (v, run) =>
+        val d = 1L + (10L * before) / n
+        before += run.length
+        (d, v, run.length.toLong)
+      }
+      banded.groupBy(_._1).map { case (d, xs) =>
+        (t, d, xs.map(_._3).sum, xs.map(_._2).min, xs.map(_._2).max)
+      }
+    }.toSet
+    assert(rows.toSet === expected)
+    // bands ordered and value-DISJOINT (each distinct value in one band)
     rows.groupBy(_._1).foreach { case (_, ds) =>
       val byDecile = ds.sortBy(_._2)
-      assert(byDecile.map(_._2).toSeq === (1L to 10L))
-      // ntile: band sizes differ by at most 1, larger bands first
-      val sizes = byDecile.map(_._3)
-      assert(sizes.max - sizes.min <= 1 && sizes.toSeq === sizes.sortBy(-_).toSeq)
-      // value ranges are internally ordered and non-decreasing across bands
-      byDecile.foreach { case (_, _, _, lo, hi) => assert(lo <= hi) }
+      byDecile.foreach { case (_, d, _, lo, hi) =>
+        assert(lo <= hi && d >= 1L && d <= 10L)
+      }
       byDecile.sliding(2).foreach {
-        case Array(a, b) => assert(a._5 <= b._4)
+        case Array(a, b) => assert(a._5 < b._4)
         case _ => ()
       }
     }

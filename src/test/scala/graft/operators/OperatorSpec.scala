@@ -122,6 +122,40 @@ class OperatorSpec extends SparkSuite {
     })
   }
 
+  test("PPM blobs take the REAL codec path: exact dims, pixel checksum, box-filter thumbnail") {
+    import spark.implicits._
+    def ppm(w: Int, h: Int, seed: Int): (Array[Byte], Array[Byte]) = {
+      val px = Array.tabulate(w * h * 3)(i => ((i * 31 + seed * 7) % 256).toByte)
+      val header = s"P6\n# synthetic test image $seed\n$w $h\n255\n".getBytes("US-ASCII")
+      (header ++ px, px)
+    }
+    val imgs = Seq((1L, ppm(64, 48, 1)), (2L, ppm(17, 9, 2)), (3L, ppm(32, 32, 3)))
+    val df = imgs.map { case (id, (blob, _)) => (id, blob) }.toDF("doc_id", "blob")
+
+    val rows = Multimodal.decodeFeaturesOf(df).collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq ===
+      Seq((1L, 64, 48, 1), (2L, 17, 9, 1), (3L, 32, 32, 1)))
+    // the feature checksum covers the DECODED pixels, not the file bytes
+    val wantCs = imgs.map { case (id, (_, px)) => id -> Multimodal.checksumOf(px) }.toMap
+    rows.foreach(r => assert(r.getLong(4) === wantCs(r.getLong(0))))
+
+    // resize: REAL box-filter average pool, pinned to a driver recompute
+    val thumbs = Multimodal.resizeOf(df, 8, 8).collect()
+    val wantThumb = imgs.map { case (id, (_, px)) =>
+      val (w, h) = if (id == 1L) (64, 48) else if (id == 2L) (17, 9) else (32, 32)
+      id -> Multimodal.checksumOf(Multimodal.averagePool(w, h, px, 8, 8))
+    }.toMap
+    thumbs.foreach(r => assert(r.getLong(3) === wantThumb(r.getLong(0))))
+    // pooling a constant-color image is exact: every thumb pixel = that color
+    val flat = Array.fill(10 * 10 * 3)(200.toByte)
+    assert(Multimodal.averagePool(10, 10, flat, 4, 4).forall(_ == 200.toByte))
+
+    // a truncated/garbage "P6" blob falls back to the stub, never throws
+    val junk = Seq((9L, "P6 not really an image".getBytes("US-ASCII"))).toDF("doc_id", "blob")
+    val j = Multimodal.decodeFeaturesOf(junk).collect()
+    assert(j.length === 1 && j.head.getInt(1) >= 64 && j.head.getInt(1) < 128)
+  }
+
   test("dedup_winnowing EQUALS direct fingerprint-set intersection; plants found") {
     // ground truth straight from the selected fingerprints: pairwise
     // |rare-fp intersection| >= 2 (rare = df <= 128 — MOSS-style: runs

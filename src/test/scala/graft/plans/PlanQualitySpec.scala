@@ -147,6 +147,21 @@ class PlanQualitySpec extends SparkSuite {
       s"histogram compaction not map-side combined:\n$plan")
   }
 
+  test("q_ntile_decile windows the histogram, never the raw rows (r7 rewrite)") {
+    val plan = planOf(Analytics.qNtileDecile(spark, sf))
+    // the old `ntile(10)` sorted every event of a type inside one
+    // reducer — a parallelism ceiling of |event_types| at 100×
+    assert(!plan.contains("ntile"),
+      s"raw-row ntile window crept back into the decile plan:\n$plan")
+    // the window's input must be the map-side-combined histogram
+    assert(plan.contains("partial_count"),
+      s"histogram not built with a partial (map-side) aggregate:\n$plan")
+    val win = plan.indexOf("Window")
+    assert(win >= 0, s"rank-band window missing:\n$plan")
+    assert(plan.indexOf("HashAggregate", win) >= 0,
+      s"window input is not the aggregated histogram:\n$plan")
+  }
+
   test("runtime bloom filter from a selective dim reaches the fact scan") {
     // Spark's runtime row-level filtering: a selective filter on the
     // join's build side should inject bloom_filter_agg → the fact side
