@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Graph, Similarity, TextAnalysis}
+import graft.cdc.Changefeed
+import graft.operators.{Dedup, Graph, Layout, Similarity, TextAnalysis}
 
 /** Empirical scale-curve check for the dedup suite (SURVEY §5).
   *
@@ -47,55 +48,95 @@ object ScaleCheck {
     writeCorpus(spark, sfDir, x1Dir, 1)
     writeCorpus(spark, sfDir, xkDir, k)
 
-    val ops: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-      "dedup_exact" -> (Dedup.exact _),
-      "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) =>
+    // Each op gets (session, dir, scale) — `scale` is 1 on the 1× side
+    // and K on the K× side, so ops whose documented 100 TB lever is a
+    // corpus-proportional knob can actually TURN it here (semantic
+    // dedup grows nCells ∝ corpus; everything else ignores it).
+    val allOps: Seq[(String, (SparkSession, String, Int) => DataFrame)] = Seq(
+      "dedup_exact" -> ((s: SparkSession, d: String, _: Int) =>
+        Dedup.exact(s, d)),
+      "dedup_ngram_jaccard" -> ((s: SparkSession, d: String, _: Int) =>
         Dedup.ngramJaccard(s, d)),
-      "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
-      "dedup_cluster" -> (Dedup.cluster _),
+      "dedup_minhash_lsh" -> ((s: SparkSession, d: String, _: Int) =>
+        Dedup.minhashLsh(s, d)),
+      "dedup_cluster" -> ((s: SparkSession, d: String, _: Int) =>
+        Dedup.cluster(s, d)),
+      // SemDeDup with its documented scale lever engaged: nCells grows
+      // ∝ corpus (8 → 8K), so per-cell pair work SHOULD stay constant
+      // and the whole op track ~K× — this is the claim §5 makes about
+      // the LAION-recipe shape, measured instead of argued
+      "dedup_semantic" -> ((s: SparkSession, d: String, k: Int) =>
+        Dedup.semantic(s, d, nCells = 8 * k)),
       // degree-oriented wedge join over the candidate graph: fanout is
       // bounded by arboricity, which the perturbed copies hold constant
-      "graph_triangles" -> (Graph.triangles _),
-      "graph_kcore" -> ((s: SparkSession, d: String) => Graph.kcore(s, d)),
+      "graph_triangles" -> ((s: SparkSession, d: String, _: Int) =>
+        Graph.triangles(s, d)),
+      "graph_kcore" -> ((s: SparkSession, d: String, _: Int) =>
+        Graph.kcore(s, d)),
       // text family: narrow maps + bounded aggregates — these should
       // track the data growth even more tightly than the dedup joins
-      "text_normalize" -> (TextAnalysis.normalize _),
-      "text_chunk_dedup" -> ((s: SparkSession, d: String) =>
+      "text_normalize" -> ((s: SparkSession, d: String, _: Int) =>
+        TextAnalysis.normalize(s, d)),
+      "text_chunk_dedup" -> ((s: SparkSession, d: String, _: Int) =>
         TextAnalysis.chunkDedup(s, d)),
-      "text_salient_terms" -> (TextAnalysis.salientTerms _),
-      "text_bpe_pairs" -> (TextAnalysis.bpePairs _),
-      "text_bigram_lm" -> (TextAnalysis.bigramLm _),
-      "text_decontaminate" -> ((s: SparkSession, d: String) =>
+      "text_salient_terms" -> ((s: SparkSession, d: String, _: Int) =>
+        TextAnalysis.salientTerms(s, d)),
+      "text_bpe_pairs" -> ((s: SparkSession, d: String, _: Int) =>
+        TextAnalysis.bpePairs(s, d)),
+      "text_bigram_lm" -> ((s: SparkSession, d: String, _: Int) =>
+        TextAnalysis.bigramLm(s, d)),
+      "text_decontaminate" -> ((s: SparkSession, d: String, _: Int) =>
         TextAnalysis.decontaminate(s, d)),
       // similarity family over the scaled embeddings corpus: brute
       // force reads the whole corpus per query (expected ~K×); LSH and
       // IVF probe buckets/cells whose sizes grow ∝ corpus at fixed
       // bits/cells (also ~K× — the scale LEVER is more bits/cells,
       // which this run holds constant by design)
-      "ann_bruteforce_topk" -> ((s: SparkSession, d: String) =>
+      "ann_bruteforce_topk" -> ((s: SparkSession, d: String, _: Int) =>
         Similarity.bruteforceTopk(s, d)),
-      "ann_lsh_topk" -> ((s: SparkSession, d: String) =>
+      "ann_lsh_topk" -> ((s: SparkSession, d: String, _: Int) =>
         Similarity.lshTopk(s, d)),
-      "ann_ivf_topk" -> ((s: SparkSession, d: String) =>
-        Similarity.ivfTopk(s, d)))
+      "ann_ivf_topk" -> ((s: SparkSession, d: String, _: Int) =>
+        Similarity.ivfTopk(s, d)),
+      // events-table family: snapshot-diff shuffles once on the PK and
+      // its group COUNT grows ∝ corpus (constant group size — the
+      // user_id shift below is what makes that true); schema-drift's
+      // shuffle carries |tables|×|keys| rows regardless of feed size;
+      // zorder is a narrow integer map + a 64-row stats agg
+      "cdc_snapshot_diff" -> ((s: SparkSession, d: String, _: Int) =>
+        Changefeed.snapshotDiff(s, d)),
+      "cdc_schema_drift" -> ((s: SparkSession, d: String, _: Int) =>
+        Changefeed.schemaDrift(s, d)),
+      "layout_zorder" -> ((s: SparkSession, d: String, _: Int) =>
+        Layout.zorder(s, d)))
+
+    // SPARK_GRAFT_OPS=a,b,c restricts the run (default: everything) —
+    // lets a round re-measure just its new ops without paying for the
+    // whole suite again.
+    val ops = sys.env.get("SPARK_GRAFT_OPS") match {
+      case Some(names) =>
+        val want = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        allOps.filter { case (n, _) => want(n) }
+      case None => allOps
+    }
 
     // JIT/codegen warmup on the small side only.
-    ops.foreach { case (_, fn) => fn(spark, x1Dir).count() }
+    ops.foreach { case (_, fn) => fn(spark, x1Dir, 1).count() }
 
-    def measure(dir: String): Map[String, Double] =
+    def measure(dir: String, scale: Int): Map[String, Double] =
       ops.map { case (name, fn) =>
         val times = (1 to reps).map { _ =>
           Dedup.invalidateCandidates(spark)
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
-          fn(spark, dir).count()
+          fn(spark, dir, scale).count()
           (System.nanoTime() - t0) / 1e9
         }
         name -> times.min
       }.toMap
 
-    val t1 = measure(x1Dir)
-    val tk = measure(xkDir)
+    val t1 = measure(x1Dir, 1)
+    val tk = measure(xkDir, k)
     def fmt(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
       .map { case (n, v) => f""""$n":$v%.2f""" }.mkString("{", ",", "}")
     val ratios = t1.keys.toSeq.sorted
@@ -130,5 +171,22 @@ object ScaleCheck {
     }.reduce(_ unionAll _)
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    // events: event_id AND user_id shifted per copy, ts/value verbatim.
+    // Shifting user_id means corpus growth adds NEW (user, type) groups
+    // at constant group size — the real shape of a feed watching more
+    // rows — so snapshot-diff's window partitions multiply rather than
+    // deepen. ts is kept as the raw nanos LONG (the legacy-conf read
+    // below) so the copy reads back through Tables.events exactly like
+    // the driver's file does.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    (0 until copies).map { i =>
+      val shift = lit(i.toLong * 100000000L)
+      ev.select((col("event_id") + shift).as("event_id"), col("ts"),
+        (col("user_id") + shift).as("user_id"), col("event_type"),
+        col("value"), col("props"))
+    }.reduce(_ unionAll _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 }

@@ -158,11 +158,51 @@ object Dedup {
     inter.select(col("doc_a"), col("doc_b"))
   }
 
+  /** CROSS-JOB persistence for the candidate-pair graph. The session
+    * memo above lets one job's four consumers share the stage; the
+    * production shape is reuse across JOBS — candidate generation is
+    * the most expensive stage in this suite while its output is tiny
+    * next to the corpus, so you build it once per crawl snapshot and
+    * every downstream job reads the table. Both frames are written as
+    * parquet tables BUCKETED + SORTED on their join keys with the SAME
+    * bucket count, so consumers scan pre-partitioned buckets and skip
+    * the exchange on that key entirely (the [[graft.sources]]
+    * BucketingSpec contract applied to this graph — the spec for THIS
+    * path is CandidateGraphSpec). The catalog here is in-memory; a
+    * deployment points the same code at its metastore. At 100 TB
+    * `buckets` scales with the pair count (`spark.sql.shuffle
+    * .partitions`-sized is the usual choice). */
+  def persistCandidates(spark: SparkSession, sfDir: String,
+      name: String = "candidates", buckets: Int = 8,
+      maxDf: Int = defaultMaxShingleDf): Unit = {
+    val (inter, sizes) = candidateInter(spark, sfDir, maxDf)
+    inter.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "doc_a").sortBy("doc_a")
+      .saveAsTable(s"${name}_inter")
+    sizes.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${name}_sizes")
+  }
+
+  /** Read back a [[persistCandidates]] graph: (inter, sizes), both as
+    * bucketed scans — joins/aggregates on doc_a (inter) or doc_id
+    * (sizes) need no exchange. */
+  def persistedCandidates(spark: SparkSession,
+      name: String = "candidates"): (DataFrame, DataFrame) =
+    (spark.table(s"${name}_inter"), spark.table(s"${name}_sizes"))
+
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     ngramJaccard(spark, sfDir, defaultMaxShingleDf)
 
   def ngramJaccard(spark: SparkSession, sfDir: String, maxDf: Int): DataFrame = {
     val (inter, sizes) = candidateInter(spark, sfDir, maxDf)
+    ngramJaccardFrom(inter, sizes)
+  }
+
+  /** Jaccard scoring over ANY (inter, sizes) pair — the memoized
+    * session frames or a [[persistedCandidates]] read-back (where the
+    * doc_a-side join below rides the bucketing, exchange-free). */
+  def ngramJaccardFrom(inter: DataFrame, sizes: DataFrame): DataFrame =
     // `sizes` is one row PER DOCUMENT — unbounded at corpus scale, so no
     // broadcast hint: AQE picks broadcast when it actually fits and a
     // shuffled hash join otherwise.
@@ -174,7 +214,6 @@ object Dedup {
       .withColumn("jaccard_pm",
         round(col("inter_n") * lit(1000.0) / col("union_n")).cast("long"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** §2#82 containment near-dup: |A∩B| / min(|A|,|B|) — the ASYMMETRIC
     * twin of Jaccard. A short doc fully quoted inside a long one has
@@ -186,6 +225,12 @@ object Dedup {
     * the scoring differs. */
   def containment(spark: SparkSession, sfDir: String): DataFrame = {
     val (inter, sizes) = candidateInter(spark, sfDir)
+    containmentFrom(inter, sizes)
+  }
+
+  /** Containment scoring over ANY (inter, sizes) pair — see
+    * [[ngramJaccardFrom]]. */
+  def containmentFrom(inter: DataFrame, sizes: DataFrame): DataFrame =
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
@@ -194,7 +239,6 @@ object Dedup {
           .cast("long").as("containment_pm"))
       .where(col("containment_pm") >= 500L)
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** §2#70 incremental dedup: check a NEW ingest batch (here every 5th
     * doc stands in for the fresh crawl) against the existing corpus by
@@ -262,8 +306,14 @@ object Dedup {
     * those in-memory blocks detects convergence — the loop exits the
     * first round in which no label changed (no extra confirm round, no
     * separate change-detection join). */
-  def cluster(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = candidatePairs(spark, sfDir)
+  def cluster(spark: SparkSession, sfDir: String): DataFrame =
+    clusterFrom(candidatePairs(spark, sfDir),
+      Tables.documentsPar(spark, sfDir).select(col("doc_id")))
+
+  /** CC over ANY (doc_a, doc_b) edge frame — the session memo's pairs
+    * or a [[persistedCandidates]] read-back; `allDocs` supplies the
+    * isolated-node universe. */
+  def clusterFrom(edges: DataFrame, allDocs: DataFrame): DataFrame = {
     val bidir = edges
       .unionByName(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))
         .select(col("doc_a"), col("doc_b")))
@@ -294,7 +344,7 @@ object Dedup {
       throw new IllegalStateException(
         s"dedup_cluster did not converge in $maxRounds rounds " +
         s"($changed labels still changing) — component diameter exceeds the cap")
-    val isolated = Tables.documentsPar(spark, sfDir).select(col("doc_id"))
+    val isolated = allDocs
       .join(labels, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("lab"))
     labels.unionByName(isolated)

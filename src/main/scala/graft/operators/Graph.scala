@@ -28,9 +28,13 @@ object Graph {
     * sum per dst + a left join back to keep sink nodes at base rank.
     * O(iters) shuffle rounds over |edges| rows — the standard
     * distributed PageRank shape; lineage cut per round. */
-  def pagerank(spark: SparkSession, sfDir: String, iters: Int = 6): DataFrame = {
+  def pagerank(spark: SparkSession, sfDir: String, iters: Int = 6): DataFrame =
+    pagerankFrom(Dedup.candidatePairs(spark, sfDir), iters)
+
+  /** PageRank over ANY (doc_a, doc_b) edge frame — the session memo's
+    * pairs or a [[Dedup.persistedCandidates]] read-back. */
+  def pagerankFrom(edges: DataFrame, iters: Int = 6): DataFrame = {
     val scale = 1000000000L
-    val edges = Dedup.candidatePairs(spark, sfDir)
     val bidir = edges.unionByName(
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     val deg = bidir.groupBy(col("doc_a").as("src"))
