@@ -60,6 +60,51 @@ object Multimodal {
     Some((w, h, java.util.Arrays.copyOfRange(blob, i, i + need.toInt)))
   }
 
+  /** REAL pure-JVM image codec #2: uncompressed 24-bit BMP (the
+    * Windows DIB format, public spec) — "BM" magic, little-endian
+    * pixel-data offset at byte 10, width/height at 18/22 (height < 0 =
+    * top-down row order), bit-count 24 at 28, compression 0 (BI_RGB)
+    * at 30. Rows are BGR triples padded to 4-byte boundaries and
+    * stored bottom-up unless top-down. Normalizes to the same packed
+    * row-major RGB plane PPM produces, so every downstream stage
+    * (pool, checksum, aHash) is codec-agnostic. */
+  private[operators] def decodeBmp(blob: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (blob.length < 54 || blob(0) != 'B' || blob(1) != 'M') return None
+    def le32(off: Int): Int =
+      (blob(off) & 0xff) | ((blob(off + 1) & 0xff) << 8) |
+        ((blob(off + 2) & 0xff) << 16) | ((blob(off + 3) & 0xff) << 24)
+    def le16(off: Int): Int = (blob(off) & 0xff) | ((blob(off + 1) & 0xff) << 8)
+    val dataOff = le32(10)
+    val w = le32(18)
+    val hRaw = le32(22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    if (w <= 0 || h <= 0 || le16(28) != 24 || le32(30) != 0) return None
+    val rowBytes = (w * 3 + 3) & ~3 // rows pad to 4-byte boundaries
+    val need = dataOff.toLong + rowBytes.toLong * h
+    if (dataOff < 54 || need > blob.length) return None
+    val px = new Array[Byte](w * h * 3)
+    var row = 0
+    while (row < h) {
+      val srcRow = if (topDown) row else h - 1 - row
+      var x = 0
+      while (x < w) {
+        val s = dataOff + srcRow * rowBytes + x * 3
+        val d = (row * w + x) * 3
+        px(d) = blob(s + 2) // BMP stores BGR
+        px(d + 1) = blob(s + 1)
+        px(d + 2) = blob(s)
+        x += 1
+      }
+      row += 1
+    }
+    Some((w, h, px))
+  }
+
+  /** Any supported REAL still-image codec → row-major RGB plane. */
+  private[operators] def decodeImage(blob: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decodePpm(blob).orElse(decodeBmp(blob))
+
   private[operators] def checksumOf(bytes: Array[Byte]): Long = {
     var cs = 1125899906842597L
     var i = 0
@@ -68,13 +113,18 @@ object Multimodal {
   }
 
   /** Codec front door: REAL decode for formats the JVM can parse here
-    * (PPM), deterministic stub for everything else. (width, height,
-    * n_frames, feature checksum over the DECODED pixels for real
-    * formats / the raw bytes for stubbed ones). */
+    * (PPM, BMP stills; Y4M video), deterministic stub for everything
+    * else. (width, height, n_frames, feature checksum over the DECODED
+    * pixels for real formats / the raw bytes for stubbed ones). */
   private[operators] def decodeAny(blob: Array[Byte]): (Int, Int, Int, Long) =
-    decodePpm(blob) match {
+    decodeImage(blob) match {
       case Some((w, h, px)) => (w, h, 1, checksumOf(px))
-      case None => stubDecode(blob)
+      case None => decodeY4m(blob) match {
+        case Some((w, h, frames)) =>
+          (w, h, frames.length,
+            frames.foldLeft(1125899906842597L)((cs, f) => cs * 31 + checksumOf(f)))
+        case None => stubDecode(blob)
+      }
     }
 
   /** STUB CODEC — stands in for an image/video decoder (not available
@@ -160,7 +210,7 @@ object Multimodal {
   }
 
   /** §2#42 resize: decode → downscale to an outW×outH thumbnail →
-    * thumbnail checksum. PPM blobs take the REAL path (decode + box
+    * thumbnail checksum. PPM/BMP blobs take the REAL path (decode + box
     * average pool over actual pixels); other blobs the stub (scale
     * factors folded into the checksum). Same mapPartitions plumbing
     * either way. */
@@ -179,7 +229,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
         iter.map { case (docId, blob) =>
-          val thumb = decodePpm(blob) match {
+          val thumb = decodeImage(blob) match {
             case Some((w, h, px)) =>
               // real pixels: pool, then checksum the REAL thumbnail
               checksumOf(averagePool(w, h, px, outW, outH))
@@ -206,6 +256,22 @@ object Multimodal {
     Array.tabulate(64)(p =>
       math.floorMod(cs * (2 * p + 1) + 0x9E3779B97F4A7C15L * p, 256L))
   }
+
+  /** REAL 8×8 grayscale downsample for decodable blobs: box-average
+    * the RGB plane to 8×8, then integer luma (r+g+b)/3 per cell — the
+    * aHash input a real image pipeline computes. Falls back to the
+    * stub for non-image blobs, so one frame mixes real and synthetic
+    * corpora transparently. */
+  private[operators] def grayPixels(blob: Array[Byte]): Array[Long] =
+    decodeImage(blob) match {
+      case Some((w, h, px)) =>
+        val thumb = averagePool(w, h, px, 8, 8)
+        Array.tabulate(64) { p =>
+          ((thumb(p * 3) & 0xff) + (thumb(p * 3 + 1) & 0xff) +
+            (thumb(p * 3 + 2) & 0xff)) / 3L
+        }
+      case None => stubPixels(blob)
+    }
 
   /** 64-bit average-hash (aHash) from an 8×8 pixel array, computed as
     * REAL distributed column arithmetic (the only stub is the decode):
@@ -238,7 +304,7 @@ object Multimodal {
     val pixels = Tables.documentsPar(spark, sfDir)
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(iter => iter.map { case (id, blob) => (id, stubPixels(blob)) })
+      .mapPartitions(iter => iter.map { case (id, blob) => (id, grayPixels(blob)) })
       .toDF("doc_id", "px")
     val withPlants = pixels.unionByName(
       pixels.where(col("doc_id") % 10 === 0)
@@ -250,22 +316,92 @@ object Multimodal {
     Dedup.hammingPairs64(sigs, maxHamming)
   }
 
-  /** §2#43 stub frame sampling: treat the blob as a short "video" with
-    * `n_frames` from the stub decoder; emit every frame with a
-    * per-frame checksum (flatMap fan-out — one output row per frame,
-    * the shape a real video pipeline produces). */
-  def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
+  /** REAL pure-JVM VIDEO container: YUV4MPEG2 (mjpegtools "Y4M",
+    * public spec) — ASCII stream header `YUV4MPEG2` + space-separated
+    * `W<width> H<height> F<fps> I<ilace> A<aspect> C<chroma>` params
+    * ending in `\n`, then per frame an ASCII `FRAME[params]\n` marker
+    * followed by raw planar YCbCr. Supported chroma: `C420*` (any 420
+    * variant — all share the w·h + 2·(w/2·h/2) plane size), `C444`,
+    * and `Cmono`; default when absent is 420. Returns each frame's
+    * LUMA plane (w·h bytes) — what a sampling/feature pipeline reads;
+    * chroma is parsed past, not returned. */
+  private[operators] def decodeY4m(blob: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] = {
+    val magic = "YUV4MPEG2".getBytes("US-ASCII")
+    if (blob.length < magic.length + 1 ||
+      !java.util.Arrays.equals(java.util.Arrays.copyOf(blob, magic.length), magic))
+      return None
+    var i = magic.length
+    val hdrEnd = blob.indexOf('\n'.toByte, i)
+    if (hdrEnd < 0) return None
+    val params = new String(blob, i, hdrEnd - i, "US-ASCII").trim
+      .split("\\s+").filter(_.nonEmpty)
+    var w = -1; var h = -1; var chroma = "420"
+    params.foreach { p =>
+      p.charAt(0) match {
+        case 'W' => w = p.drop(1).toInt
+        case 'H' => h = p.drop(1).toInt
+        case 'C' => chroma = p.drop(1)
+        case _ => () // F/I/A/X params don't affect plane layout
+      }
+    }
+    if (w <= 0 || h <= 0) return None
+    val frameBytes: Long =
+      if (chroma.startsWith("420")) w.toLong * h + 2L * ((w / 2).toLong * (h / 2))
+      else if (chroma == "444") w.toLong * h * 3
+      else if (chroma == "mono") w.toLong * h
+      else return None
+    if (frameBytes > Int.MaxValue) return None
+    i = hdrEnd + 1
+    val frames = Seq.newBuilder[Array[Byte]]
+    while (i < blob.length) {
+      // each frame: "FRAME[ params]\n" then the planes
+      if (i + 5 > blob.length ||
+        new String(blob, i, 5, "US-ASCII") != "FRAME") return None
+      val fEnd = blob.indexOf('\n'.toByte, i + 5)
+      if (fEnd < 0 || fEnd + 1 + frameBytes > blob.length + 0L) return None
+      val lumaStart = fEnd + 1
+      frames += java.util.Arrays.copyOfRange(blob, lumaStart, lumaStart + w * h)
+      i = lumaStart + frameBytes.toInt
+    }
+    val fs = frames.result()
+    if (fs.isEmpty) None else Some((w, h, fs))
+  }
+
+  /** §2#43 frame sampling: Y4M blobs take the REAL path — parse the
+    * container, emit one row per frame with the frame's integer mean
+    * luma and luma-plane checksum (the per-frame features a
+    * sample-every-Nth scheduler filters on); other blobs emit the stub
+    * decoder's synthetic frames. flatMap fan-out either way — one
+    * output row per frame, the shape a real video pipeline produces. */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame =
+    frameSampleOf(
+      Tables.documentsPar(spark, sfDir)
+        .select(col("doc_id"), col("text").cast("binary").as("blob")))
+
+  /** The frame-sampling pipeline over ANY (doc_id, blob) frame. */
+  def frameSampleOf(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
     import spark.implicits._
-    Tables.documentsPar(spark, sfDir)
-      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    blobs
+      .select(col("doc_id").cast("long"), col("blob"))
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
         iter.flatMap { case (docId, blob) =>
-          val (_, _, frames, c) = stubDecode(blob)
-          (0 until frames).map(i => (docId, i, c * 1000003L + i))
+          decodeY4m(blob) match {
+            case Some((_, _, frames)) =>
+              frames.zipWithIndex.map { case (luma, idx) =>
+                var sum = 0L
+                var j = 0
+                while (j < luma.length) { sum += luma(j) & 0xff; j += 1 }
+                (docId, idx, checksumOf(luma), sum / math.max(luma.length, 1))
+              }
+            case None =>
+              val (_, _, frames, c) = stubDecode(blob)
+              (0 until frames).map(i => (docId, i, c * 1000003L + i, -1L))
+          }
         }
       }
-      .toDF("doc_id", "frame_idx", "frame_checksum")
+      .toDF("doc_id", "frame_idx", "frame_checksum", "mean_luma")
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 }

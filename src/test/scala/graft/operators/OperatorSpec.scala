@@ -156,6 +156,114 @@ class OperatorSpec extends SparkSuite {
     assert(j.length === 1 && j.head.getInt(1) >= 64 && j.head.getInt(1) < 128)
   }
 
+  test("BMP blobs take the REAL codec path: BGR un-swizzle, bottom-up rows, padding") {
+    import spark.implicits._
+    // hand-build a 24-bit BMP: 3×2 image, rows padded to 12 bytes (3*3=9 → 12)
+    def bmp(w: Int, h: Int, rgb: Array[Byte], topDown: Boolean): Array[Byte] = {
+      val rowBytes = (w * 3 + 3) & ~3
+      val dataSize = rowBytes * h
+      val out = java.nio.ByteBuffer.allocate(54 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+        .putInt(0).putInt(54) // reserved, pixel-data offset
+      out.putInt(40).putInt(w).putInt(if (topDown) -h else h)
+        .putShort(1).putShort(24).putInt(0).putInt(dataSize)
+        .putInt(2835).putInt(2835).putInt(0).putInt(0)
+      for (row <- 0 until h) {
+        val srcRow = if (topDown) row else h - 1 - row
+        for (x <- 0 until w) {
+          val s = (srcRow * w + x) * 3
+          out.put(rgb(s + 2)).put(rgb(s + 1)).put(rgb(s)) // RGB → BGR
+        }
+        for (_ <- w * 3 until rowBytes) out.put(0.toByte)
+      }
+      out.array()
+    }
+    val rgb = Array.tabulate(3 * 2 * 3)(i => (i * 13 + 5).toByte)
+    for (topDown <- Seq(false, true)) {
+      val decoded = Multimodal.decodeBmp(bmp(3, 2, rgb, topDown))
+      assert(decoded.isDefined, s"topDown=$topDown BMP must decode")
+      val (w, h, px) = decoded.get
+      assert((w, h) === (3, 2))
+      assert(px.toSeq === rgb.toSeq,
+        s"topDown=$topDown round-trip must reproduce the row-major RGB plane")
+    }
+    // the full pipeline routes BMP through the real path: checksum of
+    // DECODED pixels, same as an identical-content PPM
+    val asBmp = Seq((1L, bmp(3, 2, rgb, topDown = false))).toDF("doc_id", "blob")
+    val row = Multimodal.decodeFeaturesOf(asBmp).collect().head
+    assert((row.getInt(1), row.getInt(2), row.getLong(4)) ===
+      (3, 2, Multimodal.checksumOf(rgb)))
+    // 8-bit/paletted/compressed BMPs are out of scope → stub, not throw
+    val gray8 = bmp(3, 2, rgb, topDown = false)
+    gray8(28) = 8 // bit-count 8
+    assert(Multimodal.decodeBmp(gray8).isEmpty)
+  }
+
+  test("phash pixels: identical content through PPM and BMP hashes identically") {
+    // the aHash input must be codec-invariant: same pixels, same gray 8×8
+    val w = 16; val h = 16
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 31) % 256).toByte)
+    val asPpm = s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ rgb
+    val rowBytes = (w * 3 + 3) & ~3
+    val out = java.nio.ByteBuffer.allocate(54 + rowBytes * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + rowBytes * h)
+      .putInt(0).putInt(54).putInt(40).putInt(w).putInt(h)
+      .putShort(1).putShort(24).putInt(0).putInt(rowBytes * h)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (row <- 0 until h) {
+      val srcRow = h - 1 - row
+      for (x <- 0 until w) {
+        val s = (srcRow * w + x) * 3
+        out.put(rgb(s + 2)).put(rgb(s + 1)).put(rgb(s))
+      }
+      for (_ <- w * 3 until rowBytes) out.put(0.toByte)
+    }
+    val pPx = Multimodal.grayPixels(asPpm)
+    val bPx = Multimodal.grayPixels(out.array())
+    assert(pPx.toSeq === bPx.toSeq)
+    // and real gray pixels, not the stub's synthetic ones
+    assert(pPx.toSeq !== Multimodal.grayPixels("not an image".getBytes).toSeq)
+  }
+
+  test("Y4M video blobs: real container parse, per-frame luma features, stub fallback") {
+    import spark.implicits._
+    // 4×2 C420 video, 3 frames; luma = frame index pattern, chroma = 128s
+    val w = 4; val h = 2
+    val lumas = (0 until 3).map(f => Array.tabulate(w * h)(i => ((f * 40 + i * 10) % 256).toByte))
+    val chroma = Array.fill((w / 2) * (h / 2) * 2)(128.toByte)
+    val blob = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII") ++
+      lumas.flatMap(l => "FRAME\n".getBytes("US-ASCII") ++ l ++ chroma)
+    val parsed = Multimodal.decodeY4m(blob)
+    assert(parsed.isDefined)
+    val (pw, ph, frames) = parsed.get
+    assert((pw, ph, frames.length) === (w, h, 3))
+    assert(frames.map(_.toSeq) === lumas.map(_.toSeq))
+
+    // pipeline: one row per frame, REAL mean luma + luma checksum
+    val df = Seq((7L, blob)).toDF("doc_id", "blob")
+    val rows = Multimodal.frameSampleOf(df).collect()
+    assert(rows.length === 3)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) === 7L && r.getInt(1) === i)
+      assert(r.getLong(2) === Multimodal.checksumOf(lumas(i)))
+      val want = lumas(i).map(_ & 0xff).map(_.toLong).sum / (w * h)
+      assert(r.getLong(3) === want, s"frame $i mean luma")
+    }
+    // mono chroma: frame = just the luma plane
+    val mono = s"YUV4MPEG2 W$w H$h Cmono\n".getBytes("US-ASCII") ++
+      "FRAME\n".getBytes("US-ASCII") ++ lumas(0)
+    assert(Multimodal.decodeY4m(mono).get._3.length === 1)
+    // a truncated stream (frame shorter than the advertised planes)
+    // falls back to the stub instead of reading garbage
+    val truncated = blob.dropRight(3)
+    assert(Multimodal.decodeY4m(truncated).isEmpty)
+    val stubRows = Multimodal.frameSampleOf(
+      Seq((8L, truncated)).toDF("doc_id", "blob")).collect()
+    assert(stubRows.nonEmpty && stubRows.forall(_.getLong(3) === -1L))
+  }
+
   test("dedup_winnowing EQUALS direct fingerprint-set intersection; plants found") {
     // ground truth straight from the selected fingerprints: pairwise
     // |rare-fp intersection| >= 2 (rare = df <= 128 — MOSS-style: runs
