@@ -111,6 +111,7 @@ object SparkEntry {
     "sample_docs" -> ((s: SparkSession, d: String) => Sampling.sampleDocs(s, d)),
     "sample_stratified" -> (Sampling.sampleStratified _),
     "sample_split" -> (Sampling.sampleSplit _),
+    "sample_cap_per_source" -> ((s: SparkSession, d: String) => Sampling.capPerSource(s, d)),
     "sample_mixture" -> (Sampling.sampleMixture _),
     "pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "pipeline_train_data" -> ((s: SparkSession, d: String) => Pipeline.trainDataPipeline(s, d)),
@@ -122,6 +123,7 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.ivfTopk(s, d)),
     "ann_ivf_kmeans" -> ((s: SparkSession, d: String) => Similarity.ivfKmeansTopk(s, d)),
     "ann_pq_adc" -> ((s: SparkSession, d: String) => Similarity.pqAdcTopk(s, d)),
+    "ann_sq_topk" -> ((s: SparkSession, d: String) => Similarity.sqTopk(s, d)),
     // §2.6 text analysis
     "text_tokens" -> (TextAnalysis.tokenCounts _),
     "text_quality" -> (TextAnalysis.quality _),
@@ -897,6 +899,21 @@ object SparkEntry {
         |SELECT source, split, count(*) AS n,
         |  min(bucket) AS bucket_lo, max(bucket) AS bucket_hi
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same quality formula as text_quality's oracle; the cap is a
+    // per-source quality-ranked row_number (the TopKPerKey semantics:
+    // quality DESC, doc_id ASC)
+    "sample_cap_per_source" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(round(len(regexp_extract_all(text, '[^a-z0-9\s]')) * 1.0 / greatest(length(text),1) * 1000, 0) AS BIGINT) AS punct_pm,
+        |  CAST(round(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','it','for','on'], tk))) * 1.0 / greatest(len(toks),1) * 1000, 0) AS BIGINT) AS stopword_pm,
+        |  CAST(round(len(list_distinct(toks)) * 1.0 / greatest(len(toks),1) * 1000, 0) AS BIGINT) AS uniq_pm
+        |FROM t),
+        |q AS (SELECT doc_id, greatest(least(stopword_pm + uniq_pm - punct_pm, 1000), 0) AS quality_pm FROM m),
+        |s AS (SELECT d.source, q.doc_id, q.quality_pm FROM documents d JOIN q USING (doc_id)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY quality_pm DESC, doc_id) AS rk FROM s)
+        |SELECT source, doc_id, quality_pm, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
     "ts_xcorr" ->
       """WITH ev AS (SELECT event_type,
         |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS h FROM events

@@ -24,15 +24,19 @@ object Multimodal {
         base64(substring(col("blob"), 1, 6)).as("header_b64"))
       .orderBy(col("doc_id"))
 
-  /** REAL pure-JVM image codec: binary PPM (netpbm "P6", public spec)
-    * — header `P6`, whitespace-separated width/height/maxval with `#`
-    * comments, one whitespace byte, then width×height packed RGB
-    * triples. Zero dependencies, so the decode path is exercised with
-    * REAL pixels even in this container; JPEG/PNG/video codecs slot in
-    * at exactly this seam. Returns None for non-PPM blobs (they fall
-    * through to the stub). */
+  /** REAL pure-JVM image codec: binary netpbm (public spec) — `P6`
+    * (PPM, packed RGB triples) and `P5` (PGM, one gray byte per pixel,
+    * expanded here to r=g=b so the downstream RGB plane is
+    * codec-uniform); header is whitespace-separated width/height/maxval
+    * with `#` comments, one whitespace byte, then the raster. Zero
+    * dependencies, so the decode path is exercised with REAL pixels
+    * even in this container; JPEG/PNG/video codecs slot in at exactly
+    * this seam. Returns None for other blobs (they fall through to the
+    * stub). */
   private[operators] def decodePpm(blob: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
-    if (blob.length < 2 || blob(0) != 'P' || blob(1) != '6') return None
+    if (blob.length < 2 || blob(0) != 'P' ||
+      (blob(1) != '6' && blob(1) != '5')) return None
+    val gray = blob(1) == '5'
     var i = 2
     def skipWs(): Unit = {
       var done = false
@@ -55,9 +59,20 @@ object Multimodal {
     // 2-byte-per-sample PPMs (maxval > 255) exist; out of scope here
     if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
     i += 1 // the single whitespace byte after maxval
-    val need = w.toLong * h * 3
+    val need = w.toLong * h * (if (gray) 1 else 3)
     if (need > Int.MaxValue || i + need.toInt > blob.length) return None
-    Some((w, h, java.util.Arrays.copyOfRange(blob, i, i + need.toInt)))
+    if (!gray)
+      Some((w, h, java.util.Arrays.copyOfRange(blob, i, i + need.toInt)))
+    else {
+      val px = new Array[Byte](w * h * 3)
+      var p = 0
+      while (p < w * h) {
+        val v = blob(i + p)
+        px(p * 3) = v; px(p * 3 + 1) = v; px(p * 3 + 2) = v
+        p += 1
+      }
+      Some((w, h, px))
+    }
   }
 
   /** REAL pure-JVM image codec #2: uncompressed 24-bit BMP (the

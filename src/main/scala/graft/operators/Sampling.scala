@@ -144,6 +144,34 @@ object Sampling {
       .orderBy(col("source"), col("split"))
   }
 
+  /** §2#140 per-source document cap — the per-DOMAIN cap from
+    * web-crawl curation (C4/Gopher-style recipes bound any single
+    * domain's share of the corpus so boilerplate-heavy megadomains
+    * can't dominate training): keep only the `cap` highest-QUALITY
+    * docs per source, quality = text_quality's integer score, ties to
+    * lower doc_id. Unlike [[sampleDocs]] (uniform-random k per source)
+    * this is the quality-ranked variant — the two compose into
+    * "cap-then-sample".
+    *
+    * Runs through the NATIVE TopKPerKey operator, not a window rank: a
+    * `row_number() over (partition by source order by quality)` sorts
+    * every doc of a source inside one reducer (the q_ntile_decile
+    * lesson — parallelism ceiling |sources|), while TopKPerKey keeps
+    * an O(cap) buffer per source per partition with map-side partials,
+    * so the scan never sorts and the shuffle carries ≤ cap·|sources|
+    * rows per map partition. Per-key state is cap rows and |sources|
+    * is bounded — exactly TopKPerKey's memory contract. */
+  def capPerSource(spark: SparkSession, sfDir: String, cap: Int = 20): DataFrame = {
+    val q = TextAnalysis.quality(spark, sfDir)
+      .select(col("doc_id"), col("quality_pm"))
+    val scored = Tables.documentsPar(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+      .join(q, "doc_id")
+      .select(col("source"), col("doc_id"), col("quality_pm"))
+    graft.plans.TopKPerKey.ofDF(scored, Seq("source"), "quality_pm", "doc_id", cap)
+      .orderBy(col("source"), col("rk"))
+  }
+
   def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
     val bucket = (col("doc_id") % lit(1000000007L)) * lit(2654435761L) % lit(1000000007L) % lit(1000L)
     // rate lookup as a codegen'd when-chain over the tiny static map

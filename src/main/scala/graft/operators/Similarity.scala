@@ -377,6 +377,81 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** §2#141 SCALAR-quantized ANN (SQ8) — the memory rung between raw
+    * vectors and PQ codes, and the simplest production compression
+    * (faiss's SQ8 / Lucene's int8 HNSW storage): per-DIMENSION affine
+    * int8 quantization, code_i = round((x_i − lo_i)/step_i) ∈ [0,255],
+    * so a 64-dim float64 vector becomes 64 bytes (8×). Fidelity beats
+    * PQ (error ≤ step/2 per dim vs per-subspace centroid error) at the
+    * cost of bigger codes — which is why the ladder needs both rungs.
+    *
+    * Distributed shape: "training" is ONE map-side-combinable agg
+    * (per-dim min/max over the corpus — the whole codebook is 2·64
+    * doubles, broadcast as a single row); encoding is one narrow map;
+    * the query scan reads codes only, computing the approximate dot
+    * with the ADC identity Σ q_i·(lo_i + c_i·step_i) = q·lo +
+    * Σ (q_i·step_i)·c_i — q·lo and the q_i·step_i table precomputed
+    * once per query on the broadcast side. Shortlist 4k per query by
+    * approximate score, exact re-rank on raw vectors (ADC+R, as in
+    * [[pqAdcTopk]]). At 100 TB the scan is 64 B/vector + one fused
+    * multiply-add per dim, and the exact read touches 4k·|queries|
+    * rows. Min/max (not quantiles) keeps the transform exact-invertible
+    * at the range ends; outlier-robust variants swap the agg, nothing
+    * else. Float quantization arithmetic → rows-only check; the spec
+    * pins recall@5 vs brute force ≥ 80% and exact agreement of ranks
+    * that survive the shortlist. */
+  def sqTopk(spark: SparkSession, sfDir: String, k: Int = 5,
+      shortlistFactor: Int = 4): DataFrame = {
+    graft.functions.Registry.ensure(spark)
+    // L2-normalize first, like PQ: on unit vectors dot = cosine
+    val base = corpus(spark, sfDir).drop("label")
+      .select(col("vec_id"), transform(col("emb"), x => x / col("nrm")).as("emb"))
+      .localCheckpoint(true)
+    val stats = base.select(posexplode(col("emb")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .agg(array_sort(collect_list(struct(col("d"), col("lo"), col("hi")))).as("s"))
+      .select(transform(col("s"), p => p.getField("lo")).as("los"),
+        transform(col("s"), p =>
+          (p.getField("hi") - p.getField("lo")) / lit(255.0)).as("steps"))
+    // encode: 0..255 code per dim (a constant dim collapses to code 0)
+    val coded = base.crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        zip_with(
+          zip_with(col("emb"), col("los"), (e, l) => e - l),
+          col("steps"),
+          (cent, s) => when(s > 0, round(cent / s)).otherwise(lit(0.0))
+            .cast("long")).as("codes"))
+    // per-query ADC prep: the scalar q·lo and the per-dim q_i·step_i row
+    val qPrep = base.where(col("vec_id") < 10).crossJoin(broadcast(stats))
+      .select(col("vec_id").as("query_id"),
+        dot(col("emb"), col("los")).as("qlo"),
+        zip_with(col("emb"), col("steps"), (q, s) => q * s).as("qsteps"))
+    val sims = coded.join(broadcast(qPrep), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        scaled(
+          col("qlo") + aggregate(
+            zip_with(col("qsteps"), col("codes"), (a, c) => a * c),
+            lit(0.0), (acc, x) => acc + x),
+          1000000L).as("sq_cos_e6"))
+    val wSq = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq_cos_e6").desc, col("neighbor_id"))
+    val shortlist = sims.withColumn("srank", row_number().over(wSq))
+      .where(col("srank") <= shortlistFactor * k)
+      .select(col("query_id"), col("neighbor_id"))
+    val qVec = base.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val rescored = shortlist
+      .join(base.select(col("vec_id").as("neighbor_id"), col("emb")), "neighbor_id")
+      .join(broadcast(qVec), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        scaled(dot(col("q_emb"), col("emb")), 1000000L).as("cos_e6"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_e6").desc, col("neighbor_id"))
+    rescored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** §2#31 k-NN label vote: predict each query vector's label from its
     * 10 exact nearest neighbors' majority label. */
   def knnLabelVote(spark: SparkSession, sfDir: String): DataFrame = {

@@ -821,4 +821,53 @@ class NewOpsSpec extends SparkSuite {
       }
     }
   }
+
+  test("sample_cap_per_source: equals the window-rank recompute, runs on TopKPerKeyExec") {
+    val got = Sampling.capPerSource(spark, sf)
+    val rows = got.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // ground truth: quality join + driver-side rank, same tie rule
+    val quality = TextAnalysis.quality(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(6)).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.map { case (id, _) => (id, quality(id)) }
+        .sortBy { case (id, q) => (-q, id) }
+        .take(20).zipWithIndex
+        .map { case ((id, q), i) => (src, id, q, i + 1L) }
+    }.sortBy(t => (t._1, t._4))
+    assert(rows.toSeq === want)
+    // every source is capped, none dropped entirely
+    val perSource = rows.groupBy(_._1).view.mapValues(_.length)
+    assert(perSource.values.forall(_ <= 20))
+    assert(perSource.keySet === docs.map(_._2).toSet)
+    // the plan runs the native bounded-buffer operator, not a window
+    // sort over raw docs
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"expected TopKPerKeyExec:\n$plan")
+    assert(!plan.contains("Window"), s"no WindowExec should remain:\n$plan")
+  }
+
+  test("ann_sq_topk: valid ranks, high recall vs exact brute force") {
+    val got = Similarity.sqTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.size.toLong))
+      assert(rows.forall(_._2 != q))
+    }
+    val exact = Similarity.bruteforceTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(approx.keySet === exact.keySet)
+    val hits = exact.keys.toSeq.map(q =>
+      (approx.getOrElse(q, Set.empty) & exact(q)).size).sum
+    val total = exact.values.map(_.size).sum
+    info(s"ann_sq_topk recall@5 = $hits/$total")
+    // SQ8 error is <= step/2 per dim — far tighter than PQ's subspace
+    // centroids, so the bar sits above PQ's 70%
+    assert(hits * 10 >= total * 8, s"recall@5 too low: $hits/$total")
+  }
 }
