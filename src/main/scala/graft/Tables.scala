@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test tables (see TESTDATA.md).
   * Parquet scans — Catalyst pushes filters/pruning into these. */
@@ -16,14 +17,44 @@ object Tables {
   private def raw(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    * nanos LongType under the legacy conf. Normalize it back to a µs
-    * TimestampType (exactly what DuckDB's read does: ns→µs truncation)
-    * so every downstream op sees a plain timestamp. */
+  /** events.ts has shipped in three physical parquet encodings across
+    * testdata regenerations: TIMESTAMP(NANOS) (reads as a nanos
+    * LongType under the legacy conf), TIMESTAMP(MICROS) isAdjustedToUTC
+    * =false (reads as TIMESTAMP_NTZ), and TIMESTAMP(MICROS) UTC (reads
+    * as TimestampType). Branch on the READ schema instead of assuming
+    * one layout, and normalize them all to the same µs TimestampType
+    * (exactly what DuckDB's read does: ns→µs truncation, NTZ treated
+    * as UTC wall clock) so every downstream op sees a plain timestamp. */
   def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    // Legacy NANOS files only read back (as LongType) under this conf;
+    // harmless for µs files.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = raw(spark, sfDir, "events")
+    df.withColumn("ts", normalizeTs(spark, df.schema("ts").dataType))
+  }
+
+  private def normalizeTs(
+      spark: SparkSession,
+      tsType: org.apache.spark.sql.types.DataType): Column = tsType match {
+    case LongType => // legacy ns-as-long: truncate to µs, stamp as UTC instant
+      timestamp_micros(expr("ts div 1000"))
+    case _: TimestampNTZType =>
+      // The generator writes UTC wall clocks. NTZ→Timestamp CAST
+      // interprets the wall clock in the session zone, so it is only
+      // exact under UTC — fail loudly rather than silently shift every
+      // events timestamp for a caller who didn't pin the session zone.
+      val tz = spark.conf.get("spark.sql.session.timeZone")
+      require(
+        tz == "UTC" || tz == "Etc/UTC" || tz == "+00:00",
+        s"events.ts is TIMESTAMP_NTZ (UTC wall clock); set " +
+          s"spark.sql.session.timeZone=UTC (was '$tz') so the cast to " +
+          "TimestampType preserves the instant")
+      col("ts").cast(TimestampType)
+    case _: TimestampType => col("ts") // already an instant
+    case other =>
+      throw new IllegalStateException(
+        s"events.ts read back as unsupported type $other; expected " +
+          "long (legacy nanos), timestamp_ntz, or timestamp")
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
