@@ -36,6 +36,14 @@ private[cdc] class FakeAmqpBroker(tuneFrameMax: Long = 131072L,
   @volatile var error: Throwable = _
   @volatile private var closed = false
 
+  /** When set, the next Basic.Publish method frame hard-drops its
+    * connection BEFORE any content is accepted — a deterministic
+    * broker crash mid-publish: the producer has the method frame on
+    * the wire but the broker never takes the body, so the message
+    * must NOT count as delivered and the producer's retry must
+    * redial. One-shot: auto-clears when it fires. */
+  @volatile var crashOnNextPublish = false
+
   private val acceptor = new Thread(() => acceptLoop())
   acceptor.setDaemon(true)
   acceptor.start()
@@ -140,12 +148,18 @@ private[cdc] class FakeAmqpBroker(tuneFrameMax: Long = 131072L,
               writeFrame(out, FrameMethod, f.channel, method(ClassQueue, 11)(
                 _.shortstr(declared).u32(0L).u32(0L)))
             case (ClassBasic, 40) =>
-              r.u16() // ticket
-              r.shortstr() // exchange ("")
-              val rk = r.shortstr()
-              require(!pending.contains(f.channel),
-                s"publish started on channel ${f.channel} mid-content")
-              pending(f.channel) = new Pending(rk)
+              if (crashOnNextPublish) {
+                crashOnNextPublish = false
+                sock.close() // mid-publish crash: no content accepted
+                running = false
+              } else {
+                r.u16() // ticket
+                r.shortstr() // exchange ("")
+                val rk = r.shortstr()
+                require(!pending.contains(f.channel),
+                  s"publish started on channel ${f.channel} mid-content")
+                pending(f.channel) = new Pending(rk)
+              }
             case (ClassConnection, 50) =>
               writeFrame(out, FrameMethod, 0, method(ClassConnection, 51)(w => w))
               running = false
