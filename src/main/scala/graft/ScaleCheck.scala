@@ -175,9 +175,10 @@ object ScaleCheck {
     // Shifting user_id means corpus growth adds NEW (user, type) groups
     // at constant group size — the real shape of a feed watching more
     // rows — so snapshot-diff's window partitions multiply rather than
-    // deepen. ts is kept as the raw nanos LONG (the legacy-conf read
-    // below) so the copy reads back through Tables.events exactly like
-    // the driver's file does.
+    // deepen. ts passes through in whatever physical encoding the
+    // driver's file carries (raw read; legacy conf below covers
+    // nanos-era files), so the copy reads back through Tables.events'
+    // schema-adaptive branch exactly like the driver's file does.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     (0 until copies).map { i =>

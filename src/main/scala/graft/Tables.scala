@@ -33,7 +33,7 @@ object Tables {
     df.withColumn("ts", normalizeTs(spark, df.schema("ts").dataType))
   }
 
-  private def normalizeTs(
+  private[graft] def normalizeTs(
       spark: SparkSession,
       tsType: org.apache.spark.sql.types.DataType): Column = tsType match {
     case LongType => // legacy ns-as-long: truncate to µs, stamp as UTC instant

@@ -103,19 +103,20 @@ object Changefeed {
 
   /** File-based streaming source over an events parquet directory/file
     * — the production shape of the changefeed ingest (new files appear,
-    * the query drains them). The TIMESTAMP(NANOS) column needs the same
-    * legacy-conf + µs-rebuild treatment as the batch reader, but a
-    * streaming read requires the schema up front. */
+    * the query drains them). A streaming read requires the schema up
+    * front, and the ts column's PHYSICAL encoding has changed across
+    * testdata generations (TIMESTAMP(NANOS)-as-long → µs NTZ) — so
+    * probe the actual file schema with a footer-only batch read, feed
+    * THAT to readStream, and normalize ts through the same
+    * schema-adaptive branch the batch loader uses. Hard-coding either
+    * era's layout is exactly the assumption that broke 50 queries in
+    * round 8. */
   def streamFromEventsDir(spark: SparkSession, path: String,
       frequencyUs: Long = defaultResolvedFrequencyUs): DataFrame = {
-    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val events = spark.readStream.schema(schema).parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val fileSchema = spark.read.parquet(path).schema
+    val events = spark.readStream.schema(fileSchema).parquet(path)
+      .withColumn("ts", Tables.normalizeTs(spark, fileSchema("ts").dataType))
     changefeedFrameFrom(events, frequencyUs)
   }
 
