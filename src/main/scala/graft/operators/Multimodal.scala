@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Multimodal column handling (§2.7): media as opaque `binary` columns
-  * with typed metadata. The real decode libraries aren't in this
-  * container, so the codec is a clearly-marked deterministic STUB —
-  * but the Spark-side plumbing (schema, batching, partition-parallel
-  * decode) is real and is exactly what a production decode would use.
+  * with typed metadata. Still images decode for REAL — PPM/PGM and
+  * 24-bit BMP via hand-written pure-JVM parsers, JPEG/PNG via the
+  * JDK's own javax.imageio — as does the Y4M video container; only
+  * formats with no JVM-native decoder (H.264 etc.) fall through to a
+  * clearly-marked deterministic stub. The Spark-side plumbing (schema,
+  * batching, partition-parallel decode) is identical on every path and
+  * is exactly what a production decode would use.
   */
 object Multimodal {
 
@@ -116,9 +119,54 @@ object Multimodal {
     Some((w, h, px))
   }
 
+  /** REAL still-image codec #3: JPEG + PNG via the JDK's own
+    * `javax.imageio` (java.desktop ships with every JRE — a standard
+    * platform API, no added dependency). Magic-sniffed first (JPEG
+    * FF D8 FF / PNG 89 'PNG') so arbitrary document bytes never pay a
+    * reader probe; decoded ARGB is repacked to the same row-major RGB
+    * plane the PPM/BMP decoders emit, so every downstream stage
+    * (pool, checksum, aHash) stays codec-agnostic. Grayscale and CMYK
+    * JPEGs come back through getRGB's color-model conversion. Returns
+    * None (→ stub) for anything ImageIO can't parse. */
+  private[operators] def decodeJavax(blob: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    val isJpeg = blob.length > 3 && (blob(0) & 0xff) == 0xff &&
+      (blob(1) & 0xff) == 0xd8 && (blob(2) & 0xff) == 0xff
+    val isPng = blob.length > 8 && (blob(0) & 0xff) == 0x89 &&
+      blob(1) == 'P' && blob(2) == 'N' && blob(3) == 'G'
+    if (!isJpeg && !isPng) return None
+    try {
+      imageIoReady // one-time: in-memory streams, no temp-file cache
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0 || w.toLong * h * 3 > Int.MaxValue) return None
+      val argb = img.getRGB(0, 0, w, h, null, 0, w)
+      val px = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < w * h) {
+        val v = argb(i)
+        px(i * 3) = ((v >> 16) & 0xff).toByte
+        px(i * 3 + 1) = ((v >> 8) & 0xff).toByte
+        px(i * 3 + 2) = (v & 0xff).toByte
+        i += 1
+      }
+      Some((w, h, px))
+    } catch {
+      // truncated/corrupt files throw rather than return null
+      case _: java.io.IOException | _: RuntimeException => None
+    }
+  }
+
+  /** ImageIO's default scratch cache is a TEMP FILE per decode — at
+    * mapPartitions rates that is an fsync per image. Switch it to
+    * in-memory once per JVM (executors re-run this on their own
+    * classloader, which is exactly what we want). */
+  private lazy val imageIoReady: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Any supported REAL still-image codec → row-major RGB plane. */
   private[operators] def decodeImage(blob: Array[Byte]): Option[(Int, Int, Array[Byte])] =
-    decodePpm(blob).orElse(decodeBmp(blob))
+    decodePpm(blob).orElse(decodeBmp(blob)).orElse(decodeJavax(blob))
 
   private[operators] def checksumOf(bytes: Array[Byte]): Long = {
     var cs = 1125899906842597L

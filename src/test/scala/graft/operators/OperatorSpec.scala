@@ -200,6 +200,84 @@ class OperatorSpec extends SparkSuite {
     assert(Multimodal.decodeBmp(gray8).isEmpty)
   }
 
+  test("JPEG and PNG blobs take the REAL codec path via the JDK's ImageIO") {
+    import spark.implicits._
+    val w = 24; val h = 16
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 7 + 11) % 256).toByte)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val s = (y * w + x) * 3
+      img.setRGB(x, y, ((rgb(s) & 0xff) << 16) |
+        ((rgb(s + 1) & 0xff) << 8) | (rgb(s + 2) & 0xff))
+    }
+    def encode(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val png = encode("png"); val jpg = encode("jpg")
+    assert((png(1), png(2), png(3)) === ('P'.toByte, 'N'.toByte, 'G'.toByte))
+    assert((jpg(0) & 0xff, jpg(1) & 0xff) === (0xff, 0xd8))
+
+    // PNG is lossless: exact dims AND the exact RGB plane back
+    val Some((pw, ph, ppx)) = Multimodal.decodeJavax(png)
+    assert((pw, ph) === (w, h))
+    assert(ppx.toSeq === rgb.toSeq, "PNG round-trip must be pixel-exact")
+
+    // JPEG is lossy: exact dims, pixels within a small mean error
+    val Some((jw, jh, jpx)) = Multimodal.decodeJavax(jpg)
+    assert((jw, jh) === (w, h))
+    val meanErr = jpx.indices.map(i => math.abs((jpx(i) & 0xff) - (rgb(i) & 0xff))).sum.toDouble / jpx.length
+    assert(meanErr < 16.0, s"JPEG decode drifted too far: mean |err| = $meanErr")
+
+    // the full pipeline routes both through the real path: dims from the
+    // DECODED image, checksum over DECODED pixels (not the file bytes)
+    val df = Seq((1L, png), (2L, jpg)).toDF("doc_id", "blob")
+    val rows = Multimodal.decodeFeaturesOf(df).collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq ===
+      Seq((1L, w, h, 1), (2L, w, h, 1)))
+    assert(rows(0).getLong(4) === Multimodal.checksumOf(rgb))
+    assert(rows(1).getLong(4) === Multimodal.checksumOf(jpx))
+
+    // truncated JPEG falls back to the stub, never throws
+    val cut = java.util.Arrays.copyOfRange(jpg, 0, jpg.length / 3)
+    assert(Multimodal.decodeJavax(cut).isEmpty)
+    val junkRows = Multimodal.decodeFeaturesOf(
+      Seq((9L, cut)).toDF("doc_id", "blob")).collect()
+    assert(junkRows.length === 1 && junkRows.head.getInt(1) >= 64)
+  }
+
+  test("phash invariance extends to PNG (exact) and JPEG (near) encodings") {
+    val w = 16; val h = 16
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 31) % 256).toByte)
+    val asPpm = s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ rgb
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val s = (y * w + x) * 3
+      img.setRGB(x, y, ((rgb(s) & 0xff) << 16) |
+        ((rgb(s + 1) & 0xff) << 8) | (rgb(s + 2) & 0xff))
+    }
+    def encode(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos); bos.toByteArray
+    }
+    val ppmGray = Multimodal.grayPixels(asPpm)
+    // PNG: lossless → the 8×8 gray plane is IDENTICAL to the PPM's
+    assert(Multimodal.grayPixels(encode("png")).toSeq === ppmGray.toSeq)
+    // JPEG: lossy → same image must land within a small aHash Hamming
+    // distance (the whole point of a perceptual hash)
+    val jpgGray = Multimodal.grayPixels(encode("jpg"))
+    def hash(px: Array[Long]): Long = {
+      val mean = px.sum / 64
+      px.zipWithIndex.foldLeft(0L) { case (a, (p, i)) =>
+        if (p >= mean) a | (1L << i) else a }
+    }
+    val dist = java.lang.Long.bitCount(hash(ppmGray) ^ hash(jpgGray))
+    assert(dist <= 4, s"JPEG re-encode moved the aHash $dist bits")
+  }
+
   test("phash pixels: identical content through PPM and BMP hashes identically") {
     // the aHash input must be codec-invariant: same pixels, same gray 8×8
     val w = 16; val h = 16
