@@ -96,6 +96,7 @@ object SparkEntry {
     "ts_retention" -> (TimeSeries.retention _),
     "ts_running_total" -> (TimeSeries.runningTotal _),
     "ts_anomaly" -> (TimeSeries.anomaly _),
+    "ts_lateness" -> (TimeSeries.lateness _),
     // §2.4 dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_exact_normalized" -> (Dedup.exactNormalized _),
@@ -144,7 +145,8 @@ object SparkEntry {
     "mm_decode_features" -> (Multimodal.decodeFeatures _),
     "mm_resize" -> ((s: SparkSession, d: String) => Multimodal.resize(s, d)),
     "mm_frame_sample" -> (Multimodal.frameSample _),
-    "mm_phash_dedup" -> ((s: SparkSession, d: String) => Multimodal.phashDedup(s, d))
+    "mm_phash_dedup" -> ((s: SparkSession, d: String) => Multimodal.phashDedup(s, d)),
+    "mm_audio_features" -> (Multimodal.audioFeatures _)
   )
 
   // ---- shared oracle SQL fragments -------------------------------------
@@ -861,6 +863,18 @@ object SparkEntry {
          |       ELSE 'stable' END AS status
          |FROM inv JOIN b ON inv.tbl = b.tbl
          |ORDER BY inv.tbl, key""".stripMargin,
+    "ts_lateness" ->
+      """WITH l AS (SELECT event_type,
+        |  max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - epoch_us(ts) AS late_us
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN late_us = 0 THEN 1 ELSE 0 END) AS BIGINT) AS on_time,
+        |  CAST(sum(CASE WHEN late_us > 0 AND late_us <= 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS late_1m,
+        |  CAST(sum(CASE WHEN late_us > 60000000 AND late_us <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS late_1h,
+        |  CAST(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS late_more,
+        |  max(late_us) AS max_late_us
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
     "ts_interpolate" ->
       s"""WITH ev AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
          |  ${cents("value")} AS v_c FROM events),

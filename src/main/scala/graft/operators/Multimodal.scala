@@ -430,6 +430,124 @@ object Multimodal {
     if (fs.isEmpty) None else Some((w, h, fs))
   }
 
+  /** REAL pure-JVM AUDIO codec: RIFF/WAVE PCM (the public WAVE file
+    * layout): `RIFF` + u32 size + `WAVE`, then a sequence of chunks —
+    * u32-LE-sized, word-aligned — of which `fmt ` carries
+    * audioFormat(1 = integer PCM) / channels / sampleRate /
+    * bitsPerSample(8|16) and `data` carries the interleaved frames;
+    * every other chunk id (LIST, fact, cue …) is skipped over like any
+    * real parser does. Samples normalize to signed 16-bit (8-bit WAVs
+    * are unsigned midpoint-128, shifted up 8) and channels mix down to
+    * integer-mean mono — the representation an audio feature pipeline
+    * runs on. Returns (channels, sampleRate, mono samples); None (→
+    * stub) for anything not a well-formed integer-PCM WAV. */
+  private[operators] def decodeWav(blob: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (blob.length < 44 ||
+      blob(0) != 'R' || blob(1) != 'I' || blob(2) != 'F' || blob(3) != 'F' ||
+      blob(8) != 'W' || blob(9) != 'A' || blob(10) != 'V' || blob(11) != 'E')
+      return None
+    def le16(off: Int): Int = (blob(off) & 0xff) | ((blob(off + 1) & 0xff) << 8)
+    def le32(off: Int): Long = (le16(off).toLong | (le16(off + 2).toLong << 16))
+    var i = 12
+    var channels = -1; var rate = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (i + 8 <= blob.length && (dataOff < 0 || channels < 0)) {
+      val id = new String(blob, i, 4, "US-ASCII")
+      val size = le32(i + 4)
+      if (size < 0 || i + 8 + size > blob.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          val audioFormat = le16(i + 8)
+          if (audioFormat != 1) return None // integer PCM only
+          channels = le16(i + 10)
+          rate = le32(i + 12).toInt
+          bits = le16(i + 22)
+        case "data" =>
+          dataOff = i + 8; dataLen = size.toInt
+        case _ => () // skip LIST/fact/cue/…
+      }
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || rate <= 0 || dataOff < 0) return None
+    if (bits != 8 && bits != 16) return None
+    val bytesPerFrame = channels * (bits / 8)
+    val nFrames = dataLen / bytesPerFrame
+    if (nFrames <= 0) return None
+    val mono = new Array[Int](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var sum = 0
+      var c = 0
+      while (c < channels) {
+        val off = dataOff + f * bytesPerFrame + c * (bits / 8)
+        sum += (if (bits == 16) le16(off).toShort.toInt
+                else ((blob(off) & 0xff) - 128) << 8)
+        c += 1
+      }
+      mono(f) = sum / channels
+      f += 1
+    }
+    Some((channels, rate, mono))
+  }
+
+  /** STUB audio features for non-WAV blobs — deterministic in the
+    * bytes, shaped like a plausible clip (8/16/32 kHz, mono/stereo). */
+  private def stubAudio(blob: Array[Byte]): (Int, Int, Int, Long, Long) = {
+    val cs = checksumOf(blob)
+    val channels = 1 + math.floorMod(cs, 2).toInt
+    val rate = 8000 << math.floorMod(cs >> 8, 3).toInt
+    val n = 1000 + math.floorMod(cs >> 16, 9000).toInt
+    val rms = math.floorMod(cs >> 24, 8192)
+    val peak = rms + math.floorMod(cs >> 40, 8192)
+    (channels, rate, n, rms, peak)
+  }
+
+  /** §2#142 audio feature extraction: WAV blobs take the REAL path —
+    * parse the RIFF container, normalize to 16-bit mono, emit the
+    * duration/RMS/peak numbers an audio curation pipeline filters on
+    * (silence and clipping detection); other blobs emit the stub's
+    * synthetic clip. Same mapPartitions plumbing as the image decode —
+    * codec init amortizes per partition, blobs never shuffle. */
+  def audioFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    audioFeaturesOf(
+      Tables.documentsPar(spark, sfDir)
+        .select(col("doc_id"), col("text").cast("binary").as("blob")))
+
+  /** The audio-feature pipeline over ANY (doc_id, blob) frame. */
+  def audioFeaturesOf(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs
+      .select(col("doc_id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (docId, blob) =>
+          decodeWav(blob) match {
+            case Some((channels, rate, mono)) =>
+              var sumSq = 0L; var peak = 0L
+              var j = 0
+              while (j < mono.length) {
+                val v = mono(j).toLong
+                sumSq += v * v
+                if (math.abs(v) > peak) peak = math.abs(v)
+                j += 1
+              }
+              val rms = math.sqrt(sumSq.toDouble / mono.length).toLong
+              (docId, channels, rate, mono.length.toLong,
+                mono.length.toLong * 1000L / rate, rms, peak)
+            case None =>
+              val (channels, rate, n, rms, peak) = stubAudio(blob)
+              (docId, channels, rate, n.toLong, n.toLong * 1000L / rate,
+                rms, peak)
+          }
+        }
+      }
+      .toDF("doc_id", "channels", "sample_rate", "n_samples",
+        "duration_ms", "rms", "peak")
+      .orderBy(col("doc_id"))
+  }
+
   /** §2#43 frame sampling: Y4M blobs take the REAL path — parse the
     * container, emit one row per frame with the frame's integer mean
     * luma and luma-plane checksum (the per-frame features a

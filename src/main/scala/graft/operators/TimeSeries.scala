@@ -291,4 +291,45 @@ object TimeSeries {
         col("filled_c"), col("src"))
       .orderBy(col("event_type"), col("hour_idx"))
   }
+
+  /** §2#143 event-time lateness profile — the measurement that SIZES a
+    * watermark: for each event, how far its event time trails the
+    * maximum event time already seen in its key's feed (commit order =
+    * event_id, the arrival order a streaming consumer observes;
+    * per-user frontier, the per-key analogue of Structured Streaming's
+    * watermark frontier). The per-type histogram (on-time / ≤1min /
+    * ≤1h / later, plus the max) is exactly what you read before
+    * choosing `withWatermark("ts", <delay>)`: the bucket that covers
+    * your loss tolerance is the delay to configure.
+    *
+    * Shape: one hash exchange on user_id for the running-max window
+    * (per-key frontier — never a global sort), then a map-side-
+    * combinable aggregate on event_type (|types| rows out). At 100 TB
+    * the window state is O(1) per user (a running max), and the
+    * exchange is the same partitioning every per-user op shares. */
+  def lateness(spark: SparkSession, sfDir: String): DataFrame =
+    latenessFrom(Tables.events(spark, sfDir))
+
+  /** Core of [[lateness]] over any `(event_id, ts, user_id,
+    * event_type)` frame. */
+  def latenessFrom(events: DataFrame): DataFrame = {
+    val minUs = 60000000L
+    val hourUs = 3600000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val late = events
+      .select(col("event_type"),
+        (max(unix_micros(col("ts"))).over(w) - unix_micros(col("ts")))
+          .as("late_us"))
+    late.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") === 0L, 1L).otherwise(0L)).as("on_time"),
+        sum(when(col("late_us") > 0L && col("late_us") <= minUs, 1L)
+          .otherwise(0L)).as("late_1m"),
+        sum(when(col("late_us") > minUs && col("late_us") <= hourUs, 1L)
+          .otherwise(0L)).as("late_1h"),
+        sum(when(col("late_us") > hourUs, 1L).otherwise(0L)).as("late_more"),
+        max(col("late_us")).as("max_late_us"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -870,4 +870,40 @@ class NewOpsSpec extends SparkSuite {
     // centroids, so the bar sits above PQ's 70%
     assert(hits * 10 >= total * 8, s"recall@5 too low: $hits/$total")
   }
+
+  test("ts_lateness: per-user frontier lateness lands in the right buckets") {
+    import spark.implicits._
+    val minUs = 60000000L
+    val hourUs = 3600000000L
+    // user 1 in commit order: frontier 1000s → a 50s-late event →
+    // frontier advances → a 2h-late straggler
+    // user 2: strictly increasing (all on time) — frontiers are per-user,
+    // so user 1's straggler must not contaminate user 2
+    val events = Seq(
+      (1L, 1000 * 1000000L, 10L, "click"),
+      (2L, 950 * 1000000L, 10L, "click"), // 50 s late → late_1m
+      (3L, 2000 * 1000000L, 10L, "click"),
+      (4L, 2000 * 1000000L - 2 * hourUs, 10L, "click"), // 2 h late → late_more
+      (5L, 100 * 1000000L, 20L, "view"),
+      (6L, 200 * 1000000L, 20L, "view"))
+      .toDF("event_id", "us", "user_id", "event_type")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"))
+    val got = TimeSeries.latenessFrom(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === Seq(
+      ("click", 4L, 2L, 1L, 0L, 1L, 2 * hourUs),
+      ("view", 2L, 2L, 0L, 0L, 0L, 0L)))
+    // boundary pins: exactly 1 min late is late_1m; 1 min + 1 µs is late_1h
+    val edge = Seq(
+      (1L, 10 * hourUs, 1L, "a"), (2L, 10 * hourUs - minUs, 1L, "a"),
+      (3L, 20 * hourUs, 2L, "b"), (4L, 20 * hourUs - minUs - 1L, 2L, "b"))
+      .toDF("event_id", "us", "user_id", "event_type")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"))
+    val e = TimeSeries.latenessFrom(edge).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4))).toSeq
+    assert(e === Seq(("a", 1L, 0L), ("b", 0L, 1L)))
+  }
 }

@@ -200,6 +200,73 @@ class OperatorSpec extends SparkSuite {
     assert(Multimodal.decodeBmp(gray8).isEmpty)
   }
 
+  test("WAV blobs take the REAL audio codec path: PCM parse, mono mix, RMS/peak") {
+    import spark.implicits._
+    // hand-build RIFF/WAVE files: optional extra chunk before fmt/data
+    // to prove the chunk walk skips unknown ids like a real parser
+    def wav(rate: Int, bits: Int, channels: Int, frames: Seq[Seq[Int]],
+        extraChunk: Boolean = false): Array[Byte] = {
+      val bytesPerSample = bits / 8
+      val dataLen = frames.length * channels * bytesPerSample
+      val extra = if (extraChunk) 8 + 4 else 0
+      val bb = java.nio.ByteBuffer.allocate(44 + extra + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + extra + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      if (extraChunk) // LIST chunk a real encoder writes for metadata
+        bb.put("LIST".getBytes("US-ASCII")).putInt(4)
+          .put("INFO".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(rate)
+        .putInt(rate * channels * bytesPerSample)
+        .putShort((channels * bytesPerSample).toShort).putShort(bits.toShort)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      frames.foreach(_.foreach { s =>
+        if (bits == 16) bb.putShort(s.toShort)
+        else bb.put(((s >> 8) + 128).toByte) // 8-bit: unsigned, midpoint 128
+      })
+      bb.array()
+    }
+
+    // 16-bit stereo: mono mix is the per-frame integer mean
+    val stereo = wav(16000, 16, 2,
+      Seq(Seq(1000, 3000), Seq(-2000, -4000), Seq(0, 0), Seq(500, 501)))
+    val Some((ch, rate, mono)) = Multimodal.decodeWav(stereo)
+    assert((ch, rate) === (2, 16000))
+    assert(mono.toSeq === Seq(2000, -3000, 0, 500))
+
+    // 8-bit mono survives the unsigned-midpoint shift (÷256 precision)
+    val Some((_, _, m8)) = Multimodal.decodeWav(
+      wav(8000, 8, 1, Seq(Seq(1024), Seq(-2048), Seq(0))))
+    assert(m8.toSeq === Seq(1024, -2048, 0))
+
+    // unknown chunks are skipped, not fatal
+    assert(Multimodal.decodeWav(
+      wav(8000, 16, 1, Seq(Seq(7)), extraChunk = true)).map(_._3.toSeq)
+      === Some(Seq(7)))
+
+    // full pipeline: duration/RMS/peak from the DECODED samples
+    val clip = wav(8000, 16, 1,
+      Seq.fill(4000)(Seq(3000)) ++ Seq.fill(4000)(Seq(-4000)))
+    val row = Multimodal.audioFeaturesOf(
+      Seq((1L, clip)).toDF("doc_id", "blob")).collect().head
+    assert((row.getInt(1), row.getInt(2), row.getLong(3), row.getLong(4)) ===
+      (1, 8000, 8000L, 1000L)) // 8000 samples at 8 kHz = 1000 ms
+    val wantRms = math.sqrt((4000.0 * 3000 * 3000 + 4000.0 * 4000 * 4000) / 8000).toLong
+    assert((row.getLong(5), row.getLong(6)) === (wantRms, 4000L))
+
+    // truncated data chunk / float PCM / non-WAV → stub, never throws
+    val cut = java.util.Arrays.copyOfRange(stereo, 0, stereo.length - 3)
+    assert(Multimodal.decodeWav(cut).isEmpty)
+    val floatFmt = wav(8000, 16, 1, Seq(Seq(1)))
+    floatFmt(20) = 3 // audioFormat = IEEE float
+    assert(Multimodal.decodeWav(floatFmt).isEmpty)
+    val stub = Multimodal.audioFeaturesOf(
+      Seq((9L, "not audio".getBytes("US-ASCII"))).toDF("doc_id", "blob"))
+      .collect().head
+    assert(stub.getInt(2) >= 8000 && stub.getLong(3) >= 1000L)
+  }
+
   test("JPEG and PNG blobs take the REAL codec path via the JDK's ImageIO") {
     import spark.implicits._
     val w = 24; val h = 16
