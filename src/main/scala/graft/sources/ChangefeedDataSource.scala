@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Max, Min}
 import org.apache.spark.sql.connector.expressions.Expressions
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -101,13 +101,19 @@ class ChangefeedTable(properties: Map[String, String]) extends Table
   *    directory LISTING, zero segments opened: O(segments) metadata at
   *    100 TB instead of a full log scan. Pushed only when no grouping
   *    and no consumed range filter could cut a segment's interior
-  *    (conservative: any pushed filter disables aggregate pushdown).
+  *    (conservative: any pushed filter disables aggregate pushdown);
+  *  - LIMIT pushdown (`SupportsPushDownLimit`): `df.limit(n)` against
+  *    a multi-year retained log plans n segments, not all of them —
+  *    every listed segment is non-empty, so n segments cover ≥ n rows;
+  *    partial push (Spark still applies the LIMIT), and skipped
+  *    whenever row-level filtering could starve a planned segment.
   */
 class ChangefeedScan(dir: String, startCursorUs: Option[Long],
     explicitFloorUs: Option[Long],
     maxSegmentsPerTrigger: Option[Int] = None) extends ScanBuilder with Scan
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownAggregates with SupportsRuntimeFiltering {
+    with SupportsPushDownAggregates with SupportsRuntimeFiltering
+    with SupportsPushDownLimit {
   import org.apache.spark.sql.sources._
 
   private var prunedSchema: StructType = ChangefeedDataSource.schema
@@ -179,6 +185,27 @@ class ChangefeedScan(dir: String, startCursorUs: Option[Long],
     }
   }
 
+  // LIMIT pushdown (SupportsPushDownLimit): `df.limit(n)` / `df.head`
+  // against a multi-year retained log must not plan EVERY segment.
+  // Every listed segment is non-empty (its name carries the first/last
+  // row instants), so with no row-level filtering in play, planning
+  // the first `n` segments guarantees >= n surviving rows (or exhausts
+  // the log). PARTIAL push by contract (isPartiallyPushed default):
+  // Spark still applies the final LIMIT, this only bounds segments
+  // opened. When a sort_us range or runtime filter is active, a
+  // planned segment may contribute ZERO surviving rows, so the
+  // shortcut is skipped (correctness before admission control).
+  private var pushedLimit: Option[Int] = None
+
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = Some(limit)
+    true
+  }
+
+  private def limitShortcutSound: Boolean =
+    minExclusiveUs == Long.MinValue && maxInclusiveUs == Long.MaxValue &&
+      runtimeSortUs.isEmpty
+
   // "min" / "max" per pushed aggregate, in Spark's requested order
   private var pushedAggs: Array[String] = Array.empty
 
@@ -220,7 +247,8 @@ class ChangefeedScan(dir: String, startCursorUs: Option[Long],
     s"graft-changefeed $dir pushed=(${minExclusiveUs},${maxInclusiveUs}] " +
       s"cols=${prunedSchema.fieldNames.mkString(",")}" +
       (if (pushedAggs.isEmpty) ""
-       else s" aggs=${pushedAggs.map(_ + "(sort_us)").mkString(",")}")
+       else s" aggs=${pushedAggs.map(_ + "(sort_us)").mkString(",")}") +
+      pushedLimit.fold("")(n => s" limit=$n")
 
   override def toBatch: Batch =
     if (pushedAggs.nonEmpty) new Batch {
@@ -243,13 +271,19 @@ class ChangefeedScan(dir: String, startCursorUs: Option[Long],
       // pushed sort_us range (metadata-only pruning, no segment opened);
       // a runtime join-key filter additionally drops segments whose
       // range contains none of the joined values
-      override def planInputPartitions(): Array[InputPartition] =
-        ChangefeedLog.listSegments(dir)
+      override def planInputPartitions(): Array[InputPartition] = {
+        val surviving = ChangefeedLog.listSegments(dir)
           .filter(s => s.lastUs > minExclusiveUs && s.firstUs <= maxInclusiveUs)
           .filter(s => runtimeSortUs.forall(_.exists(v =>
             v >= s.firstUs && v <= s.lastUs)))
+        val admitted = pushedLimit match {
+          case Some(n) if limitShortcutSound => surviving.take(math.max(n, 1))
+          case _ => surviving
+        }
+        admitted
           .map(s => ChangefeedPartition(s.path.toString, minExclusiveUs, maxInclusiveUs)
             : InputPartition).toArray
+      }
       override def createReaderFactory(): PartitionReaderFactory =
         ChangefeedReaderFactory(prunedSchema.fieldNames)
     }

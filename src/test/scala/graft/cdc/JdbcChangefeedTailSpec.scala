@@ -208,6 +208,39 @@ class JdbcChangefeedTailSpec extends AnyFunSuite {
     assert(store.get() === Some("3000"))
   }
 
+  test("chaos: connection reset mid-drain — operator retry resumes from the committed cursor, nothing lost") {
+    val dir = tmpDir("reset")
+    val store = freshStore()
+    // the wire dies AFTER segment (1010..2000) landed and cursor 2000
+    // committed, but BEFORE the feed delivers anything else — a plain
+    // socket reset, NOT a GC error, so runOnce must NOT restart-from-now
+    // internally; it propagates and the operator's retry loop re-calls
+    val reset = new SQLException("connection reset by peer")
+    val fullFeed = Seq(change(1, 1010), resolvedRow(2000),
+      change(2, 2010), change(3, 2020), resolvedRow(3000))
+    val resumedFeed = Seq(change(2, 2010), change(3, 2020), resolvedRow(3000))
+    val db = new ScriptedDb(Seq(
+      Right(resultSet(fullFeed, failAt = 2, failWith = reset)),
+      Right(resultSet(resumedFeed))))
+    val tail = new JdbcChangefeedTail(db.connect, "events", dir, store,
+      hlcWallDivisor = 1L)
+    intercept[SQLException](tail.runOnce()) // the reset surfaces
+    assert(store.get() === Some("2000"), "commit-before-crash must survive")
+    val s2 = tail.runOnce() // the operator's retry
+    assert(s2.gcRestarts === 0L, "a reset is not a GC restart")
+    // the retry's changefeed statement carries the committed cursor —
+    // the feed resumes where coverage ended instead of re-tailing history
+    assert(db.sqls.last.contains("cursor = '2000.0000000000'"),
+      s"retry did not resume from the committed cursor: ${db.sqls.last}")
+    // nothing lost: every change row is durable in the log at least once
+    val recs = ChangefeedLog.listSegments(dir)
+      .flatMap(s => ChangefeedLog.readSegment(s.path))
+    val keys = recs.filter(_.tbl.isDefined).map(_.key.get)
+    assert(Seq("[1]", "[2]", "[3]").forall(keys.contains),
+      s"lost change rows across the reset: $keys")
+    assert(store.get() === Some("3000"))
+  }
+
   test("trailing change rows without a covering resolved still flush") {
     val dir = tmpDir("trail")
     val db = new ScriptedDb(Seq(Right(resultSet(Seq(

@@ -227,6 +227,26 @@ class PlanQualitySpec extends SparkSuite {
     assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
   }
 
+  test("ts_lateness: one per-user exchange, O(1) window state, partial agg") {
+    val plan = planOf(TimeSeries.lateness(spark, sf))
+    // the frontier window must partition by user_id — a global-sort
+    // window here would serialize the whole feed through one reducer
+    assert(plan.contains("Window") &&
+      plan.contains("windowspecdefinition(user_id#"),
+      s"lateness window is not per-user partitioned:\n$plan")
+    // exactly one hash exchange feeds the window; the type aggregate
+    // rides the rangepartitioning of the final ORDER BY (tiny: |types|).
+    // AQE prints Final + Initial sections — count the final one only.
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val hashExchanges =
+      "Exchange hashpartitioning\\(user_id".r.findAllIn(finalPlan).size
+    assert(hashExchanges == 1,
+      s"expected exactly one user_id exchange, got $hashExchanges:\n$plan")
+    // the histogram agg combines map-side before its shuffle
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"lateness histogram is not map-side combined:\n$plan")
+  }
+
   test("dedup_semantic pair join is keyed on the cell, never cartesian") {
     val plan = planOf(Dedup.semantic(spark, sf))
     // the only cartesian allowed is the broadcast of k centroid rows

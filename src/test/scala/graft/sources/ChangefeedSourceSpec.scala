@@ -265,6 +265,42 @@ class ChangefeedSourceSpec extends SparkSuite {
     assert(sizes.max < rows.size.toLong)
   }
 
+  test("limit pushdown bounds the segments planned; ranges disable the shortcut") {
+    val (dir, rows) = buildLog(6)
+    val nSegs = ChangefeedLog.listSegments(dir).size
+    assert(nSegs >= 4)
+    def scanPartitions(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.size
+      }.getOrElse(fail("no BatchScanExec leaf in plan"))
+    }
+    val base = spark.read.format("graft-changefeed").option("path", dir).load()
+    // a bare LIMIT plans exactly `n` segments, not the whole log…
+    val limited = base.limit(2)
+    assert(limited.count() === 2)
+    assert(scanPartitions(limited) === 2,
+      "limit(2) should admit exactly 2 segments")
+    assert(limited.queryExecution.executedPlan.toString.contains("limit=2"),
+      "pushed limit missing from scan description")
+    // …a LIMIT past the log end planfully takes everything and is exact
+    val over = base.limit(rows.size + 100)
+    assert(over.count() === rows.size)
+    // with a pushed sort_us range the shortcut must NOT apply: an
+    // intersecting segment can contribute zero surviving rows, so
+    // admission-by-count would under-deliver — every intersecting
+    // segment stays planned and the result is exact
+    val cut = rows(rows.size / 2).sortUs
+    val ranged = base.where(col("sort_us") > cut).limit(3)
+    assert(ranged.count() === 3)
+    val rangedParts = scanPartitions(ranged)
+    val survivors = ChangefeedLog.listSegments(dir)
+      .count(s => s.lastUs > cut)
+    assert(rangedParts === survivors,
+      s"ranged limit must plan all $survivors intersecting segments, got $rangedParts")
+  }
+
   test("runtime join-key filtering prunes segments never opened") {
     val (dir, rows) = buildLog(6)
     val segs = ChangefeedLog.listSegments(dir)
