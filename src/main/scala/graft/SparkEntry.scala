@@ -146,7 +146,8 @@ object SparkEntry {
     "mm_resize" -> ((s: SparkSession, d: String) => Multimodal.resize(s, d)),
     "mm_frame_sample" -> (Multimodal.frameSample _),
     "mm_phash_dedup" -> ((s: SparkSession, d: String) => Multimodal.phashDedup(s, d)),
-    "mm_audio_features" -> (Multimodal.audioFeatures _)
+    "mm_audio_features" -> (Multimodal.audioFeatures _),
+    "mm_audio_segments" -> (Multimodal.audioSegments _)
   )
 
   // ---- shared oracle SQL fragments -------------------------------------

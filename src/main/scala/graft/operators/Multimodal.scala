@@ -548,6 +548,97 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** §2#144 VAD-style audio segmentation: split a clip into voiced
+    * utterances by energy — the chop an ASR-training pipeline applies
+    * before transcription. 20 ms windows; a window is voiced when its
+    * RMS clears one tenth of the clip's peak (relative, so quiet
+    * recordings segment like loud ones; integer cross-multiplication,
+    * no floats); consecutive voiced windows merge into segments. One
+    * row per segment with start/end ms and mean window RMS. WAV blobs
+    * take the REAL path; other blobs emit the stub's deterministic
+    * pseudo-segments. flatMap fan-out like frame sampling — the
+    * utterance-per-row shape downstream batching consumes. */
+  def audioSegments(spark: SparkSession, sfDir: String): DataFrame =
+    audioSegmentsOf(
+      Tables.documentsPar(spark, sfDir)
+        .select(col("doc_id"), col("text").cast("binary").as("blob")))
+
+  /** The segmentation pipeline over ANY (doc_id, blob) frame. */
+  def audioSegmentsOf(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs
+      .select(col("doc_id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (docId, blob) =>
+          decodeWav(blob) match {
+            case Some((_, rate, mono)) => segmentVoiced(rate, mono)
+              .zipWithIndex.map { case ((startMs, endMs, meanRms), i) =>
+                (docId, i, startMs, endMs, meanRms)
+              }
+            case None =>
+              // stub: 1-3 deterministic pseudo-utterances per blob
+              val (_, rate, n, rms, _) = stubAudio(blob)
+              val durMs = n.toLong * 1000L / rate
+              val k = 1 + math.floorMod(rms, 3).toInt
+              (0 until k).map { i =>
+                val startMs = durMs * (2 * i) / (2 * k)
+                val endMs = durMs * (2 * i + 1) / (2 * k)
+                (docId, i, startMs, endMs, rms)
+              }
+          }
+        }
+      }
+      .toDF("doc_id", "seg_idx", "start_ms", "end_ms", "mean_rms")
+      .orderBy(col("doc_id"), col("seg_idx"))
+  }
+
+  /** Windowed energy segmentation of a mono s16 clip: (start ms,
+    * end ms, mean window RMS) per run of voiced 20 ms windows.
+    * Voiced ⇔ 10·windowRms ≥ clipPeak (integer cross-multiply). */
+  private[operators] def segmentVoiced(rate: Int,
+      mono: Array[Int]): Seq[(Long, Long, Long)] = {
+    val win = math.max(rate / 50, 1) // 20 ms of samples
+    val nWin = (mono.length + win - 1) / win
+    var peak = 0L
+    var i = 0
+    while (i < mono.length) {
+      val v = math.abs(mono(i).toLong); if (v > peak) peak = v; i += 1
+    }
+    if (peak == 0L) return Seq.empty // digital silence: no utterances
+    val rms = new Array[Long](nWin)
+    var w = 0
+    while (w < nWin) {
+      val lo = w * win
+      val hi = math.min(lo + win, mono.length)
+      var sumSq = 0L
+      var j = lo
+      while (j < hi) { val v = mono(j).toLong; sumSq += v * v; j += 1 }
+      rms(w) = math.sqrt(sumSq.toDouble / (hi - lo)).toLong
+      w += 1
+    }
+    val segs = Seq.newBuilder[(Long, Long, Long)]
+    var start = -1
+    var acc = 0L
+    def close(endWin: Int): Unit = if (start >= 0) {
+      val startMs = start.toLong * win * 1000L / rate
+      val endMs = math.min(endWin.toLong * win, mono.length.toLong) * 1000L / rate
+      segs += ((startMs, endMs, acc / (endWin - start)))
+      start = -1; acc = 0L
+    }
+    w = 0
+    while (w < nWin) {
+      if (rms(w) * 10L >= peak) {
+        if (start < 0) start = w
+        acc += rms(w)
+      } else close(w)
+      w += 1
+    }
+    close(nWin)
+    segs.result()
+  }
+
   /** §2#43 frame sampling: Y4M blobs take the REAL path — parse the
     * container, emit one row per frame with the frame's integer mean
     * luma and luma-plane checksum (the per-frame features a

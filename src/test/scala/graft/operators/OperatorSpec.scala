@@ -267,6 +267,47 @@ class OperatorSpec extends SparkSuite {
     assert(stub.getInt(2) >= 8000 && stub.getLong(3) >= 1000L)
   }
 
+  test("audio segmentation: energy windows merge into utterances, silence splits them") {
+    import spark.implicits._
+    def wav16(rate: Int, samples: Seq[Int]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
+      samples.foreach(s => bb.putShort(s.toShort))
+      bb.array()
+    }
+    // 8 kHz: 160-sample windows = 20 ms. 500 ms loud, 500 ms silence,
+    // 250 ms loud → utterances [0,500) and [1000,1250) ms
+    val clip = Seq.fill(4000)(8000) ++ Seq.fill(4000)(0) ++ Seq.fill(2000)(8000)
+    val segs = Multimodal.segmentVoiced(8000, clip.toArray)
+    assert(segs.map(s => (s._1, s._2)) === Seq((0L, 500L), (1000L, 1250L)))
+    // constant amplitude → mean window RMS is that amplitude
+    assert(segs.forall(_._3 === 8000L))
+
+    // RELATIVE threshold: a uniformly quiet clip is all voiced (one
+    // utterance), not all silence — 10% of ITS OWN peak, not absolute
+    val quiet = Multimodal.segmentVoiced(8000, Array.fill(1600)(50))
+    assert(quiet.map(s => (s._1, s._2)) === Seq((0L, 200L)))
+    // digital silence has no peak to be relative to → no utterances
+    assert(Multimodal.segmentVoiced(8000, Array.fill(1600)(0)).isEmpty)
+
+    // full pipeline over a real WAV + a stub blob in one frame
+    val df = Seq(
+      (1L, wav16(8000, clip)),
+      (2L, "not audio at all".getBytes("US-ASCII"))).toDF("doc_id", "blob")
+    val rows = Multimodal.audioSegmentsOf(df).collect()
+    val real = rows.filter(_.getLong(0) == 1L)
+    assert(real.map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSeq ===
+      Seq((0, 0L, 500L), (1, 1000L, 1250L)))
+    val stub = rows.filter(_.getLong(0) == 2L)
+    assert(stub.nonEmpty && stub.forall(r => r.getLong(3) > r.getLong(2)))
+  }
+
   test("JPEG and PNG blobs take the REAL codec path via the JDK's ImageIO") {
     import spark.implicits._
     val w = 24; val h = 16
