@@ -139,6 +139,7 @@ object SparkEntry {
     "text_rarity" -> (TextAnalysis.rarity _),
     "text_chunk_dedup" -> ((s: SparkSession, d: String) => TextAnalysis.chunkDedup(s, d)),
     "text_bpe_pairs" -> (TextAnalysis.bpePairs _),
+    "text_gopher_rules" -> (TextAnalysis.gopherRules _),
     "sample_weighted" -> ((s: SparkSession, d: String) => Sampling.sampleWeighted(s, d)),
     // §2.7 multimodal
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
@@ -1226,6 +1227,30 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_hits
         |FROM corpus JOIN bench USING (s)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |w AS (SELECT doc_id, toks,
+        |  list_transform(generate_series(1, greatest(len(toks)-2,1)),
+        |    i -> array_to_string(toks[i:i+2], ' ')) AS wins FROM t),
+        |m AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(floor(list_sum(list_transform(toks, tk -> length(tk))) * 1000.0 / greatest(len(toks),1)) AS BIGINT) AS mean_word_len_pm,
+        |  CAST(floor(len(list_filter(toks, tk -> regexp_matches(tk, '[a-zA-Z]'))) * 1000.0 / greatest(len(toks),1)) AS BIGINT) AS alpha_pm,
+        |  CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','it','for','on'], tk))) AS BIGINT) AS n_stop,
+        |  CAST(floor((len(wins) - len(list_distinct(wins))) * 1000.0 / len(wins)) AS BIGINT) AS dup_3gram_pm
+        |FROM w),
+        |v AS (SELECT *,
+        |  CASE WHEN n_tokens < 50 OR n_tokens > 100000 THEN 'word_count'
+        |       WHEN mean_word_len_pm < 3000 OR mean_word_len_pm > 10000 THEN 'mean_word_length'
+        |       WHEN alpha_pm < 800 THEN 'alpha_words'
+        |       WHEN n_stop < 2 THEN 'stop_words'
+        |       WHEN dup_3gram_pm > 300 THEN 'repetition'
+        |       ELSE '' END AS first_fail
+        |FROM m)
+        |SELECT doc_id, n_tokens, mean_word_len_pm, alpha_pm, n_stop, dup_3gram_pm,
+        |  first_fail, CASE WHEN first_fail = '' THEN 1 ELSE 0 END AS keep
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),

@@ -332,4 +332,62 @@ object TextAnalysis {
         rollingFingerprint(tokens(col("text"))).as("fingerprint"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
       .orderBy(col("doc_id"))
+
+  /** §2#145 Gopher-rules document filter (Rae et al. 2021, Appendix A
+    * — the published rule battery web-crawl curation starts from),
+    * composed from this suite's integer signals into one keep/drop
+    * verdict with the FIRST failing rule named (the operator-facing
+    * output: "why did my corpus shrink"):
+    *
+    *   1. word_count        — 50 ≤ n_tokens ≤ 100000
+    *   2. mean_word_length  — mean token length in [3, 10] chars
+    *                          (per-mille of chars/token: [3000, 10000])
+    *   3. alpha_words       — ≥ 80% of tokens contain a letter
+    *   4. stop_words        — ≥ 2 stopword OCCURRENCES in the doc
+    *   5. repetition        — duplicate-3-gram per-mille ≤ 300
+    *
+    * Shape: every signal is a narrow higher-order-function pass over
+    * the token array (no explode, no join, no shuffle — the whole
+    * verdict is one codegen'd projection), so at 100 TB the filter
+    * runs at scan speed and its selectivity feeds partition pruning of
+    * whatever materializes `keep = 1`. */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame =
+    gopherRulesFrom(Tables.documentsPar(spark, sfDir))
+
+  /** Core of [[gopherRules]] over any `(doc_id, text)` frame. */
+  def gopherRulesFrom(docs: DataFrame): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    // duplicate-3-gram windows, duplicates KEPT (same construction as
+    // text_repetition, so the two ops agree on the signal)
+    val wins = transform(
+      sequence(lit(1), greatest(size(col("toks")) - lit(2), lit(1))),
+      i => xxhash64((0 until 3).map(j => try_element_at(col("toks"), i + lit(j))): _*))
+    val m = base.select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      floor(aggregate(col("toks"), lit(0L), (a, t) => a + length(t)) *
+        lit(1000.0) / greatest(size(col("toks")), lit(1)))
+        .cast("long").as("mean_word_len_pm"),
+      floor(size(filter(col("toks"), t => t.rlike("[a-zA-Z]"))) * lit(1000.0) /
+        greatest(size(col("toks")), lit(1))).cast("long").as("alpha_pm"),
+      size(filter(col("toks"), t => array_contains(stopArr, t)))
+        .cast("long").as("n_stop"),
+      floor((size(wins) - size(array_distinct(wins))) * lit(1000.0) /
+        size(wins)).cast("long").as("dup_3gram_pm"))
+    m.select(col("doc_id"), col("n_tokens"), col("mean_word_len_pm"),
+        col("alpha_pm"), col("n_stop"), col("dup_3gram_pm"),
+        when(col("n_tokens") < 50L || col("n_tokens") > 100000L,
+          lit("word_count"))
+          .when(col("mean_word_len_pm") < 3000L ||
+            col("mean_word_len_pm") > 10000L, lit("mean_word_length"))
+          .when(col("alpha_pm") < 800L, lit("alpha_words"))
+          .when(col("n_stop") < 2L, lit("stop_words"))
+          .when(col("dup_3gram_pm") > 300L, lit("repetition"))
+          .otherwise(lit("")).as("first_fail"))
+      .withColumn("keep",
+        when(col("first_fail") === "", lit(1L)).otherwise(lit(0L)))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -578,6 +578,36 @@ class OperatorSpec extends SparkSuite {
     assert(rows.exists(_.getLong(3) > 100))
   }
 
+  test("gopher rules: each rule fires on its planted doc, in priority order") {
+    import spark.implicits._
+    val clean = (Seq("the", "of") ++
+      (0 until 58).map(i => s"word${i}xx")).mkString(" ")
+    val docs = Seq(
+      (1L, "just ten small words here nothing more to say now"), // word_count
+      (2L, Seq.fill(60)("ab").mkString(" ")), // mean_word_length (2000 pm)
+      (3L, (0 until 60).map(i => (100 + i).toString).mkString(" ")), // alpha_words
+      (4L, (0 until 60).map(i => s"word${i}xx").mkString(" ")), // stop_words
+      (5L, Seq.fill(20)("the wolf runs over the hill").mkString(" ")), // repetition
+      (6L, clean)) // passes everything
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRulesFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getString(6), r.getLong(7))).toSeq
+    assert(got === Seq(
+      (1L, "word_count", 0L), (2L, "mean_word_length", 0L),
+      (3L, "alpha_words", 0L), (4L, "stop_words", 0L),
+      (5L, "repetition", 0L), (6L, "", 1L)))
+    // rule ORDER: doc 2's "ab ab ab…" also trips repetition and
+    // stop_words, but mean_word_length is the FIRST rule that fails
+    val d2 = TextAnalysis.gopherRulesFrom(docs).where(col("doc_id") === 2L)
+      .collect().head
+    assert(d2.getLong(5) > 300L, "doc 2 should also be repetitive")
+    assert(d2.getString(6) === "mean_word_length")
+    // the real corpus splits on the rules rather than one verdict
+    val corpus = TextAnalysis.gopherRules(spark, sf).collect()
+    assert(corpus.map(_.getLong(7)).toSet === Set(0L, 1L),
+      "sf corpus should contain both kept and dropped docs")
+  }
+
   test("incremental dedup matches an independently computed hash lookup") {
     val rows = Dedup.incremental(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
