@@ -87,6 +87,8 @@ object ScaleCheck {
         TextAnalysis.bigramLm(s, d)),
       "text_decontaminate" -> ((s: SparkSession, d: String, _: Int) =>
         TextAnalysis.decontaminate(s, d)),
+      "text_gopher_rules" -> ((s: SparkSession, d: String, _: Int) =>
+        TextAnalysis.gopherRules(s, d)),
       // similarity family over the scaled embeddings corpus: brute
       // force reads the whole corpus per query (expected ~K×); LSH and
       // IVF probe buckets/cells whose sizes grow ∝ corpus at fixed
