@@ -125,6 +125,7 @@ object SparkEntry {
     "ann_ivf_kmeans" -> ((s: SparkSession, d: String) => Similarity.ivfKmeansTopk(s, d)),
     "ann_pq_adc" -> ((s: SparkSession, d: String) => Similarity.pqAdcTopk(s, d)),
     "ann_sq_topk" -> ((s: SparkSession, d: String) => Similarity.sqTopk(s, d)),
+    "ann_filtered_topk" -> ((s: SparkSession, d: String) => Similarity.filteredTopk(s, d)),
     // §2.6 text analysis
     "text_tokens" -> (TextAnalysis.tokenCounts _),
     "text_quality" -> (TextAnalysis.quality _),
@@ -1090,6 +1091,18 @@ object SparkEntry {
          |  FROM base b CROSS JOIN q WHERE b.vec_id <> q.query_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, neighbor_id) AS rk FROM sims)
          |SELECT query_id, neighbor_id, cos_e6, CAST(rk AS BIGINT) AS "rank"
+         |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "ann_filtered_topk" ->
+      s"""WITH $embBase,
+         |q AS (SELECT vec_id AS query_id, label AS q_label, emb AS q_emb
+         |  FROM base WHERE vec_id < 10),
+         |sims AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+         |    CAST(b.label AS BIGINT) AS label,
+         |    ${cosE6("q.q_emb", "b.emb")} AS cos_e6
+         |  FROM base b JOIN q ON b.label = q.q_label AND b.vec_id <> q.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, neighbor_id) AS rk FROM sims)
+         |SELECT query_id, neighbor_id, label, cos_e6, CAST(rk AS BIGINT) AS "rank"
          |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
     "knn_label_vote" ->

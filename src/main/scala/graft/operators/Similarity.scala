@@ -477,4 +477,35 @@ object Similarity {
         when(col("label") === col("actual_label"), 1L).otherwise(0L).as("correct"))
       .orderBy(col("query_id"))
   }
+
+  /** §2#146 FILTERED vector search: exact top-k under a metadata
+    * predicate — here, neighbors sharing the query's label (the
+    * "same-category recommendations" query every production vector
+    * store serves). The filter lives in the JOIN CONDITION, not a
+    * post-filter of an unfiltered top-k: post-filtering k results
+    * under-delivers whenever fewer than k of the global top-k share
+    * the label, while filter-first ranks the full label slice.
+    *
+    * Shape: the tiny query side broadcasts; the label equi-condition
+    * means each corpus row pairs only with same-label queries (a
+    * |corpus ∩ label| candidate set per query, |corpus|/|labels| on
+    * balanced data) — the selectivity a filtered-ANN index (IVF per
+    * label / filtered-DiskANN) exploits; at this fan-in the exact
+    * scan IS the right plan, and at 100 TB the same query routes to
+    * the label's IVF cells instead. */
+  def filteredTopk(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val q = corpus(spark, sfDir).where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val sims = corpus(spark, sfDir).join(broadcast(q),
+        col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label").cast("long").as("label"),
+        cosPre(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("cos_e6"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_e6").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

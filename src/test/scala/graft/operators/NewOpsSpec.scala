@@ -871,6 +871,34 @@ class NewOpsSpec extends SparkSuite {
     assert(hits * 10 >= total * 8, s"recall@5 too low: $hits/$total")
   }
 
+  test("ann_filtered_topk: neighbors honor the label filter; filter-first beats post-filter") {
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Similarity.filteredTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(got.nonEmpty)
+    // every neighbor shares its query's label — the filter semantics
+    got.foreach { case (q, n, lbl, _) =>
+      assert(lbl === labels(q).toLong, s"query $q got off-label neighbor $n")
+      assert(n !== q)
+    }
+    // ranks are contiguous from 1 per query
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1L to rows.size.toLong),
+        s"query $q ranks not contiguous")
+    }
+    // filter-first ≠ post-filter: some query's filtered top-k includes a
+    // neighbor the UNFILTERED top-k missed (post-filtering would have
+    // dropped it and under-delivered)
+    val unfiltered = Similarity.bruteforceTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val gained = got.exists { case (q, n, _, _) => !unfiltered(q).contains(n) }
+    assert(gained, "filtered results never diverged from post-filtering " +
+      "(corpus too label-pure for this spec to mean anything)")
+  }
+
   test("ts_lateness: per-user frontier lateness lands in the right buckets") {
     import spark.implicits._
     val minUs = 60000000L
