@@ -624,7 +624,10 @@ object Multimodal {
     def close(endWin: Int): Unit = if (start >= 0) {
       val startMs = start.toLong * win * 1000L / rate
       val endMs = math.min(endWin.toLong * win, mono.length.toLong) * 1000L / rate
-      segs += ((startMs, endMs, acc / (endWin - start)))
+      // a burst whose whole span rounds to the same millisecond is
+      // noise, not an utterance — emitting it would produce degenerate
+      // zero-length rows (property-test-found at 44.1 kHz sub-ms clips)
+      if (endMs > startMs) segs += ((startMs, endMs, acc / (endWin - start)))
       start = -1; acc = 0L
     }
     w = 0

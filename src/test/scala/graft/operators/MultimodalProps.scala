@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property tests for the pure-JVM audio codec and segmenter: the
+  * WAV wire format round-trips arbitrary PCM exactly, stereo mixdown
+  * is the per-frame integer mean, and `segmentVoiced`'s output
+  * satisfies its structural invariants on ARBITRARY clips — not just
+  * the crafted silence patterns the example spec plants. */
+object MultimodalProps extends Properties("Multimodal") {
+
+  private def wav16(rate: Int, channels: Int,
+      frames: Seq[Seq[Int]]): Array[Byte] = {
+    val dataLen = frames.length * channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    frames.foreach(_.foreach(s => bb.putShort(s.toShort)))
+    bb.array()
+  }
+
+  private val sample: Gen[Int] = Gen.chooseNum(-32768, 32767)
+  private val rateGen: Gen[Int] = Gen.oneOf(8000, 16000, 44100)
+
+  property("16-bit mono WAV round-trips every sample exactly") =
+    forAll(rateGen, Gen.nonEmptyListOf(sample)) { (rate, samples) =>
+      Multimodal.decodeWav(wav16(rate, 1, samples.map(Seq(_)))) match {
+        case Some((1, r, mono)) => r == rate && mono.toSeq == samples
+        case _ => false
+      }
+    }
+
+  property("stereo mixdown is the per-frame integer mean") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(sample, sample))) { frames =>
+      Multimodal.decodeWav(
+        wav16(8000, 2, frames.map { case (l, r) => Seq(l, r) })) match {
+        case Some((2, _, mono)) =>
+          mono.toSeq == frames.map { case (l, r) => (l + r) / 2 }
+        case _ => false
+      }
+    }
+
+  property("segmentVoiced: ordered, disjoint, in-bounds, above-threshold segments") =
+    forAll(rateGen, Gen.listOf(sample)) { (rate, clip) =>
+      val mono = clip.toArray
+      val segs = Multimodal.segmentVoiced(rate, mono)
+      val durMs = mono.length.toLong * 1000L / rate
+      val peak = if (mono.isEmpty) 0L else mono.map(v => math.abs(v.toLong)).max
+      val structural = segs.forall { case (s, e, _) => s < e && s >= 0 && e <= durMs } &&
+        segs.sliding(2).forall {
+          case Seq((_, e1, _), (s2, _, _)) => e1 <= s2
+          case _ => true
+        }
+      // every segment's mean window RMS clears the voicing threshold
+      // (each constituent window did, and a mean preserves the floor)
+      val voiced = segs.forall { case (_, _, rms) => rms * 10L >= peak }
+      val silent = peak != 0L || segs.isEmpty
+      structural && voiced && silent
+    }
+
+  property("a constant loud clip is ONE segment spanning the whole clip") =
+    forAll(rateGen, Gen.chooseNum(1, 5000), Gen.chooseNum(1000, 32767)) {
+      (rate, n, amp) =>
+        val segs = Multimodal.segmentVoiced(rate, Array.fill(n)(amp))
+        segs.map(s => (s._1, s._2)) ==
+          Seq((0L, n.toLong * 1000L / rate)) || n.toLong * 1000L / rate == 0L
+    }
+}
