@@ -100,6 +100,11 @@ object ScaleCheck {
         Similarity.lshTopk(s, d)),
       "ann_ivf_topk" -> ((s: SparkSession, d: String, _: Int) =>
         Similarity.ivfTopk(s, d)),
+      // label filter in the join condition: per-query candidates are the
+      // label slice, so corpus growth at fixed label count should track
+      // ~K× (slice grows ∝ corpus) with the broadcast query side fixed
+      "ann_filtered_topk" -> ((s: SparkSession, d: String, _: Int) =>
+        Similarity.filteredTopk(s, d)),
       // events-table family: snapshot-diff shuffles once on the PK and
       // its group COUNT grows ∝ corpus (constant group size — the
       // user_id shift below is what makes that true); schema-drift's

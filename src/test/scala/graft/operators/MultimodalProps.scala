@@ -65,6 +65,46 @@ object MultimodalProps extends Properties("Multimodal") {
       structural && voiced && silent
     }
 
+  property("PPM P6 round-trips every RGB plane exactly") =
+    forAll(Gen.chooseNum(1, 24), Gen.chooseNum(1, 24), Gen.long) { (w, h, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val rgb = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val blob = s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ rgb
+      Multimodal.decodePpm(blob) match {
+        case Some((dw, dh, px)) => dw == w && dh == h && px.sameElements(rgb)
+        case None => false
+      }
+    }
+
+  property("BMP bottom-up and top-down encodings decode to the same plane") =
+    forAll(Gen.chooseNum(1, 16), Gen.chooseNum(1, 16), Gen.long) { (w, h, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val rgb = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      def bmp(topDown: Boolean): Array[Byte] = {
+        val rowBytes = (w * 3 + 3) & ~3
+        val bb = java.nio.ByteBuffer.allocate(54 + rowBytes * h)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put('B'.toByte).put('M'.toByte).putInt(54 + rowBytes * h)
+          .putInt(0).putInt(54).putInt(40).putInt(w)
+          .putInt(if (topDown) -h else h)
+          .putShort(1).putShort(24).putInt(0).putInt(rowBytes * h)
+          .putInt(2835).putInt(2835).putInt(0).putInt(0)
+        for (row <- 0 until h) {
+          val srcRow = if (topDown) row else h - 1 - row
+          for (x <- 0 until w) {
+            val s = (srcRow * w + x) * 3
+            bb.put(rgb(s + 2)).put(rgb(s + 1)).put(rgb(s))
+          }
+          for (_ <- w * 3 until rowBytes) bb.put(0.toByte)
+        }
+        bb.array()
+      }
+      val up = Multimodal.decodeBmp(bmp(topDown = false))
+      val down = Multimodal.decodeBmp(bmp(topDown = true))
+      up.isDefined && down.isDefined &&
+        up.get._3.sameElements(rgb) && down.get._3.sameElements(rgb)
+    }
+
   property("a constant loud clip is ONE segment spanning the whole clip") =
     forAll(rateGen, Gen.chooseNum(1, 5000), Gen.chooseNum(1000, 32767)) {
       (rate, n, amp) =>
