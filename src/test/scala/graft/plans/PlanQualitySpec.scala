@@ -247,6 +247,18 @@ class PlanQualitySpec extends SparkSuite {
       s"lateness histogram is not map-side combined:\n$plan")
   }
 
+  test("ann_filtered_topk broadcasts the query side; the label filter is an equi-join") {
+    val plan = planOf(Similarity.filteredTopk(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"filtered ANN must broadcast the tiny query side:\n$plan")
+    // the label predicate must be a JOIN KEY, not a post-join filter of
+    // a cartesian — at 100 TB that difference is |corpus|/|labels| vs
+    // |corpus|×|queries| pairs per query
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"filtered ANN degenerated to a cross product:\n$plan")
+  }
+
   test("dedup_semantic pair join is keyed on the cell, never cartesian") {
     val plan = planOf(Dedup.semantic(spark, sf))
     // the only cartesian allowed is the broadcast of k centroid rows

@@ -86,6 +86,34 @@ class EventsSchemaDriftSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
+  test("the STREAMING events source adapts to every encoding too") {
+    // the r8 outage's latent twin lived in streamFromEventsDir's
+    // hard-coded LongType schema — pin both encodings through the
+    // streaming path end-to-end
+    for (legacy <- Seq(true, false)) {
+      val dir = Files.createTempDirectory("graft-evdir-drift")
+      val tsCol =
+        if (legacy) col("us") * 1000L // ns-as-long era
+        else timestamp_micros(col("us")).cast(TimestampNTZType) // current
+      // part files land DIRECTLY in the watched dir (the source globs
+      // the directory; a nested events.parquet/ dir would be invisible
+      // to the schema probe)
+      base().select(col("event_id"), tsCol.as("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+      val frame = graft.cdc.Changefeed.streamFromEventsDir(spark, dir.toString)
+      val q = frame.writeStream.outputMode("append")
+        .format("memory").queryName(s"evdrift_$legacy")
+        .option("checkpointLocation",
+          Files.createTempDirectory("ckpt-evdrift").toString)
+        .start()
+      q.processAllAvailable(); q.stop()
+      val got = spark.table(s"evdrift_$legacy")
+        .where(col("tbl").isNotNull).count()
+      assert(got === 5L, s"legacy=$legacy: $got change rows, want 5")
+    }
+  }
+
   test("production testdata loads through the adaptive path with instants intact") {
     val df = Tables.events(spark, sf)
     assert(df.schema("ts").dataType === TimestampType)
