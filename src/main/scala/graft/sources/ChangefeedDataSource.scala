@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Max, Min}
 import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
@@ -106,14 +107,22 @@ class ChangefeedTable(properties: Map[String, String]) extends Table
   *    a multi-year retained log plans n segments, not all of them —
   *    every listed segment is non-empty, so n segments cover ≥ n rows;
   *    partial push (Spark still applies the LIMIT), and skipped
-  *    whenever row-level filtering could starve a planned segment.
+  *    whenever row-level filtering could starve a planned segment;
+  *  - TopN pushdown (`SupportsPushDownTopN`): `ORDER BY sort_us
+  *    [DESC] LIMIT n` — "the latest n changes", the standing ops
+  *    query on any feed — opens only the n segments with the largest
+  *    lastUs (desc) / smallest firstUs (asc); sound because segment
+  *    names carry EXACT row ranges (the boundary rows exist), so
+  *    those segments contain a valid top-n multiset. Partial push,
+  *    same row-filter guard as LIMIT.
   */
 class ChangefeedScan(dir: String, startCursorUs: Option[Long],
     explicitFloorUs: Option[Long],
     maxSegmentsPerTrigger: Option[Int] = None) extends ScanBuilder with Scan
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsRuntimeFiltering
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   import org.apache.spark.sql.sources._
 
   private var prunedSchema: StructType = ChangefeedDataSource.schema
@@ -206,6 +215,28 @@ class ChangefeedScan(dir: String, startCursorUs: Option[Long],
     minExclusiveUs == Long.MinValue && maxInclusiveUs == Long.MaxValue &&
       runtimeSortUs.isEmpty
 
+  // TopN pushdown (SupportsPushDownTopN): `ORDER BY sort_us [DESC]
+  // LIMIT n` — "the latest n changes", THE standing ops query on any
+  // feed. Sound from segment names alone: a segment's first row IS its
+  // firstUs and its last row IS its lastUs (names carry exact row
+  // ranges), so the n segments with the smallest firstUs (ascending) /
+  // largest lastUs (descending) contain a valid top-n row multiset —
+  // every row outside them is ≥ (resp. ≤) some n rows inside. PARTIAL
+  // push: Spark still sorts + limits the surviving rows; this only
+  // bounds segments opened. Same row-filter guard as LIMIT.
+  private var topN: Option[(Boolean, Int)] = None // (descending, n)
+
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    val ok = orders.length == 1 && isSortUs(orders(0).expression())
+    if (ok)
+      topN = Some((orders(0).direction() == SortDirection.DESCENDING, limit))
+    ok
+  }
+
+  // both LIMIT and TopN are admission-only (Spark re-applies the
+  // operator); the two traits' identical defaults need one arbiter
+  override def isPartiallyPushed(): Boolean = true
+
   // "min" / "max" per pushed aggregate, in Spark's requested order
   private var pushedAggs: Array[String] = Array.empty
 
@@ -248,7 +279,9 @@ class ChangefeedScan(dir: String, startCursorUs: Option[Long],
       s"cols=${prunedSchema.fieldNames.mkString(",")}" +
       (if (pushedAggs.isEmpty) ""
        else s" aggs=${pushedAggs.map(_ + "(sort_us)").mkString(",")}") +
-      pushedLimit.fold("")(n => s" limit=$n")
+      pushedLimit.fold("")(n => s" limit=$n") +
+      topN.fold("") { case (desc, n) =>
+        s" topN=$n(${if (desc) "desc" else "asc"})" }
 
   override def toBatch: Batch =
     if (pushedAggs.nonEmpty) new Batch {
@@ -276,8 +309,15 @@ class ChangefeedScan(dir: String, startCursorUs: Option[Long],
           .filter(s => s.lastUs > minExclusiveUs && s.firstUs <= maxInclusiveUs)
           .filter(s => runtimeSortUs.forall(_.exists(v =>
             v >= s.firstUs && v <= s.lastUs)))
-        val admitted = pushedLimit match {
-          case Some(n) if limitShortcutSound => surviving.take(math.max(n, 1))
+        val admitted = (topN, pushedLimit) match {
+          // listSegments returns firstUs-ascending order; descending
+          // top-n takes the n largest lastUs instead
+          case (Some((false, n)), _) if limitShortcutSound =>
+            surviving.take(math.max(n, 1))
+          case (Some((true, n)), _) if limitShortcutSound =>
+            surviving.sortBy(s => (-s.lastUs, -s.firstUs)).take(math.max(n, 1))
+          case (None, Some(n)) if limitShortcutSound =>
+            surviving.take(math.max(n, 1))
           case _ => surviving
         }
         admitted

@@ -301,6 +301,45 @@ class ChangefeedSourceSpec extends SparkSuite {
       s"ranged limit must plan all $survivors intersecting segments, got $rangedParts")
   }
 
+  test("top-n pushdown: ORDER BY sort_us LIMIT opens n segments each way, stays exact") {
+    val (dir, rows) = buildLog(6)
+    val nSegs = ChangefeedLog.listSegments(dir).size
+    assert(nSegs >= 4)
+    def scanPartitions(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.size
+      }.getOrElse(fail("no BatchScanExec leaf in plan"))
+    }
+    val base = spark.read.format("graft-changefeed").option("path", dir).load()
+
+    // "latest 3 changes" — the standing ops query; exact values, 3 segments
+    val latest = base.orderBy(col("sort_us").desc).limit(3)
+    assert(latest.collect().map(_.getLong(0)).toSeq ===
+      rows.map(_.sortUs).sorted.reverse.take(3))
+    assert(scanPartitions(latest) === 3,
+      "descending top-3 should open exactly 3 segments")
+    assert(latest.queryExecution.executedPlan.toString.contains("topN=3(desc)"))
+
+    // earliest 3 — ascending takes the firstUs-smallest segments
+    val earliest = base.orderBy(col("sort_us")).limit(3)
+    assert(earliest.collect().map(_.getLong(0)).toSeq ===
+      rows.map(_.sortUs).sorted.take(3))
+    assert(scanPartitions(earliest) === 3)
+
+    // a pushed range disables the shortcut (a planned segment could
+    // contribute zero surviving rows) but the answer stays exact
+    val cut = rows(rows.size / 2).sortUs
+    val ranged = base.where(col("sort_us") > cut)
+      .orderBy(col("sort_us").desc).limit(2)
+    assert(ranged.collect().map(_.getLong(0)).toSeq ===
+      rows.map(_.sortUs).filter(_ > cut).sorted.reverse.take(2))
+    assert(scanPartitions(ranged) ===
+      ChangefeedLog.listSegments(dir).count(_.lastUs > cut),
+      "ranged top-n must plan every intersecting segment")
+  }
+
   test("runtime join-key filtering prunes segments never opened") {
     val (dir, rows) = buildLog(6)
     val segs = ChangefeedLog.listSegments(dir)
