@@ -149,7 +149,8 @@ object SparkEntry {
     "mm_frame_sample" -> (Multimodal.frameSample _),
     "mm_phash_dedup" -> ((s: SparkSession, d: String) => Multimodal.phashDedup(s, d)),
     "mm_audio_features" -> (Multimodal.audioFeatures _),
-    "mm_audio_segments" -> (Multimodal.audioSegments _)
+    "mm_audio_segments" -> (Multimodal.audioSegments _),
+    "mm_audio_resample" -> ((s: SparkSession, d: String) => Multimodal.audioResample(s, d))
   )
 
   // ---- shared oracle SQL fragments -------------------------------------

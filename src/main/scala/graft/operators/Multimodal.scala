@@ -594,6 +594,70 @@ object Multimodal {
       .orderBy(col("doc_id"), col("seg_idx"))
   }
 
+  /** Linear-interpolation resampling of a mono s16 clip to `outRate` —
+    * integer-exact: output i sits at source position i·R1/R2, computed
+    * as quotient+remainder so identical inputs resample identically on
+    * every JVM (no float accumulation). The standard normalize-to-16k
+    * step every speech pipeline runs before featurization. */
+  private[operators] def resampleLinear(inRate: Int, outRate: Int,
+      mono: Array[Int]): Array[Int] = {
+    if (inRate == outRate || mono.length == 0) return mono
+    val nOut = (mono.length.toLong * outRate / inRate).toInt
+    val out = new Array[Int](nOut)
+    var i = 0
+    while (i < nOut) {
+      val posNum = i.toLong * inRate
+      val src = (posNum / outRate).toInt
+      val frac = posNum % outRate
+      val a = mono(src).toLong
+      val b = mono(math.min(src + 1, mono.length - 1)).toLong
+      out(i) = ((a * (outRate - frac) + b * frac) / outRate).toInt
+      i += 1
+    }
+    out
+  }
+
+  /** §2#147 audio resampling: WAV blobs decode, mix to mono, and
+    * resample to a 16 kHz target (the ASR-standard rate) — emitting
+    * in/out sample counts and a checksum over the RESAMPLED signal, so
+    * any drift in the DSP is hash-visible; non-WAV blobs emit the
+    * stub's synthetic numbers. Completes the audio family's mirror of
+    * the image ops (features ≙ decode, segments ≙ frame-sample,
+    * resample ≙ resize). */
+  def audioResample(spark: SparkSession, sfDir: String,
+      outRate: Int = 16000): DataFrame =
+    audioResampleOf(
+      Tables.documentsPar(spark, sfDir)
+        .select(col("doc_id"), col("text").cast("binary").as("blob")),
+      outRate)
+
+  /** The resample pipeline over ANY (doc_id, blob) frame. */
+  def audioResampleOf(blobs: DataFrame, outRate: Int = 16000): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs
+      .select(col("doc_id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (docId, blob) =>
+          decodeWav(blob) match {
+            case Some((_, rate, mono)) =>
+              val res = resampleLinear(rate, outRate, mono)
+              var cs = 1125899906842597L
+              var j = 0
+              while (j < res.length) { cs = cs * 31 + res(j); j += 1 }
+              (docId, rate, mono.length.toLong, outRate, res.length.toLong, cs)
+            case None =>
+              val (_, rate, n, _, _) = stubAudio(blob)
+              val nOut = n.toLong * outRate / rate
+              (docId, rate, n.toLong, outRate, nOut, checksumOf(blob))
+          }
+        }
+      }
+      .toDF("doc_id", "rate_in", "n_in", "rate_out", "n_out", "resample_checksum")
+      .orderBy(col("doc_id"))
+  }
+
   /** Windowed energy segmentation of a mono s16 clip: (start ms,
     * end ms, mean window RMS) per run of voiced 20 ms windows.
     * Voiced ⇔ 10·windowRms ≥ clipPeak (integer cross-multiply). */

@@ -105,6 +105,17 @@ object MultimodalProps extends Properties("Multimodal") {
         up.get._3.sameElements(rgb) && down.get._3.sameElements(rgb)
     }
 
+  property("resampleLinear: length formula holds, output stays within input bounds") =
+    forAll(rateGen, rateGen, Gen.nonEmptyListOf(sample)) { (r1, r2, clip) =>
+      val mono = clip.toArray
+      val out = Multimodal.resampleLinear(r1, r2, mono)
+      val lenOk = out.length == (mono.length.toLong * r2 / r1).toInt ||
+        (r1 == r2 && out.length == mono.length)
+      // linear interpolation is a convex combination: bounds preserved
+      val lo = mono.min; val hi = mono.max
+      lenOk && out.forall(v => v >= lo && v <= hi)
+    }
+
   property("a constant loud clip is ONE segment spanning the whole clip") =
     forAll(rateGen, Gen.chooseNum(1, 5000), Gen.chooseNum(1000, 32767)) {
       (rate, n, amp) =>

@@ -267,6 +267,49 @@ class OperatorSpec extends SparkSuite {
     assert(stub.getInt(2) >= 8000 && stub.getLong(3) >= 1000L)
   }
 
+  test("audio resampling: integer linear interpolation, exact on crafted clips") {
+    import spark.implicits._
+    // identity: same rate returns the clip untouched
+    val clip = Array(100, -200, 300, -400)
+    assert(Multimodal.resampleLinear(8000, 8000, clip) eq clip)
+    // 2× upsample interleaves exact midpoints (last sample clamps)
+    assert(Multimodal.resampleLinear(8000, 16000, Array(100, 300)).toSeq ===
+      Seq(100, 200, 300, 300))
+    // 2:1 downsample lands on every other sample exactly (frac = 0)
+    assert(Multimodal.resampleLinear(16000, 8000, Array(1, 2, 3, 4, 5, 6)).toSeq ===
+      Seq(1, 3, 5))
+    // constant clips stay constant through any rational rate change
+    assert(Multimodal.resampleLinear(44100, 16000, Array.fill(441)(123))
+      .forall(_ === 123))
+
+    // full pipeline: real WAV resamples, stub blob passes through shape
+    def wav16(rate: Int, samples: Seq[Int]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
+      samples.foreach(s => bb.putShort(s.toShort))
+      bb.array()
+    }
+    val df = Seq(
+      (1L, wav16(8000, Seq(100, 300))),
+      (2L, "not audio".getBytes("US-ASCII"))).toDF("doc_id", "blob")
+    val rows = Multimodal.audioResampleOf(df).collect()
+    val real = rows.find(_.getLong(0) == 1L).get
+    assert((real.getInt(1), real.getLong(2), real.getInt(3), real.getLong(4)) ===
+      (8000, 2L, 16000, 4L))
+    // checksum is over the RESAMPLED signal — recompute it driver-side
+    val want = Seq(100, 200, 300, 300)
+      .foldLeft(1125899906842597L)((cs, v) => cs * 31 + v)
+    assert(real.getLong(5) === want)
+    val stub = rows.find(_.getLong(0) == 2L).get
+    assert(stub.getLong(4) === stub.getLong(2) * 16000L / stub.getInt(1))
+  }
+
   test("audio segmentation: energy windows merge into utterances, silence splits them") {
     import spark.implicits._
     def wav16(rate: Int, samples: Seq[Int]): Array[Byte] = {

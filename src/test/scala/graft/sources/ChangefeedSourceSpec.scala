@@ -371,6 +371,22 @@ class ChangefeedSourceSpec extends SparkSuite {
       s"no runtime filter in plan:\n$plan")
   }
 
+  test("a corrupt non-pruned segment fails LOUDLY, never silently drops rows") {
+    val (dir, _) = buildLog(4)
+    val victim = ChangefeedLog.listSegments(dir).head
+    Files.writeString(victim.path, "this is not a changefeed segment")
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-changefeed").option("path", dir).load().count()
+    }
+    // the root cause names the malformed line — an operator can find
+    // the bad segment from the error alone
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("malformed changefeed log line"))),
+      s"corruption error not surfaced: ${causes(e).map(_.getMessage)}")
+  }
+
   test("aggregates on an empty log are SQL NULLs") {
     val dir = tmp("graft-cflog-empty")
     val r = spark.read.format("graft-changefeed").option("path", dir).load()
