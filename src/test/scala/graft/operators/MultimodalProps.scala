@@ -116,6 +116,32 @@ object MultimodalProps extends Properties("Multimodal") {
       lenOk && out.forall(v => v >= lo && v <= hi)
     }
 
+  property("NO decoder ever throws on arbitrary bytes — untrusted blobs stub, not crash") =
+    forAll(Gen.oneOf(
+      Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray),
+      // adversarial: real magic bytes followed by garbage — the parsers
+      // must bail to None on truncation/corruption past the sniff
+      Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(junk =>
+        "P6\n".getBytes("US-ASCII") ++ junk.toArray),
+      Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(junk =>
+        Array('B'.toByte, 'M'.toByte) ++ junk.toArray),
+      Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(junk =>
+        Array(0xff.toByte, 0xd8.toByte, 0xff.toByte) ++ junk.toArray),
+      Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(junk =>
+        "RIFF".getBytes("US-ASCII") ++ junk.toArray),
+      Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(junk =>
+        "YUV4MPEG2 ".getBytes("US-ASCII") ++ junk.toArray))) { blob =>
+      // every decoder returns an Option (or stub tuple) — never throws
+      Multimodal.decodePpm(blob)
+      Multimodal.decodeBmp(blob)
+      Multimodal.decodeJavax(blob)
+      Multimodal.decodeY4m(blob)
+      Multimodal.decodeWav(blob)
+      Multimodal.decodeAny(blob)
+      Multimodal.grayPixels(blob)
+      true
+    }
+
   property("a constant loud clip is ONE segment spanning the whole clip") =
     forAll(rateGen, Gen.chooseNum(1, 5000), Gen.chooseNum(1000, 32767)) {
       (rate, n, amp) =>
