@@ -136,7 +136,22 @@ object Multimodal {
     if (!isJpeg && !isPng) return None
     try {
       imageIoReady // one-time: in-memory streams, no temp-file cache
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      // read dims from the HEADER before decoding any pixels: a
+      // 100-byte dimension-bomb (IHDR claiming 25000×25000) would
+      // otherwise allocate gigabytes inside ImageIO.read and kill the
+      // executor with an OutOfMemoryError no catch can make safe
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      val img =
+        try {
+          reader.setInput(iis)
+          val hw = reader.getWidth(0); val hh = reader.getHeight(0)
+          if (hw <= 0 || hh <= 0 || hw.toLong * hh > 64000000L) return None
+          reader.read(0)
+        } finally reader.dispose()
       if (img == null) return None
       val w = img.getWidth; val h = img.getHeight
       if (w <= 0 || h <= 0 || w.toLong * h * 3 > Int.MaxValue) return None

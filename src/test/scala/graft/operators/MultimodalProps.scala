@@ -11,20 +11,7 @@ import org.scalacheck.Prop.forAll
 object MultimodalProps extends Properties("Multimodal") {
 
   private def wav16(rate: Int, channels: Int,
-      frames: Seq[Seq[Int]]): Array[Byte] = {
-    val dataLen = frames.length * channels * 2
-    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
-      .put("WAVE".getBytes("US-ASCII"))
-      .put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1).putShort(channels.toShort).putInt(rate)
-      .putInt(rate * channels * 2).putShort((channels * 2).toShort)
-      .putShort(16)
-      .put("data".getBytes("US-ASCII")).putInt(dataLen)
-    frames.foreach(_.foreach(s => bb.putShort(s.toShort)))
-    bb.array()
-  }
+      frames: Seq[Seq[Int]]): Array[Byte] = TestWav.wav(rate, 16, channels, frames)
 
   private val sample: Gen[Int] = Gen.chooseNum(-32768, 32767)
   private val rateGen: Gen[Int] = Gen.oneOf(8000, 16000, 44100)

@@ -202,31 +202,9 @@ class OperatorSpec extends SparkSuite {
 
   test("WAV blobs take the REAL audio codec path: PCM parse, mono mix, RMS/peak") {
     import spark.implicits._
-    // hand-build RIFF/WAVE files: optional extra chunk before fmt/data
-    // to prove the chunk walk skips unknown ids like a real parser
-    def wav(rate: Int, bits: Int, channels: Int, frames: Seq[Seq[Int]],
-        extraChunk: Boolean = false): Array[Byte] = {
-      val bytesPerSample = bits / 8
-      val dataLen = frames.length * channels * bytesPerSample
-      val extra = if (extraChunk) 8 + 4 else 0
-      val bb = java.nio.ByteBuffer.allocate(44 + extra + dataLen)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + extra + dataLen)
-        .put("WAVE".getBytes("US-ASCII"))
-      if (extraChunk) // LIST chunk a real encoder writes for metadata
-        bb.put("LIST".getBytes("US-ASCII")).putInt(4)
-          .put("INFO".getBytes("US-ASCII"))
-      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
-        .putShort(1).putShort(channels.toShort).putInt(rate)
-        .putInt(rate * channels * bytesPerSample)
-        .putShort((channels * bytesPerSample).toShort).putShort(bits.toShort)
-      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
-      frames.foreach(_.foreach { s =>
-        if (bits == 16) bb.putShort(s.toShort)
-        else bb.put(((s >> 8) + 128).toByte) // 8-bit: unsigned, midpoint 128
-      })
-      bb.array()
-    }
+    // one shared hand-rolled encoder (TestWav): optional extra chunk
+    // before fmt/data proves the chunk walk skips unknown ids
+    import TestWav.wav
 
     // 16-bit stereo: mono mix is the per-frame integer mean
     val stereo = wav(16000, 16, 2,
@@ -283,18 +261,7 @@ class OperatorSpec extends SparkSuite {
       .forall(_ === 123))
 
     // full pipeline: real WAV resamples, stub blob passes through shape
-    def wav16(rate: Int, samples: Seq[Int]): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
-        .put("WAVE".getBytes("US-ASCII"))
-        .put("fmt ".getBytes("US-ASCII")).putInt(16)
-        .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
-        .putShort(2).putShort(16)
-        .put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
-      samples.foreach(s => bb.putShort(s.toShort))
-      bb.array()
-    }
+    import TestWav.wav16
     val df = Seq(
       (1L, wav16(8000, Seq(100, 300))),
       (2L, "not audio".getBytes("US-ASCII"))).toDF("doc_id", "blob")
@@ -312,18 +279,7 @@ class OperatorSpec extends SparkSuite {
 
   test("audio segmentation: energy windows merge into utterances, silence splits them") {
     import spark.implicits._
-    def wav16(rate: Int, samples: Seq[Int]): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
-        .put("WAVE".getBytes("US-ASCII"))
-        .put("fmt ".getBytes("US-ASCII")).putInt(16)
-        .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
-        .putShort(2).putShort(16)
-        .put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
-      samples.foreach(s => bb.putShort(s.toShort))
-      bb.array()
-    }
+    import TestWav.wav16
     // 8 kHz: 160-sample windows = 20 ms. 500 ms loud, 500 ms silence,
     // 250 ms loud → utterances [0,500) and [1000,1250) ms
     val clip = Seq.fill(4000)(8000) ++ Seq.fill(4000)(0) ++ Seq.fill(2000)(8000)
@@ -397,6 +353,34 @@ class OperatorSpec extends SparkSuite {
     val junkRows = Multimodal.decodeFeaturesOf(
       Seq((9L, cut)).toDF("doc_id", "blob")).collect()
     assert(junkRows.length === 1 && junkRows.head.getInt(1) >= 64)
+  }
+
+  test("a 67-byte dimension-bomb PNG stubs out instead of allocating gigabytes") {
+    // IHDR claims 25000×25000 (1.9e9 px → ~7.5 GB of ARGB ints): the
+    // header-only dims guard must reject it BEFORE ImageIO decodes —
+    // an OutOfMemoryError inside the decode is uncatchable task death
+    def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val tb = tpe.getBytes("US-ASCII")
+      crc.update(tb); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(tb).put(data).putInt(crc.getValue.toInt)
+        .array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(25000).putInt(25000)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    val bomb = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IEND", Array.empty[Byte])
+    val t0 = System.nanoTime()
+    assert(Multimodal.decodeJavax(bomb).isEmpty)
+    assert((System.nanoTime() - t0) < 5e9, "bomb rejection must be header-fast")
+    // and the pipeline stubs it like any other undecodable blob
+    import spark.implicits._
+    val row = Multimodal.decodeFeaturesOf(
+      Seq((1L, bomb)).toDF("doc_id", "blob")).collect().head
+    assert(row.getInt(1) >= 64 && row.getInt(1) < 128)
   }
 
   test("phash invariance extends to PNG (exact) and JPEG (near) encodings") {

@@ -34,6 +34,15 @@ class ChangefeedSourceSpec extends SparkSuite {
     (dir, rows)
   }
 
+  /** Segments actually planned by a batch read (post-pushdown). */
+  private def scanPartitions(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect()
+    df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.size
+    }.getOrElse(fail("no BatchScanExec leaf in plan"))
+  }
+
   test("batch read replays the full retained log") {
     val (dir, rows) = buildLog(4)
     val got = spark.read.format("graft-changefeed").option("path", dir).load()
@@ -269,13 +278,6 @@ class ChangefeedSourceSpec extends SparkSuite {
     val (dir, rows) = buildLog(6)
     val nSegs = ChangefeedLog.listSegments(dir).size
     assert(nSegs >= 4)
-    def scanPartitions(df: org.apache.spark.sql.DataFrame): Int = {
-      df.collect()
-      df.queryExecution.executedPlan.collectLeaves().collectFirst {
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.inputPartitions.size
-      }.getOrElse(fail("no BatchScanExec leaf in plan"))
-    }
     val base = spark.read.format("graft-changefeed").option("path", dir).load()
     // a bare LIMIT plans exactly `n` segments, not the whole log…
     val limited = base.limit(2)
@@ -305,13 +307,6 @@ class ChangefeedSourceSpec extends SparkSuite {
     val (dir, rows) = buildLog(6)
     val nSegs = ChangefeedLog.listSegments(dir).size
     assert(nSegs >= 4)
-    def scanPartitions(df: org.apache.spark.sql.DataFrame): Int = {
-      df.collect()
-      df.queryExecution.executedPlan.collectLeaves().collectFirst {
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.inputPartitions.size
-      }.getOrElse(fail("no BatchScanExec leaf in plan"))
-    }
     val base = spark.read.format("graft-changefeed").option("path", dir).load()
 
     // "latest 3 changes" — the standing ops query; exact values, 3 segments

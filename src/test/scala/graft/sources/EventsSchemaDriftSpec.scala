@@ -114,6 +114,29 @@ class EventsSchemaDriftSpec extends SparkSuite {
     }
   }
 
+  test("streaming source starts on an EMPTY dir and drains files that arrive later") {
+    // the start-stream-then-produce pattern: the schema probe finds
+    // nothing, falls back to the current-era schema, and the query
+    // waits instead of dying at setup (review-found regression)
+    val dir = Files.createTempDirectory("graft-evdir-empty")
+    val frame = graft.cdc.Changefeed.streamFromEventsDir(spark, dir.toString)
+    val q = frame.writeStream.outputMode("append")
+      .format("memory").queryName("evdrift_empty")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-evempty").toString)
+      .start()
+    q.processAllAvailable() // empty batch: must not throw
+    assert(spark.table("evdrift_empty").count() === 0)
+    // the producer shows up AFTER the stream started
+    base().select(col("event_id"),
+        timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("evdrift_empty")
+      .where(col("tbl").isNotNull).count() === 5L)
+  }
+
   test("production testdata loads through the adaptive path with instants intact") {
     val df = Tables.events(spark, sf)
     assert(df.schema("ts").dataType === TimestampType)
