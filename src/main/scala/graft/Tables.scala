@@ -57,6 +57,22 @@ object Tables {
           "long (legacy nanos), timestamp_ntz, or timestamp")
   }
 
+  /** The CURRENT generator era's events schema (ts as µs TIMESTAMP_NTZ
+    * — what the driver writes today). The single source of truth for
+    * code that needs the schema before any file exists (the streaming
+    * source's empty-dir start); keep in lockstep with the encodings
+    * normalizeTs handles and EventsSchemaDriftSpec pins. */
+  val currentEventsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampNTZType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

@@ -113,24 +113,20 @@ object Changefeed {
     * round 8. */
   def streamFromEventsDir(spark: SparkSession, path: String,
       frequencyUs: Long = defaultResolvedFrequencyUs): DataFrame = {
-    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // an EMPTY/not-yet-created watch dir must still start (the standard
+    // an EMPTY watch dir must still start (the standard
     // start-stream-then-produce pattern): fall back to the current
-    // generator era's schema (µs TIMESTAMP_NTZ) when there is nothing
-    // to probe yet — files that later arrive in that shape stream fine,
-    // and a legacy-era feed dir is never empty at stream start
+    // generator era's schema when the dir EXISTS but holds nothing to
+    // probe yet. A path that does not exist at all keeps failing fast
+    // — swallowing it would start a healthy-looking stream that
+    // publishes nothing forever on a typo'd path (review-found).
     val fileSchema =
       try spark.read.parquet(path).schema
       catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          StructType(Seq(
-            StructField("event_id", LongType),
-            StructField("ts", TimestampNTZType),
-            StructField("user_id", LongType),
-            StructField("event_type", StringType),
-            StructField("value", DoubleType),
-            StructField("props", StringType)))
+        case e: org.apache.spark.sql.AnalysisException =>
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) Tables.currentEventsSchema else throw e
       }
     val events = spark.readStream.schema(fileSchema).parquet(path)
       .withColumn("ts", Tables.normalizeTs(spark, fileSchema("ts").dataType))

@@ -98,6 +98,10 @@ object Multimodal {
     val topDown = hRaw < 0
     val h = math.abs(hRaw)
     if (w <= 0 || h <= 0 || le16(28) != 24 || le32(30) != 0) return None
+    // bound dims BEFORE any Int arithmetic: a crafted header with
+    // w ≈ 0x55555556 overflows w*3 to a tiny rowBytes, defeating the
+    // length check below and crashing the pixel loop (review-found)
+    if (w > (1 << 20) || h > (1 << 20) || w.toLong * h > maxPixels) return None
     val rowBytes = (w * 3 + 3) & ~3 // rows pad to 4-byte boundaries
     val need = dataOff.toLong + rowBytes.toLong * h
     if (dataOff < 54 || need > blob.length) return None
@@ -142,16 +146,18 @@ object Multimodal {
       // executor with an OutOfMemoryError no catch can make safe
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(blob))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) return None
-      val reader = readers.next()
       val img =
         try {
-          reader.setInput(iis)
-          val hw = reader.getWidth(0); val hh = reader.getHeight(0)
-          if (hw <= 0 || hh <= 0 || hw.toLong * hh > 64000000L) return None
-          reader.read(0)
-        } finally reader.dispose()
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return None
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val hw = reader.getWidth(0); val hh = reader.getHeight(0)
+            if (hw <= 0 || hh <= 0 || hw.toLong * hh > maxPixels) return None
+            reader.read(0)
+          } finally reader.dispose()
+        } finally iis.close() // MemoryCache buffers reclaim NOW, not at GC
       if (img == null) return None
       val w = img.getWidth; val h = img.getHeight
       if (w <= 0 || h <= 0 || w.toLong * h * 3 > Int.MaxValue) return None
@@ -182,6 +188,13 @@ object Multimodal {
   /** Any supported REAL still-image codec → row-major RGB plane. */
   private[operators] def decodeImage(blob: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     decodePpm(blob).orElse(decodeBmp(blob)).orElse(decodeJavax(blob))
+
+  /** Decode-size ceiling for untrusted blobs: 2^27 px (134 MP, ~512 MB
+    * of ARGB ints) covers any real-world crawl image while bounding
+    * what a crafted header can make one task allocate. Oversize
+    * decodables fall through to the deterministic stub like any other
+    * undecodable blob — the documented policy for this pipeline. */
+  private[operators] val maxPixels: Long = 1L << 27
 
   private[operators] def checksumOf(bytes: Array[Byte]): Long = {
     var cs = 1125899906842597L
@@ -416,8 +429,10 @@ object Multimodal {
     var w = -1; var h = -1; var chroma = "420"
     params.foreach { p =>
       p.charAt(0) match {
-        case 'W' => w = p.drop(1).toInt
-        case 'H' => h = p.drop(1).toInt
+        // malformed params ("W", "W5x", "W99999999999") must bail to
+        // None, not throw NumberFormatException (review-found)
+        case 'W' => w = p.drop(1).toIntOption.getOrElse(return None)
+        case 'H' => h = p.drop(1).toIntOption.getOrElse(return None)
         case 'C' => chroma = p.drop(1)
         case _ => () // F/I/A/X params don't affect plane layout
       }

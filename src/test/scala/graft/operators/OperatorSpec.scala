@@ -383,6 +383,22 @@ class OperatorSpec extends SparkSuite {
     assert(row.getInt(1) >= 64 && row.getInt(1) < 128)
   }
 
+  test("adversarial headers: BMP width overflow and malformed Y4M params stub, never throw") {
+    // BMP with w=0x55555556: w*3 overflows Int to 2, which used to
+    // defeat the length check and crash the pixel loop with AIOOBE
+    val bomb = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bomb.put('B'.toByte).put('M'.toByte).putInt(64).putInt(0).putInt(54)
+      .putInt(40).putInt(0x55555556).putInt(1)
+      .putShort(1).putShort(24).putInt(0).putInt(0)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    assert(Multimodal.decodeBmp(bomb.array()).isEmpty)
+    // Y4M header params that used to throw NumberFormatException
+    for (hdr <- Seq("YUV4MPEG2 W\n", "YUV4MPEG2 W5x H2\n",
+        "YUV4MPEG2 W99999999999 H2\n"))
+      assert(Multimodal.decodeY4m(hdr.getBytes("US-ASCII")).isEmpty, hdr)
+  }
+
   test("phash invariance extends to PNG (exact) and JPEG (near) encodings") {
     val w = 16; val h = 16
     val rgb = Array.tabulate(w * h * 3)(i => ((i * 31) % 256).toByte)

@@ -137,6 +137,15 @@ class EventsSchemaDriftSpec extends SparkSuite {
       .where(col("tbl").isNotNull).count() === 5L)
   }
 
+  test("a NONEXISTENT events path still fails fast — no silent empty stream") {
+    // only an existing-but-empty dir gets the fallback schema; a typo'd
+    // path must throw at setup like it always did
+    intercept[org.apache.spark.sql.AnalysisException] {
+      graft.cdc.Changefeed.streamFromEventsDir(spark,
+        "/nonexistent/graft/events/dir")
+    }
+  }
+
   test("production testdata loads through the adaptive path with instants intact") {
     val df = Tables.events(spark, sf)
     assert(df.schema("ts").dataType === TimestampType)
