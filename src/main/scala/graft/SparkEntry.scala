@@ -42,6 +42,8 @@ object SparkEntry {
     "ts_interpolate" -> (TimeSeries.interpolate _),
     "ts_seasonal" -> (TimeSeries.seasonal _),
     "ts_xcorr" -> ((s: SparkSession, d: String) => TimeSeries.xcorr(s, d)),
+    "ts_ewma" -> (TimeSeries.ewma _),
+    "ts_changepoint" -> (TimeSeries.changepoint _),
     "q_window_range" -> (Analytics.qWindowRange _),
     "q_hll_union" -> (Analytics.qHllUnion _),
     "q_robust_stats" -> (Analytics.qRobustStats _),
@@ -604,6 +606,47 @@ object SparkEntry {
         |  count(*) AS n_active_users
         |FROM act JOIN coh USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ts_ewma" ->
+      """WITH RECURSIVE ev AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us FROM events),
+        |c AS (SELECT event_type, hour_us, count(*) AS n FROM ev GROUP BY 1, 2),
+        |sp AS (SELECT event_type, unnest(generate_series(lo, hi, 3600000000)) AS hour_us
+        |  FROM (SELECT event_type, min(hour_us) AS lo, max(hour_us) AS hi FROM ev GROUP BY 1)),
+        |g AS (SELECT sp.event_type, sp.hour_us, coalesce(c.n, 0) AS n,
+        |  ROW_NUMBER() OVER (PARTITION BY sp.event_type ORDER BY sp.hour_us) AS rn
+        |  FROM sp LEFT JOIN c ON sp.event_type = c.event_type AND sp.hour_us = c.hour_us),
+        |r AS (
+        |  SELECT event_type, rn, hour_us, n, 1000 * n AS ewma_milli FROM g WHERE rn = 1
+        |  UNION ALL
+        |  SELECT g.event_type, g.rn, g.hour_us, g.n,
+        |    (7 * r.ewma_milli + 1000 * g.n) // 8
+        |  FROM r JOIN g ON g.event_type = r.event_type AND g.rn = r.rn + 1)
+        |SELECT event_type, hour_us, n, ewma_milli FROM r
+        |ORDER BY event_type, hour_us""".stripMargin,
+
+    "ts_changepoint" ->
+      """WITH ev AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us FROM events),
+        |c AS (SELECT event_type, hour_us, count(*) AS n FROM ev GROUP BY 1, 2),
+        |sp AS (SELECT event_type, unnest(generate_series(lo, hi, 3600000000)) AS hour_us
+        |  FROM (SELECT event_type, min(hour_us) AS lo, max(hour_us) AS hi FROM ev GROUP BY 1)),
+        |g AS (SELECT sp.event_type, sp.hour_us, coalesce(c.n, 0) AS n
+        |  FROM sp LEFT JOIN c ON sp.event_type = c.event_type AND sp.hour_us = c.hour_us),
+        |t AS (SELECT event_type, count(*) AS t_hours, CAST(sum(n) AS BIGINT) AS s_total,
+        |  min(hour_us) AS lo FROM g GROUP BY 1),
+        |p AS (SELECT g.event_type, g.hour_us, g.n,
+        |  CAST(sum(g.n) OVER (PARTITION BY g.event_type ORDER BY g.hour_us) AS BIGINT) AS p,
+        |  (g.hour_us - t.lo) // 3600000000 + 1 AS t_idx, t.t_hours, t.s_total
+        |  FROM g JOIN t ON g.event_type = t.event_type)
+        |SELECT event_type, hour_us AS cp_hour_us, t_idx AS cp_idx,
+        |  abs(t_hours * p - t_idx * s_total) AS cusum_abs,
+        |  1000 * p // t_idx AS mean_before_milli,
+        |  CASE WHEN t_idx < t_hours
+        |    THEN 1000 * (s_total - p) // (t_hours - t_idx) END AS mean_after_milli,
+        |  t_hours AS n_hours
+        |FROM p
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+        |  ORDER BY abs(t_hours * p - t_idx * s_total) DESC, t_idx ASC) = 1
+        |ORDER BY event_type""".stripMargin,
 
     "ts_running_total" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,

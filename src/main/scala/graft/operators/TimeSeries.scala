@@ -292,6 +292,95 @@ object TimeSeries {
       .orderBy(col("event_type"), col("hour_idx"))
   }
 
+  /** §2#148 integer EWMA smoothing over the gap-filled hourly series —
+    * the exponentially-weighted baseline every alerting rule compares
+    * against (trailing-average [[anomaly]] forgets linearly; EWMA
+    * forgets geometrically). α = 1/8 in milli-units:
+    * `s_0 = 1000·n_0`, `s_t = (7·s_{t-1} + 1000·n_t) div 8` — every
+    * operand nonnegative, so `div` == floor in both engines and no
+    * float accumulation can diverge.
+    *
+    * Shape: an EWMA is an inherently SEQUENTIAL recurrence, so the
+    * engine does the one thing that parallelizes: compact the corpus
+    * to per-(type, hour) counts first (map-side combinable — the only
+    * shuffle events pay), then fold each series with a higher-order
+    * `aggregate` over its sorted array. The fold's group is
+    * CALENDAR-bounded (|hours| per type — ~9k rows/series-year no
+    * matter how many events an hour holds), the same boundedness
+    * argument as [[seasonal]]; series fold in parallel across types.
+    * At 100 TB the recurrence cost is unchanged — only the
+    * pre-aggregation grows, and that is the combinable part. Oracle:
+    * DuckDB computes the identical recurrence by recursive CTE. */
+  def ewma(spark: SparkSession, sfDir: String): DataFrame = {
+    val step = // milli-scaled recurrence; acc.prev < 0 marks "first row"
+      "CASE WHEN acc.prev < 0 THEN 1000 * x.n " +
+        "ELSE (7 * acc.prev + 1000 * x.n) div 8 END"
+    gapFill(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("hour_us"), col("n"))))
+        .as("series"))
+      .select(col("event_type"), expr(
+        s"""inline(aggregate(
+           |  series,
+           |  struct(
+           |    CAST(-1 AS BIGINT) AS prev,
+           |    CAST(array() AS
+           |      array<struct<hour_us:bigint,n:bigint,ewma_milli:bigint>>)
+           |      AS out),
+           |  (acc, x) -> struct(
+           |    CAST(($step) AS BIGINT) AS prev,
+           |    array_append(acc.out, named_struct(
+           |      'hour_us', x.hour_us, 'n', x.n,
+           |      'ewma_milli', CAST(($step) AS BIGINT))) AS out),
+           |  acc -> acc.out))""".stripMargin))
+      .orderBy(col("event_type"), col("hour_us"))
+  }
+
+  /** §2#149 CUSUM change-point detection over the gap-filled hourly
+    * series: the hour where the cumulative deviation from the series
+    * mean peaks — the classic "when did the level shift?" probe (Page
+    * 1954's CUSUM, offline form). All-integer: the centered prefix
+    * `C_t = T·P_t − t·S` (T hours, S total, P_t prefix sum) is the
+    * mean-centered CUSUM scaled by T — scaling by the positive
+    * constant T preserves the argmax and removes the float mean.
+    * Verdict per type: the argmax hour of |C_t| (ties → earliest),
+    * with milli-scaled before/after means quantifying the shift.
+    *
+    * Shape: corpus → per-hour counts (one combinable shuffle), totals
+    * broadcast back, ONE unbounded-preceding window over the
+    * |hours|-sized series for P_t (constant reducer state), and a
+    * map-side-combinable `max_by` argmax — never a sort of the series,
+    * never raw events in a window. */
+  def changepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val g = gapFill(spark, sfDir)
+    val totals = g.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("t_hours"), sum(col("n")).as("s_total"),
+        min(col("hour_us")).as("lo"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("p", sum(col("n")).over(w))
+      .join(broadcast(totals), "event_type")
+      .withColumn("t", expr(s"(hour_us - lo) div $hourUs + 1"))
+      .withColumn("c", abs(col("t_hours") * col("p") - col("t") * col("s_total")))
+      .groupBy(col("event_type"))
+      .agg(
+        max_by(struct(col("hour_us"), col("t"), col("c"), col("p")),
+          struct(col("c"), (-col("t")).as("nt"))).as("cp"),
+        max(col("t_hours")).as("n_hours"),
+        max(col("s_total")).as("s_total"))
+      .select(col("event_type"),
+        col("cp.hour_us").as("cp_hour_us"),
+        col("cp.t").as("cp_idx"),
+        col("cp.c").as("cusum_abs"),
+        expr("1000 * cp.p div cp.t").as("mean_before_milli"),
+        expr("CASE WHEN cp.t < n_hours THEN " +
+          "1000 * (s_total - cp.p) div (n_hours - cp.t) END")
+          .as("mean_after_milli"),
+        col("n_hours"))
+      .orderBy(col("event_type"))
+  }
+
   /** §2#143 event-time lateness profile — the measurement that SIZES a
     * watermark: for each event, how far its event time trails the
     * maximum event time already seen in its key's feed (commit order =

@@ -220,6 +220,48 @@ class NewOpsSpec extends SparkSuite {
     assert(flagged.toSet === brute)
   }
 
+  test("ts_ewma: recurrence matches a driver-side fold over the gap-filled series") {
+    val series = TimeSeries.gapFill(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(v => (v._2, v._3)).toVector).toMap
+    val expect = series.flatMap { case (typ, hours) =>
+      var prev = -1L
+      hours.map { case (hourUs, n) =>
+        prev = if (prev < 0) 1000 * n else (7 * prev + 1000 * n) / 8
+        (typ, hourUs, n, prev)
+      }
+    }.toSet
+    val got = TimeSeries.ewma(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
+  test("ts_changepoint: argmax of |CUSUM| with earliest-hour tiebreak") {
+    val series = TimeSeries.gapFill(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(v => (v._2, v._3)).toVector).toMap
+    val expect = series.map { case (typ, hours) =>
+      val tT = hours.length.toLong
+      val s = hours.map(_._2).sum
+      var p = 0L
+      val cs = hours.zipWithIndex.map { case ((hourUs, n), i) =>
+        p += n
+        (hourUs, i + 1L, math.abs(tT * p - (i + 1) * s), p)
+      }
+      val best = cs.maxBy(c => (c._3, -c._2)) // max |C|, ties earliest t
+      val after =
+        if (best._2 < tT) Some(1000 * (s - best._4) / (tT - best._2)) else None
+      (typ, best._1, best._2, best._3, 1000 * best._4 / best._2, after, tT)
+    }.toSet
+    val got = TimeSeries.changepoint(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        r.getLong(6))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
   test("ts_gap_fill: contiguous hour spine per type, counts preserved") {
     val rows = TimeSeries.gapFill(spark, sf).collect()
     val ev = graft.Tables.events(spark, sf)
