@@ -33,6 +33,7 @@ object SparkEntry {
     "cdc_compact_tombstones" -> (Changefeed.compactTombstones _),
     "cdc_payload_parse" -> (Changefeed.payloadParse _),
     "cdc_lag" -> (Changefeed.lagReport _),
+    "cdc_resolved_batches" -> (Changefeed.resolvedBatches _),
     "cdc_variant_extract" -> (Changefeed.variantExtract _),
     "cdc_schema_drift" -> (Changefeed.schemaDrift _),
     "cdc_dlq" -> (Changefeed.dlq _),
@@ -59,6 +60,8 @@ object SparkEntry {
     "q3_join_topk" -> (Analytics.q3JoinTopk _),
     "q5_multijoin" -> (Analytics.q5MultiJoin _),
     "q_window_topk" -> (Analytics.qWindowTopk _),
+    "q_unpivot" -> (Analytics.qUnpivot _),
+    "q_recursive_chain" -> (Analytics.qRecursiveChain _),
     "q_topk_native" -> (Analytics.qTopkNative _),
     "q_rollup" -> (Analytics.qRollup _),
     "q_cube" -> (Analytics.qCube _),
@@ -313,6 +316,17 @@ object SparkEntry {
          |  (SELECT max_resolved_us FROM cur) - max(sort_us) AS lag_us
          |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "cdc_resolved_batches" ->
+      s"""WITH $chCte,
+         |b AS (SELECT sort_us - (sort_us % 3600000000) + 3600000000 AS window_end_us,
+         |  key, sort_us FROM ch),
+         |a AS (SELECT window_end_us, count(*) AS n_changes, min(key) AS first_key,
+         |  max(key) AS last_key, max(sort_us) AS last_change_us FROM b GROUP BY 1)
+         |SELECT window_end_us, n_changes, first_key, last_key, last_change_us,
+         |  CAST(sum(n_changes) OVER (ORDER BY window_end_us
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_changes
+         |FROM a ORDER BY window_end_us""".stripMargin,
+
     "q_robust_stats" ->
       s"""WITH x AS (SELECT l_returnflag AS grp, ${cents("l_extendedprice")} AS x_c FROM lineitem),
          |med AS (SELECT grp, CAST(round(quantile_cont(CAST(x_c AS DOUBLE), 0.5), 0) AS BIGINT) AS median_c
@@ -325,6 +339,33 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN dev_c > 5 * mad_c THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
          |FROM dev JOIN mad ON dev.grp = mad.grp AND dev.median_c = mad.median_c
          |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    "q_recursive_chain" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, rn, us, CAST(1 AS BIGINT) AS chain_len
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, e.us, r.chain_len + 1
+        |  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+        |  WHERE e.us - r.us <= 300000000 AND r.chain_len < 50)
+        |SELECT user_id, CAST(max(chain_len) AS BIGINT) AS chain_len
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_unpivot" ->
+      s"""WITH a AS (SELECT l_returnflag,
+         |  CAST(sum(${cents("l_quantity")}) AS BIGINT) AS sum_qty_c,
+         |  CAST(sum(${cents("l_extendedprice")}) AS BIGINT) AS sum_price_c,
+         |  CAST(sum(${cents("l_discount")}) AS BIGINT) AS sum_disc_c
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag, 'sum_qty_c' AS measure, sum_qty_c AS total_c FROM a
+         |UNION ALL SELECT l_returnflag, 'sum_price_c', sum_price_c FROM a
+         |UNION ALL SELECT l_returnflag, 'sum_disc_c', sum_disc_c FROM a
+         |ORDER BY l_returnflag, measure""".stripMargin,
 
     "cdc_variant_extract" ->
       """SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k,

@@ -147,6 +147,41 @@ object Changefeed {
       .unionByName(resolvedRows(spark, sfDir))
       .orderBy(col("sort_us"), coalesce(col("key"), lit("")))
 
+  /** §2#150 resolved-window batch ledger — the consumer-side view of
+    * the feed as CHECKPOINT BATCHES: every change row belongs to the
+    * resolved window that closes over it, and a consumer that applies
+    * batch-per-resolved (the standard exactly-once materialization
+    * loop) sees, per checkpoint, how many rows it applies, the key
+    * range touched, the batch's own high watermark, and the cumulative
+    * row count its ledger should read after the commit. [[lagReport]]
+    * and [[resolvedGaps]] audit the feed's cadence; this materializes
+    * the batch bookkeeping itself.
+    *
+    * Shape: the reference feed's resolved timestamps are
+    * CADENCE-ALIGNED (`resolved='<freq>'` buckets, main.rs:110-126),
+    * so window assignment is O(1) arithmetic on sort_us — no join
+    * against the resolved stream at all (a feed with ad-hoc resolved
+    * timestamps would use the as-of join, §2#132, for the same
+    * assignment). One map-side-combinable aggregate to |windows| rows,
+    * then the cumulative ledger runs over that calendar-bounded frame
+    * — raw changes never enter a window function. */
+  def resolvedBatches(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = defaultResolvedFrequencyUs
+    val cum = Window.orderBy(col("window_end_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    changeRows(spark, sfDir)
+      .select(col("sort_us"), col("key"),
+        (col("sort_us") - pmod(col("sort_us"), lit(f)) + lit(f))
+          .as("window_end_us"))
+      .groupBy(col("window_end_us"))
+      .agg(count(lit(1)).as("n_changes"),
+        min(col("key")).as("first_key"),
+        max(col("key")).as("last_key"),
+        max(col("sort_us")).as("last_change_us"))
+      .withColumn("cum_changes", sum(col("n_changes")).over(cum))
+      .orderBy(col("window_end_us"))
+  }
+
   /** §2#109 relay lag report — the monitoring query an operator of the
     * reference would run: per queue partition, the last PUBLISHED
     * change timestamp vs the latest RESOLVED cursor; the gap is how far

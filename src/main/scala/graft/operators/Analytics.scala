@@ -658,6 +658,67 @@ object Analytics {
         coalesce(col("purchase"), lit(0L)).as("purchase_c"))
       .orderBy(col("user_id"))
 
+  /** §2#152 native WITH RECURSIVE (Spark 4's `UnionLoop`): the length
+    * of each user's OPENING EVENT BURST — starting from the user's
+    * first event, successive events chain while each arrives within
+    * 5 min of the previous, capped at depth 50. The same linear
+    * recursion a graph engine runs for path extension, here on the
+    * engine's own recursive-CTE surface (the iterative twin of the
+    * hash-min loop in [[Dedup.cluster]], which predates engines having
+    * this feature).
+    *
+    * Scale contract: recursion depth is STRUCTURALLY bounded by the
+    * chain cap (50 rounds max on any corpus — each round is one
+    * equi-join of the |active-chains| working set against the indexed
+    * per-user next-event frame), and the working set only shrinks
+    * (chains leave when the gap exceeds 5 min). Unbounded recursion
+    * over a 100 TB feed would be a bug, not a query — the cap is the
+    * semantics. */
+  def qRecursiveChain(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir).createOrReplaceTempView("events_rec")
+    spark.sql(
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, unix_micros(ts) AS us, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY unix_micros(ts), event_id) AS rn
+        |  FROM events_rec),
+        |r AS (
+        |  SELECT user_id, rn, us, CAST(1 AS BIGINT) AS chain_len
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, e.us, r.chain_len + 1
+        |  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+        |  WHERE e.us - r.us <= 300000000 AND r.chain_len < 50)
+        |SELECT user_id, CAST(max(chain_len) AS BIGINT) AS chain_len
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin)
+  }
+
+  /** §2#151 the NATIVE relational UNPIVOT (melt) — the inverse surface
+    * of [[qPivotNative]]: the per-returnflag measure totals fold from
+    * wide (one column per measure) to long (one `(measure, total)` row
+    * per measure) through `Dataset.unpivot`, the engine-level op
+    * (`Unpivot` logical plan → an `Expand` projection, narrow — ×k
+    * fan-out with NO shuffle, exactly how grouping-sets expand).
+    * Long-format measures are what a metrics store or plotting layer
+    * ingests; doing the melt AFTER aggregation means the fan-out runs
+    * on |groups|×k rows, never on the fact table. All measures
+    * integer-cents so the long `total` column is one BIGINT. */
+  def qUnpivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        cents(col("l_quantity")).as("qty_c"),
+        cents(col("l_extendedprice")).as("price_c"),
+        cents(col("l_discount")).as("disc_c"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("qty_c")).as("sum_qty_c"),
+        sum(col("price_c")).as("sum_price_c"),
+        sum(col("disc_c")).as("sum_disc_c"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty_c"), col("sum_price_c"), col("sum_disc_c")),
+        "measure", "total_c")
+      .orderBy(col("l_returnflag"), col("measure"))
+
   /** §2#95 decile banding via HISTOGRAM RANKS, not a raw-row window:
     * a `ntile(10) over (partition by event_type order by ...)` sorts
     * every event of a type inside ONE reducer — a parallelism ceiling

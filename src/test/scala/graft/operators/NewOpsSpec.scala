@@ -220,6 +220,58 @@ class NewOpsSpec extends SparkSuite {
     assert(flagged.toSet === brute)
   }
 
+  test("cdc_resolved_batches: aligned windows, exact ledger, covered changes") {
+    val f = 3600000000L
+    val rows = graft.cdc.Changefeed.resolvedBatches(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = graft.cdc.Changefeed.changeRows(spark, sf).count()
+    // the cumulative ledger ends at the total change count
+    assert(rows.last.getAs[Long]("cum_changes") === total)
+    assert(rows.map(_.getAs[Long]("n_changes")).sum === total)
+    var cum = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("window_end_us") % f === 0L) // cadence-aligned
+      val last = r.getAs[Long]("last_change_us")
+      val end = r.getAs[Long]("window_end_us")
+      assert(last <= end && last > end - f) // batch watermark inside its window
+      cum += r.getAs[Long]("n_changes")
+      assert(r.getAs[Long]("cum_changes") === cum)
+    }
+  }
+
+  test("q_unpivot: long format recomputes from the wide aggregate") {
+    val rows = Analytics.qUnpivot(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val flags = rows.map(_._1).distinct
+    assert(rows.length === flags.length * 3) // one row per (flag, measure)
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        graft.functions.Fns.cents(col("l_quantity")).as("q"))
+      .groupBy("l_returnflag").agg(sum(col("q")).as("s")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    rows.filter(_._2 == "sum_qty_c").foreach { case (flag, _, v) =>
+      assert(v === li(flag))
+    }
+  }
+
+  test("q_recursive_chain: chain lengths match a driver-side recompute") {
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = ev.groupBy(_._1).map { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3)).map(_._2)
+      var len = 1L
+      var i = 1
+      while (i < sorted.length && len < 50 &&
+        sorted(i) - sorted(i - 1) <= 300000000L) { len += 1; i += 1 }
+      (u, len)
+    }.toSet
+    val got = Analytics.qRecursiveChain(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
   test("ts_ewma: recurrence matches a driver-side fold over the gap-filled series") {
     val series = TimeSeries.gapFill(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
