@@ -68,6 +68,7 @@ object SparkEntry {
     "q_grouping_sets" -> (Analytics.qGroupingSets _),
     "q_mode" -> (Analytics.qMode _),
     "layout_zorder" -> (Layout.zorder _),
+    "layout_hilbert" -> (Layout.hilbert _),
     "q_conditional_pivot" -> (Analytics.qConditionalPivot _),
     "q_semi_anti" -> (Analytics.qSemiAnti _),
     "q_asof_join" -> (Temporal.asofJoin _),
@@ -152,6 +153,7 @@ object SparkEntry {
     "mm_decode_features" -> (Multimodal.decodeFeatures _),
     "mm_resize" -> ((s: SparkSession, d: String) => Multimodal.resize(s, d)),
     "mm_frame_sample" -> (Multimodal.frameSample _),
+    "mm_keyframes" -> ((s: SparkSession, d: String) => Multimodal.keyframes(s, d)),
     "mm_phash_dedup" -> ((s: SparkSession, d: String) => Multimodal.phashDedup(s, d)),
     "mm_audio_features" -> (Multimodal.audioFeatures _),
     "mm_audio_segments" -> (Multimodal.audioSegments _),
@@ -938,6 +940,17 @@ object SparkEntry {
          |  min(x) AS x_lo, max(x) AS x_hi, min(y) AS y_lo, max(y) AS y_hi,
          |  min(z) AS z_lo, max(z) AS z_hi
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    "layout_hilbert" ->
+      s"""WITH ${graft.operators.Layout.hilbertOracleCtes(
+        """SELECT user_id % 1024 AS x0,
+          |  (epoch_us(date_trunc('hour', ts)) // 3600000000) % 1024 AS y0,
+          |  user_id % 1024 AS x,
+          |  (epoch_us(date_trunc('hour', ts)) // 3600000000) % 1024 AS y,
+          |  CAST(0 AS BIGINT) AS d FROM events""".stripMargin)}
+         |SELECT d // 16384 AS file_id, count(*) AS n,
+         |  min(x0) AS x_lo, max(x0) AS x_hi, min(y0) AS y_lo, max(y0) AS y_hi,
+         |  min(d) AS d_lo, max(d) AS d_hi
+         |FROM h10 GROUP BY 1 ORDER BY 1""".stripMargin,
     "cdc_schema_drift" ->
       s"""WITH $chCte,
          |k AS (SELECT tbl, sort_us, unnest(json_keys(value, '$$.after')) AS key FROM ch),

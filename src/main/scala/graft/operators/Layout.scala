@@ -55,4 +55,81 @@ object Layout {
   def zorderOracleExpr: String = (0 until bits)
     .map(i => s"((((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1}))")
     .mkString(" + ")
+
+  /** One unrolled step of the standard Hilbert xy→d walk (Wikipedia's
+    * `xy2d`, from Hilbert 1891 via Butz 1971): inspect bit `s` of each
+    * coordinate (rx, ry), add `s²·((3·rx) xor ry)` to the distance,
+    * then rotate/reflect the quadrant frame. The SAME template renders
+    * the Spark and DuckDB step (only the xor spelling differs — `^` is
+    * POWER in DuckDB), so the two engines run literally the same
+    * arithmetic. Input/output columns: x, y, d. */
+  private def hilbertStep(s: Long, xor: (String, String) => String)
+      : (String, String, String) = {
+    val rx = s"(CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END)"
+    val ry = s"(CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)"
+    (// new x: unrotated when ry=1; else reflect-swap
+      s"CASE WHEN (y & $s) > 0 THEN x WHEN (x & $s) > 0 THEN ${s - 1} - y ELSE y END",
+      s"CASE WHEN (y & $s) > 0 THEN y WHEN (x & $s) > 0 THEN ${s - 1} - x ELSE x END",
+      s"d + ${s * s} * ${xor(s"(3 * $rx)", ry)}")
+  }
+
+  /** §2#154 HILBERT-curve clustering + skip index — the locality
+    * upgrade over [[zorder]] (what Delta OPTIMIZE ... ZORDER actually
+    * moved to): the Hilbert walk visits every cell of the x×y grid in
+    * a path where CONSECUTIVE distances are always ADJACENT cells
+    * (Morton's curve jumps across the plane at power-of-two seams), so
+    * a contiguous d-range — one "file" — covers one compact blob
+    * instead of up to four disjoint tiles, tightening per-file min/max
+    * spans and therefore pruning. Same contract as zorder: assign each
+    * row its curve distance, cut equal-d-range files, emit per-file
+    * per-dim min/max — the stats a lakehouse planner prunes on.
+    *
+    * Shape: the walk is `bits` UNROLLED integer steps (pure
+    * CASE/AND/XOR arithmetic — one codegen'd projection, no UDF, no
+    * loop state outside the row); at production scale file assignment
+    * is `repartitionByRange(d)` + write (one range shuffle, no global
+    * sort) and the stats agg map-side combines to 2^fileBits rows. */
+  def hilbert(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = 1L << bits
+    val points = Tables.events(spark, sfDir)
+      .select(expr(s"pmod(user_id, $dim)").as("x"),
+        expr(s"pmod(unix_micros(date_trunc('hour', ts)) div 3600000000, $dim)").as("y"))
+    hilbertIndex(points)
+      .withColumn("file_id", expr(s"d div ${1L << (2 * bits - fileBits)}"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x0")).as("x_lo"), max(col("x0")).as("x_hi"),
+        min(col("y0")).as("y_lo"), max(col("y0")).as("y_hi"),
+        min(col("d")).as("d_lo"), max(col("d")).as("d_hi"))
+      .orderBy(col("file_id"))
+  }
+
+  /** The unrolled Hilbert walk over any (x, y) frame with coordinates
+    * in [0, 2^bits): emits (x0, y0, d). One codegen'd projection chain
+    * — package-visible so specs can pin it against a driver-side
+    * reference xy2d. */
+  private[graft] def hilbertIndex(points: DataFrame): DataFrame = {
+    var df = points.select(col("x").as("x0"), col("y").as("y0"),
+      col("x"), col("y"), lit(0L).as("d"))
+    for (k <- (0 until bits).reverse) {
+      val (nx, ny, nd) = hilbertStep(1L << k, (a, b) => s"($a ^ $b)")
+      df = df.select(col("x0"), col("y0"),
+        expr(nx).as("x"), expr(ny).as("y"), expr(nd).as("d"))
+    }
+    df.select(col("x0"), col("y0"), col("d"))
+  }
+
+  /** The DuckDB mirror of [[hilbert]]: the same unrolled steps as
+    * chained CTEs (h1..h`bits`), xor spelled `xor()` because `^` is
+    * power in DuckDB. Base CTE must provide (x0, y0, x, y, d). */
+  def hilbertOracleCtes(base: String): String = {
+    val steps = (0 until bits).reverse.zipWithIndex.map { case (k, i) =>
+      val (nx, ny, nd) = hilbertStep(1L << k, (a, b) => s"xor($a, $b)")
+      s"h${i + 1} AS (SELECT x0, y0, $nx AS x, $ny AS y, $nd AS d FROM h$i)"
+    }
+    s"h0 AS ($base),\n" + steps.mkString(",\n")
+  }
+
+  private[operators] val hilbertBits = bits
+  private[operators] val hilbertFileBits = fileBits
 }

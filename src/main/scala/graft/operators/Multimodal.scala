@@ -748,7 +748,12 @@ object Multimodal {
         .select(col("doc_id"), col("text").cast("binary").as("blob")))
 
   /** The frame-sampling pipeline over ANY (doc_id, blob) frame. */
-  def frameSampleOf(blobs: DataFrame): DataFrame = {
+  def frameSampleOf(blobs: DataFrame): DataFrame =
+    frameFeaturesOf(blobs).orderBy(col("doc_id"), col("frame_idx"))
+
+  /** Per-frame features (unsorted — the shared decode stage under
+    * [[frameSampleOf]] and [[keyframesOf]]). */
+  private def frameFeaturesOf(blobs: DataFrame): DataFrame = {
     val spark = blobs.sparkSession
     import spark.implicits._
     blobs
@@ -771,6 +776,46 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "frame_idx", "frame_checksum", "mean_luma")
+  }
+
+  /** §2#153 scene-cut KEYFRAME detection — the video-curation step
+    * that picks which frames a captioning/embedding pipeline actually
+    * processes (decoding every frame of a 100 TB video corpus is the
+    * cost ceiling; keyframes are the budget): a frame is a keyframe if
+    * it opens its video (`first`) or its mean luma jumps ≥ `threshold`
+    * (of 255) against the previous frame (`cut` — the classic
+    * hard-cut detector; gradual fades stay below it by design).
+    *
+    * Split of labor: the CODEC runs once per blob inside the
+    * amortized `mapPartitions` decode stage (shared with
+    * [[frameSampleOf]]); the DETECTION is relational — a 1-frame lag
+    * window per doc over the |frames|-sized feature frame — so
+    * Catalyst plans it, the threshold is a plan literal, and the
+    * decode never re-runs when the rule changes. Stub (non-video)
+    * blobs carry mean_luma −1 on every frame → delta 0 → only their
+    * opening frame emits, never a false cut. */
+  def keyframes(spark: SparkSession, sfDir: String,
+      threshold: Long = 32L): DataFrame =
+    keyframesOf(
+      Tables.documentsPar(spark, sfDir)
+        .select(col("doc_id"), col("text").cast("binary").as("blob")),
+      threshold)
+
+  /** Keyframe detection over ANY (doc_id, blob) frame. */
+  def keyframesOf(blobs: DataFrame, threshold: Long = 32L): DataFrame = {
+    require(threshold > 0, s"cut threshold must be positive: $threshold")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frameFeaturesOf(blobs)
+      .withColumn("delta_luma",
+        coalesce(col("mean_luma") - lag(col("mean_luma"), 1).over(w), lit(0L)))
+      .withColumn("reason",
+        when(col("frame_idx") === 0, lit("first"))
+          .when(col("mean_luma") >= 0 && abs(col("delta_luma")) >= threshold,
+            lit("cut")))
+      .where(col("reason").isNotNull)
+      .select(col("doc_id"), col("frame_idx"), col("mean_luma"),
+        col("delta_luma"), col("reason"))
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 }

@@ -122,7 +122,8 @@ class ChangefeedScan(dir: String, startCursorUs: Option[Long],
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsRuntimeFiltering
     with SupportsPushDownLimit
-    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   import org.apache.spark.sql.sources._
 
   private var prunedSchema: StructType = ChangefeedDataSource.schema
@@ -268,6 +269,26 @@ class ChangefeedScan(dir: String, startCursorUs: Option[Long],
       }
       true
     }
+
+  // Ordering REPORT (SupportsReportOrdering): every segment is written
+  // sorted by (sort_us, key) (ChangefeedLog.writeSegmentAs) and one
+  // partition = one sequentially-read segment, so rows leave each
+  // partition sort_us-ascending — declaring it lets Spark DELETE the
+  // per-partition SortExec under any plan that needs that order (a
+  // sortWithinPartitions, the sort half of a sort-merge join, a
+  // sort-based aggregate on sort_us). Pruning/range/runtime filters
+  // only drop rows, never reorder, so the claim survives every
+  // pushdown combination; it is withdrawn only when sort_us itself is
+  // pruned away (nothing left to order by) or the scan collapsed to
+  // the metadata-only aggregate row.
+  override def outputOrdering(): Array[
+      org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    if (pushedAggs.nonEmpty || !prunedSchema.fieldNames.contains("sort_us"))
+      Array.empty
+    else Array(Expressions.sort(
+      Expressions.column("sort_us"), SortDirection.ASCENDING))
+  }
 
   override def build(): Scan = this
   override def readSchema(): StructType =

@@ -719,6 +719,51 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("layout_hilbert: walk matches reference xy2d; files are compact and disjoint") {
+    import spark.implicits._
+    // reference xy2d (the standard iterative rotate/reflect walk)
+    def xy2d(bits: Int, x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = 1L << (bits - 1)
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.tabulate(500)(_ =>
+      (rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong)) ++
+      Seq((0L, 0L), (1023L, 0L), (0L, 1023L), (1023L, 1023L))
+    val got = Layout.hilbertIndex(pts.toDF("x", "y")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) === xy2d(10, x, y), s"d mismatch at ($x,$y)")
+    }
+
+    val rows = Layout.hilbert(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // contiguous d-ranges are compact blobs: a 16384-cell curve segment
+    // can straddle one 128x128 quadrant boundary but never sprawl —
+    // both spans bounded by 2x the quadrant side
+    rows.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) < 256L, s"x span too wide in $r")
+      assert(r.getLong(5) - r.getLong(4) < 256L, s"y span too wide in $r")
+    }
+    // d ranges partition the curve: files disjoint and ordered
+    rows.map(r => (r.getLong(6), r.getLong(7))).sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0)._2 < w(1)._1)
+    }
+    // row conservation vs the events table
+    assert(rows.map(_.getLong(1)).sum === graft.Tables.events(spark, sf).count())
+  }
+
   test("q_grouping_sets: each grouping matches its direct aggregate") {
     val rows = Analytics.qGroupingSets(spark, sf).collect()
     val li = graft.Tables.lineitem(spark, sf)

@@ -493,6 +493,36 @@ class OperatorSpec extends SparkSuite {
     assert(stubRows.nonEmpty && stubRows.forall(_.getLong(3) === -1L))
   }
 
+  test("mm_keyframes: hard cuts flagged, gradual fades and stubs not") {
+    import spark.implicits._
+    val w = 4; val h = 2
+    def y4m(lumaMeans: Seq[Int]): Array[Byte] = {
+      val chroma = Array.fill((w / 2) * (h / 2) * 2)(128.toByte)
+      s"YUV4MPEG2 W$w H$h C420\n".getBytes("US-ASCII") ++
+        lumaMeans.flatMap(m =>
+          "FRAME\n".getBytes("US-ASCII") ++ Array.fill(w * h)(m.toByte) ++ chroma)
+    }
+    // doc 1: dark, dark, bright, bright, dark → cuts at frames 2 and 4
+    // doc 2: gradual ramp +10/frame → no cut, only the opening frame
+    // doc 3: not a video → stub, only the opening frame
+    val df = Seq(
+      (1L, y4m(Seq(16, 16, 200, 200, 30))),
+      (2L, y4m(Seq(60, 70, 80, 90, 100))),
+      (3L, "definitely not video".getBytes("US-ASCII"))).toDF("doc_id", "blob")
+    val rows = Multimodal.keyframesOf(df).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(4)))
+    assert(rows.toSet === Set(
+      (1L, 0, "first"), (1L, 2, "cut"), (1L, 4, "cut"),
+      (2L, 0, "first"), (3L, 0, "first")))
+    // deltas carry the signed luma jump
+    val cut2 = Multimodal.keyframesOf(df).collect()
+      .find(r => r.getLong(0) == 1L && r.getInt(1) == 4).get
+    assert(cut2.getLong(3) < 0) // bright→dark is a negative jump
+    // threshold is a live plan literal: raising it suppresses the cuts
+    val strict = Multimodal.keyframesOf(df, threshold = 250L).collect()
+    assert(strict.forall(_.getString(4) == "first"))
+  }
+
   test("dedup_winnowing EQUALS direct fingerprint-set intersection; plants found") {
     // ground truth straight from the selected fingerprints: pairwise
     // |rare-fp intersection| >= 2 (rare = df <= 128 — MOSS-style: runs

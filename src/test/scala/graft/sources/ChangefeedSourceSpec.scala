@@ -57,6 +57,39 @@ class ChangefeedSourceSpec extends SparkSuite {
       rows.count(_.tbl.isEmpty))
   }
 
+  test("reported sort_us ordering deletes the per-partition sort; withdrawn when pruned") {
+    val (dir, rows) = buildLog(4)
+    def sorts(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }.size
+    }
+    val base = spark.read.format("graft-changefeed").option("path", dir).load()
+    // segments are written (sort_us, key)-sorted and read sequentially,
+    // and the scan REPORTS that — a per-partition sort on sort_us is free
+    assert(sorts(base.sortWithinPartitions("sort_us")) === 0,
+      "reported ordering should satisfy the per-partition sort")
+    // the claim is exactly sort_us-ascending: any other key still sorts
+    assert(sorts(base.sortWithinPartitions("key")) === 1)
+    assert(sorts(base.sortWithinPartitions(col("sort_us").desc)) === 1)
+    // correctness: the order the reader actually emits matches the claim
+    val perPart = base.select("sort_us").rdd
+      .mapPartitions(it => Iterator(it.map(_.getLong(0)).toSeq)).collect()
+    perPart.foreach(p => assert(p === p.sorted, "partition not sort_us-sorted"))
+    // a global orderBy still range-exchanges but needs no scan-side sort
+    val globalSorted = base.orderBy("sort_us").select("sort_us")
+      .collect().map(_.getLong(0))
+    assert(globalSorted.toSeq === rows.map(_.sortUs).sorted)
+    // pruning sort_us away withdraws the report (nothing left to order)
+    val pruned = base.select("key", "value")
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scan.ordering.forall(_.isEmpty))
+  }
+
   test("batch scan pushes sort_us range filters to segment pruning and prunes columns") {
     val (dir, rows) = buildLog(4)
     val cut = rows(rows.size / 2).sortUs

@@ -41,6 +41,55 @@ class StreamingAggSpec extends SparkSuite {
     assert(out === Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
   }
 
+  test("chained stateful aggs: 15-min windows roll up to hours in ONE streaming query") {
+    // Spark 3.5+ allows MULTIPLE stateful operators in one query when
+    // the second groups on the first's window column (window-on-window)
+    // — the production two-tier rollup (fine windows for freshness, a
+    // coarse tier for dashboards) without a second query re-reading the
+    // fine tier. Both tiers share one watermark; append mode means each
+    // hourly row emits exactly once, when the watermark passes its end.
+    val in = MemoryStream[Ev](17, spark, None)
+    val minMs = 60000L
+    def ev(id: Long, ms: Long, typ: String) =
+      Ev(id, new java.sql.Timestamp(ms), id, typ, 1.0, "{}")
+
+    // hour 1 (ms 3_600_000..): events in three different 15-min slots
+    in.addData(
+      ev(1, 60 * minMs + 1, "click"), ev(2, 60 * minMs + 2, "click"),
+      ev(3, 77 * minMs, "click"), ev(4, 100 * minMs, "view"))
+
+    val fine = in.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n15"))
+    val hourly = fine
+      .groupBy(window(col("window"), "1 hour"), col("event_type"))
+      .agg(sum(col("n15")).as("n"))
+      .select(col("window.start").cast("long").as("start_s"),
+        col("event_type"), col("n"))
+
+    val q = hourly.writeStream
+      .outputMode("append")
+      .format("memory").queryName("chained")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt-chain").toString)
+      .start()
+    q.processAllAvailable()
+    // nothing final yet: the watermark hasn't passed hour 1's end
+    assert(spark.table("chained").isEmpty)
+
+    // a much later event pushes the watermark past hour 1 on the NEXT
+    // batch (watermark advances at batch boundaries)
+    in.addData(ev(9, 400 * minMs, "click"))
+    q.processAllAvailable()
+    in.addData(ev(10, 401 * minMs, "click"))
+    q.processAllAvailable()
+
+    val out = spark.table("chained").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(out === Set((3600L, "click", 3L), (3600L, "view", 1L)))
+  }
+
   test("watermark eviction: a row older than the watermark is dropped, window emits once") {
     val in = MemoryStream[Ev](14, spark, None)
     val hourMs = 3600000L
