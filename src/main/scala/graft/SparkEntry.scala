@@ -34,6 +34,7 @@ object SparkEntry {
     "cdc_payload_parse" -> (Changefeed.payloadParse _),
     "cdc_lag" -> (Changefeed.lagReport _),
     "cdc_resolved_batches" -> (Changefeed.resolvedBatches _),
+    "cdc_table_router" -> (Changefeed.tableRouter _),
     "cdc_variant_extract" -> (Changefeed.variantExtract _),
     "cdc_schema_drift" -> (Changefeed.schemaDrift _),
     "cdc_dlq" -> (Changefeed.dlq _),
@@ -131,6 +132,7 @@ object SparkEntry {
     "ann_ivf_kmeans" -> ((s: SparkSession, d: String) => Similarity.ivfKmeansTopk(s, d)),
     "ann_pq_adc" -> ((s: SparkSession, d: String) => Similarity.pqAdcTopk(s, d)),
     "ann_sq_topk" -> ((s: SparkSession, d: String) => Similarity.sqTopk(s, d)),
+    "ann_ivf_pq" -> ((s: SparkSession, d: String) => Similarity.ivfPqTopk(s, d)),
     "ann_filtered_topk" -> ((s: SparkSession, d: String) => Similarity.filteredTopk(s, d)),
     // §2.6 text analysis
     "text_tokens" -> (TextAnalysis.tokenCounts _),
@@ -317,6 +319,15 @@ object SparkEntry {
          |  (SELECT max_resolved_us FROM cur) AS max_resolved_us,
          |  (SELECT max_resolved_us FROM cur) - max(sort_us) AS lag_us
          |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "cdc_table_router" ->
+      """WITH u AS (
+        |  SELECT 'events' AS tbl, event_id AS id, epoch_us(ts) AS sort_us FROM events
+        |  UNION ALL
+        |  SELECT 'orders', o_orderkey, epoch_us(o_orderdate) FROM orders)
+        |SELECT tbl, id % 8 AS part_id, count(*) AS n_messages,
+        |  min(sort_us) AS first_us, max(sort_us) AS last_us
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "cdc_resolved_batches" ->
       s"""WITH $chCte,

@@ -147,6 +147,40 @@ object Changefeed {
       .unionByName(resolvedRows(spark, sfDir))
       .orderBy(col("sort_us"), coalesce(col("key"), lit("")))
 
+  /** §2#156 multi-table feed ROUTER ledger: the reference binds one
+    * process per table (`--table`, cli.yml) and names the destination
+    * queue after it (queues.rs:17-30) — a consolidated relay instead
+    * runs ONE stream over a multi-table changefeed (CockroachDB core
+    * changefeeds accept several tables; rows carry their `table` tag,
+    * model.rs:60-73) and routes each change to queue-per-table ×
+    * partition-per-key. This op is that router's ledger: per
+    * (destination table queue, partition), the message count and the
+    * first/last commit timestamps — the fan-out audit an operator
+    * reads next to [[lagReport]].
+    *
+    * Shape: a narrow unionByName of per-table change frames (no
+    * shuffle — union is a plan concatenation) + ONE map-side-
+    * combinable aggregate on (tbl, part); |tables|×|partitions| rows
+    * out regardless of feed size. */
+  def tableRouter(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = changeRows(spark, sfDir)
+      .select(lit("events").as("tbl"), col("event_id").as("id"),
+        col("sort_us"))
+    val ord = Tables.load(spark, sfDir, "orders")
+      .select(lit("orders").as("tbl"), col("o_orderkey").as("id"),
+        // o_orderdate is µs TIMESTAMP_NTZ (UTC wall clock); the cast
+        // is instant-exact because every entrypoint pins a UTC session
+        unix_micros(col("o_orderdate").cast("timestamp")).as("sort_us"))
+    ev.unionByName(ord)
+      .select(col("tbl"), pmod(col("id"), lit(8L)).as("part_id"),
+        col("sort_us"))
+      .groupBy(col("tbl"), col("part_id"))
+      .agg(count(lit(1)).as("n_messages"),
+        min(col("sort_us")).as("first_us"),
+        max(col("sort_us")).as("last_us"))
+      .orderBy(col("tbl"), col("part_id"))
+  }
+
   /** §2#150 resolved-window batch ledger — the consumer-side view of
     * the feed as CHECKPOINT BATCHES: every change row belongs to the
     * resolved window that closes over it, and a consumer that applies

@@ -275,17 +275,13 @@ object Similarity {
     * smaller scan + centroids-side norm reconstructed from the same
     * table. Approximate by construction → rows-only check; the spec
     * asserts recall vs brute force. */
-  def pqAdcTopk(spark: SparkSession, sfDir: String, k: Int = 5,
-      m: Int = 8, codesPerSub: Int = 64, iters: Int = 2): DataFrame = {
-    graft.functions.Registry.ensure(spark)
+  /** PQ training + encoding over a UNIT-normalized (vec_id, emb)
+    * frame — the shared stages under [[pqAdcTopk]] and [[ivfPqTopk]]:
+    * returns (subs, cb, codes) = per-(vec, subspace) subvectors, the
+    * trained per-subspace codebooks, and the encoded corpus. */
+  private def pqStages(base: DataFrame, m: Int, codesPerSub: Int,
+      iters: Int): (DataFrame, DataFrame, DataFrame) = {
     val subDim = 64 / m
-    // L2-normalize BEFORE encoding: on unit vectors the ADC inner
-    // product approximates cosine directly — no reconstructed-norm
-    // division, whose quantization error would otherwise distort ranks
-    val base = corpus(spark, sfDir).drop("label")
-      .select(col("vec_id"),
-        transform(col("emb"), x => x / col("nrm")).as("emb"))
-      .localCheckpoint(true)
     // one row per (vec_id, subspace): the 8-dim subvector
     val subs = base
       .select(col("vec_id"),
@@ -340,6 +336,48 @@ object Similarity {
         col("svsq") - lit(2.0) * dot(col("sv"), col("c_sv")) + col("c_sq"))
       .groupBy(col("vec_id"), col("s"))
       .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+    (subs, cb, codes)
+  }
+
+  /** ADC+R (Jégou §VI): the compressed scan only SHORTLISTS — the top
+    * `shortlist` candidates per query by approximate score — and the
+    * exact cosine re-ranks just those. The expensive raw-vector read
+    * touches shortlist·|queries| rows instead of the corpus, which is
+    * what makes exact-quality results affordable when the corpus
+    * lives as codes. `base` must be the unit-normalized corpus. */
+  private def adcRerank(sims: DataFrame, base: DataFrame, k: Int,
+      shortlist: Int): DataFrame = {
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cos_e6").desc, col("neighbor_id"))
+    val sl = sims.withColumn("srank", row_number().over(wAdc))
+      .where(col("srank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val qVec = base.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val rescored = sl
+      .join(base.select(col("vec_id").as("neighbor_id"), col("emb")), "neighbor_id")
+      .join(broadcast(qVec), "query_id")
+      // unit vectors → cosine is just the dot product
+      .select(col("query_id"), col("neighbor_id"),
+        scaled(dot(col("q_emb"), col("emb")), 1000000L).as("cos_e6"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_e6").desc, col("neighbor_id"))
+    rescored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def pqAdcTopk(spark: SparkSession, sfDir: String, k: Int = 5,
+      m: Int = 8, codesPerSub: Int = 64, iters: Int = 2): DataFrame = {
+    graft.functions.Registry.ensure(spark)
+    // L2-normalize BEFORE encoding: on unit vectors the ADC inner
+    // product approximates cosine directly — no reconstructed-norm
+    // division, whose quantization error would otherwise distort ranks
+    val base = corpus(spark, sfDir).drop("label")
+      .select(col("vec_id"),
+        transform(col("emb"), x => x / col("nrm")).as("emb"))
+      .localCheckpoint(true)
+    val (subs, cb, codes) = pqStages(base, m, codesPerSub, iters)
     // ADC table: every (query, s, code) → partial dot (m × 16 entries
     // per query — the whole "distance computation" a scan needs)
     val table = subs.where(col("vec_id") < 10).join(cb, Seq("s"))
@@ -352,29 +390,65 @@ object Similarity {
       .where(col("nparts") === m) // every subspace contributed
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         scaled(col("adc_dot"), 1000000L).as("adc_cos_e6"))
-    // ADC+R (Jégou §VI): the compressed scan only SHORTLISTS — top 10·k
-    // candidates per query by approximate score — and the exact cosine
-    // re-ranks just those. The expensive raw-vector read touches
-    // 10·k·|queries| rows instead of the corpus, which is what makes
-    // exact-quality results affordable when the corpus lives as codes.
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_cos_e6").desc, col("neighbor_id"))
-    val shortlist = sims.withColumn("srank", row_number().over(wAdc))
-      .where(col("srank") <= 10 * k)
-      .select(col("query_id"), col("neighbor_id"))
-    val qVec = base.where(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
-    val rescored = shortlist
-      .join(base.select(col("vec_id").as("neighbor_id"), col("emb")), "neighbor_id")
-      .join(broadcast(qVec), "query_id")
-      // unit vectors → cosine is just the dot product
-      .select(col("query_id"), col("neighbor_id"),
-        scaled(dot(col("q_emb"), col("emb")), 1000000L).as("cos_e6"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_e6").desc, col("neighbor_id"))
-    rescored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .orderBy(col("query_id"), col("rank"))
+    adcRerank(sims, base, k, 10 * k)
+  }
+
+  /** §2#157 IVF-PQ — the COMPOSED production ANN architecture (faiss's
+    * IndexIVFPQ, the standard billion-scale shape): the coarse
+    * k-means quantizer of [[ivfKmeansTopk]] prunes the corpus to
+    * nProbe/nCells, and WITHIN the probed cells the scan reads PQ
+    * codes with ADC lookups instead of raw vectors ([[pqAdcTopk]]),
+    * then the exact re-rank restores quality on the shortlist (ADC+R).
+    * The two levers compound: cells cut WHICH vectors are scanned, PQ
+    * cuts the BYTES PER VECTOR scanned — at 100 TB that is
+    * nProbe/nCells × 1/32 of the brute-force read. PQ encodes the raw
+    * (not residual) vectors — the simpler published variant; residual
+    * encoding slots into the same seam by subtracting the assigned
+    * centroid before [[pqStages]].
+    *
+    * Shape: coarse assignment is the same map-side-combinable argmax
+    * as IVF; codes join their cell id once (one vec_id shuffle at
+    * index-build time); the query-time join fans each probed cell's
+    * codes against a BROADCAST (query, cell) probe list and the
+    * BROADCAST ADC table. Quantized floats → rows-only; the spec pins
+    * recall@5 vs brute force. */
+  def ivfPqTopk(spark: SparkSession, sfDir: String, k: Int = 5,
+      nCells: Int = 8, nProbe: Int = 3, m: Int = 8,
+      codesPerSub: Int = 64, iters: Int = 2): DataFrame = {
+    graft.functions.Registry.ensure(spark)
+    val base = corpus(spark, sfDir).drop("label")
+      .select(col("vec_id"),
+        transform(col("emb"), x => x / col("nrm")).as("emb"))
+      .withColumn("nrm", lit(1.0)) // unit vectors for the coarse stage
+      .localCheckpoint(true)
+    val cents = kmeansCentroids(base, nCells, iters)
+    val scored = base.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"),
+        cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")).as("cell_cos"))
+    val cellOf = scored.groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("cell_cos"), -col("cell"))).as("cell"))
+    val unit = base.select(col("vec_id"), col("emb"))
+    val (subs, cb, codes) = pqStages(unit, m, codesPerSub, iters)
+    // the inverted index: codes annotated with their cell, built once
+    val codesCell = codes.join(cellOf, "vec_id")
+    val qProbe = scored.where(col("vec_id") < 10)
+      .withColumn("prk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cell_cos").desc, col("cell"))))
+      .where(col("prk") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val table = subs.where(col("vec_id") < 10).join(cb, Seq("s"))
+      .select(col("vec_id").as("query_id"), col("s"), col("code"),
+        dot(col("sv"), col("c_sv")).as("pdot"))
+    val sims = codesCell.join(broadcast(qProbe), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .join(broadcast(table), Seq("query_id", "s", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("adc_dot"), count(lit(1)).as("nparts"))
+      .where(col("nparts") === m) // every subspace contributed
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        scaled(col("adc_dot"), 1000000L).as("adc_cos_e6"))
+    adcRerank(sims, unit, k, 10 * k)
   }
 
   /** §2#141 SCALAR-quantized ANN (SQ8) — the memory rung between raw

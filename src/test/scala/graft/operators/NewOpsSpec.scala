@@ -220,6 +220,17 @@ class NewOpsSpec extends SparkSuite {
     assert(flagged.toSet === brute)
   }
 
+  test("cdc_table_router: per-table ledgers cover both feeds exactly") {
+    val rows = Changefeed.tableRouter(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).distinct.sorted === Seq("events", "orders"))
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 8))
+    val byTbl = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(byTbl("events") === Changefeed.changeRows(spark, sf).count())
+    assert(byTbl("orders") ===
+      graft.Tables.load(spark, sf, "orders").count())
+  }
+
   test("cdc_resolved_batches: aligned windows, exact ledger, covered changes") {
     val f = 3600000000L
     val rows = graft.cdc.Changefeed.resolvedBatches(spark, sf).collect()

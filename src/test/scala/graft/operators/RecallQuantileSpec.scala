@@ -30,6 +30,27 @@ class RecallQuantileSpec extends SparkSuite {
     assert(hits * 10 >= total * 7, s"recall@5 too low: $hits/$total")
   }
 
+  test("ann_ivf_pq recall@5 vs brute force meets the documented floor") {
+    // The composed index inherits BOTH loss sources: cell pruning
+    // (nProbe 3 of 8) and PQ quantization — so its floor sits below
+    // either parent's. Valid ranks + per-query k rows also asserted.
+    val exact = Similarity.bruteforceTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val rows = Similarity.ivfPqTopk(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq === (1L to rs.length))
+      assert(rs.length <= 5)
+    }
+    val approx = rows.map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val hits = exact.keys.toSeq
+      .map(q => (approx.getOrElse(q, Set.empty) & exact(q)).size).sum
+    val total = exact.values.map(_.size).sum
+    info(s"ann_ivf_pq recall@5 = $hits/$total")
+    assert(hits * 10 >= total * 4, s"recall@5 too low: $hits/$total")
+  }
+
   test("property: quantilesSortRankOf == quantilesExactOf on randomized frames") {
     import spark.implicits._
     // 60 independent random groups in ONE frame = 60 property cases per
