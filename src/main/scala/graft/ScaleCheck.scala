@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.cdc.Changefeed
-import graft.operators.{Dedup, Graph, Layout, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Graph, Layout, Multimodal, Similarity, TextAnalysis, TimeSeries}
 
 /** Empirical scale-curve check for the dedup suite (SURVEY §5).
   *
@@ -115,7 +115,33 @@ object ScaleCheck {
       "cdc_schema_drift" -> ((s: SparkSession, d: String, _: Int) =>
         Changefeed.schemaDrift(s, d)),
       "layout_zorder" -> ((s: SparkSession, d: String, _: Int) =>
-        Layout.zorder(s, d)))
+        Layout.zorder(s, d)),
+      // r9 second-session additions. The time SPAN of the copies is
+      // shared, so the hourly pre-aggregates' |hours| stays constant
+      // while per-hour counts grow K× — exactly the claimed shape: the
+      // combinable pre-agg absorbs growth, series folds/windows stay
+      // fixed-size. recursive_chain's users multiply at constant chain
+      // length, so recursion ROUNDS stay constant too.
+      "ts_ewma" -> ((s: SparkSession, d: String, _: Int) =>
+        TimeSeries.ewma(s, d)),
+      "ts_changepoint" -> ((s: SparkSession, d: String, _: Int) =>
+        TimeSeries.changepoint(s, d)),
+      "q_recursive_chain" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.qRecursiveChain(s, d)),
+      "cdc_resolved_batches" -> ((s: SparkSession, d: String, _: Int) =>
+        Changefeed.resolvedBatches(s, d)),
+      "cdc_table_router" -> ((s: SparkSession, d: String, _: Int) =>
+        Changefeed.tableRouter(s, d)),
+      "layout_hilbert" -> ((s: SparkSession, d: String, _: Int) =>
+        Layout.hilbert(s, d)),
+      // stub decode path: measures the mapPartitions plumbing + the
+      // relational cut detection at K× blobs
+      "mm_keyframes" -> ((s: SparkSession, d: String, _: Int) =>
+        Multimodal.keyframes(s, d)),
+      // cells/codebooks held constant (the production lever is growing
+      // them ∝ corpus); probed-cell scan grows ∝ corpus → expect ~K×
+      "ann_ivf_pq" -> ((s: SparkSession, d: String, _: Int) =>
+        Similarity.ivfPqTopk(s, d)))
 
     // SPARK_GRAFT_OPS=a,b,c restricts the run (default: everything) —
     // lets a round re-measure just its new ops without paying for the
@@ -196,5 +222,13 @@ object ScaleCheck {
     }.reduce(_ unionAll _)
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    // orders (for the multi-table router): o_orderkey shifted per copy
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    (0 until copies).map { i =>
+      orders.withColumn("o_orderkey",
+        col("o_orderkey") + lit(i.toLong * 100000000L))
+    }.reduce(_ unionAll _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
   }
 }

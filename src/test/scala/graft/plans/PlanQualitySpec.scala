@@ -129,6 +129,43 @@ class PlanQualitySpec extends SparkSuite {
       s"OHLC should need no window function:\n$plan")
   }
 
+  test("layout_hilbert is UDF-free codegen'd arithmetic + one partial agg") {
+    val plan = planOf(Layout.hilbert(spark, sf))
+    // the unrolled walk must stay inside whole-stage codegen: no
+    // python/scala UDF, no non-codegen expression node
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"hilbert walk fell out of codegen:\n$plan")
+    // "*(n)" prefixes = whole-stage-codegen spans in the final AQE plan
+    assert(plan.contains("*("), s"no codegen span:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_min"),
+      s"file stats not a two-phase aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"hilbert needs no window:\n$plan")
+  }
+
+  test("q_unpivot expands AFTER the aggregate: no shuffle between Expand and the agg") {
+    // the Expand (unpivot fan-out) must sit DIRECTLY above the final
+    // aggregate — same stage, no exchange between them — proving the
+    // melt runs on |groups|×k rows, not on the fact table
+    val full = planOf(Analytics.qUnpivot(spark, sf))
+    val plan = full.split("== Initial Plan ==").head // final AQE plan only
+    val ex = plan.indexOf("Expand")
+    assert(ex >= 0, s"no Expand in unpivot plan:\n$plan")
+    val agg = plan.indexOf("HashAggregate", ex)
+    assert(agg > ex, s"no aggregate below the Expand:\n$plan")
+    assert(!plan.substring(ex, agg).contains("Exchange"),
+      s"a shuffle sits between Expand and the aggregate:\n$plan")
+  }
+
+  test("cdc_table_router: union is plan concatenation, one partial agg, no window") {
+    val plan = planOf(graft.cdc.Changefeed.tableRouter(spark, sf))
+    assert(plan.contains("Union"), s"no union node:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_min"),
+      s"router ledger not map-side combined:\n$plan")
+    assert(!plan.contains("Window"), s"router needs no window:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"router needs no join at all:\n$plan")
+  }
+
   test("q_corr_moments broadcasts the per-group means back to the fact side") {
     val plan = planOf(Analytics.qCorrMoments(spark, sf))
     assert(plan.contains("BroadcastHashJoin"),
