@@ -46,6 +46,7 @@ object SparkEntry {
     "ts_xcorr" -> ((s: SparkSession, d: String) => TimeSeries.xcorr(s, d)),
     "ts_ewma" -> (TimeSeries.ewma _),
     "ts_changepoint" -> (TimeSeries.changepoint _),
+    "ts_downsample" -> ((s: SparkSession, d: String) => TimeSeries.downsample(s, d)),
     "q_window_range" -> (Analytics.qWindowRange _),
     "q_hll_union" -> (Analytics.qHllUnion _),
     "q_robust_stats" -> (Analytics.qRobustStats _),
@@ -677,6 +678,26 @@ object SparkEntry {
         |  FROM r JOIN g ON g.event_type = r.event_type AND g.rn = r.rn + 1)
         |SELECT event_type, hour_us, n, ewma_milli FROM r
         |ORDER BY event_type, hour_us""".stripMargin,
+
+    "ts_downsample" ->
+      """WITH ev AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us FROM events),
+        |c AS (SELECT event_type, hour_us, count(*) AS n FROM ev GROUP BY 1, 2),
+        |sp AS (SELECT event_type, unnest(generate_series(lo, hi, 3600000000)) AS hour_us
+        |  FROM (SELECT event_type, min(hour_us) AS lo, max(hour_us) AS hi FROM ev GROUP BY 1)),
+        |g AS (SELECT sp.event_type, sp.hour_us, coalesce(c.n, 0) AS n
+        |  FROM sp LEFT JOIN c ON sp.event_type = c.event_type AND sp.hour_us = c.hour_us),
+        |a AS (SELECT event_type, hour_us, n,
+        |  abs(coalesce(lag(n) OVER w, 0) + coalesce(lead(n) OVER w, 0) - 2 * n) AS area2,
+        |  (hour_us - min(hour_us) OVER (PARTITION BY event_type)) // 3600000000 // 24 AS bucket
+        |  FROM g WINDOW w AS (PARTITION BY event_type ORDER BY hour_us)),
+        |r AS (SELECT event_type, bucket, hour_us, n, area2,
+        |  count(*) OVER (PARTITION BY event_type, bucket) AS n_hours_in_bucket,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+        |    ORDER BY area2 DESC, hour_us ASC) AS rk
+        |  FROM a)
+        |SELECT event_type, bucket, hour_us AS sel_hour_us, n AS sel_n, area2,
+        |  n_hours_in_bucket
+        |FROM r WHERE rk = 1 ORDER BY event_type, bucket""".stripMargin,
 
     "ts_changepoint" ->
       """WITH ev AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us FROM events),

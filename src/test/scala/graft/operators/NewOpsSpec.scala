@@ -325,6 +325,32 @@ class NewOpsSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("ts_downsample: per-bucket max-curvature point, recomputed driver-side") {
+    val series = TimeSeries.gapFill(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(v => (v._2, v._3)).toVector).toMap
+    val expect = series.flatMap { case (typ, hours) =>
+      val lo = hours.head._1
+      hours.zipWithIndex.map { case ((hourUs, n), i) =>
+        val prev = if (i > 0) hours(i - 1)._2 else 0L
+        val next = if (i < hours.length - 1) hours(i + 1)._2 else 0L
+        val bucket = (hourUs - lo) / 3600000000L / 24L
+        (typ, bucket, hourUs, n, math.abs(prev + next - 2 * n))
+      }.groupBy(t => (t._1, t._2)).map { case ((t, b), pts) =>
+        val sel = pts.maxBy(p => (p._5, -p._3))
+        (t, b, sel._3, sel._4, sel._5, pts.length.toLong)
+      }
+    }.toSet
+    val got = TimeSeries.downsample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+    // it IS a downsample: one point per bucket, ~24x smaller
+    val hoursTotal = series.values.map(_.size).sum
+    assert(got.size * 20 < hoursTotal)
+  }
+
   test("ts_gap_fill: contiguous hour spine per type, counts preserved") {
     val rows = TimeSeries.gapFill(spark, sf).collect()
     val ev = graft.Tables.events(spark, sf)
