@@ -262,6 +262,50 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** §2#161 per-image LUMA HISTOGRAM — the exposure profile a vision
+    * curation pipeline filters on (mass piled in the extreme bins =
+    * over/under-exposed or synthetic-flat images; LAION-style corpus
+    * QA): 16 bins over integer luma (r+g+b)/3 of the REAL decoded
+    * pixels (PPM/BMP/JPEG/PNG), fixed 16 rows per image so consumers
+    * aggregate without densifying; stub (undecodable) blobs emit their
+    * 16 rows zeroed with `src='stub'` — plumbing-complete, honestly
+    * marked, never fake statistics. Same amortized mapPartitions
+    * decode stage as every multimodal op; the fan-out is ×16 on
+    * |images| rows, not pixels. */
+  def imageHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    imageHistogramOf(
+      Tables.documentsPar(spark, sfDir)
+        .select(col("doc_id"), col("text").cast("binary").as("blob")))
+
+  /** The histogram pipeline over ANY (doc_id, blob) frame. */
+  def imageHistogramOf(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs
+      .select(col("doc_id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (docId, blob) =>
+          decodeImage(blob) match {
+            case Some((_, _, px)) =>
+              val bins = new Array[Long](16)
+              var i = 0
+              while (i + 2 < px.length) {
+                val luma = ((px(i) & 0xff) + (px(i + 1) & 0xff) +
+                  (px(i + 2) & 0xff)) / 3
+                bins(luma >> 4) += 1
+                i += 3
+              }
+              (0 until 16).map(b => (docId, b, bins(b), "real"))
+            case None =>
+              (0 until 16).map(b => (docId, b, 0L, "stub"))
+          }
+        }
+      }
+      .toDF("doc_id", "bin", "n_px", "src")
+      .orderBy(col("doc_id"), col("bin"))
+  }
+
   /** REAL thumbnail for decodable blobs: box-filter (average-pool)
     * the RGB plane onto an outW×outH grid — each output pixel is the
     * integer mean of its source rectangle, the standard area-average

@@ -140,4 +140,43 @@ object ChangefeedLog {
     Files.write(Paths.get(dir, GcFloorFile),
       floorUs.toString.getBytes(StandardCharsets.UTF_8))
   }
+
+  /** §2#160 log COMPACTION — Kafka compacted-topic semantics, the
+    * third retention policy next to keep-everything (append) and
+    * drop-everything ([[gc]]): every segment wholly at-or-below
+    * `belowUs` is rewritten into ONE segment holding only the LATEST
+    * change per (table, key) — same (sort_us, value) winner rule as
+    * the cdc_compact query and the streaming CdcApply — plus the
+    * single maximum resolved row (older resolved ticks are subsumed).
+    * A late-joining consumer then bootstraps from |live keys| rows
+    * instead of replaying all history, while consumers past `belowUs`
+    * see identical data.
+    *
+    * Crash-safety is write-then-delete with a DETERMINISTIC segment id
+    * derived from `belowUs`: the compacted segment lands atomically
+    * first, victim deletes follow. A crash in between leaves
+    * duplicates (compacted + originals) — at-least-once, exactly what
+    * feed consumers already tolerate — and RE-RUNNING the compaction
+    * is idempotent: the previous compacted segment is itself a victim,
+    * re-compacts to the same rows, same range, same name, and is
+    * atomically replaced while the leftover originals are removed.
+    * Segments straddling `belowUs` are left alone (immutable). */
+  def compact(dir: String, belowUs: Long): Option[Path] = {
+    val victims = listSegments(dir).filter(_.lastUs <= belowUs)
+    if (victims.isEmpty) None
+    else {
+      val records = victims.flatMap(s => readSegment(s.path))
+      val changes = records.filter(_.tbl.isDefined)
+        .groupBy(r => (r.tbl, r.key))
+        .map { case (_, vs) => vs.maxBy(r => (r.sortUs, r.value)) }
+      val resolved = records.filter(_.tbl.isEmpty)
+      val keepResolved =
+        if (resolved.isEmpty) Seq.empty else Seq(resolved.maxBy(_.sortUs))
+      val out = writeSegmentAs(dir, (changes ++ keepResolved).toSeq,
+        s"compacted$belowUs")
+      victims.filter(_.path.getFileName != out.getFileName)
+        .foreach(s => Files.deleteIfExists(s.path))
+      Some(out)
+    }
+  }
 }

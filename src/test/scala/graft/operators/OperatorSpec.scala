@@ -493,6 +493,27 @@ class OperatorSpec extends SparkSuite {
     assert(stubRows.nonEmpty && stubRows.forall(_.getLong(3) === -1L))
   }
 
+  test("mm_image_histogram: exact bins for planted images, zeroed stub rows") {
+    import spark.implicits._
+    // 2×2 PPM: lumas 0 (bin 0), 255 (bin 15), 128 (bin 8), 16 (bin 1)
+    val ppm = ("P6\n2 2\n255\n").getBytes("US-ASCII") ++ Array[Byte](
+      0, 0, 0, -1, -1, -1,
+      -128, -128, -128, 16, 16, 16)
+    val df = Seq((1L, ppm), (2L, "not an image".getBytes("US-ASCII")))
+      .toDF("doc_id", "blob")
+    val rows = Multimodal.imageHistogramOf(df).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(rows.length === 32) // fixed 16 rows per blob
+    val real = rows.filter(_._1 == 1L)
+    assert(real.forall(_._4 == "real"))
+    assert(real.map(_._3).sum === 4L)
+    val byBin = real.map(r => r._2 -> r._3).toMap
+    assert(byBin(0) === 1L && byBin(15) === 1L && byBin(8) === 1L &&
+      byBin(1) === 1L)
+    val stub = rows.filter(_._1 == 2L)
+    assert(stub.forall(r => r._4 == "stub" && r._3 == 0L))
+  }
+
   test("mm_keyframes: hard cuts flagged, gradual fades and stubs not") {
     import spark.implicits._
     val w = 4; val h = 2
