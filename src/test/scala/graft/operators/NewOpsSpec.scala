@@ -801,6 +801,25 @@ class NewOpsSpec extends SparkSuite {
     assert(rows.map(_.getLong(1)).sum === graft.Tables.events(spark, sf).count())
   }
 
+  test("layout_hilbert: consecutive distances are ADJACENT cells — exhaustively") {
+    import spark.implicits._
+    // THE Hilbert property (what zorder lacks): walk the ENTIRE
+    // 1024×1024 grid, pair every d with d+1, assert the cells touch
+    // (|Δx|+|Δy| == 1). Proven in-engine over all 2^20 cells — the
+    // locality claim in §2#154 is exhaustive, not sampled.
+    val grid = spark.range(0L, 1L << 20)
+      .select((col("id") % 1024).as("x"), expr("id div 1024").as("y"))
+    val d = Layout.hilbertIndex(grid)
+    val bad = d.select(col("d"), col("x0"), col("y0"))
+      .join(d.select((col("d") - 1).as("d"),
+        col("x0").as("x1"), col("y0").as("y1")), "d")
+      .where(abs(col("x0") - col("x1")) + abs(col("y0") - col("y1")) =!= 1)
+      .count()
+    assert(bad === 0L, s"$bad consecutive-d pairs are not adjacent")
+    // and the walk is a bijection: 2^20 distinct distances
+    assert(d.select(col("d")).distinct().count() === (1L << 20))
+  }
+
   test("q_grouping_sets: each grouping matches its direct aggregate") {
     val rows = Analytics.qGroupingSets(spark, sf).collect()
     val li = graft.Tables.lineitem(spark, sf)

@@ -166,6 +166,29 @@ class PlanQualitySpec extends SparkSuite {
       s"router needs no join at all:\n$plan")
   }
 
+  test("ts_ewma folds the pre-aggregate: events pay one partial agg, no window") {
+    val plan = planOf(TimeSeries.ewma(spark, sf))
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      s"hourly compaction not map-side combined:\n$plan")
+    assert(!plan.contains("Window"),
+      s"the EWMA recurrence must fold arrays, not window raw rows:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"fold fell out of the higher-order-function path:\n$plan")
+  }
+
+  test("ts_downsample windows the hourly pre-aggregate, never raw events") {
+    val full = planOf(TimeSeries.downsample(spark, sf))
+    val plan = full.split("== Initial Plan ==").head
+    // top-down print: the curvature Window must appear ABOVE (before)
+    // the per-hour counting aggregate it consumes
+    val win = plan.indexOf("Window")
+    val agg = plan.indexOf("HashAggregate", math.max(win, 0))
+    assert(win >= 0 && agg > win,
+      s"Window does not sit above the hourly compaction:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"hourly counts not map-side combined:\n$plan")
+  }
+
   test("q_corr_moments broadcasts the per-group means back to the fact side") {
     val plan = planOf(Analytics.qCorrMoments(spark, sf))
     assert(plan.contains("BroadcastHashJoin"),

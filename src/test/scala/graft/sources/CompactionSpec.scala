@@ -60,6 +60,43 @@ class CompactionSpec extends SparkSuite {
       Set(ch(30, "k1", "v1b"), ch(20, "k2", "v2a"), ch(40, "k3", "v3a"), rs(45)))
   }
 
+  test("property: compaction == driver-side latest-per-key on random logs") {
+    val rnd = new scala.util.Random(0xD1CE)
+    val recordOrd: Ordering[Record] =
+      Ordering.by(r => (r.sortUs, r.key.getOrElse(""), r.value))
+    for (trial <- 1 to 20) {
+      val dir = Files.createTempDirectory("graft-compact-prop").toString
+      val nKeys = 1 + rnd.nextInt(6)
+      val rows = (1 to 2 + rnd.nextInt(30)).map { i =>
+        if (rnd.nextInt(5) == 0) rs(i * 10L)
+        else ch(i * 10L, s"k${rnd.nextInt(nKeys)}", s"v$i")
+      }
+      rows.grouped(math.max(rows.size / (rnd.nextInt(3) + 1), 1))
+        .foreach(g => ChangefeedLog.writeSegment(dir, g))
+      val cutoff = rows(rnd.nextInt(rows.size)).sortUs
+      // expected state, recomputed driver-side from the BEFORE segments:
+      // fully-covered segments compact to latest-per-key + max resolved;
+      // straddling/newer segments survive verbatim
+      val segsBefore = ChangefeedLog.listSegments(dir)
+        .map(s => ChangefeedLog.readSegment(s.path).toSeq)
+      val (victims, kept) = segsBefore.partition(_.forall(_.sortUs <= cutoff))
+      val victimRows = victims.flatten
+      val compactedPart =
+        victimRows.filter(_.tbl.isDefined)
+          .groupBy(r => (r.tbl, r.key))
+          .map { case (_, vs) => vs.maxBy(r => (r.sortUs, r.value)) }.toSeq ++
+          (victimRows.filter(_.tbl.isEmpty) match {
+            case Seq() => Seq.empty
+            case res => Seq(res.maxBy(_.sortUs))
+          })
+      val expected = (kept.flatten ++ compactedPart).sorted(recordOrd)
+      ChangefeedLog.compact(dir, cutoff)
+      val after = ChangefeedLog.listSegments(dir)
+        .flatMap(s => ChangefeedLog.readSegment(s.path).toSeq).sorted(recordOrd)
+      assert(after === expected, s"trial $trial cutoff $cutoff")
+    }
+  }
+
   test("compact below everything is a no-op; straddling segments survive") {
     val dir = Files.createTempDirectory("graft-compact2").toString
     ChangefeedLog.writeSegment(dir, Seq(ch(50, "k", "v"), ch(150, "k", "v2")))
