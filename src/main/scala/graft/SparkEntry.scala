@@ -75,6 +75,7 @@ object SparkEntry {
     "q_semi_anti" -> (Analytics.qSemiAnti _),
     "q_asof_join" -> (Temporal.asofJoin _),
     "q_asof_native" -> (Temporal.asofNative _),
+    "q_asof_left" -> (Temporal.asofLeftNative _),
     "q_range_join" -> (Temporal.rangeJoin _),
     "q_quantiles" -> (Analytics.qQuantiles _),
     "q_quantiles_approx" -> (Analytics.qQuantilesApprox _),
@@ -222,6 +223,21 @@ object SparkEntry {
 
   /** Shared by q_asof_join (window formulation) and q_asof_native
     * (custom physical operator) — both must hash-match this. */
+  private val asofLeftOracle =
+    """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+      |  FROM events WHERE event_type IN ('click','purchase')),
+      |w AS (SELECT *,
+      |  last_value(CASE WHEN event_type='click' THEN event_id END IGNORE NULLS) OVER
+      |    (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_id,
+      |  last_value(CASE WHEN event_type='click' THEN us END IGNORE NULLS) OVER
+      |    (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+      | FROM ev)
+      |SELECT user_id, event_id AS purchase_id, us AS purchase_us,
+      |  last_click_id, last_click_us, us - last_click_us AS gap_us,
+      |  CASE WHEN last_click_id IS NOT NULL THEN 1 ELSE 0 END AS attributed
+      |FROM w WHERE event_type='purchase'
+      |ORDER BY purchase_id""".stripMargin
+
   private val asofOracle =
     """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
       |  FROM events WHERE event_type IN ('click','purchase')),
@@ -567,6 +583,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_asof_join" -> asofOracle,
+    "q_asof_left" -> asofLeftOracle,
     // the custom physical operator must reproduce the declarative
     // formulation's oracle EXACTLY — same SQL, bit-for-bit
     "q_asof_native" -> asofOracle,

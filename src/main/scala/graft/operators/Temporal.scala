@@ -59,6 +59,33 @@ object Temporal {
       .orderBy(col("purchase_id"))
   }
 
+  /** §2#162 LEFT OUTER as-of join through the custom operator: every
+    * purchase emits — matched to its last strictly-prior click, or
+    * with NULL click columns when the user never clicked before (the
+    * "unattributed purchase" rows an attribution report must count,
+    * which the inner form silently drops). Same single-pass O(1)-state
+    * merge, one extra branch; the physical operator's `outer` flag is
+    * the only difference, and the DuckDB oracle is the windowed LEFT
+    * formulation — the custom plan and the engine's declarative twin
+    * hash-match on both the matched AND unmatched rows. */
+  def asofLeftNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("us"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("us"))
+    graft.plans.AsOfJoin.ofDF(purchases, clicks,
+        Seq("user_id", "purchase_id", "purchase_us",
+          "last_click_id", "last_click_us"), outer = true)
+      .withColumn("gap_us", col("purchase_us") - col("last_click_us"))
+      .withColumn("attributed",
+        when(col("last_click_id").isNotNull, 1L).otherwise(0L))
+      .orderBy(col("purchase_id"))
+  }
+
   /** §2#39 bucketed range join: unordered pairs of same-user events
     * within 5 minutes of each other. Each left row fans out to its
     * 3 candidate time buckets (prev/self/next); the join key is

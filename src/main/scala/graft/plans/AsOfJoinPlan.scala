@@ -32,7 +32,7 @@ import org.apache.spark.sql.types.LongType
   * scaled-integer convention; enforced at construction.
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
-    out: Seq[AttributeReference]) extends BinaryNode {
+    out: Seq[AttributeReference], outer: Boolean = false) extends BinaryNode {
   require(left.output.size == 3 && right.output.size == 3 &&
     (left.output ++ right.output).forall(_.dataType == LongType),
     s"AsOfJoin children must be (key, id, t), all LongType; got " +
@@ -50,7 +50,7 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 }
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
-    out: Seq[Attribute]) extends BinaryExecNode {
+    out: Seq[Attribute], outer: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = out
   override def producedAttributes: AttributeSet = AttributeSet(out)
@@ -121,9 +121,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           if (rKey == lKey) { lastValid = true; lastId = rId; lastT = rT }
           advanceRight()
         }
+        // LEFT OUTER mode: an unmatched left row emits with NULL
+        // matched columns (SQL left-join semantics) instead of
+        // dropping — same O(1) state, one extra branch
         if (lastValid)
           Iterator.single(proj(
             InternalRow(lKey, lId, lT, lastId, lastT)): InternalRow)
+        else if (outer)
+          Iterator.single(proj(
+            InternalRow(lKey, lId, lT, null, null)): InternalRow)
         else Iterator.empty
       }
     }
@@ -137,24 +143,29 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case a: AsOfJoin =>
-      AsOfJoinExec(planLater(a.left), planLater(a.right), a.output) :: Nil
+      AsOfJoinExec(planLater(a.left), planLater(a.right), a.output,
+        a.outer) :: Nil
     case _ => Nil
   }
 }
 
 object AsOfJoin {
   /** As-of join two (key, id, t) LongType frames; output column names
-    * are caller-chosen (left id/t names, then matched right id/t). */
+    * are caller-chosen (left id/t names, then matched right id/t).
+    * `outer = true` = LEFT OUTER semantics: unmatched left rows emit
+    * with NULL matched columns (and those two attributes become
+    * nullable in the output schema). */
   def ofDF(leftDf: DataFrame, rightDf: DataFrame,
-      outNames: Seq[String]): DataFrame = {
+      outNames: Seq[String], outer: Boolean = false): DataFrame = {
     require(outNames.size == 5, "outNames = (key, lId, lT, rId, rT)")
     val spark = leftDf.sparkSession
     ensureStrategy(spark)
-    val out = outNames.map(n =>
-      AttributeReference(n, LongType, nullable = false)())
+    val out = outNames.zipWithIndex.map { case (n, i) =>
+      AttributeReference(n, LongType, nullable = outer && i >= 3)()
+    }
     GraftPlanShim.ofRows(spark,
       AsOfJoin(leftDf.queryExecution.analyzed,
-        rightDf.queryExecution.analyzed, out))
+        rightDf.queryExecution.analyzed, out, outer))
   }
 
   def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -50,6 +50,37 @@ class TemporalSpec extends SparkSuite {
     assert(expected.nonEmpty)
   }
 
+  test("property: LEFT OUTER asof == inner rows + NULL-matched leftovers") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x0B0E)
+    val lefts = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val rights = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    var id = 0L
+    for (key <- 0L until 40L) {
+      for (_ <- 0 until rnd.nextInt(6)) {
+        lefts += ((key, id, rnd.nextInt(8).toLong)); id += 1 }
+      for (_ <- 0 until rnd.nextInt(6)) {
+        rights += ((key, id, rnd.nextInt(8).toLong)); id += 1 }
+    }
+    def run(outer: Boolean) = graft.plans.AsOfJoin.ofDF(
+        lefts.toSeq.toDF("k", "id", "t"), rights.toSeq.toDF("k", "id", "t"),
+        Seq("k", "l_id", "l_t", "r_id", "r_t"), outer = outer)
+      .collect()
+      .map(r => (r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .toSet
+    val inner = run(outer = false)
+    val outer = run(outer = true)
+    // every left row appears exactly once in the outer result
+    assert(outer.map(_._1) === lefts.map(_._2).toSet)
+    // matched rows identical to inner; the rest are the NULL leftovers
+    assert(outer.filter(_._2.isDefined) === inner)
+    assert(outer.filter(_._2.isEmpty).map(_._1) ===
+      (lefts.map(_._2).toSet -- inner.map(_._1)))
+    assert(inner.nonEmpty && outer.size > inner.size)
+  }
+
   test("native asof drops null keys like a SQL equi-join") {
     import spark.implicits._
     val lefts = Seq((Some(1L), 10L, 5L), (None, 11L, 5L))
