@@ -123,6 +123,7 @@ object SparkEntry {
     "sample_split" -> (Sampling.sampleSplit _),
     "sample_cap_per_source" -> ((s: SparkSession, d: String) => Sampling.capPerSource(s, d)),
     "sample_mixture" -> (Sampling.sampleMixture _),
+    "sample_temperature" -> ((s: SparkSession, d: String) => Sampling.sampleTemperature(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "pipeline_train_data" -> ((s: SparkSession, d: String) => Pipeline.trainDataPipeline(s, d)),
     // §2.5 similarity search
@@ -1230,6 +1231,23 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN bucket < keep_pm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(round(sum(CASE WHEN bucket < keep_pm THEN 1 ELSE 0 END) * 1000.0 / count(*), 0) AS BIGINT) AS achieved_pm
         |FROM d GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "sample_temperature" ->
+      """WITH d AS (SELECT doc_id, source FROM documents),
+        |c AS (SELECT source, count(*) AS n_docs,
+        |  CAST(floor(sqrt(count(*))) AS BIGINT) AS w FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+        |  CAST(sum(w) AS BIGINT) AS w_total FROM c),
+        |r AS (SELECT source, n_docs, w,
+        |  n_total * 500 // 1000 * w // w_total AS target_n,
+        |  least(1000, 1000 * (n_total * 500 // 1000 * w // w_total) // n_docs) AS keep_pm
+        |  FROM c CROSS JOIN t),
+        |b AS (SELECT source,
+        |  (doc_id % 1000000007) * 2654435761 % 1000000007 % 1000 AS bucket FROM d)
+        |SELECT r.source, n_docs, w, target_n, keep_pm,
+        |  CAST(sum(CASE WHEN bucket < keep_pm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM b JOIN r ON b.source = r.source
+        |GROUP BY 1, 2, 3, 4, 5 ORDER BY 1""".stripMargin,
 
     "ann_bruteforce_topk" ->
       s"""WITH $embBase,

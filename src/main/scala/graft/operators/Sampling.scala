@@ -84,6 +84,48 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** §2#163 TEMPERATURE-balanced source mixing at α = 1/2 — the
+    * multilingual/multi-source re-balancing step (mT5/XLM-R style:
+    * sample source s ∝ n_s^α with α < 1, so dominant sources shrink
+    * and small ones surface; α=1 is natural proportions, α=0 uniform):
+    * a total budget of `targetPm`‰ of the corpus is distributed
+    * ∝ isqrt(n_s) (= n_s^(1/2), integer — IEEE sqrt is correctly
+    * rounded, so `floor(sqrt(bigint))` is bit-identical across
+    * engines), converted to a per-source keep‰ capped at 1000, and
+    * applied as the SAME stateless consistent-hash threshold as
+    * [[sampleMixture]] — recipe changes are predicate changes, no
+    * reshard, membership stable under corpus growth.
+    *
+    * Shape: one combinable count agg → |sources| rows; totals are one
+    * broadcast scalar row; the per-row keep decision is a narrow
+    * filter against the broadcast rate table. Output is the mixing
+    * report (natural share vs α-share) the pipeline logs. */
+  def sampleTemperature(spark: SparkSession, sfDir: String,
+      targetPm: Int = 500): DataFrame = {
+    require(targetPm > 0 && targetPm <= 1000, s"targetPm out of range: $targetPm")
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    val tot = counts.agg(sum(col("n_docs")).as("n_total"),
+      sum(col("w")).as("w_total"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("target_n",
+        expr(s"n_total * $targetPm div 1000 * w div w_total"))
+      .withColumn("keep_pm",
+        least(lit(1000L), expr("1000 * target_n div n_docs")))
+      .select(col("source"), col("n_docs"), col("w"), col("target_n"),
+        col("keep_pm"))
+    val bucket = (col("doc_id") % lit(1000000007L)) * lit(2654435761L) %
+      lit(1000000007L) % lit(1000L)
+    d.select(col("source"), bucket.as("bucket"))
+      .join(broadcast(rates), "source")
+      .groupBy(col("source"), col("n_docs"), col("w"), col("target_n"),
+        col("keep_pm"))
+      .agg(sum(when(col("bucket") < col("keep_pm"), 1L).otherwise(0L))
+        .as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   /** §2#98 WEIGHTED priority sampling: bottom-k documents by
     * `hash(doc_id) div weight` with weight = n_chars — an integer
     * priority-sampling scheme (Duffield/Lund/Thorup shape: a doc's

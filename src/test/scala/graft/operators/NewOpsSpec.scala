@@ -66,6 +66,30 @@ class NewOpsSpec extends SparkSuite {
     assert(parsed.nonEmpty)
   }
 
+  test("sample_temperature: alpha=1/2 flattens the mixture toward small sources") {
+    val rows = Sampling.sampleTemperature(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nDocs, w, targetN, keepPm, nKept) =>
+      assert(w === math.sqrt(nDocs.toDouble).toLong) // isqrt weight
+      assert(keepPm >= 0 && keepPm <= 1000)
+      assert(nKept <= nDocs)
+      assert(targetN >= 0)
+    }
+    // the α<1 property: a strictly larger source never gets a larger
+    // keep rate, and when sizes differ enough the rate strictly drops
+    for (a <- rows; b <- rows if a._2 > b._2 * 2)
+      assert(a._5 <= b._5,
+        s"bigger source ${a._1} (${a._2} docs) out-rates ${b._1} (${b._2})")
+    // the kept total lands in the neighborhood of the 500‰ budget
+    // (hash-threshold rounding and the per-source cap both bite)
+    val kept = rows.map(_._6).sum.toDouble
+    val total = rows.map(_._2).sum.toDouble
+    assert(kept / total > 0.35 && kept / total < 0.65,
+      s"kept share ${kept / total} far from the 50% budget")
+  }
+
   test("sample_mixture: per-source keep rates applied via consistent hash") {
     val rows = Sampling.sampleMixture(spark, sf).collect()
     assert(rows.length === 20) // one row per source
