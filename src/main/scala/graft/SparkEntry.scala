@@ -64,6 +64,8 @@ object SparkEntry {
     "q_window_topk" -> (Analytics.qWindowTopk _),
     "q_unpivot" -> (Analytics.qUnpivot _),
     "q_recursive_chain" -> (Analytics.qRecursiveChain _),
+    "q_exists_multi" -> (Analytics.qExistsMulti _),
+    "q_lateral_topn" -> (Analytics.qLateralTopn _),
     "q_topk_native" -> (Analytics.qTopkNative _),
     "q_rollup" -> (Analytics.qRollup _),
     "q_cube" -> (Analytics.qCube _),
@@ -371,6 +373,34 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN dev_c > 5 * mad_c THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
          |FROM dev JOIN mad ON dev.grp = mad.grp AND dev.median_c = mad.median_c
          |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    "q_lateral_topn" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.price_c, t.rk
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+        |  FROM orders o WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY price_c DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, t.rk""".stripMargin,
+
+    "q_exists_multi" ->
+      """SELECT s.s_name, count(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND epoch_us(l1.l_shipdate) > epoch_us(o.o_orderdate) + 5184000000000
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND epoch_us(l3.l_shipdate) > epoch_us(o.o_orderdate) + 5184000000000)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
 
     "q_recursive_chain" ->
       """WITH RECURSIVE e AS (

@@ -658,6 +658,67 @@ object Analytics {
         coalesce(col("purchase"), lit(0L)).as("purchase_c"))
       .orderBy(col("user_id"))
 
+  /** §2#165 correlated LATERAL join with per-row LIMIT — the "top-N
+    * per group via lateral" idiom (the standard form in Postgres/
+    * DuckDB; Spark 3.2+ plans it as a `LateralJoin` that decorrelates
+    * into a ranked window, NOT a per-row re-execution): each
+    * customer's 2 most expensive orders with their rank. The same
+    * result as a window + filter — but expressed from the SQL surface
+    * a migrating user brings, and the planner proves the
+    * decorrelation. Inner-join semantics: order-less customers drop
+    * (LEFT LATERAL would keep them). */
+  def qLateralTopn(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.load(spark, sfDir, "orders").createOrReplaceTempView("ord_lat")
+    Tables.load(spark, sfDir, "customer").createOrReplaceTempView("cust_lat")
+    spark.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.price_c, t.rk
+        |FROM cust_lat c,
+        |LATERAL (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+        |  FROM ord_lat o WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY price_c DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, t.rk""".stripMargin)
+  }
+
+  /** §2#164 the TPC-H Q21 decorrelation shape — EXISTS and NOT EXISTS
+    * correlated against the SAME fact table in one query (the hardest
+    * standard decorrelation case: Catalyst must plan a left-semi AND a
+    * left-anti join against lineitem without re-scanning it per outer
+    * row): suppliers who were the ONLY late shipper in a
+    * multi-supplier finalized order ("late" = shipped >60 days after
+    * the order date — the schema's receipt/commit columns adapted to
+    * the columns the testdata carries). Lateness compares integer
+    * epoch-µs (UTC session), so both engines agree exactly.
+    *
+    * Shape after decorrelation: three hash joins on l_orderkey (fact-
+    * fact, AQE-planned) + a broadcast supplier dim + one combinable
+    * count — no correlated re-execution anywhere. */
+  def qExistsMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("li_q21")
+    Tables.load(spark, sfDir, "orders").createOrReplaceTempView("ord_q21")
+    Tables.load(spark, sfDir, "supplier").createOrReplaceTempView("sup_q21")
+    spark.sql(
+      """SELECT s.s_name, count(*) AS numwait
+        |FROM sup_q21 s
+        |JOIN li_q21 l1 ON l1.l_suppkey = s.s_suppkey
+        |JOIN ord_q21 o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND unix_micros(CAST(l1.l_shipdate AS TIMESTAMP)) >
+        |      unix_micros(CAST(o.o_orderdate AS TIMESTAMP)) + 5184000000000
+        |  AND EXISTS (SELECT 1 FROM li_q21 l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM li_q21 l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND unix_micros(CAST(l3.l_shipdate AS TIMESTAMP)) >
+        |          unix_micros(CAST(o.o_orderdate AS TIMESTAMP)) + 5184000000000)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin)
+  }
+
   /** §2#152 native WITH RECURSIVE (Spark 4's `UnionLoop`): the length
     * of each user's OPENING EVENT BURST — starting from the user's
     * first event, successive events chain while each arrives within

@@ -289,6 +289,60 @@ class NewOpsSpec extends SparkSuite {
     }
   }
 
+  test("q_exists_multi: the only-late-supplier set matches a driver recompute") {
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ord = graft.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .map(o => o._1 -> (o._2, o._3)).toMap
+    val sup = graft.Tables.load(spark, sf, "supplier")
+      .select(col("s_suppkey"), col("s_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byOrder = li.groupBy(_._1)
+    val waits = byOrder.toSeq.flatMap { case (ok, ls) =>
+      ord.get(ok).toSeq.flatMap { case (status, odUs) =>
+        if (status != "F") Seq.empty
+        else {
+          val late = ls.filter(_._3 > odUs + 5184000000000L)
+          val supps = ls.map(_._2).distinct
+          late.filter { l =>
+            supps.exists(_ != l._2) && // multi-supplier order
+              !late.exists(_._2 != l._2) // and nobody else was late
+          }
+        }
+      }
+    }
+    val expect = waits.groupBy(_._2).map { case (s, vs) =>
+      (sup(s), vs.length.toLong) }
+      .toSeq.sortBy { case (n, c) => (-c, n) }.take(20).toSet
+    val got = Analytics.qExistsMulti(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
+  test("q_lateral_topn equals the window+filter formulation") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("price_c").desc, col("o_orderkey"))
+    val viaWindow = graft.Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        graft.functions.Fns.cents(col("o_totalprice")).as("price_c"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("price_c"), col("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val got = Analytics.qLateralTopn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === viaWindow)
+    assert(got.nonEmpty)
+  }
+
   test("q_recursive_chain: chain lengths match a driver-side recompute") {
     val ev = graft.Tables.events(spark, sf)
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
