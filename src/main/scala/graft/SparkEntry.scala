@@ -94,6 +94,8 @@ object SparkEntry {
     "q_scalar_subquery" -> (Analytics.qScalarSubquery _),
     "q_ntile_decile" -> (Analytics.qNtileDecile _),
     "q_corr_moments" -> (Analytics.qCorrMoments _),
+    "q_bitmap_distinct" -> (Analytics.qBitmapDistinct _),
+    "q_string_agg" -> (Analytics.qStringAgg _),
     "stream_session_native" -> (StreamOps.sessionizeNative _),
     "q_pivot_native" -> (Analytics.qPivotNative _),
     "q_intersect_except" -> (Analytics.qIntersectExcept _),
@@ -139,6 +141,7 @@ object SparkEntry {
     "ann_sq_topk" -> ((s: SparkSession, d: String) => Similarity.sqTopk(s, d)),
     "ann_ivf_pq" -> ((s: SparkSession, d: String) => Similarity.ivfPqTopk(s, d)),
     "ann_filtered_topk" -> ((s: SparkSession, d: String) => Similarity.filteredTopk(s, d)),
+    "ann_mmr_topk" -> ((s: SparkSession, d: String) => Similarity.mmrTopk(s, d)),
     // §2.6 text analysis
     "text_tokens" -> (TextAnalysis.tokenCounts _),
     "text_quality" -> (TextAnalysis.quality _),
@@ -154,6 +157,7 @@ object SparkEntry {
     "text_chunk_dedup" -> ((s: SparkSession, d: String) => TextAnalysis.chunkDedup(s, d)),
     "text_bpe_pairs" -> (TextAnalysis.bpePairs _),
     "text_gopher_rules" -> (TextAnalysis.gopherRules _),
+    "text_compression_ratio" -> (TextAnalysis.compressionRatio _),
     "sample_weighted" -> ((s: SparkSession, d: String) => Sampling.sampleWeighted(s, d)),
     // §2.7 multimodal
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
@@ -874,6 +878,19 @@ object SparkEntry {
          |  CAST(sum((x - mx) * (y - my)) AS BIGINT) AS mxy
          |FROM e JOIN m USING (event_type)
          |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+
+    // the Spark side counts via bitmap OR-aggregation; the oracle is
+    // the plain exact distinct — identical integers prove the bitmap
+    // path exact
+    "q_bitmap_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT n_name, count(*) AS n_customers,
+        |  string_agg(c_name, '|' ORDER BY c_name) AS roster
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "stream_session_native" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

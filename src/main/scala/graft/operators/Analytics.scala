@@ -857,4 +857,42 @@ object Analytics {
         coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
       .orderBy(col("c_nationkey"))
   }
+
+  /** §2#168 EXACT distinct counting via BITMAP aggregation — the
+    * two-level roaring-style pattern every warehouse uses when
+    * approx_count_distinct isn't allowed but count(DISTINCT) shuffles
+    * too much: bucket each user_id (bitmap_bucket_number), OR together
+    * per-bucket position bitmaps (bitmap_construct_agg — map-side
+    * combinable, so each partition ships ONE ≤4 KB bitmap per
+    * (type, bucket), not its raw ids), then sum of bitmap_count per
+    * type. At 100 TB the shuffle volume is |types|×|buckets|×4 KB,
+    * independent of row count — vs count(DISTINCT)'s full id shuffle.
+    * Oracle = plain count(DISTINCT): same integers, proving the bitmap
+    * path EXACT, not approximate. */
+  def qBitmapDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"))
+      .groupBy(col("event_type"),
+        expr("bitmap_bucket_number(user_id)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+      .orderBy(col("event_type"))
+
+  /** §2#169 ordered string aggregation (LISTAGG/string_agg): the
+    * per-group concatenated roster, deterministic via an explicit
+    * element sort (collect_list order is partition-dependent;
+    * sort_array pins it — the same contract as SQL's
+    * WITHIN GROUP (ORDER BY)). Group sizes are bounded by the
+    * dimension's fan-out (customers per nation), not the fact table,
+    * so the collected arrays stay executor-safe at scale. */
+  def qStringAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.nation(spark, sfDir),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        array_join(sort_array(collect_list(col("c_name"))), "|")
+          .as("roster"))
+      .orderBy(col("n_name"))
 }

@@ -582,4 +582,76 @@ object Similarity {
       .where(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** §2#167 MMR-DIVERSIFIED top-k (Maximal Marginal Relevance,
+    * Carbonell & Goldstein, SIGIR 1998): greedily pick
+    * argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) — the re-rank every
+    * retrieval pipeline runs when plain top-k returns k near-copies
+    * (for training data: diverse exemplars, not one cluster).
+    *
+    * Shape: candidate generation is the normal distributed top-nCand
+    * path (broadcast queries, one window); ONLY the greedy selection —
+    * inherently sequential, bounded at nCand=20 rows per query — runs
+    * per-group in `flatMapGroups`, keyed by query, so the expensive
+    * stage scales with |queries| × nCand, never the corpus. At 100 TB
+    * the candidate stage swaps to LSH/IVF unchanged. All scores are
+    * integer-µ with id tiebreaks (floorDiv for the λ mix), so the
+    * selection order is exactly reproducible cross-partitioning. */
+  def mmrTopk(spark: SparkSession, sfDir: String, k: Int = 5,
+      nCand: Int = 20, lambdaPm: Long = 700L): DataFrame = {
+    val c = corpus(spark, sfDir)
+    val q = c.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val sims = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosPre(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("rel_e6"),
+        col("emb"), col("nrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel_e6").desc, col("neighbor_id"))
+    val cands = sims.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= nCand)
+    import spark.implicits._
+    cands
+      .select(col("query_id"), col("neighbor_id"), col("rel_e6"),
+        col("emb"), col("nrm"))
+      .as[(Long, Long, Long, Seq[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cs = it.toArray.sortBy(t => (-t._3, t._2))
+        val n = cs.length
+        def cosE6(i: Int, j: Int): Long = {
+          val a = cs(i)._4; val b = cs(j)._4
+          var d = 0.0; var m = 0
+          while (m < a.length) { d += a(m) * b(m); m += 1 }
+          math.floor(d / (cs(i)._5 * cs(j)._5) * 1e6).toLong
+        }
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val remaining = scala.collection.mutable.SortedSet(0 until n: _*)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Long)]
+        var rank = 1
+        while (rank <= math.min(k, n)) {
+          var best = -1; var bestScore = Long.MinValue
+          var bestId = Long.MaxValue
+          for (i <- remaining) {
+            val red =
+              if (selected.isEmpty) 0L
+              else selected.iterator.map(s => cosE6(i, s)).max
+            val score = Math.floorDiv(
+              lambdaPm * cs(i)._3 - (1000L - lambdaPm) * red, 1000L)
+            if (score > bestScore ||
+                (score == bestScore && cs(i)._2 < bestId)) {
+              best = i; bestScore = score; bestId = cs(i)._2
+            }
+          }
+          selected += best; remaining -= best
+          out += ((qid, rank.toLong, cs(best)._2, bestScore, cs(best)._3))
+          rank += 1
+        }
+        out.iterator
+      }
+      .toDF("query_id", "rank", "neighbor_id", "mmr_score_e6", "rel_e6")
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

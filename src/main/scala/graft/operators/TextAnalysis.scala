@@ -390,4 +390,50 @@ object TextAnalysis {
         when(col("first_fail") === "", lit(1L)).otherwise(lit(0L)))
       .orderBy(col("doc_id"))
   }
+
+  /** §2#166 COMPRESSION-RATIO quality signal: DEFLATE each document and
+    * report compressed/raw per-mille. The published web-curation
+    * heuristic (MassiveText/Gopher Rae et al. 2021 §A1.1 dedups on it;
+    * RefinedWeb-style pipelines filter on it): boilerplate, templated
+    * spam, and repeated-token degenerate text compress far below
+    * natural prose, while already-compressed or random payloads sit
+    * near (or above) 1000‰ — both tails get dropped.
+    *
+    * Shape: one narrow mapPartitions pass — the Deflater is allocated
+    * ONCE per partition and `reset()` between documents (codec-init
+    * amortization, the same batch shape as the multimodal decoders).
+    * No shuffle except the final presentation ORDER BY; at 100 TB this
+    * runs at scan speed like the rest of the filter battery. Level 6
+    * (zlib default) — the ratio ordering, not the absolute byte count,
+    * is the signal, so the level only needs to be fixed, not tuned. */
+  def compressionRatio(spark: SparkSession, sfDir: String): DataFrame =
+    compressionRatioOf(Tables.documentsPar(spark, sfDir))
+
+  /** Core of [[compressionRatio]] over any `(doc_id, text)` frame. */
+  def compressionRatioOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { iter =>
+        val deflater = new java.util.zip.Deflater(6, /*nowrap=*/ true)
+        val buf = new Array[Byte](8192)
+        iter.map { case (docId, text) =>
+          val raw = Option(text).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var compressed = 0L
+          while (!deflater.finished()) compressed += deflater.deflate(buf)
+          (docId, raw.length.toLong, compressed)
+        }
+      }
+      .toDF("doc_id", "raw_bytes", "deflate_bytes")
+      .withColumn("ratio_pm",
+        floor(col("deflate_bytes") * lit(1000.0) /
+          greatest(col("raw_bytes"), lit(1L))).cast("long"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-9 third-session additions: compression-ratio
+  * quality signal, MMR diversified re-rank, bitmap exact distinct,
+  * ordered string aggregation. */
+class DiversityQualitySpec extends SparkSuite {
+
+  // ---------------------------------------------------------------- text
+
+  test("text_compression_ratio: repetitive text compresses far below random") {
+    import spark.implicits._
+    val rep = ("lorem ipsum " * 400).trim // highly templated
+    // deterministic pseudo-random alnum junk (LCG, no shared structure)
+    val rnd = {
+      var s = 123456789L
+      val sb = new StringBuilder
+      while (sb.length < rep.length) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        sb.append(((s >>> 33) % 36).toInt match {
+          case d if d < 10 => ('0' + d).toChar
+          case a => ('a' + a - 10).toChar
+        })
+      }
+      sb.toString
+    }
+    val df = Seq((1L, rep), (2L, rnd), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.compressionRatioOf(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (repRaw, repDef, repPm) = out(1L)
+    val (rndRaw, _, rndPm) = out(2L)
+    val (emptyRaw, _, _) = out(3L)
+    assert(repRaw === rep.length.toLong && rndRaw === rnd.length.toLong)
+    assert(repDef > 0L)
+    // templated text compresses at least 2x better than random junk
+    assert(repPm * 2 < rndPm, s"rep=$repPm rnd=$rndPm")
+    // random alnum still compresses a little (6-bit alphabet) but stays high
+    assert(rndPm > 500L)
+    assert(emptyRaw === 0L) // empty doc: no crash, zero raw bytes
+  }
+
+  test("text_compression_ratio: sane bounds and full coverage on the corpus") {
+    val docs = graft.Tables.documents(spark, sf)
+    val out = TextAnalysis.compressionRatio(spark, sf).collect()
+    assert(out.length.toLong === docs.count())
+    out.foreach { r =>
+      val (raw, defl, pm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(raw > 0L && defl > 0L)
+      // DEFLATE never inflates text beyond the stored-block overhead
+      assert(pm >= 1L && pm <= 1100L, s"doc ${r.getLong(0)}: ratio $pm")
+    }
+    // natural-language corpus: the bulk must actually compress
+    val median = out.map(_.getLong(3)).sorted.apply(out.length / 2)
+    assert(median < 900L, s"median ratio $median — corpus not compressing")
+  }
+
+  // ---------------------------------------------------------------- ann
+
+  /** Driver-side exact replica of the operator's arithmetic: dot
+    * products as sequential loops (same order as the codegen'd
+    * DotProduct), relevance = round(cos*1e6), pairwise = floor(cos*1e6),
+    * score = floorDiv(λ·rel − (1−λ)·red, 1000), ties by id. */
+  test("ann_mmr_topk equals a driver-side greedy MMR recompute") {
+    val k = 5; val nCand = 20; val lambdaPm = 700L
+    val embs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val nrm = embs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    val expected = (0L until 10L).flatMap { qid =>
+      val q = embs(qid); val qn = nrm(qid)
+      val cands = embs.keys.filter(_ != qid).toSeq
+        .map { id =>
+          val rel = math.round(dot(q, embs(id)) / (qn * nrm(id)) * 1e6)
+          (id, rel)
+        }
+        .sortBy { case (id, rel) => (-rel, id) }
+        .take(nCand)
+      def pairE6(a: Long, b: Long): Long =
+        math.floor(dot(embs(a), embs(b)) / (nrm(a) * nrm(b)) * 1e6).toLong
+      var selected = Vector.empty[Long]
+      var remaining = cands
+      (1 to k).map { rank =>
+        val scoredBest = remaining.map { case (id, rel) =>
+          val red = if (selected.isEmpty) 0L else selected.map(pairE6(id, _)).max
+          (Math.floorDiv(lambdaPm * rel - (1000L - lambdaPm) * red, 1000L), id, rel)
+        }.minBy { case (score, id, _) => (-score, id) }
+        selected :+= scoredBest._2
+        remaining = remaining.filterNot(_._1 == scoredBest._2)
+        (qid, rank.toLong, scoredBest._2, scoredBest._1, scoredBest._3)
+      }
+    }.toSet
+    val got = Similarity.mmrTopk(spark, sf, k, nCand, lambdaPm).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === expected)
+  }
+
+  test("ann_mmr_topk: λ=1 reduces to plain top-k; λ=0.7 actually diversifies") {
+    val plain = Similarity.bruteforceTopk(spark, sf).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq).toMap
+    // λ = 1000‰: the redundancy term vanishes, so greedy-by-relevance
+    // (ties by id) IS the plain exact top-k, in the same order
+    val reduced = Similarity.mmrTopk(spark, sf, lambdaPm = 1000L).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq).toMap
+    assert(reduced.keySet === (0L until 10L).toSet)
+    reduced.foreach { case (qid, ids) => assert(ids === plain(qid)) }
+    // λ = 700‰: diversification must actually change something, and
+    // rank 1 (no redundancy yet) stays the plain nearest neighbor
+    val mmr = Similarity.mmrTopk(spark, sf).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq).toMap
+    mmr.foreach { case (qid, ids) =>
+      assert(ids.size === 5 && ids.distinct.size === 5)
+      assert(ids.head === plain(qid).head)
+    }
+    assert(mmr.exists { case (qid, ids) => ids.toSet != plain(qid).toSet },
+      "λ=0.7 never deviated from plain top-k — diversification inert")
+  }
+
+  // ---------------------------------------------------------------- sql
+
+  test("q_bitmap_distinct equals plain count(DISTINCT) exactly") {
+    val expected = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Analytics.qBitmapDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    assert(got.values.forall(_ > 0L))
+  }
+
+  test("q_bitmap_distinct: partial bitmap aggregation before the shuffle") {
+    val plan = Analytics.qBitmapDistinct(spark, sf)
+      .queryExecution.executedPlan.toString
+    // two-level agg: partial bitmap_construct_agg runs map-side (before
+    // its exchange), so the shuffle carries bitmaps, not raw ids
+    assert(plan.contains("partial_bitmap_construct_agg"),
+      s"no map-side partial bitmap aggregation in:\n$plan")
+  }
+
+  test("q_string_agg: rosters are the sorted exact membership") {
+    val rows = Analytics.qStringAgg(spark, sf).collect()
+    val expected = graft.Tables.customer(spark, sf)
+      .join(graft.Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_name")).collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getString(1)).sorted.mkString("|")).toMap
+    assert(rows.map(_.getString(0)).toSet === expected.keySet)
+    rows.foreach { r =>
+      assert(r.getString(2) === expected(r.getString(0)))
+      assert(r.getLong(1) === expected(r.getString(0)).split('|').length.toLong)
+    }
+  }
+}
