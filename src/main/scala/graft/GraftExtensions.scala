@@ -35,5 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // bounded-buffer TopKPerKey operator (post-resolution batch; the
     // rule itself is conservative about when it fires)
     ext.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
+    // rewrite exact count(DISTINCT <integral>) into the two-level
+    // bitmap aggregation (shuffle ships bitmaps, not raw ids)
+    ext.injectOptimizerRule(_ => graft.plans.BitmapDistinctRewrite)
   }
 }

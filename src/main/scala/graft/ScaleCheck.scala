@@ -141,7 +141,20 @@ object ScaleCheck {
       // cells/codebooks held constant (the production lever is growing
       // them ∝ corpus); probed-cell scan grows ∝ corpus → expect ~K×
       "ann_ivf_pq" -> ((s: SparkSession, d: String, _: Int) =>
-        Similarity.ivfPqTopk(s, d)))
+        Similarity.ivfPqTopk(s, d)),
+      // r9 third-session additions. compression_ratio is a pure narrow
+      // map (expect ~K×, scan-speed); mmr's candidate stage grows ∝
+      // corpus while the greedy stays |queries|×20 (expect ~K× from
+      // the candidate scan alone); bitmap_distinct's shuffle is
+      // |types|×|buckets| bitmaps — buckets grow with the id RANGE
+      // (user_id shifts per copy), so the shuffle grows ∝ K but each
+      // bitmap is ≤4 KB regardless of per-bucket row growth
+      "text_compression_ratio" -> ((s: SparkSession, d: String, _: Int) =>
+        TextAnalysis.compressionRatio(s, d)),
+      "ann_mmr_topk" -> ((s: SparkSession, d: String, _: Int) =>
+        Similarity.mmrTopk(s, d)),
+      "q_bitmap_distinct" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.qBitmapDistinct(s, d)))
 
     // SPARK_GRAFT_OPS=a,b,c restricts the run (default: everything) —
     // lets a round re-measure just its new ops without paying for the

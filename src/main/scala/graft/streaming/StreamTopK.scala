@@ -38,6 +38,31 @@ case class SsSummary(counters: Seq[SsCounter])
   * merge ambiguity); each micro-batch folds its rows in arrival order
   * then emits the group's current top-k (count desc, item asc — total
   * order, so emissions are deterministic given batch boundaries). */
+object SpaceSaving {
+  /** One SpaceSaving update pass, factored out of the processor so the
+    * algorithm's guarantees are property-testable without a streaming
+    * harness: fold `items` into `counters` (item → (count, err)) under
+    * the capacity bound. Mutates and returns `counters`. */
+  def fold(counters: scala.collection.mutable.LinkedHashMap[Long, (Long, Long)],
+      items: IterableOnce[Long], capacity: Int)
+      : scala.collection.mutable.LinkedHashMap[Long, (Long, Long)] = {
+    items.iterator.foreach { item =>
+      counters.get(item) match {
+        case Some((c, e)) => counters(item) = (c + 1, e)
+        case None if counters.size < capacity => counters(item) = (1L, 0L)
+        case None =>
+          // evict the min counter (ties: larger item evicted first, so
+          // the survivor set is deterministic), inherit its count
+          val (minItem, (minCount, _)) =
+            counters.minBy { case (i, (c, _)) => (c, -i) }
+          counters.remove(minItem)
+          counters(item) = (minCount + 1, minCount)
+      }
+    }
+    counters
+  }
+}
+
 class SpaceSavingProcessor(capacity: Int, k: Int)
     extends StatefulProcessor[String, ItemEvent, TopItem] {
 
@@ -52,19 +77,7 @@ class SpaceSavingProcessor(capacity: Int, k: Int)
     val counters = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Long)]
     if (summary.exists())
       summary.get().counters.foreach(c => counters(c.item) = (c.count, c.err))
-    rows.foreach { r =>
-      counters.get(r.item) match {
-        case Some((c, e)) => counters(r.item) = (c + 1, e)
-        case None if counters.size < capacity => counters(r.item) = (1L, 0L)
-        case None =>
-          // evict the min counter (ties: larger item evicted first, so
-          // the survivor set is deterministic), inherit its count
-          val (minItem, (minCount, _)) =
-            counters.minBy { case (item, (c, _)) => (c, -item) }
-          counters.remove(minItem)
-          counters(r.item) = (minCount + 1, minCount)
-      }
-    }
+    SpaceSaving.fold(counters, rows.map(_.item), capacity)
     val seq = counters.toSeq.map { case (i, (c, e)) => SsCounter(i, c, e) }
     summary.update(SsSummary(seq))
     seq.sortBy(c => (-c.count, c.item)).take(k)
