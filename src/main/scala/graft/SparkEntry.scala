@@ -44,6 +44,7 @@ object SparkEntry {
     "ts_interpolate" -> (TimeSeries.interpolate _),
     "ts_seasonal" -> (TimeSeries.seasonal _),
     "ts_xcorr" -> ((s: SparkSession, d: String) => TimeSeries.xcorr(s, d)),
+    "ts_autocorr" -> ((s: SparkSession, d: String) => TimeSeries.autocorr(s, d)),
     "ts_ewma" -> (TimeSeries.ewma _),
     "ts_changepoint" -> (TimeSeries.changepoint _),
     "ts_downsample" -> ((s: SparkSession, d: String) => TimeSeries.downsample(s, d)),
@@ -1147,6 +1148,28 @@ object SparkEntry {
         |  CAST(sum((na - ma) * (b.n - mb)) AS BIGINT) AS sxy
         |FROM l JOIN b ON b.h = l.h + l.lag CROSS JOIN m
         |GROUP BY lag ORDER BY lag""".stripMargin,
+
+    "ts_autocorr" ->
+      """WITH ev AS (SELECT event_type,
+        |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS h FROM events),
+        |c AS (SELECT event_type, h, count(*) AS n FROM ev GROUP BY 1, 2),
+        |sp AS (SELECT event_type, unnest(generate_series(lo, hi)) AS h
+        |  FROM (SELECT event_type, min(h) AS lo, max(h) AS hi FROM ev GROUP BY 1)),
+        |g AS (SELECT sp.event_type, sp.h, coalesce(c.n, 0) AS n
+        |  FROM sp LEFT JOIN c ON sp.event_type = c.event_type AND sp.h = c.h),
+        |m AS (SELECT event_type, CAST(sum(n) // count(*) AS BIGINT) AS mu
+        |  FROM g GROUP BY 1),
+        |v AS (SELECT g.event_type, mu,
+        |  CAST(sum((n - mu) * (n - mu)) AS BIGINT) AS m2
+        |  FROM g JOIN m ON g.event_type = m.event_type GROUP BY 1, 2),
+        |f AS (SELECT event_type, h, n AS na, lag
+        |  FROM g CROSS JOIN (SELECT unnest(generate_series(1, 6)) AS lag))
+        |SELECT f.event_type, CAST(f.lag AS BIGINT) AS lag,
+        |  count(*) AS n_pairs,
+        |  CAST(sum((f.na - v.mu) * (b.n - v.mu)) AS BIGINT) AS sac, v.m2
+        |FROM f JOIN g b ON b.event_type = f.event_type AND b.h = f.h - f.lag
+        |JOIN v ON v.event_type = f.event_type
+        |GROUP BY 1, 2, 5 ORDER BY 1, 2""".stripMargin,
     "ts_seasonal" ->
       """WITH ev AS (SELECT event_type,
         |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS h FROM events),

@@ -204,6 +204,54 @@ object TimeSeries {
       .orderBy(col("lag"))
   }
 
+  /** §2#172 AUTOCORRELATION function (ACF) at lags 1..maxLag per
+    * event_type over the gap-filled hourly count series — the
+    * periodicity detector behind seasonality choices ([[seasonal]]
+    * assumes a 24 h cycle; the ACF is how you find out it IS 24):
+    * `sac(lag) = Σ(n_t−μ)(n_{t−lag}−μ)` with the full-series second
+    * moment `m2 = Σ(n_t−μ)²` as the lag-0 normalizer, both exact
+    * integers around the integer mean (same centered-moment recipe as
+    * [[xcorr]] / q_corr_moments — no float ACF to diverge on; the
+    * consumer divides sac/m2 at display time).
+    *
+    * Shape: everything after the per-hour pre-aggregate runs on
+    * |types|×|hours| rows — the lag fan-out (×maxLag) and the
+    * self-join at `h − lag` touch the tiny series, never the events
+    * that built it; μ and m2 are broadcast. At 100 TB the hourly
+    * pre-agg is the only pass over the feed. */
+  def autocorr(spark: SparkSession, sfDir: String, maxLag: Int = 6): DataFrame = {
+    val hourUs = 3600000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr(s"unix_micros(date_trunc('hour', ts)) div $hourUs").as("h"))
+    val counts = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"))
+    val spine = ev.groupBy(col("event_type"))
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("h"))
+    val g = spine.join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), coalesce(col("n"), lit(0L)).as("n"))
+    val mu = g.groupBy(col("event_type"))
+      .agg(expr("sum(n) div count(1)").as("mu"))
+    val m2 = g.join(broadcast(mu), "event_type")
+      .groupBy(col("event_type"), col("mu"))
+      .agg(sum((col("n") - col("mu")) * (col("n") - col("mu"))).as("m2"))
+    val fan = g.select(col("event_type"), col("h"), col("n").as("na"),
+        explode(sequence(lit(1L), lit(maxLag.toLong))).as("lag"))
+      .withColumn("h_want", col("h") - col("lag"))
+    // equi-join on (event_type, h − lag): hash join, no per-type cross
+    fan.join(g.select(col("event_type").as("et_b"), col("h").as("hb"),
+          col("n").as("nb")),
+        col("et_b") === col("event_type") && col("hb") === col("h_want"))
+      .join(broadcast(m2), Seq("event_type"))
+      .groupBy(col("event_type"), col("lag"), col("mu"), col("m2"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("na") - col("mu")) * (col("nb") - col("mu"))).as("sac"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        col("sac"), col("m2"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
   /** §2#130 seasonal decomposition by hour-of-day: the gap-filled
     * hourly series splits into a 24-slot seasonal profile (integer mean
     * count per (event_type, hour-of-day), quiet hours counted as 0 so

@@ -126,6 +126,28 @@ class DiversityQualitySpec extends SparkSuite {
       "λ=0.7 never deviated from plain top-k — diversification inert")
   }
 
+  // ---------------------------------------------------------------- ts
+
+  test("ts_autocorr: complete lag grid, shrinking pair counts, Cauchy-Schwarz bound") {
+    val rows = TimeSeries.autocorr(spark, sf).collect()
+    val byType = rows.groupBy(_.getString(0))
+    assert(byType.nonEmpty)
+    byType.foreach { case (_, rs) =>
+      // lags 1..6, exactly once each
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to 6L))
+      // each extra lag loses exactly one pair (the gap-filled series is
+      // contiguous, so |pairs| = |hours| - lag)
+      val pairsByLag = rs.map(r => r.getLong(1) -> r.getLong(2)).toMap
+      (2L to 6L).foreach(l => assert(pairsByLag(l) === pairsByLag(l - 1) - 1))
+      rs.foreach { r =>
+        val (sac, m2) = (r.getLong(3), r.getLong(4))
+        assert(m2 > 0L)
+        // |Σ(a−μ)(b−μ)| over a pair subset is ≤ the full second moment
+        assert(math.abs(sac) <= m2, s"|sac|=$sac > m2=$m2")
+      }
+    }
+  }
+
   // ---------------------------------------------------------------- sql
 
   test("q_bitmap_distinct equals plain count(DISTINCT) exactly") {
