@@ -170,7 +170,8 @@ object SparkEntry {
     "mm_phash_dedup" -> ((s: SparkSession, d: String) => Multimodal.phashDedup(s, d)),
     "mm_audio_features" -> (Multimodal.audioFeatures _),
     "mm_audio_segments" -> (Multimodal.audioSegments _),
-    "mm_audio_resample" -> ((s: SparkSession, d: String) => Multimodal.audioResample(s, d))
+    "mm_audio_resample" -> ((s: SparkSession, d: String) => Multimodal.audioResample(s, d)),
+    "mm_audio_snr" -> (Multimodal.audioSnr _)
   )
 
   // ---- shared oracle SQL fragments -------------------------------------

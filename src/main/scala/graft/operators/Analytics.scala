@@ -294,14 +294,17 @@ object Analytics {
   def qQuantilesApprox(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
+      // ONE sketch per group serving both percentiles — two separate
+      // approx_percentile agg expressions would each build their own
+      // identical digest (2× the aggregation work for the same answer)
       .agg(
-        round(element_at(approx_percentile(col("l_extendedprice"),
-          array(lit(0.5), lit(0.9)), lit(10000)), 1) * 100)
-          .cast("long").as("p50_price_c"),
-        round(element_at(approx_percentile(col("l_extendedprice"),
-          array(lit(0.5), lit(0.9)), lit(10000)), 2) * 100)
-          .cast("long").as("p90_price_c"),
+        approx_percentile(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9)), lit(10000)).as("pcts"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        round(element_at(col("pcts"), 1) * 100).cast("long").as("p50_price_c"),
+        round(element_at(col("pcts"), 2) * 100).cast("long").as("p90_price_c"),
+        col("n"))
       .orderBy(col("l_returnflag"))
 
   /** §2#41 sketch aggregate: HyperLogLog++ approximate distinct users

@@ -732,6 +732,64 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** §2#174 frame-energy SNR estimate — the speech-corpus QA signal an
+    * ASR curation pipeline thresholds on (noisy field recordings and
+    * silence-padded clips both get dropped): 20 ms frame RMS values,
+    * noise floor = their p10, signal level = their p90,
+    * `snr_db_e1 = round(200·log10(p90/p10))` in integer DECI-dB (no
+    * float column crosses the engine boundary). The percentile-energy
+    * method — no VAD labels needed, robust to where in the clip the
+    * speech sits; clips that are all one level (tone, hiss) read ≈0 dB
+    * and pure digital silence reads 0/0. Capped at 99.0 dB when the
+    * floor is digital zero. Same amortized mapPartitions batch shape
+    * as every codec op; stub (non-WAV) blobs emit zeroed rows marked
+    * `src='stub'` — plumbing-complete, never fake statistics. */
+  def audioSnr(spark: SparkSession, sfDir: String): DataFrame =
+    audioSnrOf(
+      Tables.documentsPar(spark, sfDir)
+        .select(col("doc_id"), col("text").cast("binary").as("blob")))
+
+  /** The SNR pipeline over ANY (doc_id, blob) frame. */
+  def audioSnrOf(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs
+      .select(col("doc_id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (docId, blob) =>
+          decodeWav(blob) match {
+            case Some((_, rate, mono)) if mono.nonEmpty =>
+              val win = math.max(rate / 50, 1) // 20 ms, as segmentVoiced
+              val nWin = (mono.length + win - 1) / win
+              val rms = new Array[Long](nWin)
+              var w = 0
+              while (w < nWin) {
+                val lo = w * win
+                val hi = math.min(lo + win, mono.length)
+                var sumSq = 0L
+                var j = lo
+                while (j < hi) { val v = mono(j).toLong; sumSq += v * v; j += 1 }
+                rms(w) = math.sqrt(sumSq.toDouble / (hi - lo)).toLong
+                w += 1
+              }
+              java.util.Arrays.sort(rms)
+              val p10 = rms((nWin - 1) / 10)
+              val p90 = rms((nWin - 1) * 9 / 10)
+              val snrE1 =
+                if (p90 == 0L) 0L // digital silence
+                else if (p10 == 0L) 990L // zero floor: cap at 99.0 dB
+                else math.min(990L,
+                  math.round(200.0 * math.log10(p90.toDouble / p10)))
+              (docId, nWin.toLong, p10, p90, snrE1, "real")
+            case _ => (docId, 0L, 0L, 0L, 0L, "stub")
+          }
+        }
+      }
+      .toDF("doc_id", "n_frames", "noise_rms", "signal_rms", "snr_db_e1", "src")
+      .orderBy(col("doc_id"))
+  }
+
   /** Windowed energy segmentation of a mono s16 clip: (start ms,
     * end ms, mean window RMS) per run of voiced 20 ms windows.
     * Voiced ⇔ 10·windowRms ≥ clipPeak (integer cross-multiply). */

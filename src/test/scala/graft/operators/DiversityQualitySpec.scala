@@ -126,6 +126,39 @@ class DiversityQualitySpec extends SparkSuite {
       "λ=0.7 never deviated from plain top-k — diversification inert")
   }
 
+  // ---------------------------------------------------------------- audio
+
+  test("mm_audio_snr: alternating levels read their exact deci-dB gap") {
+    import spark.implicits._
+    import TestWav.wav16
+    // 8 kHz → 160-sample (20 ms) frames. 50 frames alternating constant
+    // amplitude 1000 / 10: frame RMS is the amplitude itself, so
+    // p10 = 10, p90 = 1000 and SNR = 20·log10(100) = 40.0 dB exactly.
+    val alternating = (0 until 50).flatMap(f =>
+      Seq.fill(160)(if (f % 2 == 0) 1000 else 10))
+    val constant = Seq.fill(8000)(500) // one level → ≈ 0 dB
+    val silence = Seq.fill(8000)(0)    // digital silence → 0/0
+    val df = Seq(
+      (1L, wav16(8000, alternating)),
+      (2L, wav16(8000, constant)),
+      (3L, wav16(8000, silence)),
+      (4L, "not audio".getBytes("UTF-8"))).toDF("doc_id", "blob")
+    val rows = Multimodal.audioSnrOf(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+      .toMap
+    assert(rows(1L) === ((50L, 10L, 1000L, 400L, "real")))
+    val (_, cLo, cHi, cSnr, _) = rows(2L)
+    assert(cLo === 500L && cHi === 500L && cSnr === 0L)
+    assert(rows(3L) === ((50L, 0L, 0L, 0L, "real"))) // silent but decodable
+    assert(rows(4L)._5 === "stub")
+    // zero floor with real signal: capped at 99.0 dB, not infinite
+    val halfSilent = Seq.fill(4000)(0) ++ Seq.fill(4000)(2000)
+    val capped = Multimodal.audioSnrOf(
+      Seq((9L, wav16(8000, halfSilent))).toDF("doc_id", "blob")).collect()
+    assert(capped.head.getLong(4) === 990L)
+  }
+
   // ---------------------------------------------------------------- ts
 
   test("ts_autocorr: complete lag grid, shrinking pair counts, Cauchy-Schwarz bound") {
