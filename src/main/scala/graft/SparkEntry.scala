@@ -104,6 +104,7 @@ object SparkEntry {
     "graph_pagerank" -> ((s: SparkSession, d: String) => Graph.pagerank(s, d)),
     "graph_triangles" -> (Graph.triangles _),
     "graph_kcore" -> ((s: SparkSession, d: String) => Graph.kcore(s, d)),
+    "graph_label_prop" -> ((s: SparkSession, d: String) => Graph.labelProp(s, d)),
     "ts_ohlc" -> (TimeSeries.ohlc _),
     "dedup_winnowing" -> ((s: SparkSession, d: String) => Dedup.winnowing(s, d)),
     "ts_gap_fill" -> (TimeSeries.gapFill _),

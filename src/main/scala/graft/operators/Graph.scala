@@ -116,6 +116,56 @@ object Graph {
       .orderBy(col("doc_id"))
   }
 
+  /** §2#175 LABEL-PROPAGATION community detection (Raghavan, Albert &
+    * Kumara 2007) over the near-dup candidate graph — the near-linear
+    * community pass that groups TEMPLATED FAMILIES (docs sharing
+    * boilerplate with several relatives without being pairwise
+    * near-dups of all of them), one level coarser than
+    * [[Dedup.cluster]]'s exact connected components. Deterministic
+    * synchronous variant: every node adopts the most frequent label
+    * among its neighbors PLUS ITSELF each round (the self-vote damps
+    * the classic bipartite oscillation), ties broken by smallest
+    * label, fixed iteration count — no RNG, no async visit order, so
+    * the result is bit-identical on any partitioning.
+    *
+    * Scale: per round ONE join of the label frame (|nodes| rows)
+    * against the once-partitioned-and-checkpointed edge frame + a
+    * map-side-combinable (node, label) vote count + an argmax agg —
+    * the same O(iters) shuffle-round shape as [[pagerank]], lineage
+    * cut per round. A clique collapses to its min label in one round;
+    * communities joined by single bridge edges stay separate (the
+    * bridge vote never outnumbers the in-community majority). */
+  def labelProp(spark: SparkSession, sfDir: String, iters: Int = 8): DataFrame =
+    labelPropFrom(Dedup.candidatePairs(spark, sfDir), iters)
+
+  /** Core of [[labelProp]] over any unique `(doc_a < doc_b)` edge list. */
+  def labelPropFrom(edges: DataFrame, iters: Int = 8): DataFrame = {
+    val bidir = edges.unionByName(
+        edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val nodes = bidir.select(col("src").as("doc_id")).distinct()
+      .localCheckpoint(true)
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
+    for (_ <- 1 to iters) {
+      val votes = bidir
+        .join(labels.select(col("doc_id").as("src"), col("label")), "src")
+        .select(col("dst").as("doc_id"), col("label"))
+        .unionByName(labels) // the self-vote
+        .groupBy(col("doc_id"), col("label")).agg(count(lit(1)).as("n"))
+      // argmax by (votes desc, label asc) — min over (−n, label) structs
+      labels = votes.groupBy(col("doc_id"))
+        .agg(min(struct((-col("n")).as("neg_n"), col("label"))).as("best"))
+        .select(col("doc_id"), col("best.label").as("label"))
+        .localCheckpoint(true)
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "label")
+      .select(col("doc_id"), col("label").as("community"), col("community_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** §2#122 triangle counting over the near-dup candidate graph, with
     * DEGREE ORIENTATION (the distributed-triangle standard, cf. Suri &
     * Vassilvitskii WWW'11 "Counting Triangles and the Curse of the Last

@@ -126,6 +126,35 @@ class DiversityQualitySpec extends SparkSuite {
       "λ=0.7 never deviated from plain top-k — diversification inert")
   }
 
+  // ---------------------------------------------------------------- graph
+
+  test("graph_label_prop: bridged cliques split, a clique collapses, corpus runs") {
+    import spark.implicits._
+    // two 4-cliques {1..4} and {10..13} joined by ONE bridge edge 4–10
+    def clique(ids: Seq[Long]) =
+      for { a <- ids; b <- ids if a < b } yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ ((4L, 10L)))
+      .toDF("doc_a", "doc_b")
+    val got = Graph.labelPropFrom(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // each clique collapses to its min label; the bridge never outvotes
+    Seq(1L, 2L, 3L, 4L).foreach(n => assert(got(n) === ((1L, 4L))))
+    Seq(10L, 11L, 12L, 13L).foreach(n => assert(got(n) === ((10L, 4L))))
+    // determinism: a second run is identical
+    val again = Graph.labelPropFrom(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again === got)
+    // real corpus: every candidate-graph node gets a community and
+    // sizes are consistent
+    val corpus = Graph.labelProp(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    val byCommunity = corpus.groupBy(_.getLong(1))
+    byCommunity.foreach { case (_, members) =>
+      assert(members.forall(_.getLong(2) === members.length.toLong))
+    }
+  }
+
   // ---------------------------------------------------------------- audio
 
   test("mm_audio_snr: alternating levels read their exact deci-dB gap") {
