@@ -154,7 +154,14 @@ object ScaleCheck {
       "ann_mmr_topk" -> ((s: SparkSession, d: String, _: Int) =>
         Similarity.mmrTopk(s, d)),
       "q_bitmap_distinct" -> ((s: SparkSession, d: String, _: Int) =>
-        Analytics.qBitmapDistinct(s, d)))
+        Analytics.qBitmapDistinct(s, d)),
+      // autocorr: only the hourly pre-agg sees K× rows (shared span →
+      // constant |hours|); label_prop: O(iters) joins over K× edges —
+      // expect ~K× worst case, flatter while fixed rounds dominate
+      "ts_autocorr" -> ((s: SparkSession, d: String, _: Int) =>
+        TimeSeries.autocorr(s, d)),
+      "graph_label_prop" -> ((s: SparkSession, d: String, _: Int) =>
+        Graph.labelProp(s, d)))
 
     // SPARK_GRAFT_OPS=a,b,c restricts the run (default: everything) —
     // lets a round re-measure just its new ops without paying for the

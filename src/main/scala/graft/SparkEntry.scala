@@ -35,6 +35,7 @@ object SparkEntry {
     "cdc_lag" -> (Changefeed.lagReport _),
     "cdc_resolved_batches" -> (Changefeed.resolvedBatches _),
     "cdc_table_router" -> (Changefeed.tableRouter _),
+    "cdc_fan_in" -> ((s: SparkSession, d: String) => Changefeed.fanIn(s, d)),
     "cdc_variant_extract" -> (Changefeed.variantExtract _),
     "cdc_schema_drift" -> (Changefeed.schemaDrift _),
     "cdc_dlq" -> (Changefeed.dlq _),
@@ -356,6 +357,19 @@ object SparkEntry {
         |SELECT tbl, id % 8 AS part_id, count(*) AS n_messages,
         |  min(sort_us) AS first_us, max(sort_us) AS last_us
         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "cdc_fan_in" ->
+      """WITH e AS (SELECT user_id % 4 AS source_id, epoch_us(ts) AS us FROM events),
+        |per AS (SELECT source_id, max(us) AS frontier_us, count(*) AS n_total
+        |  FROM e GROUP BY 1),
+        |g AS (SELECT min(frontier_us) AS safe_frontier_us FROM per),
+        |s AS (SELECT source_id, safe_frontier_us,
+        |  CAST(sum(CASE WHEN us <= safe_frontier_us THEN 1 ELSE 0 END) AS BIGINT) AS n_safe
+        |  FROM e CROSS JOIN g GROUP BY 1, 2)
+        |SELECT per.source_id, per.frontier_us, s.safe_frontier_us,
+        |  per.n_total, s.n_safe, per.n_total - s.n_safe AS n_held
+        |FROM per JOIN s ON per.source_id = s.source_id
+        |ORDER BY per.source_id""".stripMargin,
 
     "cdc_resolved_batches" ->
       s"""WITH $chCte,

@@ -602,4 +602,40 @@ object Changefeed {
       .groupBy(col("part_id"))
       .agg(count(lit(1)).as("n_messages"), sum(col("bytes")).as("total_bytes"))
       .orderBy(col("part_id"))
+
+  /** §2#176 FAN-IN merge ledger — the consumer-side law for joining N
+    * independent feeds (per-region/per-shard changefeeds each publish
+    * their own resolved timestamps, reference src/cursors.rs:44-57
+    * generalized to many cursors): an ordered merged emission may only
+    * advance to the MIN over per-source frontiers — one lagging shard
+    * holds back the whole merge (exactly Kafka Streams' stream-time =
+    * min over partitions, and watermark combination in any multi-input
+    * streaming operator). Sources here are the deterministic shard
+    * assignment `user_id mod nSources`; per-source frontier = its max
+    * commit time. The ledger reports, per source: its own frontier,
+    * the combined safe frontier, and how many of its rows are SAFE
+    * (≤ safe frontier, emittable in order) vs HELD (beyond it, waiting
+    * on the slowest sibling) — the "why is my merge stalled"
+    * dashboard.
+    *
+    * Shape: two map-side-combinable aggregates over one events pass +
+    * a broadcast of the |sources|-row frontier table and the 1-row
+    * global min; no shuffle beyond the per-source combine. */
+  def fanIn(spark: SparkSession, sfDir: String, nSources: Int = 4): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(pmod(col("user_id"), lit(nSources.toLong)).as("source_id"),
+        unix_micros(col("ts")).as("us"))
+    val per = e.groupBy(col("source_id"))
+      .agg(max(col("us")).as("frontier_us"), count(lit(1)).as("n_total"))
+    val global = per.agg(min(col("frontier_us")).as("safe_frontier_us"))
+    val safe = e.crossJoin(broadcast(global))
+      .groupBy(col("source_id"), col("safe_frontier_us"))
+      .agg(sum(when(col("us") <= col("safe_frontier_us"), 1L).otherwise(0L))
+        .as("n_safe"))
+    per.join(broadcast(safe), Seq("source_id"))
+      .select(col("source_id"), col("frontier_us"), col("safe_frontier_us"),
+        col("n_total"), col("n_safe"),
+        (col("n_total") - col("n_safe")).as("n_held"))
+      .orderBy(col("source_id"))
+  }
 }

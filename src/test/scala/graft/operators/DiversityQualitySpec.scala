@@ -126,6 +126,27 @@ class DiversityQualitySpec extends SparkSuite {
       "λ=0.7 never deviated from plain top-k — diversification inert")
   }
 
+  // ---------------------------------------------------------------- cdc
+
+  test("cdc_fan_in: the merge frontier is the slowest source's, counts reconcile") {
+    val rows = graft.cdc.Changefeed.fanIn(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L))
+    val safeFrontier = rows.head.getLong(2)
+    // one shared safe frontier = the MIN per-source frontier
+    assert(rows.forall(_.getLong(2) === safeFrontier))
+    assert(rows.map(_.getLong(1)).min === safeFrontier)
+    rows.foreach { r =>
+      val (frontier, total, nSafe, nHeld) =
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(frontier >= safeFrontier)
+      assert(nSafe + nHeld === total)
+      assert(nSafe > 0L)
+    }
+    // the slowest source holds nothing back — everything it has is safe
+    val slowest = rows.filter(_.getLong(1) === safeFrontier)
+    assert(slowest.nonEmpty && slowest.forall(_.getLong(5) === 0L))
+  }
+
   // ---------------------------------------------------------------- graph
 
   test("graph_label_prop: bridged cliques split, a clique collapses, corpus runs") {

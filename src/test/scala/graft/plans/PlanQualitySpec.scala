@@ -330,4 +330,49 @@ class PlanQualitySpec extends SparkSuite {
     assert(cartesians == 0,
       s"corpus-side cartesian in semantic dedup ($cartesians):\n$plan")
   }
+
+  test("ts_autocorr: lag join is an equi-join; mean and m2 broadcast") {
+    val plan = planOf(TimeSeries.autocorr(spark, sf))
+    // the h−lag pairing must be a hash/merge EQUI-join on the tiny
+    // hourly pre-aggregate — a theta-join here would be |hours|² per
+    // type and at 100 TB the pre-agg is the only pass over events
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"autocorr lag pairing degenerated to a cross product:\n$plan")
+    // μ and m2 are |types| rows — they ride broadcasts, and the hourly
+    // count aggregate combines map-side
+    assert(plan.contains("BroadcastHashJoin"), s"scalars not broadcast:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"hourly pre-aggregate is not map-side combined:\n$plan")
+  }
+
+  test("q_string_agg: dimension join broadcasts, roster aggregation combines map-side") {
+    val plan = planOf(Analytics.qStringAgg(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"nation dim not broadcast:\n$plan")
+    // collect_list is partial-agg capable (ObjectHashAggregate) — the
+    // shuffle carries per-partition partial rosters, not raw rows
+    assert(plan.contains("partial_collect_list") ||
+      plan.contains("partial_listagg"),
+      s"roster aggregation not map-side combined:\n$plan")
+  }
+
+  test("ann_mmr_topk: query side broadcast; greedy stage input is the candidate top-20") {
+    val plan = planOf(Similarity.mmrTopk(spark, sf))
+    // the ≠-condition query×corpus stage must be the broadcast of the
+    // 10-row query side (same contract as brute force), never a
+    // shuffle of the corpus against it
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"query side not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in MMR:\n$plan")
+    // the sequential greedy runs AFTER the rank<=20 cut: the
+    // MapGroups/flatMapGroups stage must sit above the window filter
+    val mg = plan.indexOf("MapGroups")
+    val win = plan.indexOf("RunningWindowFunction") match {
+      case -1 => plan.indexOf("Window")
+      case i => i
+    }
+    assert(mg >= 0 && win >= 0 && mg < win,
+      s"greedy stage not downstream of the candidate window cut:\n$plan")
+  }
 }
