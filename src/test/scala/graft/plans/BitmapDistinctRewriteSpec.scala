@@ -70,6 +70,24 @@ class BitmapDistinctRewriteSpec extends SparkSuite {
     }
   }
 
+  test("full Long domain: negatives, bucket boundaries, and extremes stay exact") {
+    val nasty = Seq[(String, Option[Long])](
+      ("a", Some(-1L)), ("a", Some(-32768L)), ("a", Some(-32769L)),
+      ("a", Some(0L)), ("a", Some(32767L)), ("a", Some(32768L)),
+      ("a", Some(-1L)), ("b", Some(Long.MaxValue)), ("b", Some(Long.MinValue)),
+      ("b", Some(Long.MaxValue)), ("b", None)).toDF("g", "x")
+    val q = () => nasty.groupBy($"g").agg(countDistinct($"x").as("n"))
+      .orderBy($"g")
+    val baseline = q().collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(baseline === Seq("a" -> 6L, "b" -> 2L))
+    withRule {
+      val df = q()
+      assert(physical(df).contains("bitmap_construct_agg"))
+      assert(df.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+        === baseline)
+    }
+  }
+
   test("conservative: mixed aggregates, string ids, multi-column distinct stay untouched") {
     withRule {
       // count(DISTINCT) mixed with another aggregate
