@@ -169,6 +169,7 @@ object SparkEntry {
     "mm_frame_sample" -> (Multimodal.frameSample _),
     "mm_keyframes" -> ((s: SparkSession, d: String) => Multimodal.keyframes(s, d)),
     "mm_image_histogram" -> (Multimodal.imageHistogram _),
+    "mm_image_entropy" -> (Multimodal.imageEntropy _),
     "mm_phash_dedup" -> ((s: SparkSession, d: String) => Multimodal.phashDedup(s, d)),
     "mm_audio_features" -> (Multimodal.audioFeatures _),
     "mm_audio_segments" -> (Multimodal.audioSegments _),

@@ -732,6 +732,60 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** §2#177 per-image LUMA ENTROPY — the one-number exposure/content
+    * verdict distilled from #161's histogram (LAION-style corpus QA
+    * thresholds on it directly): Shannon entropy over the 16-bin luma
+    * distribution in MILLI-BITS (0 = flat synthetic fill, 4000 = all
+    * bins equal), `floor(−Σ p·log2(p) · 1000)` — near-zero entropy
+    * flags solid-color placeholders and tracking pixels, saturated
+    * entropy flags noise; real curation drops both tails. Integer
+    * column, deterministic double log2 per fixed histogram. Same
+    * amortized mapPartitions decode as every codec op; stub blobs emit
+    * zeroed rows marked `src='stub'`. */
+  def imageEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    imageEntropyOf(
+      Tables.documentsPar(spark, sfDir)
+        .select(col("doc_id"), col("text").cast("binary").as("blob")))
+
+  /** The entropy pipeline over ANY (doc_id, blob) frame. */
+  def imageEntropyOf(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs
+      .select(col("doc_id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (docId, blob) =>
+          decodeImage(blob) match {
+            case Some((_, _, px)) =>
+              val bins = new Array[Long](16)
+              var n = 0L
+              var i = 0
+              while (i + 2 < px.length) {
+                val luma = ((px(i) & 0xff) + (px(i + 1) & 0xff) +
+                  (px(i + 2) & 0xff)) / 3
+                bins(luma >> 4) += 1
+                n += 1
+                i += 3
+              }
+              var h = 0.0
+              var b = 0
+              while (b < 16) {
+                if (bins(b) > 0) {
+                  val p = bins(b).toDouble / n
+                  h -= p * (math.log(p) / math.log(2.0))
+                }
+                b += 1
+              }
+              (docId, n, math.floor(h * 1000.0).toLong, "real")
+            case None => (docId, 0L, 0L, "stub")
+          }
+        }
+      }
+      .toDF("doc_id", "n_px", "entropy_mb", "src")
+      .orderBy(col("doc_id"))
+  }
+
   /** §2#174 frame-energy SNR estimate — the speech-corpus QA signal an
     * ASR curation pipeline thresholds on (noisy field recordings and
     * silence-padded clips both get dropped): 20 ms frame RMS values,

@@ -126,6 +126,31 @@ class DiversityQualitySpec extends SparkSuite {
       "λ=0.7 never deviated from plain top-k — diversification inert")
   }
 
+  // ---------------------------------------------------------------- image
+
+  test("mm_image_entropy: flat fill reads 0, two equal levels read exactly 1 bit") {
+    import spark.implicits._
+    // PPM P6: header + raw RGB triples
+    def ppm(w: Int, h: Int, px: Array[Byte]): Array[Byte] =
+      (s"P6\n$w $h\n255\n".getBytes("US-ASCII")) ++ px
+    val flat = ppm(4, 4, Array.fill(48)(100.toByte))        // one bin → H=0
+    // half the pixels luma 0, half luma 255 → two equal bins → H=1 bit
+    val twoLevel = ppm(4, 4,
+      (Array.fill(24)(0.toByte) ++ Array.fill(24)(255.toByte)))
+    val df = Seq((1L, flat), (2L, twoLevel),
+      (3L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "blob")
+    val rows = Multimodal.imageEntropyOf(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(rows(1L) === ((16L, 0L, "real")))
+    assert(rows(2L) === ((16L, 1000L, "real")))
+    assert(rows(3L)._3 === "stub")
+    // corpus plumbing: one row per doc, entropy bounded by log2(16)
+    val corpus = Multimodal.imageEntropy(spark, sf).collect()
+    assert(corpus.length.toLong === graft.Tables.documents(spark, sf).count())
+    corpus.foreach(r => assert(r.getLong(2) >= 0L && r.getLong(2) <= 4000L))
+  }
+
   // ---------------------------------------------------------------- cdc
 
   test("cdc_fan_in: the merge frontier is the slowest source's, counts reconcile") {
