@@ -120,6 +120,7 @@ object SparkEntry {
     "dedup_incremental_bloom" -> (Dedup.bloomIncremental _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_containment" -> (Dedup.containment _),
+    "dedup_levenshtein" -> (Dedup.levenshteinVerify _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_embedding" -> (Dedup.embeddingNearDup _),
@@ -1234,6 +1235,23 @@ object SparkEntry {
          |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS union_n
          |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
          |WHERE inter_n > 0 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // pairs are the same same-source shared-shingle candidates as
+    // jaccard; both engines implement unit-cost Levenshtein, so the
+    // distances cross-check exactly
+    "dedup_levenshtein" ->
+      s"""WITH $shCte
+         |SELECT doc_a, doc_b, lev, max_len,
+         |  CAST(round((1 - lev * 1.0 / max_len) * 1000, 0) AS BIGINT) AS sim_pm
+         |FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev,
+         |    CAST(greatest(len(ta.text), len(tb.text)) AS BIGINT) AS max_len
+         |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  JOIN documents ta ON ta.doc_id = a.doc_id
+         |  JOIN documents tb ON tb.doc_id = b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) > 0)
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_containment" ->
       s"""WITH $shCte

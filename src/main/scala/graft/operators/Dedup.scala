@@ -240,6 +240,37 @@ object Dedup {
       .where(col("containment_pm") >= 500L)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** §2#178 EDIT-DISTANCE VERIFY — the second stage of two-stage fuzzy
+    * dedup: shingle/LSH candidate generation recalls, Levenshtein
+    * CONFIRMS (n-gram overlap is blind to ordering — "a b c d" vs
+    * "d c b a" share every unigram shingle; edit distance is not).
+    * Per candidate pair: the exact classic Levenshtein distance over
+    * raw text (both engines implement the same unit-cost DP, so the
+    * integers cross-check exactly) and a length-normalized similarity
+    * `sim_pm = round((1 − lev/max_len)·1000)`.
+    *
+    * Scale: the O(|a|·|b|) DP runs ONLY on candidate pairs — the
+    * memoized df-filtered shingle join keeps that set near-linear in
+    * the corpus (SURVEY §5), so the quadratic core never sees
+    * corpus×corpus; texts join in by doc_id (two hash joins on the
+    * tiny pair frame). This ordering — cheap recall, expensive verify,
+    * verify only on candidates — IS the published two-stage recipe. */
+  def levenshteinVerify(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = candidatePairs(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
+        greatest(length(col("ta")), length(col("tb"))).cast("long")
+          .as("max_len"))
+      .withColumn("sim_pm",
+        round((lit(1.0) - col("lev") / col("max_len")) * 1000).cast("long"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** §2#70 incremental dedup: check a NEW ingest batch (here every 5th
     * doc stands in for the fresh crawl) against the existing corpus by
     * content hash — the steady-state production shape, where you never

@@ -41,6 +41,48 @@ class StreamingAggSpec extends SparkSuite {
     assert(out === Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
   }
 
+  test("union fan-in: the combined watermark is the MIN over input frontiers") {
+    // §2#176's law at the ENGINE level: a windowed append-mode agg over
+    // the union of two watermarked streams may emit a window only when
+    // EVERY input's watermark has passed its end — one lagging source
+    // holds back the merge exactly as cdc_fan_in's ledger reports.
+    val fast = MemoryStream[Ev](21, spark, None)
+    val slow = MemoryStream[Ev](22, spark, None)
+    val hourMs = 3600000L
+    def ev(id: Long, ms: Long) =
+      Ev(id, new java.sql.Timestamp(ms), id, "click", 1.0, "{}")
+
+    val merged = fast.toDF().withWatermark("ts", "10 minutes")
+      .unionByName(slow.toDF().withWatermark("ts", "10 minutes"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+
+    val q = merged.writeStream
+      .outputMode("append") // append = emit only on watermark close
+      .format("memory").queryName("fanin")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt-fanin").toString)
+      .start()
+
+    // both sources put rows in hour-1; the FAST source races 10 hours
+    // ahead while the slow one stays inside hour 1
+    fast.addData(ev(1, hourMs + 1000), ev(2, 10 * hourMs))
+    slow.addData(ev(3, hourMs + 2000))
+    q.processAllAvailable()
+    // fast's frontier alone would close hour-1 — the min with slow's
+    // (still inside hour 1) must NOT
+    assert(spark.table("fanin").count() === 0L,
+      "hour-1 window emitted while the slow input's watermark was still inside it")
+
+    // the slow source advances past hour-1 + delay → now the MIN
+    // frontier closes it and it emits exactly once with BOTH sources' rows
+    slow.addData(ev(4, 2 * hourMs + 20 * 60000L))
+    q.processAllAvailable()
+    val rows = spark.table("fanin").collect()
+    q.stop()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(1) === 2L) // fast's hour-1 row + slow's
+  }
+
   test("chained stateful aggs: 15-min windows roll up to hours in ONE streaming query") {
     // Spark 3.5+ allows MULTIPLE stateful operators in one query when
     // the second groups on the first's window column (window-on-window)
