@@ -618,40 +618,51 @@ object Similarity {
       .as[(Long, Long, Long, Seq[Double], Double)]
       .groupByKey(_._1)
       .flatMapGroups { (qid, it) =>
-        val cs = it.toArray.sortBy(t => (-t._3, t._2))
-        val n = cs.length
-        def cosE6(i: Int, j: Int): Long = {
-          val a = cs(i)._4; val b = cs(j)._4
-          var d = 0.0; var m = 0
-          while (m < a.length) { d += a(m) * b(m); m += 1 }
-          math.floor(d / (cs(i)._5 * cs(j)._5) * 1e6).toLong
-        }
-        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
-        val remaining = scala.collection.mutable.SortedSet(0 until n: _*)
-        val out = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, Long, Long, Long, Long)]
-        var rank = 1
-        while (rank <= math.min(k, n)) {
-          var best = -1; var bestScore = Long.MinValue
-          var bestId = Long.MaxValue
-          for (i <- remaining) {
-            val red =
-              if (selected.isEmpty) 0L
-              else selected.iterator.map(s => cosE6(i, s)).max
-            val score = Math.floorDiv(
-              lambdaPm * cs(i)._3 - (1000L - lambdaPm) * red, 1000L)
-            if (score > bestScore ||
-                (score == bestScore && cs(i)._2 < bestId)) {
-              best = i; bestScore = score; bestId = cs(i)._2
-            }
-          }
-          selected += best; remaining -= best
-          out += ((qid, rank.toLong, cs(best)._2, bestScore, cs(best)._3))
-          rank += 1
-        }
-        out.iterator
+        mmrSelect(it.map(t => (t._2, t._3, t._4, t._5)).toArray, k, lambdaPm)
+          .map { case (rank, id, score, rel) => (qid, rank, id, score, rel) }
+          .iterator
       }
       .toDF("query_id", "rank", "neighbor_id", "mmr_score_e6", "rel_e6")
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The per-query greedy MMR selection, factored pure so its
+    * guarantees are property-testable without a cluster: candidates
+    * are (id, rel_e6, emb, nrm) in ANY order (the fold canonicalizes
+    * by (rel desc, id) first — output is input-order invariant);
+    * returns (rank, id, mmr_score_e6, rel_e6) for min(k, n) rows. */
+  private[operators] def mmrSelect(
+      cands: Array[(Long, Long, Seq[Double], Double)],
+      k: Int, lambdaPm: Long): Seq[(Long, Long, Long, Long)] = {
+    val cs = cands.sortBy(t => (-t._2, t._1))
+    val n = cs.length
+    def cosE6(i: Int, j: Int): Long = {
+      val a = cs(i)._3; val b = cs(j)._3
+      var d = 0.0; var m = 0
+      while (m < a.length) { d += a(m) * b(m); m += 1 }
+      math.floor(d / (cs(i)._4 * cs(j)._4) * 1e6).toLong
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val remaining = scala.collection.mutable.SortedSet(0 until n: _*)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var rank = 1
+    while (rank <= math.min(k, n)) {
+      var best = -1; var bestScore = Long.MinValue
+      var bestId = Long.MaxValue
+      for (i <- remaining) {
+        val red =
+          if (selected.isEmpty) 0L
+          else selected.iterator.map(s => cosE6(i, s)).max
+        val score = Math.floorDiv(
+          lambdaPm * cs(i)._2 - (1000L - lambdaPm) * red, 1000L)
+        if (score > bestScore || (score == bestScore && cs(i)._1 < bestId)) {
+          best = i; bestScore = score; bestId = cs(i)._1
+        }
+      }
+      selected += best; remaining -= best
+      out += ((rank.toLong, cs(best)._1, bestScore, cs(best)._2))
+      rank += 1
+    }
+    out.toSeq
   }
 }

@@ -369,6 +369,18 @@ class PlanQualitySpec extends SparkSuite {
     }
   }
 
+  test("dedup_levenshtein: the quadratic DP stays confined to equi-joined candidates") {
+    val plan = planOf(Dedup.levenshteinVerify(spark, sf))
+    // the pair set comes from the memoized candidate stage; the text
+    // joins must be hash/merge EQUI-joins on doc_id — a cartesian here
+    // would run the O(|a|·|b|) DP on corpus×corpus
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"levenshtein ran outside the candidate equi-join:\n$plan")
+    assert(plan.contains("levenshtein"),
+      s"edit-distance expression missing from the plan:\n$plan")
+  }
+
   test("ts_autocorr: lag join is an equi-join; mean and m2 broadcast") {
     val plan = planOf(TimeSeries.autocorr(spark, sf))
     // the h−lag pairing must be a hash/merge EQUI-join on the tiny
