@@ -80,6 +80,7 @@ object SparkEntry {
     "q_asof_join" -> (Temporal.asofJoin _),
     "q_asof_native" -> (Temporal.asofNative _),
     "q_asof_left" -> (Temporal.asofLeftNative _),
+    "q_asof_nearest" -> (Temporal.asofNearest _),
     "q_range_join" -> (Temporal.rangeJoin _),
     "q_quantiles" -> (Analytics.qQuantiles _),
     "q_quantiles_approx" -> (Analytics.qQuantilesApprox _),
@@ -638,6 +639,29 @@ object SparkEntry {
 
     "q_asof_join" -> asofOracle,
     "q_asof_left" -> asofLeftOracle,
+
+    "q_asof_nearest" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |  FROM events WHERE event_type IN ('click','purchase')),
+        |w AS (SELECT *,
+        |  last_value(CASE WHEN event_type='click' THEN event_id END IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS b_id,
+        |  last_value(CASE WHEN event_type='click' THEN us END IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS b_us,
+        |  first_value(CASE WHEN event_type='click' THEN event_id END IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS f_id,
+        |  first_value(CASE WHEN event_type='click' THEN us END IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS f_us
+        | FROM ev),
+        |p AS (SELECT *, us - b_us AS gap_b, f_us - us AS gap_f,
+        |  (f_id IS NULL OR (b_id IS NOT NULL AND us - b_us <= f_us - us)) AS use_back
+        |  FROM w WHERE event_type='purchase' AND (b_id IS NOT NULL OR f_id IS NOT NULL))
+        |SELECT user_id, event_id AS purchase_id, us AS purchase_us,
+        |  CASE WHEN use_back THEN b_id ELSE f_id END AS nearest_click_id,
+        |  CASE WHEN use_back THEN b_us ELSE f_us END AS nearest_click_us,
+        |  CASE WHEN use_back THEN gap_b ELSE gap_f END AS gap_us,
+        |  CASE WHEN use_back THEN 'backward' ELSE 'forward' END AS direction
+        |FROM p ORDER BY purchase_id""".stripMargin,
     // the custom physical operator must reproduce the declarative
     // formulation's oracle EXACTLY — same SQL, bit-for-bit
     "q_asof_native" -> asofOracle,

@@ -86,6 +86,55 @@ object Temporal {
       .orderBy(col("purchase_id"))
   }
 
+  /** §2#181 NEAREST-direction as-of join (pandas merge_asof
+    * direction='nearest'): each purchase matched to the closest click
+    * in EITHER direction — the sensor-fusion/attribution variant where
+    * "the click just after" beats "the click hours before". Completes
+    * the direction trio: backward (#38/#132), backward-outer (#162),
+    * nearest (here).
+    *
+    * Same shuffle-once shape as the backward form: ONE window
+    * ordering per user serves both directions (running `last` over
+    * the preceding frame, running `first` over the following frame —
+    * no second shuffle, both frames stream over the same sort), then
+    * a per-row argmin of the two gaps. Ties (equal gaps, including
+    * the 0/0 same-instant case) break BACKWARD — deterministic and
+    * matching the backward family's bias. */
+  def asofNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val back = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = ord.rowsBetween(1, Window.unboundedFollowing)
+    def clickCol(c: String): org.apache.spark.sql.Column =
+      when(col("event_type") === "click", col(c))
+    ev
+      .withColumn("b_id", last(clickCol("event_id"), ignoreNulls = true).over(back))
+      .withColumn("b_us", last(clickCol("us"), ignoreNulls = true).over(back))
+      .withColumn("f_id", first(clickCol("event_id"), ignoreNulls = true).over(fwd))
+      .withColumn("f_us", first(clickCol("us"), ignoreNulls = true).over(fwd))
+      .where(col("event_type") === "purchase" &&
+        (col("b_id").isNotNull || col("f_id").isNotNull))
+      .withColumn("gap_b", col("us") - col("b_us"))
+      .withColumn("gap_f", col("f_us") - col("us"))
+      .withColumn("use_back", col("f_id").isNull ||
+        (col("b_id").isNotNull && col("gap_b") <= col("gap_f")))
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("us").as("purchase_us"),
+        when(col("use_back"), col("b_id")).otherwise(col("f_id"))
+          .as("nearest_click_id"),
+        when(col("use_back"), col("b_us")).otherwise(col("f_us"))
+          .as("nearest_click_us"),
+        when(col("use_back"), col("gap_b")).otherwise(col("gap_f"))
+          .as("gap_us"),
+        when(col("use_back"), lit("backward")).otherwise(lit("forward"))
+          .as("direction"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** §2#39 bucketed range join: unordered pairs of same-user events
     * within 5 minutes of each other. Each left row fans out to its
     * 3 candidate time buckets (prev/self/next); the join key is

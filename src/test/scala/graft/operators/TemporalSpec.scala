@@ -119,4 +119,38 @@ class TemporalSpec extends SparkSuite {
     assert(rows.length === 3)
     assert(rows.forall(r => r.getLong(1) > 0 && r.getLong(1) <= r.getLong(2)))
   }
+
+  test("asof nearest: no same-user click is closer than the reported match") {
+    import org.apache.spark.sql.functions._
+    val clicks = graft.Tables.events(spark, sf)
+      .where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toSeq).toMap
+    val rows = Temporal.asofNearest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (user, pUs) = (r.getLong(0), r.getLong(2))
+      val (cid, cUs, gap, dir) =
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6))
+      assert(gap === math.abs(pUs - cUs))
+      // a same-instant click can sit in either frame (row order at
+      // equal us is by event_id), so the implication is one-way
+      if (dir == "backward") assert(cUs <= pUs) else assert(cUs >= pUs)
+      // minimality: every other click of this user is at least as far
+      val userClicks = clicks(user)
+      assert(userClicks.exists(_._1 == cid))
+      assert(userClicks.forall { case (_, us) => math.abs(us - pUs) >= gap },
+        s"purchase ${r.getLong(1)}: a closer click than $cid exists")
+    }
+    // every purchase of a user with ≥1 click is matched
+    val nPurch = graft.Tables.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .join(graft.Tables.events(spark, sf)
+        .where(col("event_type") === "click")
+        .select(col("user_id")).distinct(), Seq("user_id"), "left_semi")
+      .count()
+    assert(rows.length.toLong === nPurch)
+  }
 }
