@@ -122,6 +122,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_containment" -> (Dedup.containment _),
     "dedup_levenshtein" -> (Dedup.levenshteinVerify _),
+    "dedup_canonical" -> (Dedup.canonical _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_embedding" -> (Dedup.embeddingNearDup _),
@@ -1259,6 +1260,36 @@ object SparkEntry {
          |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS union_n
          |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
          |WHERE inter_n > 0 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // clusters = the recursive-CTE CC (dedup_cluster's oracle); the
+    // canonical pick is the quality argmax via a window rank
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE $shCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(doc, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc),
+         |cl AS (SELECT doc AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1),
+         |t AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         |q AS (SELECT doc_id, greatest(least(
+         |    CAST(round(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','it','for','on'], tk))) * 1.0 / greatest(len(toks),1) * 1000, 0) AS BIGINT)
+         |  + CAST(round(len(list_distinct(toks)) * 1.0 / greatest(len(toks),1) * 1000, 0) AS BIGINT)
+         |  - CAST(round(len(regexp_extract_all(text, '[^a-z0-9\\s]')) * 1.0 / greatest(length(text),1) * 1000, 0) AS BIGINT), 1000), 0) AS quality_pm FROM t),
+         |r AS (SELECT cl.cluster_id, cl.doc_id, q.quality_pm,
+         |  row_number() OVER (PARTITION BY cluster_id ORDER BY quality_pm DESC, cl.doc_id) AS rn
+         |  FROM cl JOIN q USING (doc_id)),
+         |m AS (SELECT cluster_id, count(*) AS n_members FROM r GROUP BY 1)
+         |SELECT r.cluster_id, r.doc_id AS canonical_doc_id,
+         |  r.quality_pm AS canonical_quality_pm,
+         |  m.n_members, m.n_members - 1 AS n_dropped
+         |FROM r JOIN m USING (cluster_id) WHERE rn = 1
+         |ORDER BY r.cluster_id""".stripMargin,
 
     // pairs are the same same-source shared-shingle candidates as
     // jaccard; both engines implement unit-cost Levenshtein, so the

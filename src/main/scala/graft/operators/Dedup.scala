@@ -240,6 +240,37 @@ object Dedup {
       .where(col("containment_pm") >= 500L)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** §2#182 CANONICAL-REPRESENTATIVE selection — the step that turns
+    * clusters into a KEEP LIST: per duplicate cluster, keep the
+    * highest-quality member (quality_pm from the §2.6 battery, ties to
+    * the smallest doc_id) and count what gets dropped. The other
+    * principled canonical choice is pagerank-max (#106's scaladoc);
+    * quality-max is what text pipelines actually ship — near-dups
+    * usually differ by boilerplate, and the cleanest copy is the one
+    * worth training on.
+    *
+    * Shape: clusters (hash-min CC over the memoized candidate graph) ⋈
+    * per-doc quality (narrow scan-speed battery) on doc_id, then one
+    * combinable argmax agg per cluster — nothing here re-reads the
+    * corpus; at 100 TB both inputs are the already-computed tables and
+    * the agg ships one struct per (partition, cluster). */
+  def canonical(spark: SparkSession, sfDir: String): DataFrame = {
+    val clusters = cluster(spark, sfDir) // (doc_id, cluster_id)
+    val quality = TextAnalysis.quality(spark, sfDir)
+      .select(col("doc_id"), col("quality_pm"))
+    clusters.join(quality, "doc_id")
+      // argmax by (quality desc, doc_id asc) — min over (−q, doc) structs
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-col("quality_pm")).as("neg_q"), col("doc_id"))).as("best"))
+      .select(col("cluster_id"),
+        col("best.doc_id").as("canonical_doc_id"),
+        (-col("best.neg_q")).as("canonical_quality_pm"),
+        col("n_members"),
+        (col("n_members") - 1L).as("n_dropped"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** §2#178 EDIT-DISTANCE VERIFY — the second stage of two-stage fuzzy
     * dedup: shingle/LSH candidate generation recalls, Levenshtein
     * CONFIRMS (n-gram overlap is blind to ordering — "a b c d" vs

@@ -126,6 +126,31 @@ class DiversityQualitySpec extends SparkSuite {
       "λ=0.7 never deviated from plain top-k — diversification inert")
   }
 
+  // ---------------------------------------------------------------- dedup
+
+  test("dedup_canonical: the keep list partitions the corpus, picks max quality") {
+    val rows = Dedup.canonical(spark, sf).collect()
+    val quality = TextAnalysis.quality(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(6)).toMap
+    val clusters = Dedup.cluster(spark, sf).collect()
+      .groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    // every cluster appears exactly once and membership counts add up
+    assert(rows.map(_.getLong(0)).toSet === clusters.keySet)
+    assert(rows.map(_.getLong(3)).sum === quality.size.toLong)
+    rows.foreach { r =>
+      val (cid, canon, q, n, dropped) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      val members = clusters(cid)
+      assert(members.contains(canon) && n === members.size.toLong &&
+        dropped === n - 1)
+      assert(q === quality(canon))
+      // argmax with min-id tiebreak
+      val best = members.map(m => (quality(m), m))
+        .minBy { case (qm, m) => (-qm, m) }
+      assert(canon === best._2)
+    }
+  }
+
   // ---------------------------------------------------------------- image
 
   test("mm_image_entropy: flat fill reads 0, two equal levels read exactly 1 bit") {
