@@ -136,6 +136,7 @@ object SparkEntry {
     "sample_temperature" -> ((s: SparkSession, d: String) => Sampling.sampleTemperature(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "pipeline_train_data" -> ((s: SparkSession, d: String) => Pipeline.trainDataPipeline(s, d)),
+    "pipeline_funnel" -> (Pipeline.curationFunnel _),
     // §2.5 similarity search
     "ann_bruteforce_topk" -> ((s: SparkSession, d: String) => Similarity.bruteforceTopk(s, d)),
     "ann_lsh_topk" -> ((s: SparkSession, d: String) => Similarity.lshTopk(s, d)),
@@ -1260,6 +1261,52 @@ object SparkEntry {
          |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS union_n
          |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
          |WHERE inter_n > 0 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the funnel composes three existing oracle pieces: raw count,
+    // the Gopher keep set, and the canonical keep set (recursive CC +
+    // quality argmax) — stage 3 is their conjunction
+    "pipeline_funnel" ->
+      s"""WITH RECURSIVE $shCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(doc, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc),
+         |cl AS (SELECT doc AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1),
+         |t AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         |q AS (SELECT doc_id, greatest(least(
+         |    CAST(round(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','it','for','on'], tk))) * 1.0 / greatest(len(toks),1) * 1000, 0) AS BIGINT)
+         |  + CAST(round(len(list_distinct(toks)) * 1.0 / greatest(len(toks),1) * 1000, 0) AS BIGINT)
+         |  - CAST(round(len(regexp_extract_all(text, '[^a-z0-9\\s]')) * 1.0 / greatest(length(text),1) * 1000, 0) AS BIGINT), 1000), 0) AS quality_pm FROM t),
+         |rk AS (SELECT cl.cluster_id, cl.doc_id,
+         |  row_number() OVER (PARTITION BY cluster_id ORDER BY quality_pm DESC, cl.doc_id) AS rn
+         |  FROM cl JOIN q USING (doc_id)),
+         |can AS (SELECT doc_id FROM rk WHERE rn = 1),
+         |gw AS (SELECT doc_id, toks,
+         |  list_transform(generate_series(1, greatest(len(toks)-2,1)),
+         |    i -> array_to_string(toks[i:i+2], ' ')) AS wins FROM t),
+         |gm AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(floor(list_sum(list_transform(toks, tk -> length(tk))) * 1000.0 / greatest(len(toks),1)) AS BIGINT) AS mwl,
+         |  CAST(floor(len(list_filter(toks, tk -> regexp_matches(tk, '[a-zA-Z]'))) * 1000.0 / greatest(len(toks),1)) AS BIGINT) AS alpha_pm,
+         |  CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','it','for','on'], tk))) AS BIGINT) AS n_stop,
+         |  CAST(floor((len(wins) - len(list_distinct(wins))) * 1000.0 / len(wins)) AS BIGINT) AS dup3
+         |FROM gw),
+         |gk AS (SELECT doc_id FROM gm
+         |  WHERE n_tokens BETWEEN 50 AND 100000 AND mwl BETWEEN 3000 AND 10000
+         |    AND alpha_pm >= 800 AND n_stop >= 2 AND dup3 <= 300),
+         |u AS (
+         |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'raw' AS stage, count(*) AS n_docs FROM documents
+         |  UNION ALL SELECT 2, 'quality_filter', count(*) FROM gk
+         |  UNION ALL SELECT 3, 'dedup_canonical', count(*) FROM gk JOIN can USING (doc_id))
+         |SELECT stage_idx, stage, n_docs,
+         |  CAST(coalesce(lag(n_docs) OVER (ORDER BY stage_idx) - n_docs, 0) AS BIGINT) AS n_dropped_from_prev
+         |FROM u ORDER BY stage_idx""".stripMargin,
 
     // clusters = the recursive-CTE CC (dedup_cluster's oracle); the
     // canonical pick is the quality argmax via a window rank

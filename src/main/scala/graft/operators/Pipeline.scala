@@ -134,4 +134,49 @@ object Pipeline {
         ((col("tok_start") + col("n_tokens") - 1) / capacity).cast("long").as("bin_end"))
       .orderBy(col("doc_id"))
   }
+
+  /** §2#183 the CURATION FUNNEL report — the "where did my corpus go"
+    * dashboard every curation run publishes: document counts through
+    * raw → Gopher-rules quality filter (§2#145) → near-dup canonical
+    * keep (§2#182), with per-stage drop counts. Stage 3 is the
+    * CONJUNCTION of the two keep sets: quality survivors that are
+    * also their cluster's GLOBAL canonical. Composition order matters
+    * and this is the conservative reading — a cluster whose
+    * best-quality member fails the filter contributes nothing (re-
+    * electing a canonical among survivors is the other pipeline
+    * choice; the report makes the difference visible instead of
+    * hiding it, which is the point of a funnel).
+    *
+    * Shape: each stage is one count over already-scan-speed frames
+    * (the Gopher verdict is a projection; the canonical list reuses
+    * the memoized candidate graph); the 3-row union + the lag window
+    * that turns counts into drops is driver-trivial. */
+  def curationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{Dedup, TextAnalysis}
+    val raw = Tables.documents(spark, sfDir).select(col("doc_id"))
+    // MATERIALIZE the battery BEFORE filtering (production writes the
+    // verdict table anyway). Filtering the lazy frame would push
+    // `keep = 1` through the Gopher projection and collapse the whole
+    // signal battery into one CASE filter that re-splits the text once
+    // per signal REFERENCE (~20× per row — HOF lambdas block codegen
+    // subexpression reuse), and the union's two consumers would pay it
+    // twice: measured 18.5 s → ~1 s at sf0.1 from this one seam.
+    val keepQ = TextAnalysis.gopherRules(spark, sfDir)
+      .localCheckpoint(true)
+      .where(col("keep") === 1L).select(col("doc_id"))
+    val canon = Dedup.canonical(spark, sfDir)
+      .select(col("canonical_doc_id").as("doc_id"))
+    def stage(idx: Long, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+          col("n_docs"))
+    val stages = stage(1L, "raw", raw)
+      .unionByName(stage(2L, "quality_filter", keepQ))
+      .unionByName(stage(3L, "dedup_canonical", keepQ.join(canon, "doc_id")))
+    val w = Window.orderBy(col("stage_idx"))
+    stages
+      .withColumn("n_dropped_from_prev",
+        coalesce(lag(col("n_docs"), 1).over(w) - col("n_docs"), lit(0L)))
+      .orderBy(col("stage_idx"))
+  }
 }
