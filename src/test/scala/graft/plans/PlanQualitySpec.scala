@@ -369,6 +369,17 @@ class PlanQualitySpec extends SparkSuite {
     }
   }
 
+  test("pipeline_funnel: the Gopher battery is materialized, never collapsed into a filter") {
+    val plan = planOf(Pipeline.curationFunnel(spark, sf))
+    // the keep filter must run against the CHECKPOINTED verdict table —
+    // if the battery's HOF expressions (the xxhash64 3-gram windows)
+    // appear in this plan, filter pushdown has re-collapsed them into a
+    // per-reference re-splitting CASE (the 18.5 s regression this pin
+    // exists for; see Pipeline.curationFunnel)
+    assert(!plan.contains("xxhash64"),
+      s"Gopher battery re-inlined into the funnel plan:\n${plan.take(2000)}")
+  }
+
   test("dedup_levenshtein: the quadratic DP stays confined to equi-joined candidates") {
     val plan = planOf(Dedup.levenshteinVerify(spark, sf))
     // the pair set comes from the memoized candidate stage; the text
