@@ -161,7 +161,18 @@ object ScaleCheck {
       "ts_autocorr" -> ((s: SparkSession, d: String, _: Int) =>
         TimeSeries.autocorr(s, d)),
       "graph_label_prop" -> ((s: SparkSession, d: String, _: Int) =>
-        Graph.labelProp(s, d)))
+        Graph.labelProp(s, d)),
+      // levenshtein's DP cost ∝ candidate pairs (near-linear by §5);
+      // canonical/funnel add the CC loop + argmax over the same graph;
+      // asof_nearest is two window frames over one per-user sort
+      "dedup_levenshtein" -> ((s: SparkSession, d: String, _: Int) =>
+        Dedup.levenshteinVerify(s, d)),
+      "dedup_canonical" -> ((s: SparkSession, d: String, _: Int) =>
+        Dedup.canonical(s, d)),
+      "pipeline_funnel" -> ((s: SparkSession, d: String, _: Int) =>
+        graft.operators.Pipeline.curationFunnel(s, d)),
+      "q_asof_nearest" -> ((s: SparkSession, d: String, _: Int) =>
+        graft.operators.Temporal.asofNearest(s, d)))
 
     // SPARK_GRAFT_OPS=a,b,c restricts the run (default: everything) —
     // lets a round re-measure just its new ops without paying for the
