@@ -618,15 +618,20 @@ object Changefeed {
     * on the slowest sibling) — the "why is my merge stalled"
     * dashboard.
     *
-    * Shape: two map-side-combinable aggregates over one events pass +
-    * a broadcast of the |sources|-row frontier table and the 1-row
-    * global min; no shuffle beyond the per-source combine. */
+    * Shape: one map-side-combinable aggregate pass builds the
+    * |sources|-row frontier table (materialized — it feeds the global
+    * min AND the final join, and re-deriving it would re-scan the
+    * feed), then one counting pass over the feed against the broadcast
+    * 1-row global min; no shuffle beyond the per-source combines. The
+    * second pass is inherent: which rows are safe is only knowable
+    * after the slowest frontier is. */
   def fanIn(spark: SparkSession, sfDir: String, nSources: Int = 4): DataFrame = {
     val e = Tables.events(spark, sfDir)
       .select(pmod(col("user_id"), lit(nSources.toLong)).as("source_id"),
         unix_micros(col("ts")).as("us"))
     val per = e.groupBy(col("source_id"))
       .agg(max(col("us")).as("frontier_us"), count(lit(1)).as("n_total"))
+      .localCheckpoint(true)
     val global = per.agg(min(col("frontier_us")).as("safe_frontier_us"))
     val safe = e.crossJoin(broadcast(global))
       .groupBy(col("source_id"), col("safe_frontier_us"))

@@ -196,6 +196,21 @@ object Multimodal {
     * undecodable blob — the documented policy for this pipeline. */
   private[operators] val maxPixels: Long = 1L << 27
 
+  /** 16-bin integer-luma histogram over an RGB pixel plane — the ONE
+    * definition #161 (histogram) and #177 (entropy) both distill from;
+    * a luma-weighting or bin-count change lands in both ops at once. */
+  private[operators] def lumaBins(px: Array[Byte]): Array[Long] = {
+    val bins = new Array[Long](16)
+    var i = 0
+    while (i + 2 < px.length) {
+      val luma = ((px(i) & 0xff) + (px(i + 1) & 0xff) +
+        (px(i + 2) & 0xff)) / 3
+      bins(luma >> 4) += 1
+      i += 3
+    }
+    bins
+  }
+
   private[operators] def checksumOf(bytes: Array[Byte]): Long = {
     var cs = 1125899906842597L
     var i = 0
@@ -288,14 +303,7 @@ object Multimodal {
         iter.flatMap { case (docId, blob) =>
           decodeImage(blob) match {
             case Some((_, _, px)) =>
-              val bins = new Array[Long](16)
-              var i = 0
-              while (i + 2 < px.length) {
-                val luma = ((px(i) & 0xff) + (px(i + 1) & 0xff) +
-                  (px(i + 2) & 0xff)) / 3
-                bins(luma >> 4) += 1
-                i += 3
-              }
+              val bins = lumaBins(px)
               (0 until 16).map(b => (docId, b, bins(b), "real"))
             case None =>
               (0 until 16).map(b => (docId, b, 0L, "stub"))
@@ -758,16 +766,8 @@ object Multimodal {
         iter.map { case (docId, blob) =>
           decodeImage(blob) match {
             case Some((_, _, px)) =>
-              val bins = new Array[Long](16)
-              var n = 0L
-              var i = 0
-              while (i + 2 < px.length) {
-                val luma = ((px(i) & 0xff) + (px(i + 1) & 0xff) +
-                  (px(i + 2) & 0xff)) / 3
-                bins(luma >> 4) += 1
-                n += 1
-                i += 3
-              }
+              val bins = lumaBins(px)
+              val n = bins.sum
               var h = 0.0
               var b = 0
               while (b < 16) {

@@ -603,14 +603,22 @@ object Similarity {
     val q = c.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"))
+    // rank on (ids, score) ONLY — carrying the 64-double vectors into
+    // the top-nCand window would shuffle |corpus|×|queries| embeddings
+    // to keep 20 per query; the ≤ |queries|·nCand survivors join back
+    // to the corpus for their vectors (tiny side broadcast, corpus
+    // streams map-side)
     val sims = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosPre(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("rel_e6"),
-        col("emb"), col("nrm"))
+        cosPre(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("rel_e6"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rel_e6").desc, col("neighbor_id"))
-    val cands = sims.withColumn("rk", row_number().over(w))
+    val candIds = sims.withColumn("rk", row_number().over(w))
       .where(col("rk") <= nCand)
+      .select(col("query_id"), col("neighbor_id"), col("rel_e6"))
+    val cands = c.select(col("vec_id").as("neighbor_id"),
+        col("emb"), col("nrm"))
+      .join(broadcast(candIds), "neighbor_id")
     import spark.implicits._
     cands
       .select(col("query_id"), col("neighbor_id"), col("rel_e6"),

@@ -418,6 +418,11 @@ object TextAnalysis {
       .as[(Long, String)]
       .mapPartitions { iter =>
         val deflater = new java.util.zip.Deflater(6, /*nowrap=*/ true)
+        // zlib state is NATIVE memory, reclaimed only on end() — on a
+        // long-lived executor GC pressure alone won't release it in
+        // time, so free it deterministically when the task finishes
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](8192)
         iter.map { case (docId, text) =>
           val raw = Option(text).getOrElse("")

@@ -71,7 +71,14 @@ object BitmapDistinctRewrite extends Rule[LogicalPlan] {
       case _ => false
     }
     if (targets.length != 1 || !restAreGroupRefs) return None
-    val (alias, x) = targets.head
+    val (alias, xRaw) = targets.head
+
+    // the bitmap expressions declare inputTypes Seq(LongType) and this
+    // rule runs AFTER the analyzer — its ImplicitCastInputTypes pass
+    // will not come back around, so an IntegerType id must be cast
+    // here or the plan goes unresolved at validation
+    val x: Expression =
+      if (xRaw.dataType == IntegerType) Cast(xRaw, LongType) else xRaw
 
     // inner: group by (groups, bucket(x)); emit groups + the bitmap.
     // RuntimeReplaceable wrappers are already past their rewrite batch

@@ -26,6 +26,13 @@ case class SsSummary(counters: Seq[SsCounter])
   * `err`. The batch twin is `q_heavy_hitters` (§2#108, count-min);
   * this is the form a live dashboard runs forever.
   *
+  * Determinism: the summary under eviction depends on FOLD ORDER, and
+  * the iterator order Spark hands a shuffled group is not stable
+  * across retries — so each batch's rows are sorted by item before
+  * folding, making the committed summary a function of batch CONTENTS
+  * (the error bounds hold for any order; the sort buys replay-stable
+  * state on top of them).
+  *
   * Mechanics per arriving item: present → increment; room → insert at
   * (1, 0); full → evict the MIN counter and inherit its count as the
   * newcomer's (count = min+1, err = min) — the inherited minimum is
@@ -35,9 +42,10 @@ case class SsSummary(counters: Seq[SsCounter])
   * Shape: state is one ValueState[SsSummary] per group — bounded at
   * `capacity` counters regardless of stream length; the shuffle key is
   * the group, so summary maintenance is single-writer per group (no
-  * merge ambiguity); each micro-batch folds its rows in arrival order
-  * then emits the group's current top-k (count desc, item asc — total
-  * order, so emissions are deterministic given batch boundaries). */
+  * merge ambiguity); each micro-batch folds its rows in sorted item
+  * order then emits the group's current top-k (count desc, item asc —
+  * total order, so emissions are deterministic given batch contents
+  * and boundaries). */
 object SpaceSaving {
   /** One SpaceSaving update pass, factored out of the processor so the
     * algorithm's guarantees are property-testable without a streaming
@@ -77,7 +85,9 @@ class SpaceSavingProcessor(capacity: Int, k: Int)
     val counters = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Long)]
     if (summary.exists())
       summary.get().counters.foreach(c => counters(c.item) = (c.count, c.err))
-    SpaceSaving.fold(counters, rows.map(_.item), capacity)
+    // sort before folding: group-iterator order is retry-dependent and
+    // evictions are order-sensitive (see class scaladoc)
+    SpaceSaving.fold(counters, rows.map(_.item).toArray.sorted, capacity)
     val seq = counters.toSeq.map { case (i, (c, e)) => SsCounter(i, c, e) }
     summary.update(SsSummary(seq))
     seq.sortBy(c => (-c.count, c.item)).take(k)

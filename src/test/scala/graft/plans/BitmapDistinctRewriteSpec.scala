@@ -88,6 +88,22 @@ class BitmapDistinctRewriteSpec extends SparkSuite {
     }
   }
 
+  test("IntegerType ids rewrite too (the bitmap inputs get the Long cast the analyzer no longer adds)") {
+    // the embeddings label column is the schema-pinned IntegerType id
+    // in the corpus — exactly the column a user would count
+    val q = () => graft.Tables.embeddings(spark, sf)
+      .select(($"vec_id" % 5).as("g"), $"label")
+      .groupBy($"g").agg(countDistinct($"label").as("n"))
+      .orderBy($"g")
+    val baseline = q().collect().map(_.getLong(1)).toSeq
+    withRule {
+      val df = q()
+      assert(physical(df).contains("bitmap_construct_agg"),
+        s"rule did not fire on an Int column:\n${physical(df)}")
+      assert(df.collect().map(_.getLong(1)).toSeq === baseline)
+    }
+  }
+
   test("conservative: mixed aggregates, string ids, multi-column distinct stay untouched") {
     withRule {
       // count(DISTINCT) mixed with another aggregate
