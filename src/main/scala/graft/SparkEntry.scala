@@ -364,7 +364,7 @@ object SparkEntry {
         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "cdc_fan_in" ->
-      """WITH e AS (SELECT user_id % 4 AS source_id, epoch_us(ts) AS us FROM events),
+      """WITH e AS (SELECT ((user_id % 4) + 4) % 4 AS source_id, epoch_us(ts) AS us FROM events),
         |per AS (SELECT source_id, max(us) AS frontier_us, count(*) AS n_total
         |  FROM e GROUP BY 1),
         |g AS (SELECT min(frontier_us) AS safe_frontier_us FROM per),
@@ -1344,7 +1344,7 @@ object SparkEntry {
     "dedup_levenshtein" ->
       s"""WITH $shCte
          |SELECT doc_a, doc_b, lev, max_len,
-         |  CAST(round((1 - lev * 1.0 / max_len) * 1000, 0) AS BIGINT) AS sim_pm
+         |  CAST(round((1 - lev * 1.0 / greatest(max_len, 1)) * 1000, 0) AS BIGINT) AS sim_pm
          |FROM (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev,

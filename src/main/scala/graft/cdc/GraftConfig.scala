@@ -71,13 +71,44 @@ final case class GraftConfig(
     case _ => None
   }
 
-  def newCursorStore(): CursorStore = split(cursorStore, "cursor-store") match {
-    case ("inmemory", key) => new InMemoryCursorStore(key)
-    case ("file", path) => new FileCursorStore(path)
-    case (scheme, _) => throw new IllegalArgumentException(
-      s"unsupported cursor-store scheme '$scheme' (this build compiles: " +
-        "inmemory, file; the reference's cockroachdb needs a live database)")
+  /** The JDBC URL behind a database-backed cursor-store spec, if the
+    * spec names one: `jdbc:<url-rest>` carries it inline; the
+    * reference's bare `cockroachdb` value reads it from
+    * --database/DATABASE_URL (main.rs:57-63 — the cursor store lives
+    * in the same database the changefeed is read from). */
+  private def cursorStoreJdbcUrl: Option[String] = cursorStore match {
+    case "cockroachdb" => Some(database.getOrElse(
+      throw new IllegalArgumentException(
+        "--cursor-store cockroachdb needs --database / a jdbc: DATABASE_URL " +
+          "(the reference reads the cursor store from the changefeed database)")))
+    case s if s.startsWith("jdbc:") => Some(s)
+    case _ => None
   }
+
+  def newCursorStore(): CursorStore = cursorStoreJdbcUrl match {
+    // the reference's CrdbCursorStore under the reference's key
+    // (cursors.rs:13-58; key = 'key')
+    case Some(url) => JdbcCursorStore.forUrl(url)
+    case None => split(cursorStore, "cursor-store") match {
+      case ("inmemory", key) => new InMemoryCursorStore(key)
+      case ("file", path) => new FileCursorStore(path)
+      case (scheme, _) => throw new IllegalArgumentException(
+        s"unsupported cursor-store scheme '$scheme' (this build compiles: " +
+          "inmemory, file, jdbc:<url>, cockroachdb)")
+    }
+  }
+
+  /** The changefeed tail's OWN cursor ("ingested up to", distinct from
+    * the publish store's "published up to" — see GraftMain's
+    * split-cursor note). With a database-backed publish store the tail
+    * cursor lives in the SAME cursor_store table under key
+    * `tail:<table>` (the reference's one-database shape, cursors.rs);
+    * otherwise it falls back to an atomic file beside the log. */
+  def newTailCursorStore(logDir: String): CursorStore =
+    cursorStoreJdbcUrl match {
+      case Some(url) => JdbcCursorStore.forUrl(url, key = s"tail:$table")
+      case None => new FileCursorStore(s"$logDir/_tail_cursor")
+    }
 }
 
 object GraftConfig {

@@ -22,5 +22,21 @@ object Registry {
           exprs(1).eval(null).toString.split(",").map(_.trim.toLong).toSeq)
           .toAggregateExpression(),
       "scala_udf")
+    // Spark's own runtime-filter bloom pair, exposed by name: the
+    // aggregate IS registered upstream (bloom_filter_agg) but the probe
+    // side (might_contain) is not — registering both keeps the build
+    // and the screen in native, codegen'd expressions instead of a
+    // Scala UDF (see Dedup.bloomIncremental).
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg", exprs =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+          .toAggregateExpression(),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_might_contain", exprs =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs(0), exprs(1)),
+      "scala_udf")
   }
 }

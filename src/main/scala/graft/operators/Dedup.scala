@@ -297,8 +297,13 @@ object Dedup {
         levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
         greatest(length(col("ta")), length(col("tb"))).cast("long")
           .as("max_len"))
+      // greatest(max_len, 1): two empty texts would otherwise hit 0/0
+      // (NULL in Spark, engine-dependent elsewhere) — the guard makes
+      // the empty-vs-empty pair sim_pm = 1000 deterministically, the
+      // same greatest(...,1) convention as the ratio battery.
       .withColumn("sim_pm",
-        round((lit(1.0) - col("lev") / col("max_len")) * 1000).cast("long"))
+        round((lit(1.0) - col("lev") / greatest(col("max_len"), lit(1L))) * 1000)
+          .cast("long"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -328,25 +333,39 @@ object Dedup {
     * take the map-side fast path and never shuffle; only might-contain
     * survivors (true dups + ~fpp false positives) pay the exact-verify
     * hash join. At 100 TB the existing side's 16-byte hashes reduce to a
-    * few GB of Bloom bits via treeAggregate (driver never sees rows),
-    * the broadcast ships once per executor, and join input shrinks from
-    * |batch| to |dups|·(1+fpp) — the standard big-corpus admission path.
+    * few GB of Bloom bits via the native `bloom_filter_agg` (map-side
+    * partial filters OR-merged up the agg tree — the driver sees one
+    * merged binary, never rows), the filter ships once per executor as
+    * a plan literal, and join input shrinks from |batch| to
+    * |dups|·(1+fpp) — the standard big-corpus admission path.
     * False positives cannot leak into the output: the join re-verifies
     * every candidate against real hashes. */
   def bloomIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.Registry.ensure(spark)
     val docs = Tables.documentsPar(spark, sfDir)
       .select(col("doc_id"), md5(col("text")).as("h"))
     val existing = docs.where(col("doc_id") % 5 =!= 4)
     // Size the filter from the actual corpus count (one columnar count
     // job — at steady state you'd carry this number in the catalog).
-    val n = existing.count()
-    val bloom = existing.stat.bloomFilter("h", math.max(n, 1L), 0.01)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: String) => bc.value.mightContainString(h))
+    val n = math.max(existing.count(), 1L)
+    val nBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, 0.01)
+    // Build with Spark's NATIVE bloom aggregate (the same expression
+    // pair the optimizer injects for runtime join filters): one
+    // map-side-combined agg over xxhash64(h) produces the serialized
+    // filter; it comes back as one binary cell and re-enters the plan
+    // as a literal, so the screen below is a codegen'd
+    // BloomFilterMightContain — no Scala UDF, no per-row boxing, and
+    // the probe hashing (xxhash64) matches the build by construction.
+    val bloomBytes = existing
+      .agg(call_function("graft_bloom_agg",
+        xxhash64(col("h")), lit(n), lit(nBits)).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val screen = call_function("graft_might_contain",
+      lit(bloomBytes), xxhash64(col("h")))
     val batch = docs.where(col("doc_id") % 5 === 4)
-    val fresh = batch.where(!mightContain(col("h")))
+    val fresh = batch.where(!screen)
       .select(col("doc_id"), lit(0L).as("is_dup"), lit(-1L).as("canonical_doc_id"))
-    val verified = batch.where(mightContain(col("h")))
+    val verified = batch.where(screen)
       .join(existing.groupBy(col("h")).agg(min(col("doc_id")).as("canonical")),
         Seq("h"), "left")
       .select(col("doc_id"),

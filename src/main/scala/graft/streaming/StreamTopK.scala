@@ -50,7 +50,16 @@ object SpaceSaving {
   /** One SpaceSaving update pass, factored out of the processor so the
     * algorithm's guarantees are property-testable without a streaming
     * harness: fold `items` into `counters` (item → (count, err)) under
-    * the capacity bound. Mutates and returns `counters`. */
+    * the capacity bound. Mutates and returns `counters`.
+    *
+    * Cost note: each eviction scans the whole map for the min counter —
+    * O(capacity) per NEW item once full, so a micro-batch of b novel
+    * items costs O(b·capacity). That is a deliberate simplicity
+    * trade-off at the dashboard capacities this targets (≤ a few
+    * hundred counters); raising capacity into the thousands wants the
+    * textbook Stream-Summary structure (counters doubly linked into
+    * count buckets, O(1) min eviction) — swap it inside this function,
+    * the fold contract and the error bounds are unchanged. */
   def fold(counters: scala.collection.mutable.LinkedHashMap[Long, (Long, Long)],
       items: IterableOnce[Long], capacity: Int)
       : scala.collection.mutable.LinkedHashMap[Long, (Long, Long)] = {

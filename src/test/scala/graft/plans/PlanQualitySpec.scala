@@ -259,6 +259,21 @@ class PlanQualitySpec extends SparkSuite {
     }
   }
 
+  test("dedup_incremental_bloom screens with the native bloom pair, no UDF") {
+    // r9 advisor item: the Bloom screen used a Scala UDF over a
+    // driver-built .stat.bloomFilter — opaque to codegen on the one
+    // stage whose whole point is a cheap map-side screen. The rewrite
+    // builds with bloom_filter_agg and probes with
+    // BloomFilterMightContain; both must show as native expressions.
+    val df = Dedup.bloomIncremental(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("BloomFilterMightContain") ||
+      plan.contains("might_contain"),
+      s"native bloom probe missing from the screen stage:\n$plan")
+    assert(!plan.contains("UDF(") && !plan.contains("BatchEval"),
+      s"a UDF survived in the bloom screen plan:\n$plan")
+  }
+
   test("q_asof_native plans one exchange + sort per side into AsOfJoinExec") {
     val df = Temporal.asofNative(spark, sf)
     // AQE's string repeats the pre-adaptive plan under "== Initial

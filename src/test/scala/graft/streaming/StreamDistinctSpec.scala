@@ -67,6 +67,26 @@ class StreamDistinctSpec extends SparkSuite {
     }
   }
 
+  test("adaptive containers: sparse costs O(items), dense converts at 2048") {
+    import BitmapDistinctProcessor._
+    // sparse: n members encode to exactly 2n bytes (not 4 KB)
+    var c: Container = decode(Array.emptyByteArray)
+    (0 until 100).foreach(p => c = c.add(p * 17))
+    assert(c.encode.length === 200)
+    // round-trip preserves membership: re-adding is a no-op
+    val rt = decode(c.encode)
+    val again = rt.add(17)
+    assert(!again.justAdded && (again eq rt))
+    // filling past sparseMax converts to a 4096-byte bitmap that still
+    // knows every member (add of an old member stays a no-op)
+    (0 until 2100).foreach(p => c = c.add(p))
+    assert(c.encode.length === 4096, "dense conversion missed")
+    assert(!c.add(0).justAdded && !c.add(100 * 17).justAdded)
+    assert(c.add(32767).justAdded)
+    // the encodings stay unambiguous: max sparse payload < 4096
+    assert(2 * sparseMax < 4096)
+  }
+
   test("matches exact batch distinct on a replayed events sample") {
     run { (in, emitted) =>
       val sample = graft.Tables.events(spark, sf)
