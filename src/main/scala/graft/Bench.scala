@@ -7,6 +7,34 @@ object Bench {
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(_.getCollectionTime).sum
 
+  /** Flat `"name":<number>` pairs out of one of our OWN queries
+    * objects (the format printed below — never general JSON). */
+  def parseQueries(json: String): Map[String, Double] = {
+    val obj = {
+      val i = json.indexOf("\"queries\":{")
+      if (i < 0) return Map.empty
+      val start = i + "\"queries\":".length
+      json.substring(start, json.indexOf('}', start) + 1)
+    }
+    raw""""([^"]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(obj)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** Per-query regressions of `cur` against `prev`: ratio > 2× AND an
+    * absolute slowdown > 0.5 s (min-of-3 at sf0.1 still carries host
+    * noise; sub-second jitter on cheap queries is not a regression
+    * signal). Failed queries (sentinel −1) are excluded — they already
+    * fail the run. Returns name → (prev, cur). */
+  def regressions(prev: Map[String, Double],
+      cur: Map[String, Double]): Map[String, (Double, Double)] =
+    cur.flatMap { case (k, v) =>
+      prev.get(k) match {
+        case Some(p) if p > 0 && v > 0 && v > 2 * p && v - p > 0.5 =>
+          Some(k -> (p, v))
+        case _ => None
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -83,7 +111,39 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
       .mkString("{", ",", "}")
     val total = (results ++ candEntry).values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"gc_ms":$gcTotalMs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"gc_ms":$gcTotalMs,"sf":"$sfDir","epoch_ms":${System.currentTimeMillis()}}"""
+    // Persist the FULL per-query record in-repo: the round driver
+    // truncates its bench artifact to a 2000-char tail, losing most
+    // per-query timings — bench_full.json (latest) + bench_history.jsonl
+    // (append-only) keep every number diffable round-over-round.
+    // Regression check: current run vs the last full-suite history
+    // entry at the same sf (SPARK_GRAFT_ONLY subsets are measurements,
+    // not rounds — they are still appended but flagged).
+    try {
+      val history = java.nio.file.Paths.get("bench_history.jsonl")
+      val prevLine = if (java.nio.file.Files.exists(history))
+        java.nio.file.Files.readAllLines(history).asScala.toSeq
+          .filter(l => l.contains(s""""sf":"$sfDir"""") && !l.contains(""""subset":true"""))
+          .lastOption
+      else None
+      val regs = regressions(prevLine.map(parseQueries).getOrElse(Map.empty),
+        results ++ candEntry)
+      regs.toSeq.sortBy(-_._2._2).foreach { case (k, (p, v)) =>
+        System.err.println(f"[bench] REGRESSION $k: $p%.2f s -> $v%.2f s (${v / p}%.1fx)")
+      }
+      val regJson = regs.map { case (k, (p, v)) =>
+        s""""${esc(k)}":[$p,$v]""" }.mkString("{", ",", "}")
+      val taggedLine = line.dropRight(1) +
+        s""","regressions":$regJson${if (only.isDefined) ""","subset":true""" else ""}}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        (taggedLine + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(history, (taggedLine + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] history persist failed: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

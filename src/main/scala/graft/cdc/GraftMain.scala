@@ -44,7 +44,8 @@ object GraftMain {
     * pipeline's AvailableNow pass (the backfill shape); continuously,
     * a supervised daemon thread re-runs the tail with backoff, like the
     * reference's reconnect loop (main.rs:140-198). The tail keeps its
-    * OWN cursor (`_tail_cursor` inside the log dir): "ingested up to"
+    * OWN cursor (key `tail:<table>` in a database-backed store,
+    * `_tail_cursor` beside the log otherwise): "ingested up to"
     * and "published up to" are different resume points — committing the
     * ingestion cursor into the publish store would make the pipeline
     * skip rows the tail landed but nobody relayed yet. (The reference
@@ -64,7 +65,7 @@ object GraftMain {
     try {
       cfg.database.foreach { url =>
         val tail = JdbcChangefeedTail.forUrl(url, cfg.table, logDir,
-          new FileCursorStore(s"$logDir/_tail_cursor"),
+          cfg.newTailCursorStore(logDir),
           resolvedFrequency = cfg.cursorFrequency)
         if (cfg.once) { tail.runOnce(); () }
         else {
