@@ -122,6 +122,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_containment" -> (Dedup.containment _),
     "dedup_levenshtein" -> (Dedup.levenshteinVerify _),
+    "dedup_jaccard_prefix" -> ((s: SparkSession, d: String) => Dedup.jaccardPrefix(s, d)),
     "dedup_canonical" -> (Dedup.canonical _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhash _),
@@ -1261,6 +1262,21 @@ object SparkEntry {
          |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS union_n
          |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
          |WHERE inter_n > 0 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same pair frame THRESHOLDED at jaccard >= 0.5 — the Spark side
+    // reaches it through the PPJoin prefix filter, so identical output
+    // proves the prefix pruning lossless; the threshold compares
+    // integers (inter*1000 >= 500*union), no rounding seam
+    "dedup_jaccard_prefix" ->
+      s"""WITH $shCte
+         |SELECT doc_a, doc_b, inter_n, union_n,
+         |  CAST(round(inter_n * 1000.0 / union_n, 0) AS BIGINT) AS jaccard_pm
+         |FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_n,
+         |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS union_n
+         |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |WHERE inter_n * 1000 >= 500 * union_n ORDER BY doc_a, doc_b""".stripMargin,
 
     // the funnel composes three existing oracle pieces: raw count,
     // the Gopher keep set, and the canonical keep set (recursive CC +

@@ -240,6 +240,94 @@ object Dedup {
       .where(col("containment_pm") >= 500L)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** §2#185 PPJoin-style PREFIX-FILTERED thresholded Jaccard — the
+    * LOSSLESS answer to hot shingles (SURVEY §8's known cost of the
+    * candidate join). The df cap (defaultMaxShingleDf) bounds the
+    * blowup by DROPPING ubiquitous shingles — exact only over the
+    * filtered universe. When the query is thresholded ("pairs with
+    * jaccard ≥ t", the near-dup production question), the AllPairs/
+    * PPJoin prefix filter (Bayardo et al. WWW'07; Xiao et al. WWW'08)
+    * does better: order each doc's shingles by GLOBAL rarity
+    * (ascending df, ties by hash — one total order for everyone) and
+    * emit only the first |d| − ⌈t·|d|⌉ + 1 as join keys. Any pair with
+    * jaccard ≥ t MUST collide on a prefix shingle: jaccard ≥ t ⇒
+    * |A∩B| ≥ t·|A∪B| ≥ t·|A|, while prefix-disjoint pairs share only
+    * suffix shingles of A, at most ⌈t·|A|⌉ − 1 < t·|A| of them. So the
+    * hottest shingles — ranked LAST by the global order — never become
+    * join keys for any doc bigger than its prefix, and the join volume
+    * is bounded by prefix collisions instead of df², with ZERO
+    * semantic loss at the threshold.
+    *
+    * Verification is candidate-side (the PPJoin shape): the exact
+    * intersection is counted by expanding each surviving candidate
+    * pair against the FULL shingle frame — work ∝ |candidates| × doc
+    * size, never df². Sizes come from the unfiltered frame, so the
+    * emitted jaccard is exact over the full shingle universe (unlike
+    * the df-cap path's filtered-universe contract). The threshold
+    * filter compares integers (`inter·1000 ≥ t‰·union`) — no rounding
+    * seam between Spark and the oracle.
+    *
+    * Shape at 100 TB: one df agg + one per-doc window (bounded by doc
+    * shingle count) + an equi-join on the PRUNED prefix keys + a
+    * candidate-bounded verify join. Three shuffles total, each keyed
+    * to collapse — this is the published large-scale set-similarity
+    * join recipe. */
+  def jaccardPrefix(spark: SparkSession, sfDir: String): DataFrame =
+    jaccardPrefix(spark, sfDir, 500)
+
+  def jaccardPrefix(spark: SparkSession, sfDir: String, tPm: Int): DataFrame =
+    jaccardPrefixFrom(
+      Tables.documentsPar(spark, sfDir)
+        .select(col("doc_id"), col("source"),
+          explode(shingleHashes(tokens(col("text")), 3)).as("sh8")),
+      tPm)
+
+  /** Candidate pairs from the prefix join alone (pre-verify) — exposed
+    * so the skew spec can count exactly what the filter admits. */
+  def prefixCandidates(ex: DataFrame, tPm: Int): DataFrame = {
+    require(tPm >= 1 && tPm <= 1000, s"threshold $tPm out of (0, 1000]")
+    import org.apache.spark.sql.expressions.Window
+    val dfg = ex.groupBy(col("source"), col("sh8"))
+      .agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    // prefix length |d| − ⌈t·|d|⌉ + 1 in exact integer arithmetic:
+    // ⌈n·t‰/1000⌉ = (n·t‰ + 999) div 1000
+    val pref = ex.join(dfg, Seq("source", "sh8"))
+      .withColumn("n_sh", count(lit(1)).over(wDoc))
+      .withColumn("rn",
+        row_number().over(wDoc.orderBy(col("df"), col("sh8"))))
+      .where(col("rn") <= col("n_sh") -
+        floor((col("n_sh") * tPm + lit(999)) / lit(1000.0)).cast("long") + 1)
+      .select(col("source"), col("sh8"), col("doc_id"))
+    pref.select(col("source"), col("sh8"), col("doc_id").as("doc_a"))
+      .join(pref.select(col("source"), col("sh8"), col("doc_id").as("doc_b")),
+        Seq("source", "sh8"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** The prefix machinery over any exploded (doc_id, source, sh8)
+    * frame; `ex` is consumed three times (df agg, prefix ranking,
+    * verify expansion) so callers hand in a re-readable frame. */
+  def jaccardPrefixFrom(ex0: DataFrame, tPm: Int): DataFrame = {
+    val ex = ex0.localCheckpoint(true)
+    val cand = prefixCandidates(ex, tPm)
+    val shA = ex.select(col("doc_id").as("doc_a"), col("sh8"))
+    val shB = ex.select(col("doc_id").as("doc_b"), col("sh8"))
+    val inter = cand.join(shA, Seq("doc_a")).join(shB, Seq("doc_b", "sh8"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter_n"))
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("inter_n"),
+        (col("n_a") + col("n_b") - col("inter_n")).as("union_n"))
+      .where(col("inter_n") * 1000 >= lit(tPm.toLong) * col("union_n"))
+      .withColumn("jaccard_pm",
+        round(col("inter_n") * lit(1000.0) / col("union_n")).cast("long"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** §2#182 CANONICAL-REPRESENTATIVE selection — the step that turns
     * clusters into a KEEP LIST: per duplicate cluster, keep the
     * highest-quality member (quality_pm from the §2.6 battery, ties to

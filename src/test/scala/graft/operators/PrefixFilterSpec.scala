@@ -1,0 +1,88 @@
+package graft.operators
+
+import java.nio.file.Files
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** §2#185 + VERDICT r9 item 2: hot-shingle behavior of the candidate
+  * join, measured on a crafted SKEWED corpus (one ubiquitous
+  * boilerplate phrase in every doc) — the known cost SURVEY §8 flags.
+  * Losslessness of the PPJoin prefix filter is pinned against the
+  * unfiltered join on the real corpus; boundedness is pinned by exact
+  * candidate COUNTS (deterministic, unlike wall-clock): linear growth
+  * under 10× corpus growth where the naive join grows ~100×. */
+class PrefixFilterSpec extends SparkSuite {
+
+  /** `n` docs that all share a 12-token boilerplate phrase (hot
+    * shingles with df = n) plus per-doc unique filler, with
+    * `nPlanted` near-dup pairs whose unique blocks are identical —
+    * the only pairs with jaccard ≥ 0.5. Written parquet-shaped like
+    * documents.parquet so the production loaders read it. */
+  private def writeSkewed(n: Int, nPlanted: Int): String = {
+    val boiler = "terms of service apply to all content on this site please read"
+    def uniq(seed: Int) =
+      (0 until 30).map(j => s"u${seed}w$j").mkString(" ")
+    val rows = (0 until n).map { i =>
+      // planted pairs: docs (2k, 2k+1) for k < nPlanted share one block
+      val seed = if (i < 2 * nPlanted) i / 2 else 1000 + i
+      (i.toLong, s"$boiler ${uniq(seed)}", "en", "web", 0L)
+    }
+    val dir = Files.createTempDirectory(s"skew-$n").toString
+    spark.createDataFrame(rows).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("prefix filter is lossless at the threshold on the real corpus") {
+    val viaPrefix = Dedup.jaccardPrefix(spark, sf, 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val unfiltered = Dedup.ngramJaccard(spark, sf, Int.MaxValue)
+      .where(col("inter_n") * 1000 >= lit(500L) * col("union_n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(viaPrefix === unfiltered)
+    assert(viaPrefix.nonEmpty, "threshold corpus fixture went empty")
+  }
+
+  test("skewed corpus: prefix join admits only real near-dups; df-cap join stays bounded; naive blows up df²") {
+    val n = 120
+    val dir = writeSkewed(n, nPlanted = 3)
+    // the naive unfiltered join pairs every doc with every doc through
+    // the boilerplate shingles: C(120,2) candidates
+    val naive = Dedup.ngramJaccard(spark, dir, maxDf = Int.MaxValue).count()
+    assert(naive === n.toLong * (n - 1) / 2,
+      "fixture broken: the hot phrase should pair all docs")
+    // df cap well below the hot df: hot shingles dropped, candidates
+    // collapse to pairs sharing UNIQUE shingles = the planted dups
+    val capped = Dedup.ngramJaccard(spark, dir, maxDf = 16).count()
+    assert(capped === 3L, s"df-capped candidates not bounded: $capped")
+    // PPJoin prefix at t=0.5: hot shingles rank last in every doc's
+    // global-rarity order and never enter the prefix, so candidates =
+    // planted pairs only — and NOTHING was dropped from scoring
+    val ex = graft.Tables.documentsPar(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.Fns.shingleHashes(
+          graft.functions.Fns.tokens(col("text")), 3)).as("sh8"))
+    assert(Dedup.prefixCandidates(ex, 500).count() === 3L)
+    val found = Dedup.jaccardPrefix(spark, dir, 500).collect()
+    assert(found.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((0L, 1L), (2L, 3L), (4L, 5L)))
+    // exact over the FULL universe: identical unique blocks + shared
+    // boilerplate = identical shingle sets = jaccard 1000‰
+    assert(found.forall(_.getAs[Long]("jaccard_pm") === 1000L))
+  }
+
+  test("10x skewed growth: prefix/df-cap candidates grow linearly while the naive join grows ~100x") {
+    val small = writeSkewed(60, nPlanted = 2)
+    val big = writeSkewed(600, nPlanted = 20)
+    val cappedSmall = Dedup.ngramJaccard(spark, small, maxDf = 16).count()
+    val cappedBig = Dedup.ngramJaccard(spark, big, maxDf = 16).count()
+    assert(cappedSmall === 2L && cappedBig === 20L,
+      s"df-capped candidates must track planted dups: $cappedSmall -> $cappedBig")
+    val naiveSmall = Dedup.ngramJaccard(spark, small, maxDf = Int.MaxValue).count()
+    val naiveBig = Dedup.ngramJaccard(spark, big, maxDf = Int.MaxValue).count()
+    assert(naiveSmall === 60L * 59 / 2 && naiveBig === 600L * 599 / 2,
+      "naive candidate growth should be quadratic in the corpus")
+    assert(naiveBig > 100L * cappedBig,
+      "the whole point: bounded vs quadratic at 10x")
+  }
+}
