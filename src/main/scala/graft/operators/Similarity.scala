@@ -279,15 +279,23 @@ object Similarity {
     * frame — the shared stages under [[pqAdcTopk]] and [[ivfPqTopk]]:
     * returns (subs, cb, codes) = per-(vec, subspace) subvectors, the
     * trained per-subspace codebooks, and the encoded corpus. */
-  private def pqStages(base: DataFrame, m: Int, codesPerSub: Int,
-      iters: Int): (DataFrame, DataFrame, DataFrame) = {
+  /** One row per (vec_id, subspace): the subDim-dim subvector of
+    * `emb` — shared by PQ training/encoding and the query-side ADC
+    * table construction (which must slice the QUERY vector even when
+    * the codebooks were trained on residuals). */
+  private def subvectors(base: DataFrame, m: Int): DataFrame = {
     val subDim = 64 / m
-    // one row per (vec_id, subspace): the 8-dim subvector
-    val subs = base
+    base
       .select(col("vec_id"),
         explode(sequence(lit(0L), lit(m - 1L))).as("s"), col("emb"))
       .select(col("vec_id"), col("s"),
         expr(s"slice(emb, CAST(s * $subDim + 1 AS INT), $subDim)").as("sv"))
+  }
+
+  private def pqStages(base: DataFrame, m: Int, codesPerSub: Int,
+      iters: Int): (DataFrame, DataFrame, DataFrame) = {
+    // one row per (vec_id, subspace): the 8-dim subvector
+    val subs = subvectors(base, m)
       .withColumn("svsq", dot(col("sv"), col("sv")))
       .localCheckpoint(true)
     // codebook seeds: the bottom-codesPerSub vectors by multiplicative
@@ -401,10 +409,20 @@ object Similarity {
     * then the exact re-rank restores quality on the shortlist (ADC+R).
     * The two levers compound: cells cut WHICH vectors are scanned, PQ
     * cuts the BYTES PER VECTOR scanned — at 100 TB that is
-    * nProbe/nCells × 1/32 of the brute-force read. PQ encodes the raw
-    * (not residual) vectors — the simpler published variant; residual
-    * encoding slots into the same seam by subtracting the assigned
-    * centroid before [[pqStages]].
+    * nProbe/nCells × 1/32 of the brute-force read.
+    *
+    * RESIDUAL encoding (the default, and what faiss IndexIVFPQ ships):
+    * PQ quantizes x − c(x), the vector MINUS its assigned coarse
+    * centroid, not x itself. Residuals concentrate near the origin
+    * with far less variance than raw vectors, so the same 4-bit
+    * codebooks spend their resolution on the part of x the coarse
+    * quantizer didn't already explain — measurably better recall at
+    * identical code size (Jégou §V). Query-time ADC splits exactly:
+    * q·x = q·c + q·r, with q·c one exact dot per (query, probed cell)
+    * — nProbe numbers per query, broadcast — and q·r the usual m
+    * table lookups against the residual codebooks. `residual = false`
+    * keeps the simpler raw-encoding variant (the spec measures both
+    * and pins residual ≥ raw).
     *
     * Shape: coarse assignment is the same map-side-combinable argmax
     * as IVF; codes join their cell id once (one vec_id shuffle at
@@ -414,7 +432,8 @@ object Similarity {
     * recall@5 vs brute force. */
   def ivfPqTopk(spark: SparkSession, sfDir: String, k: Int = 5,
       nCells: Int = 8, nProbe: Int = 3, m: Int = 8,
-      codesPerSub: Int = 64, iters: Int = 2): DataFrame = {
+      codesPerSub: Int = 64, iters: Int = 2,
+      residual: Boolean = true): DataFrame = {
     graft.functions.Registry.ensure(spark)
     val base = corpus(spark, sfDir).drop("label")
       .select(col("vec_id"),
@@ -428,7 +447,9 @@ object Similarity {
     val cellOf = scored.groupBy(col("vec_id"))
       .agg(max_by(col("cell"), struct(col("cell_cos"), -col("cell"))).as("cell"))
     val unit = base.select(col("vec_id"), col("emb"))
-    val (subs, cb, codes) = pqStages(unit, m, codesPerSub, iters)
+    // what PQ sees: residuals (x − c) or the raw unit vectors
+    val encInput = if (residual) residualFrame(unit, cellOf, cents) else unit
+    val (_, cb, codes) = pqStages(encInput, m, codesPerSub, iters)
     // the inverted index: codes annotated with their cell, built once
     val codesCell = codes.join(cellOf, "vec_id")
     val qProbe = scored.where(col("vec_id") < 10)
@@ -437,19 +458,44 @@ object Similarity {
           .orderBy(col("cell_cos").desc, col("cell"))))
       .where(col("prk") <= nProbe)
       .select(col("vec_id").as("query_id"), col("cell"))
-    val table = subs.where(col("vec_id") < 10).join(cb, Seq("s"))
+    // the ADC table slices the RAW query vector regardless of what the
+    // codebooks were trained on: q·r decomposes per subspace either way
+    val table = subvectors(unit.where(col("vec_id") < 10), m).join(cb, Seq("s"))
       .select(col("vec_id").as("query_id"), col("s"), col("code"),
         dot(col("sv"), col("c_sv")).as("pdot"))
-    val sims = codesCell.join(broadcast(qProbe), Seq("cell"))
+    val adcSums = codesCell.join(broadcast(qProbe), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .join(broadcast(table), Seq("query_id", "s", "code"))
-      .groupBy(col("query_id"), col("vec_id"))
+      .groupBy(col("query_id"), col("cell"), col("vec_id"))
       .agg(sum(col("pdot")).as("adc_dot"), count(lit(1)).as("nparts"))
       .where(col("nparts") === m) // every subspace contributed
+    val sims = if (residual) {
+      // q·x = q·c(cell) + q·r — the centroid term, exact, per probe pair
+      val qCellDot = qProbe
+        .join(broadcast(cents.select(col("cell"), col("c_emb"))), "cell")
+        .join(broadcast(unit.where(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))),
+          "query_id")
+        .select(col("query_id"), col("cell"),
+          dot(col("q_emb"), col("c_emb")).as("qc_dot"))
+      adcSums.join(broadcast(qCellDot), Seq("query_id", "cell"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          scaled(col("qc_dot") + col("adc_dot"), 1000000L).as("adc_cos_e6"))
+    } else adcSums
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         scaled(col("adc_dot"), 1000000L).as("adc_cos_e6"))
     adcRerank(sims, unit, k, 10 * k)
   }
+
+  /** x → (x − c(x)): each vector minus its assigned coarse centroid —
+    * exact by construction (centroid + residual reconstructs the
+    * vector bit-for-float), pinned by ResidualPqSpec. */
+  private[operators] def residualFrame(unit: DataFrame, cellOf: DataFrame,
+      cents: DataFrame): DataFrame =
+    unit.join(cellOf, "vec_id")
+      .join(broadcast(cents.select(col("cell"), col("c_emb"))), "cell")
+      .select(col("vec_id"),
+        zip_with(col("emb"), col("c_emb"), (x, c) => x - c).as("emb"))
 
   /** §2#141 SCALAR-quantized ANN (SQ8) — the memory rung between raw
     * vectors and PQ codes, and the simplest production compression
