@@ -34,7 +34,8 @@ class ChangefeedPipeline(
     checkpointDir: String,
     gcFloorUs: Option[Long] = None,
     trigger: Option[Trigger] = None,
-    deadLetterQueue: Option[MessageQueue] = None) extends Serializable {
+    deadLetterQueue: Option[MessageQueue] = None,
+    tableRouter: Option[String => MessageQueue] = None) extends Serializable {
 
   /** rabbitmq_messages_sent equivalent (reference src/metrics.rs). */
   @volatile var messagesSent: LongAccumulator = _
@@ -65,6 +66,7 @@ class ChangefeedPipeline(
     val curAcc = cursorsCommitted
     val dlqAcc = messagesDeadLettered
     val q = queue
+    val router = tableRouter
     val dlq = deadLetterQueue
     val store = cursorStore
     // a change row must carry parseable JSON WITH an `after` key;
@@ -111,15 +113,40 @@ class ChangefeedPipeline(
                 .option("path", log.dir).option("epochId", batchId)
                 .mode("append").save()
               acc.add(changes.count())
-            case _ =>
-              val payloads = batch.where(col("tbl").isNotNull && good)
-                .select(Changefeed.payloadCol.as("payload"))
-              payloads.foreachPartition { (it: Iterator[Row]) =>
-                it.foreach { r =>
-                  q.publish(r.getString(0).getBytes("UTF-8"))
-                  acc.add(1L)
+            case _ => router match {
+              case Some(make) =>
+                // MULTI-TABLE fan-out (the streaming form of
+                // cdc_table_router #156): the reference binds one
+                // process per table and names the queue after it
+                // (cli.yml, queues.rs:17-30) — a consolidated relay
+                // runs ONE stream over a multi-table feed and routes
+                // each change row to the queue named after ITS table
+                // tag. Queue handles are resolved once per (partition,
+                // table) — |tables| broker channels per task, not per
+                // record — and rows of every table still ride the same
+                // micro-batch, checkpoint, and cursor.
+                val payloads = batch.where(col("tbl").isNotNull && good)
+                  .select(col("tbl"), Changefeed.payloadCol.as("payload"))
+                payloads.foreachPartition { (it: Iterator[Row]) =>
+                  val perTable =
+                    scala.collection.mutable.HashMap.empty[String, MessageQueue]
+                  it.foreach { r =>
+                    val tq = perTable.getOrElseUpdate(r.getString(0),
+                      make(r.getString(0)))
+                    tq.publish(r.getString(1).getBytes("UTF-8"))
+                    acc.add(1L)
+                  }
                 }
-              }
+              case None =>
+                val payloads = batch.where(col("tbl").isNotNull && good)
+                  .select(Changefeed.payloadCol.as("payload"))
+                payloads.foreachPartition { (it: Iterator[Row]) =>
+                  it.foreach { r =>
+                    q.publish(r.getString(0).getBytes("UTF-8"))
+                    acc.add(1L)
+                  }
+                }
+            }
           }
           val maxResolved = batch
             .where(col("tbl").isNull && col("key").isNull)

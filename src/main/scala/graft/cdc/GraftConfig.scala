@@ -36,17 +36,45 @@ final case class GraftConfig(
         s"$what spec '$spec' must be scheme:arg (inmemory:<name> | file:<path>)")
     }
 
-  def newQueue(): MessageQueue = split(queue, "queue") match {
+  /** `--table` accepts the reference's single table or a comma list —
+    * the multi-table changefeed statement (`CHANGEFEED FOR t1, t2`)
+    * takes the list verbatim and every row carries its table tag
+    * (reference model.rs:60-73). */
+  def tables: Seq[String] = table.split(",").map(_.trim).filter(_.nonEmpty)
+
+  /** Consolidated multi-table routing — a `{table}` placeholder in the
+    * --queue spec publishes each change row to the queue named after
+    * ITS table tag (e.g. `--queue amqp://host:5672/cf-{table}`). The
+    * reference binds one process per table and names the queue after
+    * it (cli.yml, queues.rs:17-30); the router is the one-process
+    * generalization, the streaming twin of cdc_table_router (#156).
+    * Queue instances resolve lazily per table on the executors. */
+  def newTableRouter(): Option[String => MessageQueue] =
+    if (queue.contains("{table}")) {
+      val self = this
+      Some((t: String) => self.copy(queue = self.queue.replace("{table}", t))
+        .newQueue())
+    } else None
+
+  def newQueue(): MessageQueue = split(resolvedQueueSpec, "queue") match {
     case ("inmemory", name) => new InMemoryQueue(name)
     case ("changefeed", dir) => new ChangefeedLogQueue(dir)
     // amqp://[user:pass@]host:port/queue — the reference's RabbitMQ
     // path (AMQP_ADDR env or --queue flag) on the built-in 0-9-1
     // publisher client; connects lazily on first publish
-    case ("amqp", _) => new AmqpQueue(queue)
+    case ("amqp", _) => new AmqpQueue(resolvedQueueSpec)
     case (scheme, _) => throw new IllegalArgumentException(
       s"unsupported queue scheme '$scheme' (this build compiles: inmemory, " +
         "changefeed, amqp)")
   }
+
+  /** A `{table}` placeholder resolved to the FIRST table — only used
+    * when newQueue() is called on a routed config (the router
+    * supersedes it for every actual publish; the instance exists so
+    * non-publish plumbing has a queue to hold). */
+  private def resolvedQueueSpec: String =
+    if (queue.contains("{table}")) queue.replace("{table}", tables.head)
+    else queue
 
   /** Poison-payload destination (--dead-letter-queue, same scheme:arg
     * grammar as --queue); None = forward bytes verbatim like the

@@ -59,7 +59,8 @@ object GraftMain {
     val store = cfg.newCursorStore()
     val pipeline = new ChangefeedPipeline(cfg.newQueue(), store,
       checkpoint, trigger = if (cfg.once) Some(Trigger.AvailableNow()) else None,
-      deadLetterQueue = cfg.newDeadLetterQueue())
+      deadLetterQueue = cfg.newDeadLetterQueue(),
+      tableRouter = cfg.newTableRouter())
     val metrics = new GraftMetrics(spark)
     val server = metrics.serve(cfg.metricsPort)
     try {
