@@ -70,6 +70,69 @@ object Pipeline {
         size(col("toks")).cast("long").as("n_tokens"))
   }
 
+  /** §2#187 [[streamIngest]] with NEAR-DUP admission — the banded
+    * MinHash upgrade of the exact-hash `dropDuplicates` stage (the
+    * streaming twin of `dedup_minhash_lsh` #26): the stateless stages
+    * (normalize → quality gate → decontaminate → stratified sample)
+    * run unchanged, then each survivor's k-hash MinHash signature
+    * splits into `nBands` LSH band keys and the doc passes through the
+    * [[graft.streaming.StreamNearDup]] registry — admitted iff NO band
+    * was registered by an earlier doc, registering all its bands if
+    * so. Exact duplicates are subsumed (identical normalized text ⇒
+    * identical signature ⇒ every band hits), which is why the separate
+    * `dropDuplicates` stage is gone: one stateful chain instead of
+    * two.
+    *
+    * Signature computation is PER-ROW (array_min over seeded hashes of
+    * the doc's own shingles — no aggregation), so everything before
+    * the registry is a narrow codegen'd map; the only shuffles are the
+    * two transformWithState exchanges (band key, then doc id). `docs`
+    * must carry an event-time `ts` column — the chained-stateful form
+    * requires a watermark. State: nBands longs per admitted doc. */
+  def streamIngestNearDup(docs: DataFrame, benchWindowHashes: Seq[Long],
+      minTokens: Int = 10, k: Int = 16, nBands: Int = 4,
+      watermarkDelay: String = "10 seconds")
+      (implicit spark: SparkSession)
+      : org.apache.spark.sql.Dataset[graft.streaming.IngestAdmit] = {
+    require(k % nBands == 0, s"k=$k must split into nBands=$nBands")
+    val rowsPerBand = k / nBands
+    val norm = docs.select(col("ts"), col("doc_id"), col("source"), col("lang"),
+      regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""),
+        "\\s+", " ").as("norm_text"))
+    val bench = array(benchWindowHashes.map(lit): _*)
+    val bucket = (col("doc_id") % lit(1000000007L)) * lit(2654435761L) % lit(1000000007L) % lit(1000L)
+    val rate = Sampling.stratifiedRatesPm.toSeq.sortBy(_._1)
+      .foldLeft(lit(0L)) { case (acc, (lang, pm)) =>
+        when(col("lang") === lang, lit(pm)).otherwise(acc)
+      }
+    val gated = norm
+      .withColumn("toks", tokens(col("norm_text")))
+      .where(size(col("toks")) >= minTokens)
+      .where(benchWindowHashes match {
+        case Nil => lit(true)
+        case _ => !arrays_overlap(shingleHashes(col("toks"), 4), bench)
+      })
+      .where(bucket < rate)
+    val shs = shingleHashes(col("toks"), 3)
+    val sig = array((0 until k).map(i =>
+      array_min(transform(shs, h => xxhash64(h, lit(i))))): _*)
+    import spark.implicits._
+    val banded = gated
+      .withColumn("sig", sig)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("ts"), col("source"), col("lang"),
+        col("n_tokens"),
+        explode(transform(sequence(lit(0), lit(nBands - 1)),
+          b => xxhash64(concat_ws(",",
+            slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand))), b)))
+          .as("band"))
+      .withColumn("n_bands", lit(nBands))
+      .withWatermark("ts", watermarkDelay)
+      .as[graft.streaming.NearDupBand]
+    graft.streaming.StreamNearDup.admissions(banded)
+  }
+
   /** Window hashes of the benchmark/eval docs — the bounded side
     * [[streamIngest]] broadcasts. Computed from the batch corpus. */
   def benchWindowHashes(spark: SparkSession, sfDir: String,
