@@ -57,6 +57,11 @@ object ScaleCheck {
         Dedup.exact(s, d)),
       "dedup_ngram_jaccard" -> ((s: SparkSession, d: String, _: Int) =>
         Dedup.ngramJaccard(s, d)),
+      // r10: the PPJoin prefix path — join volume bounded by prefix
+      // collisions instead of df²; the perturbed copies keep df
+      // constant, so expect the same ~K× band as the df-cap join
+      "dedup_jaccard_prefix" -> ((s: SparkSession, d: String, _: Int) =>
+        Dedup.jaccardPrefix(s, d)),
       "dedup_minhash_lsh" -> ((s: SparkSession, d: String, _: Int) =>
         Dedup.minhashLsh(s, d)),
       "dedup_cluster" -> ((s: SparkSession, d: String, _: Int) =>

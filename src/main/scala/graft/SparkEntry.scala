@@ -105,6 +105,7 @@ object SparkEntry {
     "q_heavy_hitters" -> (Analytics.qHeavyHitters _),
     "graph_pagerank" -> ((s: SparkSession, d: String) => Graph.pagerank(s, d)),
     "graph_triangles" -> (Graph.triangles _),
+    "graph_bfs_dist" -> ((s: SparkSession, d: String) => Graph.bfsDist(s, d)),
     "graph_kcore" -> ((s: SparkSession, d: String) => Graph.kcore(s, d)),
     "graph_label_prop" -> ((s: SparkSession, d: String) => Graph.labelProp(s, d)),
     "ts_ohlc" -> (TimeSeries.ohlc _),
@@ -114,6 +115,7 @@ object SparkEntry {
     "ts_running_total" -> (TimeSeries.runningTotal _),
     "ts_anomaly" -> (TimeSeries.anomaly _),
     "ts_lateness" -> (TimeSeries.lateness _),
+    "ts_trend" -> (TimeSeries.trend _),
     // §2.4 dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_exact_normalized" -> (Dedup.exactNormalized _),
@@ -1120,6 +1122,26 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS late_more,
         |  max(late_us) AS max_late_us
         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // OLS sufficient statistics summed as exact integers on both
+    // engines; slope/intercept/forecast are each ONE rounded division
+    // of identical longs — no float-accumulation seam (deliberately
+    // NOT regr_slope, whose double accumulation order differs between
+    // a partial-agg engine and a sequential one)
+    "ts_trend" ->
+      """WITH c AS (SELECT event_type,
+        |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS h, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT min(h) AS h0 FROM c),
+        |s AS (SELECT event_type, count(*) AS n, sum(h - h0) AS sx,
+        |  sum(y) AS sy, sum((h - h0) * y) AS sxy,
+        |  sum((h - h0) * (h - h0)) AS sxx, max(h - h0) AS xmax
+        |  FROM c CROSS JOIN m GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT event_type, n AS n_hours,
+        |  CAST(round(1000000.0 * (n*sxy - sx*sy) / (n*sxx - sx*sx), 0) AS BIGINT) AS slope_e6,
+        |  CAST(round(1000.0 * (sy*sxx - sx*sxy) / (n*sxx - sx*sx), 0) AS BIGINT) AS intercept_e3,
+        |  CAST(round(1000.0 * (sy*sxx - sx*sxy + (n*sxy - sx*sy) * (xmax + 1)) / (n*sxx - sx*sx), 0) AS BIGINT) AS forecast_next_e3
+        |FROM s ORDER BY event_type""".stripMargin,
     "ts_interpolate" ->
       s"""WITH ev AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
          |  ${cents("value")} AS v_c FROM events),
@@ -1244,6 +1266,33 @@ object SparkEntry {
          |  JOIN p p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
          |c AS (SELECT unnest([x, y, z]) AS doc_id FROM t)
          |SELECT doc_id, count(*) AS n_tri FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // multi-source BFS — roots are the per-component canonicals (the
+    // CC labels); the recursive form explores (doc, hops) pairs with a
+    // hop guard matching the engine's maxHops cap, then min(hops) is
+    // the BFS distance
+    "graph_bfs_dist" ->
+      s"""WITH RECURSIVE $shCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(doc, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc),
+         |clusters AS (SELECT doc AS doc_id, min(lab) AS cluster_id
+         |  FROM reach GROUP BY 1),
+         |bfs(doc, hops) AS (
+         |  SELECT DISTINCT cluster_id, CAST(0 AS BIGINT) FROM clusters
+         |  UNION
+         |  SELECT e.b, b.hops + 1 FROM bfs b JOIN edges e ON e.a = b.doc
+         |  WHERE b.hops < 20)
+         |SELECT c.doc_id, c.cluster_id, min(b.hops) AS hops
+         |FROM clusters c JOIN bfs b ON b.doc = c.doc_id
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "text_bpe_pairs" ->
       """WITH t AS (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),

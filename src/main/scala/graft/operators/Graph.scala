@@ -211,4 +211,60 @@ object Graph {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
       .orderBy(col("doc_id"))
   }
+
+  /** §2#188 MULTI-SOURCE BFS hop distance to the cluster canonical —
+    * "how far is each doc from its cluster's representative", the
+    * graph-distance companion to [[Dedup.cluster]]'s membership: a doc
+    * at 1 hop is a direct near-dup of the canonical; 2+ hops reached
+    * the cluster only transitively (chain A~B~C where A≁C — exactly
+    * the pairs worth a human look before a whole chain is collapsed).
+    *
+    * Frontier BFS from ALL roots at once (each component's canonical
+    * is its own root, so waves never cross components): per round, the
+    * frontier's neighbors minus everything visited become the next
+    * frontier at hops+1 — the Pregel BFS recipe. Per-round cost is one
+    * join of |frontier-incident edges| + one anti-join against the
+    * visited set (both keyed on doc_id, co-partitionable); rounds =
+    * eccentricity of the deepest component, each lineage-cut. The same
+    * loop at 100 TB is bounded by O(diameter) shuffles over |edges| —
+    * the recursive-CTE formulation the oracle uses cannot distribute,
+    * which is why the engine ships the iterative form.
+    *
+    * `maxHops` caps pathological chains (and matches the oracle's
+    * recursion guard); the corpus' near-dup clusters are star-like, so
+    * the loop exits on an empty frontier long before the cap. */
+  def bfsDist(spark: SparkSession, sfDir: String, maxHops: Int = 20): DataFrame =
+    bfsDistFrom(Dedup.candidatePairs(spark, sfDir),
+      Dedup.cluster(spark, sfDir), maxHops)
+
+  /** BFS over ANY (doc_a, doc_b) edge frame given a (doc_id,
+    * cluster_id) labeling whose cluster ids are the roots. */
+  def bfsDistFrom(edges: DataFrame, clusters: DataFrame,
+      maxHops: Int): DataFrame = {
+    val bidir = edges.unionByName(
+        edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(true)
+    var visited = clusters.select(col("cluster_id").as("doc_id")).distinct()
+      .withColumn("hops", lit(0L)).localCheckpoint(true)
+    var frontier = visited
+    var round = 0
+    var grew = 1L
+    while (grew > 0 && round < maxHops) {
+      val next = bidir
+        .join(frontier.select(col("doc_id").as("doc_a")), "doc_a")
+        .select(col("doc_b").as("doc_id")).distinct()
+        .join(visited.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .withColumn("hops", lit((round + 1).toLong))
+        .localCheckpoint(true)
+      grew = next.count()
+      if (grew > 0) {
+        visited = visited.unionByName(next).localCheckpoint(true)
+        frontier = next
+      }
+      round += 1
+    }
+    clusters.join(visited, "doc_id")
+      .select(col("doc_id"), col("cluster_id"), col("hops"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -507,4 +507,57 @@ object TimeSeries {
         max(col("late_us")).as("max_late_us"))
       .orderBy(col("event_type"))
   }
+
+  /** §2#189 LINEAR TREND per event type — ordinary least squares over
+    * the hourly counts, in the suite's exact-integer style: instead of
+    * `regr_slope` (whose double accumulation ORDER differs between a
+    * partial-agg engine and a sequential one — a genuine cross-engine
+    * rounding seam), the four OLS sufficient statistics Σx, Σy, Σxy,
+    * Σx² are summed as LONGS (exact, order-free, map-side-combinable),
+    * and slope / intercept / next-hour forecast each come out of ONE
+    * closed-form division on those integers:
+    *
+    *   slope      = (nΣxy − ΣxΣy) / D            (µ-counts per hour)
+    *   intercept  = (ΣyΣx² − ΣxΣxy) / D          (milli-counts)
+    *   forecast   = (ΣyΣx² − ΣxΣxy + (nΣxy − ΣxΣy)·x*) / D
+    *   with D = nΣx² − (Σx)², x* = the hour after the last observed
+    *
+    * so both engines round the SAME two longs and the hash compare is
+    * exact. x is the hour index relative to the GLOBAL min hour (the
+    * broadcast 1-row scalar) — relative indexing keeps every product
+    * within long range (absolute epoch-hours would push ΣyΣx² past
+    * 2^63).
+    *
+    * Shape at 100 TB: one map-side-combined (type, hour) count, one
+    * |types|-row stats agg, a broadcast scalar — the raw feed is never
+    * sorted or windowed. */
+  def trend(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val counts = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr(s"unix_micros(date_trunc('hour', ts)) div $hourUs").as("h"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("y"))
+    val minH = counts.agg(min(col("h")).as("h0"))
+    val stats = counts.crossJoin(broadcast(minH))
+      .withColumn("x", col("h") - col("h0"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), max(col("x")).as("xmax"))
+      .where(col("n") >= 2L)
+    stats.select(col("event_type"), col("n").as("n_hours"),
+        round(lit(1000000.0) * (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+          .cast("long").as("slope_e6"),
+        round(lit(1000.0) * (col("sy") * col("sxx") - col("sx") * col("sxy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+          .cast("long").as("intercept_e3"),
+        round(lit(1000.0) *
+          (col("sy") * col("sxx") - col("sx") * col("sxy") +
+            (col("n") * col("sxy") - col("sx") * col("sy")) * (col("xmax") + 1L)) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+          .cast("long").as("forecast_next_e3"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -259,6 +259,20 @@ class PlanQualitySpec extends SparkSuite {
     }
   }
 
+  test("dedup_jaccard_prefix: keyed joins only, partial df agg, bounded per-doc window") {
+    val plan = planOf(Dedup.jaccardPrefix(spark, sf, 500))
+    assert(!plan.contains("Cartesian"),
+      s"prefix path must never cross-join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop"),
+      s"prefix path must never nested-loop:\n$plan")
+    // the global-rarity df agg must combine map-side before shuffling
+    assert(plan.contains("partial_count"),
+      s"df agg not map-side combined:\n$plan")
+    // the prefix ranking is a per-doc window (bounded by doc shingle
+    // count), keyed on doc_id — present exactly as a Window operator
+    assert(plan.contains("Window"), s"prefix ranking window missing:\n$plan")
+  }
+
   test("dedup_incremental_bloom screens with the native bloom pair, no UDF") {
     // r9 advisor item: the Bloom screen used a Scala UDF over a
     // driver-built .stat.bloomFilter — opaque to codegen on the one
