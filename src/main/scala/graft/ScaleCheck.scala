@@ -62,6 +62,18 @@ object ScaleCheck {
       // constant, so expect the same ~K× band as the df-cap join
       "dedup_jaccard_prefix" -> ((s: SparkSession, d: String, _: Int) =>
         Dedup.jaccardPrefix(s, d)),
+      // cross-source form: global df ordering, no source bucketing —
+      // the perturbed copies share no shingles, so candidates stay
+      // linear and this measures the global prefix machinery itself
+      "dedup_jaccard_global" -> ((s: SparkSession, d: String, _: Int) =>
+        Dedup.jaccardGlobal(s, d)),
+      // BFS rides the CC labels + candidate graph; star-like clusters
+      // keep rounds constant, so expect the candidate-family band
+      "graph_bfs_dist" -> ((s: SparkSession, d: String, _: Int) =>
+        Graph.bfsDist(s, d)),
+      // pure combinable aggs + broadcast scalar — scan-speed band
+      "ts_trend" -> ((s: SparkSession, d: String, _: Int) =>
+        TimeSeries.trend(s, d)),
       "dedup_minhash_lsh" -> ((s: SparkSession, d: String, _: Int) =>
         Dedup.minhashLsh(s, d)),
       "dedup_cluster" -> ((s: SparkSession, d: String, _: Int) =>

@@ -125,6 +125,7 @@ object SparkEntry {
     "dedup_containment" -> (Dedup.containment _),
     "dedup_levenshtein" -> (Dedup.levenshteinVerify _),
     "dedup_jaccard_prefix" -> ((s: SparkSession, d: String) => Dedup.jaccardPrefix(s, d)),
+    "dedup_jaccard_global" -> ((s: SparkSession, d: String) => Dedup.jaccardGlobal(s, d)),
     "dedup_canonical" -> (Dedup.canonical _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhash _),
@@ -1325,6 +1326,20 @@ object SparkEntry {
          |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_n,
          |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS union_n
          |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |WHERE inter_n * 1000 >= 500 * union_n ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the CROSS-SOURCE form: no source restriction at all — the
+    // engine's prefix filter reaches the same thresholded pair set
+    // without ever fanning out on globally-hot shingles
+    "dedup_jaccard_global" ->
+      s"""WITH $shCte
+         |SELECT doc_a, doc_b, inter_n, union_n,
+         |  CAST(round(inter_n * 1000.0 / union_n, 0) AS BIGINT) AS jaccard_pm
+         |FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_n,
+         |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS union_n
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
          |WHERE inter_n * 1000 >= 500 * union_n ORDER BY doc_a, doc_b""".stripMargin,
 
     // the funnel composes three existing oracle pieces: raw count,

@@ -282,6 +282,28 @@ object Dedup {
           explode(shingleHashes(tokens(col("text")), 3)).as("sh8")),
       tPm)
 
+  /** §2#190 CROSS-SOURCE thresholded near-dup — [[jaccardPrefix]]
+    * WITHOUT the same-source restriction. The df-cap candidate join
+    * buckets by source partly for tractability (source × shingle keys
+    * shrink the hot groups); the prefix filter removes that need —
+    * boilerplate shared across every source (syndication banners,
+    * license headers, template chrome) is exactly the globally-hottest
+    * shingle set, which the global-rarity prefix ordering excludes
+    * from join keys automatically. This is the query that catches the
+    * same article republished across domains, which source-bucketed
+    * dedup is structurally blind to. Same lossless-at-threshold
+    * contract; `source` is collapsed to one global bucket so df, the
+    * prefix order, and the join are all corpus-wide. */
+  def jaccardGlobal(spark: SparkSession, sfDir: String): DataFrame =
+    jaccardGlobal(spark, sfDir, 500)
+
+  def jaccardGlobal(spark: SparkSession, sfDir: String, tPm: Int): DataFrame =
+    jaccardPrefixFrom(
+      Tables.documentsPar(spark, sfDir)
+        .select(col("doc_id"), lit("_").as("source"),
+          explode(shingleHashes(tokens(col("text")), 3)).as("sh8")),
+      tPm)
+
   /** Candidate pairs from the prefix join alone (pre-verify) — exposed
     * so the skew spec can count exactly what the filter admits. */
   def prefixCandidates(ex: DataFrame, tPm: Int): DataFrame = {

@@ -96,6 +96,41 @@ class StreamNearDupSpec extends SparkSuite {
     }
   }
 
+  test("registry survives a query restart: a near-dup of a pre-restart doc is still dropped") {
+    implicit val s = spark
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[TsDocRow](72, spark, None)
+      val ckpt = Files.createTempDirectory("ckpt-neardup-restart").toString
+      // the memory sink can't recover from a checkpoint — the restart
+      // needs a real recoverable sink, so admissions land as json files
+      val outDir = Files.createTempDirectory("out-neardup-restart").toString
+      def start() = Pipeline.streamIngestNearDup(in.toDF(), Nil)
+        .writeStream.outputMode("append").format("json")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+      val q1 = start()
+      in.addData(doc(ids(0), 10, baseText))
+      q1.processAllAvailable()
+      q1.stop() // relay restarts; RocksDB state must carry the registry
+
+      val q2 = start()
+      in.addData(doc(ids(1), 20, baseText))
+      q2.processAllAvailable()
+      q2.stop()
+      val all = spark.read
+        .schema(implicitly[org.apache.spark.sql.Encoder[IngestAdmit]].schema)
+        .json(outDir).as[IngestAdmit].collect().sortBy(_.doc_id)
+      assert(all.map(a => (a.doc_id, a.admitted)).toSeq ===
+        Seq((ids(0), true), (ids(1), false)),
+        s"restart lost the band registry: ${all.toSeq}")
+      assert(all.last.hit_bands === 4)
+    } finally spark.conf.unset(key)
+  }
+
   test("stateless stages still apply: short docs and filtered langs never reach the registry") {
     run { (in, emitted) =>
       in.addData(
