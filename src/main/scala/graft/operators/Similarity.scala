@@ -433,7 +433,27 @@ object Similarity {
   def ivfPqTopk(spark: SparkSession, sfDir: String, k: Int = 5,
       nCells: Int = 8, nProbe: Int = 3, m: Int = 8,
       codesPerSub: Int = 64, iters: Int = 2,
-      residual: Boolean = true): DataFrame = {
+      residual: Boolean = true): DataFrame =
+    ivfPqQuery(buildIvfPqIndex(spark, sfDir, nCells, m, codesPerSub,
+      iters, residual), k, nProbe)
+
+  /** The materialized IVF-PQ index: coarse centroids, the cell-tagged
+    * code table (the inverted index), the per-subspace codebooks, and
+    * the unit-normalized vectors (rerank + query side). `m`/`residual`
+    * travel with the index because the query path must match how the
+    * codes were built. */
+  private[operators] case class IvfPqIndex(cents: DataFrame,
+      codesCell: DataFrame, cb: DataFrame, unit: DataFrame,
+      m: Int, residual: Boolean)
+
+  /** INDEX BUILD — the expensive half of IVF-PQ (k-means training, PQ
+    * codebooks, encoding), factored out so it can run ONCE and persist
+    * ([[persistIvfPqIndex]]) while queries run many times against the
+    * stored tables — the faiss build/search split, which is also how a
+    * 100 TB deployment amortizes the training cost. */
+  private[operators] def buildIvfPqIndex(spark: SparkSession, sfDir: String,
+      nCells: Int = 8, m: Int = 8, codesPerSub: Int = 64, iters: Int = 2,
+      residual: Boolean = true): IvfPqIndex = {
     graft.functions.Registry.ensure(spark)
     val base = corpus(spark, sfDir).drop("label")
       .select(col("vec_id"),
@@ -451,8 +471,21 @@ object Similarity {
     val encInput = if (residual) residualFrame(unit, cellOf, cents) else unit
     val (_, cb, codes) = pqStages(encInput, m, codesPerSub, iters)
     // the inverted index: codes annotated with their cell, built once
-    val codesCell = codes.join(cellOf, "vec_id")
-    val qProbe = scored.where(col("vec_id") < 10)
+    IvfPqIndex(cents, codes.join(cellOf, "vec_id"), cb, unit, m, residual)
+  }
+
+  /** QUERY against an IVF-PQ index (inline-built or read back from
+    * tables): probe assignment and the ADC table are computed from the
+    * query vectors against the STORED centroids/codebooks — nothing is
+    * retrained at query time. */
+  private[operators] def ivfPqQuery(idx: IvfPqIndex, k: Int = 5,
+      nProbe: Int = 3): DataFrame = {
+    val m = idx.m
+    val qVecs = idx.unit.where(col("vec_id") < 10)
+      .withColumn("nrm", lit(1.0)).localCheckpoint(true)
+    val qProbe = qVecs.crossJoin(broadcast(idx.cents))
+      .select(col("vec_id"), col("cell"),
+        cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")).as("cell_cos"))
       .withColumn("prk", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("cell_cos").desc, col("cell"))))
@@ -460,22 +493,21 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("cell"))
     // the ADC table slices the RAW query vector regardless of what the
     // codebooks were trained on: q·r decomposes per subspace either way
-    val table = subvectors(unit.where(col("vec_id") < 10), m).join(cb, Seq("s"))
+    val table = subvectors(qVecs, m).join(idx.cb, Seq("s"))
       .select(col("vec_id").as("query_id"), col("s"), col("code"),
         dot(col("sv"), col("c_sv")).as("pdot"))
-    val adcSums = codesCell.join(broadcast(qProbe), Seq("cell"))
+    val adcSums = idx.codesCell.join(broadcast(qProbe), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .join(broadcast(table), Seq("query_id", "s", "code"))
       .groupBy(col("query_id"), col("cell"), col("vec_id"))
       .agg(sum(col("pdot")).as("adc_dot"), count(lit(1)).as("nparts"))
       .where(col("nparts") === m) // every subspace contributed
-    val sims = if (residual) {
+    val sims = if (idx.residual) {
       // q·x = q·c(cell) + q·r — the centroid term, exact, per probe pair
       val qCellDot = qProbe
-        .join(broadcast(cents.select(col("cell"), col("c_emb"))), "cell")
-        .join(broadcast(unit.where(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))),
-          "query_id")
+        .join(broadcast(idx.cents.select(col("cell"), col("c_emb"))), "cell")
+        .join(broadcast(qVecs.select(col("vec_id").as("query_id"),
+          col("emb").as("q_emb"))), "query_id")
         .select(col("query_id"), col("cell"),
           dot(col("q_emb"), col("c_emb")).as("qc_dot"))
       adcSums.join(broadcast(qCellDot), Seq("query_id", "cell"))
@@ -484,7 +516,68 @@ object Similarity {
     } else adcSums
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         scaled(col("adc_dot"), 1000000L).as("adc_cos_e6"))
-    adcRerank(sims, unit, k, 10 * k)
+    adcRerank(sims, idx.unit, k, 10 * k)
+  }
+
+  /** §2#191 PERSIST the IVF-PQ index as catalog tables — the
+    * build-once / query-many production split. The code table (the
+    * inverted index, the only corpus-sized piece) is written
+    * PARTITIONED BY cell, so a query that probes nProbe of nCells
+    * cells reads exactly those partitions from disk and skips the
+    * rest — the materialized form of "IVF prunes WHICH vectors are
+    * scanned", enforced by the storage layout instead of a runtime
+    * filter ([[ivfPqTopkPersisted]] pushes the probed cell list as a
+    * partition predicate; the spec pins PartitionFilters in the scan).
+    * Centroids and codebooks are nCells- and m×codes-row tables;
+    * vectors persist for the exact re-rank. The catalog here is
+    * in-memory; a deployment points the same code at its metastore. */
+  def persistIvfPqIndex(spark: SparkSession, sfDir: String,
+      name: String = "ivfpq", nCells: Int = 8, m: Int = 8,
+      codesPerSub: Int = 64, iters: Int = 2,
+      residual: Boolean = true): Unit = {
+    val idx = buildIvfPqIndex(spark, sfDir, nCells, m, codesPerSub,
+      iters, residual)
+    idx.cents.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${name}_cents")
+    idx.cb.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${name}_cb")
+    idx.codesCell.write.mode("overwrite").format("parquet")
+      .partitionBy("cell").saveAsTable(s"${name}_codes")
+    idx.unit.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${name}_vectors")
+  }
+
+  /** Read a [[persistIvfPqIndex]] back as an [[IvfPqIndex]]. */
+  private[operators] def persistedIvfPqIndex(spark: SparkSession,
+      name: String = "ivfpq", m: Int = 8,
+      residual: Boolean = true): IvfPqIndex =
+    IvfPqIndex(spark.table(s"${name}_cents"), spark.table(s"${name}_codes"),
+      spark.table(s"${name}_cb"), spark.table(s"${name}_vectors"),
+      m, residual)
+
+  /** Query the PERSISTED index. The probed cells (≤ queries × nProbe
+    * distinct values of a ≤ nCells universe) are collected once and
+    * pushed as a STATIC partition predicate on the code table — the
+    * scan opens only the probed cells' partitions, which is the whole
+    * point of an inverted index on disk. */
+  def ivfPqTopkPersisted(spark: SparkSession, name: String = "ivfpq",
+      k: Int = 5, nProbe: Int = 3, m: Int = 8,
+      residual: Boolean = true): DataFrame = {
+    graft.functions.Registry.ensure(spark)
+    val idx = persistedIvfPqIndex(spark, name, m, residual)
+    val qVecs = idx.unit.where(col("vec_id") < 10)
+      .withColumn("nrm", lit(1.0))
+    val probedCells = qVecs.crossJoin(broadcast(idx.cents))
+      .select(col("vec_id"), col("cell"),
+        cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")).as("cell_cos"))
+      .withColumn("prk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cell_cos").desc, col("cell"))))
+      .where(col("prk") <= nProbe)
+      .select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val pruned = idx.codesCell.where(col("cell").isin(probedCells: _*))
+    ivfPqQuery(idx.copy(codesCell = pruned), k, nProbe)
   }
 
   /** x → (x − c(x)): each vector minus its assigned coarse centroid —
