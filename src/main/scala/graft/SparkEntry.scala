@@ -106,6 +106,9 @@ object SparkEntry {
     "graph_pagerank" -> ((s: SparkSession, d: String) => Graph.pagerank(s, d)),
     "graph_triangles" -> (Graph.triangles _),
     "graph_bfs_dist" -> ((s: SparkSession, d: String) => Graph.bfsDist(s, d)),
+    "text_lang_confusion" -> (TextAnalysis.langConfusion _),
+    "dedup_report" -> (Dedup.report _),
+    "ann_recall_report" -> ((s: SparkSession, d: String) => Similarity.recallReport(s, d)),
     "graph_kcore" -> ((s: SparkSession, d: String) => Graph.kcore(s, d)),
     "graph_label_prop" -> ((s: SparkSession, d: String) => Graph.labelProp(s, d)),
     "ts_ohlc" -> (TimeSeries.ohlc _),
@@ -1654,6 +1657,42 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_pm DESC, lang DESC) AS rk FROM sc)
         |SELECT doc_id, labeled_lang, lang AS predicted_lang, score_pm
         |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    // the same scorer, folded into a confusion matrix: counts +
+    // per-label row shares (integer div on both engines)
+    "text_lang_confusion" ->
+      """WITH t AS (SELECT doc_id, lang AS labeled_lang,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sc AS (
+        |  SELECT doc_id, labeled_lang, 'en' AS lang,
+        |    CAST(floor(len(list_filter(toks, tk -> list_contains(['the','a','and','of','to','fast','slow','small','big'], tk))) * 1000.0 / greatest(len(toks),1)) AS BIGINT) AS score_pm FROM t
+        |  UNION ALL SELECT doc_id, labeled_lang, 'de',
+        |    CAST(floor(len(list_filter(toks, tk -> list_contains(['der','die','das','und','ist','schnell','klein'], tk))) * 1000.0 / greatest(len(toks),1)) AS BIGINT) FROM t
+        |  UNION ALL SELECT doc_id, labeled_lang, 'fr',
+        |    CAST(floor(len(list_filter(toks, tk -> list_contains(['le','la','et','est','vite','petit','grand'], tk))) * 1000.0 / greatest(len(toks),1)) AS BIGINT) FROM t
+        |  UNION ALL SELECT doc_id, labeled_lang, 'es',
+        |    CAST(floor(len(list_filter(toks, tk -> list_contains(['el','la','y','es','rapido','pequeno','grande'], tk))) * 1000.0 / greatest(len(toks),1)) AS BIGINT) FROM t
+        |  UNION ALL SELECT doc_id, labeled_lang, 'zh',
+        |    CAST(floor(len(list_filter(toks, tk -> list_contains(['de','shi','he','kuai','xiao','da'], tk))) * 1000.0 / greatest(len(toks),1)) AS BIGINT) FROM t),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_pm DESC, lang DESC) AS rk FROM sc),
+        |m AS (SELECT labeled_lang, lang AS predicted_lang FROM r WHERE rk = 1),
+        |c AS (SELECT labeled_lang, predicted_lang, count(*) AS n_docs FROM m GROUP BY 1, 2)
+        |SELECT labeled_lang, predicted_lang, n_docs,
+        |  n_docs * 1000 // sum(n_docs) OVER (PARTITION BY labeled_lang) AS share_pm
+        |FROM c ORDER BY 1, 2""".stripMargin,
+
+    "dedup_report" ->
+      """WITH h AS (SELECT source, md5(text) AS eh,
+        |  md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS nh
+        |  FROM documents),
+        |s AS (SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT eh) AS n_exact_classes,
+        |  count(DISTINCT nh) AS n_norm_classes
+        |  FROM h GROUP BY 1)
+        |SELECT source, n_docs, n_exact_classes, n_norm_classes,
+        |  (n_docs - n_exact_classes) * 1000 // n_docs AS exact_dup_pm,
+        |  (n_docs - n_norm_classes) * 1000 // n_docs AS norm_dup_pm
+        |FROM s ORDER BY source""".stripMargin,
 
     "text_normalize" ->
       """SELECT doc_id,

@@ -439,6 +439,31 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** §2#193 DEDUP DASHBOARD — the per-source duplication report a
+    * curation run publishes before anyone decides thresholds: doc
+    * count, distinct exact-content classes, distinct NORMALIZED
+    * classes (case/punct/spacing variants collapsed), and the two
+    * dup rates in per-mille. Reading it: exact_dup_pm is what plain
+    * hashing would remove; norm_dup_pm − exact_dup_pm is what
+    * normalization buys on top; near-dup clustering (#45) goes beyond
+    * both. One map-side-combined aggregate per source — three hashes
+    * per row, no joins, scan-speed at any corpus size. */
+  def report(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documentsPar(spark, sfDir)
+      .select(col("source"), md5(col("text")).as("eh"),
+        md5(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""),
+          "\\s+", " ")).as("nh"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("eh")).as("n_exact_classes"),
+        countDistinct(col("nh")).as("n_norm_classes"))
+      .select(col("source"), col("n_docs"), col("n_exact_classes"),
+        col("n_norm_classes"),
+        expr("(n_docs - n_exact_classes) * 1000 div n_docs").as("exact_dup_pm"),
+        expr("(n_docs - n_norm_classes) * 1000 div n_docs").as("norm_dup_pm"))
+      .orderBy(col("source"))
+
   /** §2#70 incremental dedup: check a NEW ingest batch (here every 5th
     * doc stands in for the fresh crawl) against the existing corpus by
     * content hash — the steady-state production shape, where you never

@@ -580,6 +580,33 @@ object Similarity {
     ivfPqQuery(idx.copy(codesCell = pruned), k, nProbe)
   }
 
+  /** §2#194 ANN RECALL REPORT — the quality harness AS A QUERY: every
+    * approximate rung of the ladder scored against the exact
+    * brute-force top-k in one job, per method: hits, truth size,
+    * recall@k in per-mille. This is the nightly table a production
+    * vector-search team watches — recall regressions (a bad codebook
+    * retrain, a skewed cell split) show up here before users notice.
+    * Shape: the truth set is |queries|·k rows (broadcast-sized); each
+    * method's results semi-join it and collapse to one row — the cost
+    * is just running the rungs, which is the point of the report. */
+  def recallReport(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val exact = bruteforceTopk(spark, sfDir, k)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    val nTruth = exact.count()
+    def scoredAs(method: String, df: DataFrame): DataFrame =
+      df.select(col("query_id"), col("neighbor_id"))
+        .join(broadcast(exact), Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(method).as("method"), col("n_hits"),
+          lit(nTruth).as("n_truth"),
+          expr(s"n_hits * 1000 div $nTruth").as("recall_pm"))
+    scoredAs("lsh", lshTopk(spark, sfDir, k))
+      .unionByName(scoredAs("ivf", ivfTopk(spark, sfDir, k)))
+      .unionByName(scoredAs("ivf_pq", ivfPqTopk(spark, sfDir, k)))
+      .unionByName(scoredAs("sq8", sqTopk(spark, sfDir, k)))
+      .orderBy(col("method"))
+  }
+
   /** x → (x − c(x)): each vector minus its assigned coarse centroid —
     * exact by construction (centroid + residual reconstructs the
     * vector bit-for-float), pinned by ResidualPqSpec. */

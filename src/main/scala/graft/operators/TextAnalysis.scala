@@ -79,6 +79,27 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** §2#192 LANG-ID CONFUSION MATRIX — the evaluation table every
+    * classifier gate ships with: per (labeled, predicted) language
+    * pair, document count and its per-mille share of the label's row
+    * (the diagonal is per-class recall; off-diagonal cells say WHICH
+    * confusions happen, which is what you tune lexicons by). Shape:
+    * the narrow langId scan → one |langs|²-bounded aggregate → a
+    * window over those ≤ |langs|² rows for the row shares — the corpus
+    * is read once, everything after is constant-size. */
+  def langConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    langId(spark, sfDir)
+      .groupBy(col("labeled_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share_pm",
+        expr("n_docs * 1000 div " +
+          "sum(n_docs) OVER (PARTITION BY labeled_lang)"))
+      .select(col("labeled_lang"), col("predicted_lang"), col("n_docs"),
+        col("share_pm"))
+      .orderBy(col("labeled_lang"), col("predicted_lang"))
+  }
+
   /** §2#54 text normalization: lowercase, collapse whitespace runs,
     * strip non-alphanumerics — the canonical pre-dedup cleanup pass. */
   def normalize(spark: SparkSession, sfDir: String): DataFrame =

@@ -71,6 +71,57 @@ class PrefixFilterSpec extends SparkSuite {
     assert(found.forall(_.getAs[Long]("jaccard_pm") === 1000L))
   }
 
+  test("property: prefix == brute force at the threshold on randomized corpora (same-source AND global)") {
+    // random docs over a small shared vocab (dense borderline overlap)
+    // + planted one-token-appended near-dups (guaranteed qualifying
+    // pairs) — the lossless claim checked against brute force, not a
+    // fixture the filter was tuned on
+    val rnd = new scala.util.Random(0xD00D)
+    val rows = (0 until 120).map { i =>
+      val toks =
+        if (i % 4 == 3) {
+          val prev = docTokens(i - 1, rnd) // near-dup of the previous doc
+          prev :+ "extra"
+        } else docTokens(i, rnd)
+      (i.toLong, toks.mkString(" "), "en",
+        if (i % 3 == 0) "a" else "b", 0L)
+    }
+    def writeAs(src: Option[String]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("pfx-prop").toString
+      spark.createDataFrame(rows.map { case (id, t, l, s, n) =>
+        (id, t, l, src.getOrElse(s), n) })
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val dir = writeAs(None)
+    val flat = writeAs(Some("x")) // same docs, one source = global truth
+
+    def collectPairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val thresholded = (d: String) => Dedup.ngramJaccard(spark, d, Int.MaxValue)
+      .where(col("inter_n") * 1000 >= lit(500L) * col("union_n"))
+      .select(col("doc_a"), col("doc_b"), col("inter_n"), col("union_n"))
+
+    val sameSrc = collectPairs(Dedup.jaccardPrefix(spark, dir, 500)
+      .select(col("doc_a"), col("doc_b"), col("inter_n"), col("union_n")))
+    assert(sameSrc === collectPairs(thresholded(dir)))
+    assert(sameSrc.nonEmpty, "random fixture produced no qualifying pairs")
+
+    val global = collectPairs(Dedup.jaccardGlobal(spark, dir, 500)
+      .select(col("doc_a"), col("doc_b"), col("inter_n"), col("union_n")))
+    assert(global === collectPairs(thresholded(flat)))
+    assert(global.size >= sameSrc.size, "global must see every same-source pair")
+  }
+
+  // deterministic per-doc token stream: the SAME tokens regardless of
+  // call order, so near-dup planting can re-derive its neighbor
+  private def docTokens(i: Int, unused: scala.util.Random): Vector[String] = {
+    val r = new scala.util.Random(1234 + i)
+    val n = 8 + r.nextInt(22)
+    Vector.fill(n)(s"w${r.nextInt(40)}")
+  }
+
   test("10x skewed growth: prefix/df-cap candidates grow linearly while the naive join grows ~100x") {
     val small = writeSkewed(60, nPlanted = 2)
     val big = writeSkewed(600, nPlanted = 20)
