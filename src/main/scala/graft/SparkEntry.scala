@@ -119,6 +119,8 @@ object SparkEntry {
     "ts_anomaly" -> (TimeSeries.anomaly _),
     "ts_lateness" -> (TimeSeries.lateness _),
     "ts_trend" -> (TimeSeries.trend _),
+    "ts_cohort_matrix" -> (TimeSeries.cohortMatrix _),
+    "q_funnel_windowed" -> ((s: SparkSession, d: String) => Analytics.qFunnelWindowed(s, d)),
     // §2.4 dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_exact_normalized" -> (Dedup.exactNormalized _),
@@ -1146,6 +1148,39 @@ object SparkEntry {
         |  CAST(round(1000.0 * (sy*sxx - sx*sxy) / (n*sxx - sx*sx), 0) AS BIGINT) AS intercept_e3,
         |  CAST(round(1000.0 * (sy*sxx - sx*sxy + (n*sxy - sx*sy) * (xmax + 1)) / (n*sxx - sx*sx), 0) AS BIGINT) AS forecast_next_e3
         |FROM s ORDER BY event_type""".stripMargin,
+
+    "ts_cohort_matrix" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |  epoch_us(ts) // 604800000000 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY 1),
+        |sz AS (SELECT cohort_wk, count(*) AS cohort_size FROM c GROUP BY 1),
+        |m AS (SELECT c.cohort_wk, uw.wk - c.cohort_wk AS week_offset,
+        |  count(*) AS n_active
+        |  FROM uw JOIN c ON uw.user_id = c.user_id GROUP BY 1, 2)
+        |SELECT m.cohort_wk, m.week_offset, m.n_active, sz.cohort_size,
+        |  m.n_active * 1000 // sz.cohort_size AS retention_pm
+        |FROM m JOIN sz ON m.cohort_wk = sz.cohort_wk
+        |ORDER BY 1, 2""".stripMargin,
+
+    // greedy earliest-chain with a per-step 24h deadline — identical
+    // join-with-window construction on both engines
+    "q_funnel_windowed" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.us) AS t2 FROM e JOIN s1
+        |  ON e.user_id = s1.user_id AND e.us > s1.t1
+        |  AND e.us <= s1.t1 + 86400000000
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.us) AS t3 FROM e JOIN s2
+        |  ON e.user_id = s2.user_id AND e.us > s2.t2
+        |  AND e.us <= s2.t2 + 86400000000
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT (SELECT count(*) FROM s1) AS n_signup,
+        |  (SELECT count(*) FROM s2) AS n_click_in_window,
+        |  (SELECT count(*) FROM s3) AS n_purchase_in_window,
+        |  (SELECT count(*) FROM s2) * 1000 // (SELECT count(*) FROM s1) AS click_conv_pm,
+        |  (SELECT count(*) FROM s3) * 1000 // greatest((SELECT count(*) FROM s2), 1) AS purchase_conv_pm""".stripMargin,
     "ts_interpolate" ->
       s"""WITH ev AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
          |  ${cents("value")} AS v_c FROM events),

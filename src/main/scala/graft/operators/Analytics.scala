@@ -372,6 +372,47 @@ object Analytics {
           .as("purchase_conv_pm"),
         expr("n_full_funnel * 1000 div n_signup").as("overall_conv_pm"))
 
+  /** §2#195 WINDOWED strict-order funnel — [[qFunnel]] with a
+    * per-step deadline (ClickHouse's windowFunnel family): each stage
+    * must land within `windowUs` of the PREVIOUS stage's match, so
+    * "signed up, clicked within a day, purchased within a day of the
+    * click" — the product-analytics form, where an unbounded funnel
+    * over-counts dead journeys. Matching is the GREEDY earliest chain
+    * (each stage takes its first qualifying event), the deterministic
+    * dashboard contract; a maximal matcher (any chain satisfying the
+    * windows) needs a per-user sequence scan and reports ≥ these
+    * counts — the conservative direction for conversion reporting.
+    * Same scale shape as [[qFunnel]]: per-stage equi-joins on user_id
+    * with the window riding as a join condition, no broadcast
+    * mandates, three one-row aggregates. */
+  def qFunnelWindowed(spark: SparkSession, sfDir: String,
+      windowUs: Long = 86400000000L): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val s1 = e.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("us")).as("signup_us"))
+    val s2 = e.where(col("event_type") === "click").as("e")
+      .join(s1.as("s1"),
+        col("e.user_id") === col("s1.user_id") &&
+          col("e.us") > col("s1.signup_us") &&
+          col("e.us") <= col("s1.signup_us") + windowUs)
+      .groupBy(col("e.user_id")).agg(min(col("e.us")).as("click_us"))
+    val s3 = e.where(col("event_type") === "purchase").as("e")
+      .join(s2.as("s2"),
+        col("e.user_id") === col("s2.user_id") &&
+          col("e.us") > col("s2.click_us") &&
+          col("e.us") <= col("s2.click_us") + windowUs)
+      .groupBy(col("e.user_id")).agg(min(col("e.us")).as("purchase_us"))
+    s1.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_click_in_window")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_purchase_in_window")))
+      .select(col("n_signup"), col("n_click_in_window"),
+        col("n_purchase_in_window"),
+        expr("n_click_in_window * 1000 div n_signup").as("click_conv_pm"),
+        expr("n_purchase_in_window * 1000 div greatest(n_click_in_window, 1)")
+          .as("purchase_conv_pm"))
+  }
+
   /** §2#92 sequence-length histogram — the token-count distribution
     * report every training-data pipeline emits before packing (it sets
     * context-length and truncation policy). Power-of-two buckets via

@@ -508,6 +508,40 @@ object TimeSeries {
       .orderBy(col("event_type"))
   }
 
+  /** §2#196 COHORT RETENTION MATRIX — the classic product-analytics
+    * triangle: users grouped by their FIRST-activity week (the
+    * cohort), each cell = how many of that cohort were active `offset`
+    * weeks later, as a count and a per-mille of the cohort's size
+    * (offset 0 is the cohort itself, 1000‰ by construction — kept as
+    * the sanity diagonal). The aggregate twin is ts_retention (#79,
+    * week-over-week); the matrix is what growth teams actually read,
+    * because it separates product change (columns) from cohort quality
+    * (rows).
+    *
+    * Shape: one (user, week) distinct pass, one per-user min for the
+    * cohort (both map-side-combinable on user_id), a join back on
+    * user_id, then a |cohorts|×|offsets|-bounded aggregate + a
+    * broadcast-joined cohort-size table. The events feed is never
+    * windowed or sorted. */
+  def cohortMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val weekUs = 7L * 24 * 3600000000L
+    val uw = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div $weekUs").as("wk"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val sizes = cohort.groupBy(col("cohort_wk"))
+      .agg(count(lit(1)).as("cohort_size"))
+    uw.join(cohort, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_wk")
+      .select(col("cohort_wk"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        expr("n_active * 1000 div cohort_size").as("retention_pm"))
+      .orderBy(col("cohort_wk"), col("week_offset"))
+  }
+
   /** §2#189 LINEAR TREND per event type — ordinary least squares over
     * the hourly counts, in the suite's exact-integer style: instead of
     * `regr_slope` (whose double accumulation ORDER differs between a
