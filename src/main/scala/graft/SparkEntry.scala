@@ -121,6 +121,8 @@ object SparkEntry {
     "ts_trend" -> (TimeSeries.trend _),
     "ts_cohort_matrix" -> (TimeSeries.cohortMatrix _),
     "q_funnel_windowed" -> ((s: SparkSession, d: String) => Analytics.qFunnelWindowed(s, d)),
+    "q_decile_lift" -> (Analytics.qDecileLift _),
+    "dedup_incremental_minhash" -> (Dedup.incrementalMinhash _),
     // §2.4 dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_exact_normalized" -> (Dedup.exactNormalized _),
@@ -1181,6 +1183,31 @@ object SparkEntry {
         |  (SELECT count(*) FROM s3) AS n_purchase_in_window,
         |  (SELECT count(*) FROM s2) * 1000 // (SELECT count(*) FROM s1) AS click_conv_pm,
         |  (SELECT count(*) FROM s3) * 1000 // greatest((SELECT count(*) FROM s2), 1) AS purchase_conv_pm""".stripMargin,
+
+    // users collapse to a spend histogram before the one global
+    // window, so the window frame is |distinct spend values|; lift is
+    // integer end-to-end (rate_pm then rate*1000 div overall)
+    "q_decile_lift" ->
+      s"""WITH u AS (SELECT user_id,
+         |  CAST(sum(${cents("value")}) AS BIGINT) AS spend_c,
+         |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+         |  FROM events GROUP BY 1),
+         |h AS (SELECT spend_c, count(*) AS n_u,
+         |  CAST(sum(converted) AS BIGINT) AS n_conv FROM u GROUP BY 1),
+         |d AS (SELECT *,
+         |  sum(n_u) OVER (ORDER BY spend_c) AS cum,
+         |  sum(n_u) OVER () AS n_tot FROM h),
+         |g AS (SELECT 1 + (10 * (cum - n_u)) // n_tot AS decile,
+         |  sum(n_u) AS n_users, sum(n_conv) AS n_converted
+         |  FROM d GROUP BY 1),
+         |o AS (SELECT CAST(sum(converted) AS BIGINT) * 1000 // count(*)
+         |  AS overall_conv_pm FROM u)
+         |SELECT decile, CAST(n_users AS BIGINT) AS n_users,
+         |  CAST(n_converted AS BIGINT) AS n_converted,
+         |  CAST(n_converted * 1000 // n_users AS BIGINT) AS conv_pm,
+         |  CAST((n_converted * 1000 // n_users) * 1000
+         |    // greatest(overall_conv_pm, 1) AS BIGINT) AS lift_pm
+         |FROM g CROSS JOIN o ORDER BY decile""".stripMargin,
     "ts_interpolate" ->
       s"""WITH ev AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
          |  ${cents("value")} AS v_c FROM events),

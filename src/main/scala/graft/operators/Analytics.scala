@@ -854,6 +854,44 @@ object Analytics {
       .orderBy(col("event_type"), col("decile"))
   }
 
+  /** §2#198 DECILE LIFT — the model/segment evaluation chart: users
+    * deciled by total spend, each decile's purchase-conversion rate
+    * compared to the overall rate (lift 1000‰ = average; the top
+    * decile of a working value model shows ≫1000). Deciling rides the
+    * same histogram trick as [[qNtileDecile]]: users collapse to a
+    * (spend, n_users, n_converted) histogram first, so the one
+    * unpartitioned window runs over |distinct spend values| rows —
+    * bounded by the VALUE RANGE in cents, not the user count (the
+    * audited-unpartitioned-window contract, SURVEY §5). Lift is
+    * integer end-to-end: per-mille rates by integer div, lift =
+    * rate·1000 div overall_rate — rate_pm ≤ 1000 keeps every product
+    * in range at any corpus size. */
+  def qDecileLift(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(sum(cents(col("value"))).as("spend_c"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+    val hist = u.groupBy(col("spend_c"))
+      .agg(count(lit(1)).as("n_u"), sum(col("converted")).as("n_conv"))
+    val w = Window.orderBy(col("spend_c"))
+    val deciled = hist
+      .withColumn("cum", sum(col("n_u")).over(w))
+      .withColumn("n_tot", sum(col("n_u")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("decile", expr("1 + (10 * (cum - n_u)) div n_tot"))
+      .groupBy(col("decile"))
+      .agg(sum(col("n_u")).as("n_users"), sum(col("n_conv")).as("n_converted"))
+    val overall = u.agg(
+      expr("sum(converted) * 1000 div count(1)").as("overall_conv_pm"))
+    deciled.crossJoin(broadcast(overall))
+      .select(col("decile"), col("n_users"), col("n_converted"),
+        expr("n_converted * 1000 div n_users").as("conv_pm"),
+        expr("(n_converted * 1000 div n_users) * 1000 " +
+          "div greatest(overall_conv_pm, 1)").as("lift_pm"))
+      .orderBy(col("decile"))
+  }
+
   /** §2#96 exact second moments / covariance per group, two-pass
     * centered: pass 1 computes per-type n/Σx/Σy (one map-side-combined
     * agg on a ~|groups| frame, broadcast back); pass 2 sums centered

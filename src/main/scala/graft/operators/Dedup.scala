@@ -531,6 +531,58 @@ object Dedup {
     fresh.unionByName(verified).orderBy(col("doc_id"))
   }
 
+  /** §2#199 INCREMENTAL NEAR-DUP admission, MinHash-banded — the
+    * missing rung between [[incremental]] (exact hash: catches
+    * byte-identical re-crawls only) and a full re-cluster: the NEW
+    * batch's band keys probe the EXISTING corpus's band table, only
+    * colliding pairs pay the signature verify (est. jaccard ≥ 0.5),
+    * and each batch doc reports whether it is a near-dup and of whom.
+    * This is the batch twin of the streaming
+    * [[graft.streaming.StreamNearDup]] registry, and the steady-state
+    * production shape: at 100 TB the existing side's band table is a
+    * persisted artifact (bucketed on the band key, like
+    * [[persistCandidates]]) and an increment touches only its own
+    * band collisions — the corpus is never re-scanned, let alone
+    * re-paired. Signatures here are the same 96-hash / 32-band
+    * machinery as [[minhashLsh]], computed once over the union so
+    * both sides agree bit-for-bit. */
+  def incrementalMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 96; val bands = 32; val rows = k / bands
+    val base = Tables.documentsPar(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val ex = base.select(col("doc_id"),
+      explode(shingleHashes(col("toks"), 3)).as("h0"))
+    val minAggs = (0 until k).map(i => min(seededHash(col("h0"), i)).as(s"m$i"))
+    val sigs = ex.groupBy(col("doc_id"))
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+      .localCheckpoint(true)
+    val banded = sigs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            slice(col("sig"), b * lit(rows) + 1, lit(rows))), b))))
+      .toDF("doc_id", "band", "bandhash")
+    val existing = banded.where(col("doc_id") % 5 =!= 4)
+    val batch = banded.where(col("doc_id") % 5 === 4)
+    val cand = batch.join(existing
+        .select(col("band"), col("bandhash"), col("doc_id").as("matched")),
+        Seq("band", "bandhash"))
+      .select(col("doc_id"), col("matched")).distinct()
+    val verified = cand
+      .join(sigs.select(col("doc_id"), col("sig")), "doc_id")
+      .join(sigs.select(col("doc_id").as("matched"), col("sig").as("sig_m")),
+        "matched")
+      .where(size(filter(zip_with(col("sig"), col("sig_m"), (x, y) => x === y),
+        b => b)) * lit(1000) >= lit(500) * lit(k))
+      .groupBy(col("doc_id")).agg(min(col("matched")).as("matched_doc_id"))
+    base.where(col("doc_id") % 5 === 4).select(col("doc_id"))
+      .join(verified, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("matched_doc_id").isNotNull, 1L).otherwise(0L).as("is_near_dup"),
+        coalesce(col("matched_doc_id"), lit(-1L)).as("matched_doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** §2#45 dedup clustering: connected components over the n-gram
     * candidate-pair graph via hash-min label propagation — each doc's
     * cluster id is the minimum doc_id reachable through shared-shingle
