@@ -547,11 +547,28 @@ object Dedup {
     * machinery as [[minhashLsh]], computed once over the union so
     * both sides agree bit-for-bit. */
   def incrementalMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    // signatures over the UNION: min-aggs are per-doc and
+    // order-independent, so these agree bit-for-bit with signatures
+    // computed per side (what makes the persisted-band path below
+    // exactly equivalent)
+    val (sigs, banded) = minhashBands(Tables.documentsPar(spark, sfDir))
+    incrementalMinhashAgainst(
+      Tables.documentsPar(spark, sfDir).where(col("doc_id") % 5 === 4)
+        .select(col("doc_id")),
+      sigs.where(col("doc_id") % 5 === 4),
+      banded.where(col("doc_id") % 5 === 4),
+      sigs.where(col("doc_id") % 5 =!= 4),
+      banded.where(col("doc_id") % 5 =!= 4))
+  }
+
+  /** 96-hash MinHash signatures + 32-band LSH keys for any
+    * (doc_id, text) frame — the [[minhashLsh]] machinery factored so
+    * the incremental path, the persisted artifact, and the full
+    * pairwise join all share one bit-identical definition. */
+  private[operators] def minhashBands(docs: DataFrame): (DataFrame, DataFrame) = {
     val k = 96; val bands = 32; val rows = k / bands
-    val base = Tables.documentsPar(spark, sfDir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-    val ex = base.select(col("doc_id"),
-      explode(shingleHashes(col("toks"), 3)).as("h0"))
+    val ex = docs.select(col("doc_id"),
+      explode(shingleHashes(tokens(col("text")), 3)).as("h0"))
     val minAggs = (0 until k).map(i => min(seededHash(col("h0"), i)).as(s"m$i"))
     val sigs = ex.groupBy(col("doc_id"))
       .agg(minAggs.head, minAggs.tail: _*)
@@ -562,25 +579,67 @@ object Dedup {
           b => xxhash64(concat_ws(",",
             slice(col("sig"), b * lit(rows) + 1, lit(rows))), b))))
       .toDF("doc_id", "band", "bandhash")
-    val existing = banded.where(col("doc_id") % 5 =!= 4)
-    val batch = banded.where(col("doc_id") % 5 === 4)
-    val cand = batch.join(existing
+    (sigs, banded)
+  }
+
+  /** The admission core: batch docs vs an existing (sigs, bands) pair
+    * — inline frames or a [[persistBandTable]] read-back. */
+  private def incrementalMinhashAgainst(batchIds: DataFrame,
+      batchSigs: DataFrame, batchBands: DataFrame,
+      exSigs: DataFrame, exBands: DataFrame): DataFrame = {
+    val k = 96
+    val cand = batchBands.join(exBands
         .select(col("band"), col("bandhash"), col("doc_id").as("matched")),
         Seq("band", "bandhash"))
       .select(col("doc_id"), col("matched")).distinct()
     val verified = cand
-      .join(sigs.select(col("doc_id"), col("sig")), "doc_id")
-      .join(sigs.select(col("doc_id").as("matched"), col("sig").as("sig_m")),
+      .join(batchSigs.select(col("doc_id"), col("sig")), "doc_id")
+      .join(exSigs.select(col("doc_id").as("matched"), col("sig").as("sig_m")),
         "matched")
       .where(size(filter(zip_with(col("sig"), col("sig_m"), (x, y) => x === y),
         b => b)) * lit(1000) >= lit(500) * lit(k))
       .groupBy(col("doc_id")).agg(min(col("matched")).as("matched_doc_id"))
-    base.where(col("doc_id") % 5 === 4).select(col("doc_id"))
+    batchIds
       .join(verified, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("matched_doc_id").isNotNull, 1L).otherwise(0L).as("is_near_dup"),
         coalesce(col("matched_doc_id"), lit(-1L)).as("matched_doc_id"))
       .orderBy(col("doc_id"))
+  }
+
+  /** §2#200 PERSIST the existing corpus's band table + signatures —
+    * the steady-state artifact [[incrementalMinhash]] probes, like
+    * [[persistCandidates]] for the pair graph and
+    * [[Similarity.persistIvfPqIndex]] for the ANN index: band table
+    * bucketed on the probe key (band, bandhash) so an increment's
+    * admission join rides the bucketing exchange-free; signatures
+    * bucketed on doc_id for the verify join. Because min-aggs are
+    * deterministic, an admission against the persisted artifact is
+    * EXACTLY the inline result (pinned by spec) — unlike a float
+    * index, nothing drifts across the persist boundary. */
+  def persistBandTable(spark: SparkSession, sfDir: String,
+      name: String = "bands", buckets: Int = 8): Unit = {
+    val (sigs, banded) = minhashBands(
+      Tables.documentsPar(spark, sfDir).where(col("doc_id") % 5 =!= 4))
+    banded.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "band", "bandhash").sortBy("band", "bandhash")
+      .saveAsTable(s"${name}_bands")
+    sigs.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${name}_sigs")
+  }
+
+  /** Admission of the CURRENT batch against a [[persistBandTable]]
+    * artifact — only the increment's signatures are computed; the
+    * corpus side is two bucketed scans. */
+  def incrementalMinhashPersisted(spark: SparkSession, sfDir: String,
+      name: String = "bands"): DataFrame = {
+    val batchDocs = Tables.documentsPar(spark, sfDir)
+      .where(col("doc_id") % 5 === 4)
+    val (bSigs, bBands) = minhashBands(batchDocs)
+    incrementalMinhashAgainst(batchDocs.select(col("doc_id")),
+      bSigs, bBands,
+      spark.table(s"${name}_sigs"), spark.table(s"${name}_bands"))
   }
 
   /** §2#45 dedup clustering: connected components over the n-gram

@@ -45,4 +45,17 @@ class R10OpsSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(again.toSeq === out.toSeq)
   }
+
+  test("persisted band table: admission against the artifact == inline, bit for bit") {
+    val name = "bands_spec_" + math.abs(this.hashCode())
+    Dedup.persistBandTable(spark, sf, name)
+    val persisted = Dedup.incrementalMinhashPersisted(spark, sf, name)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val inline = Dedup.incrementalMinhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // min-agg signatures are deterministic, so the persist boundary
+    // changes NOTHING about the verdicts
+    assert(persisted.toSeq === inline.toSeq)
+    assert(persisted.exists(_._2 == 1L), "fixture has near-dups to admit")
+  }
 }
