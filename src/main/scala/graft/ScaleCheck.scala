@@ -74,6 +74,22 @@ object ScaleCheck {
       // pure combinable aggs + broadcast scalar — scan-speed band
       "ts_trend" -> ((s: SparkSession, d: String, _: Int) =>
         TimeSeries.trend(s, d)),
+      // r10-2: shared time span → |weeks| constant, per-cell counts
+      // grow; user universe grows (shifted ids), so the distinct pass
+      // and cohort table grow ~K× at constant matrix size per cohort
+      "ts_cohort_matrix" -> ((s: SparkSession, d: String, _: Int) =>
+        TimeSeries.cohortMatrix(s, d)),
+      // per-stage equi-joins on user_id; K× users at constant per-user
+      // history → ~K×
+      "q_funnel_windowed" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.qFunnelWindowed(s, d)),
+      // histogram window over |distinct spend values| (value-range
+      // bounded); the per-user agg is the only K×-growing stage
+      "q_decile_lift" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.qDecileLift(s, d)),
+      // 96 min-aggs over K× shingles + band probes ∝ increment size
+      "dedup_incremental_minhash" -> ((s: SparkSession, d: String, _: Int) =>
+        Dedup.incrementalMinhash(s, d)),
       "dedup_minhash_lsh" -> ((s: SparkSession, d: String, _: Int) =>
         Dedup.minhashLsh(s, d)),
       "dedup_cluster" -> ((s: SparkSession, d: String, _: Int) =>

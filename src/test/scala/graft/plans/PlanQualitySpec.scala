@@ -273,6 +273,33 @@ class PlanQualitySpec extends SparkSuite {
     assert(plan.contains("Window"), s"prefix ranking window missing:\n$plan")
   }
 
+  test("r10 analytics ops: map-side partials, no cartesians, bounded windows") {
+    // one consolidated pin for the round's sql additions — each must
+    // combine map-side before its exchange and never degenerate into
+    // a cartesian / nested-loop plan
+    val ops: Seq[(String, DataFrame)] = Seq(
+      "ts_trend" -> TimeSeries.trend(spark, sf),
+      "ts_cohort_matrix" -> TimeSeries.cohortMatrix(spark, sf),
+      "q_decile_lift" -> Analytics.qDecileLift(spark, sf),
+      "q_funnel_windowed" -> Analytics.qFunnelWindowed(spark, sf),
+      "dedup_report" -> Dedup.report(spark, sf),
+      "text_lang_confusion" -> TextAnalysis.langConfusion(spark, sf))
+    ops.foreach { case (name, df) =>
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name degenerated into a cartesian:\n$plan")
+      assert(plan.contains("partial_count") || plan.contains("partial_sum") ||
+        plan.contains("partial_min") || plan.contains("partial_max"),
+        s"$name does not combine map-side:\n$plan")
+    }
+    // the decile window must run over the spend HISTOGRAM, not raw
+    // users: its input is an aggregated frame
+    val lift = planOf(Analytics.qDecileLift(spark, sf))
+    val win = lift.indexOf("Window")
+    assert(win >= 0 && lift.indexOf("HashAggregate", win) >= 0,
+      s"decile window input is not the aggregated histogram:\n$lift")
+  }
+
   test("dedup_incremental_bloom screens with the native bloom pair, no UDF") {
     // r9 advisor item: the Bloom screen used a Scala UDF over a
     // driver-built .stat.bloomFilter — opaque to codegen on the one
