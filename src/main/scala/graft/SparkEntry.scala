@@ -123,6 +123,8 @@ object SparkEntry {
     "q_funnel_windowed" -> ((s: SparkSession, d: String) => Analytics.qFunnelWindowed(s, d)),
     "q_decile_lift" -> (Analytics.qDecileLift _),
     "dedup_incremental_minhash" -> (Dedup.incrementalMinhash _),
+    "dedup_cluster_sizes" -> (Dedup.clusterSizes _),
+    "pack_efficiency" -> ((s: SparkSession, d: String) => Sampling.packEfficiency(s, d)),
     // §2.4 dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_exact_normalized" -> (Dedup.exactNormalized _),
@@ -524,6 +526,40 @@ object SparkEntry {
          |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc)
          |SELECT doc AS doc_id, min(lab) AS cluster_id
          |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $shCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(doc, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc),
+         |cl AS (SELECT doc AS doc_id, min(lab) AS cluster_id
+         |  FROM reach GROUP BY 1),
+         |cs AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
+         |SELECT cluster_size, count(*) AS n_clusters,
+         |  cluster_size * count(*) AS n_docs
+         |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "pack_efficiency" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start FROM t),
+        |p AS (SELECT source, n_tokens,
+        |  CAST((tok_start + n_tokens - 1) // 512 AS BIGINT) AS bin_end FROM c),
+        |s AS (SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  max(bin_end) + 1 AS n_bins FROM p GROUP BY 1)
+        |SELECT source, n_docs, total_tokens, n_bins,
+        |  n_bins * 512 AS capacity_tokens,
+        |  (n_bins * 512 - total_tokens) * 1000 // (n_bins * 512) AS waste_pm
+        |FROM s ORDER BY source""".stripMargin,
 
     "stream_window_agg" ->
       s"""SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,

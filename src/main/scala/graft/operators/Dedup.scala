@@ -701,6 +701,21 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** §2#202 CLUSTER-SIZE HISTOGRAM — "how big are my dup families":
+    * per cluster size, how many clusters and how much document mass
+    * sits there. Reading it: size-1 rows are unique docs; a fat tail
+    * means boilerplate families where canonical selection (#182)
+    * recovers the most mass; the n_docs column is exactly what the
+    * funnel (#183) will drop. Rides the memoized CC labels — one
+    * |clusters|-bounded agg on top, nothing re-reads the corpus. */
+  def clusterSizes(spark: SparkSession, sfDir: String): DataFrame =
+    cluster(spark, sfDir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
   /** Corpus + planted near-duplicates (doc_id+1000000, last 3 words
     * dropped → shingle Jaccard ≥ ~0.85 even for the shortest docs) —
     * derived deterministically from the data so the MinHash/SimHash

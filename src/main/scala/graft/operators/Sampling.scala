@@ -68,6 +68,27 @@ object Sampling {
     * source mixing report (kept/total/achieved‰) a pipeline would log;
     * the aggregate is over the exact per-row keep decision, so the
     * oracle pins every row's fate. */
+  /** §2#203 PACKING-EFFICIENCY report — the padding-waste metric of
+    * the concat-and-chunk step ([[packSequences]]): per source, docs,
+    * real tokens, bins consumed, bin capacity consumed, and waste in
+    * per-mille (capacity paid minus tokens trained on — at pretraining
+    * scale every waste point is GPU-hours, which is why packing
+    * recipes are tuned against exactly this number). One aggregate
+    * over the pack frame; the window cost is [[packSequences]]'s own. */
+  def packEfficiency(spark: SparkSession, sfDir: String,
+      capacity: Long = 512L): DataFrame =
+    packSequences(spark, sfDir, capacity)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (max(col("bin_end")) + 1L).as("n_bins"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("n_bins"),
+        (col("n_bins") * capacity).as("capacity_tokens"),
+        expr(s"(n_bins * $capacity - total_tokens) * 1000 " +
+          s"div (n_bins * $capacity)").as("waste_pm"))
+      .orderBy(col("source"))
+
   def sampleMixture(spark: SparkSession, sfDir: String): DataFrame = {
     val bucket = (col("doc_id") % lit(1000000007L)) * lit(2654435761L) % lit(1000000007L) % lit(1000L)
     // keep‰ per source: 100 + (idx·53 mod 900) — spread over [100, 1000)
