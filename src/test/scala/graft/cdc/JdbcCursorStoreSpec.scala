@@ -244,6 +244,40 @@ class JdbcCursorStoreSpec extends graft.SparkSuite {
     assert(db.opened === db.closed)
   }
 
+  test("chaos: cursor commit fails mid-stream — batch replays on restart, at-least-once, cursor lands") {
+    val logDir = Files.createTempDirectory("jdbc-cursor-chaos").toString
+    val hourUs = 3600000000L
+    graft.sources.ChangefeedLog.writeSegment(logDir, Seq(
+      ChangefeedLog.Record(hourUs + 10, Some("events"), Some("[1]"),
+        """{"after": {"event_id": 1}}"""),
+      ChangefeedLog.Record(2 * hourUs, None, None,
+        s"""{"resolved": "${2 * hourUs}.0000000000"}""")))
+    val db = new FakeCursorDb
+    val store = new JdbcCursorStore(db.connect)
+    val qname = "cursor-chaos-" + java.util.UUID.randomUUID
+    val ckpt = Files.createTempDirectory("jdbc-chaos-ckpt").toString
+    val pipeline = new ChangefeedPipeline(new InMemoryQueue(qname), store, ckpt)
+    val q = pipeline.startFromLog(spark, logDir)
+    // the database dies between the batch's publishes and its commit
+    db.failNextWith = new java.sql.SQLException("connection reset by peer")
+    intercept[Exception](q.processAllAvailable())
+    q.stop()
+    // crash ordering: publishes happened, the cursor did NOT commit —
+    // at-least-once into the queue, never lost-and-committed
+    assert(InMemoryQueue.messages(qname).size === 1)
+    assert(store.get() === None, "a failed commit must not half-land")
+
+    // operator restart from the same checkpoint: the failed batch
+    // REPLAYS (redelivering its messages) and the commit lands
+    val retry = new ChangefeedPipeline(new InMemoryQueue(qname), store, ckpt)
+    val q2 = retry.startFromLog(spark, logDir)
+    q2.processAllAvailable(); q2.stop()
+    assert(store.get() === Some((2 * hourUs).toString))
+    assert(InMemoryQueue.messages(qname).size === 2,
+      "the replayed batch redelivers — the documented at-least-once")
+    assert(db.opened === db.closed)
+  }
+
   test("GraftMain e2e: one process, jdbc feed + jdbc cursor store (the reference binary's shape)") {
     val logDir = Files.createTempDirectory("jdbc-e2e-log").toString
     val hourUs = 3600000000L

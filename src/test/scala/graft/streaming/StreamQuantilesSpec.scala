@@ -59,6 +59,28 @@ class StreamQuantilesSpec extends SparkSuite {
     }
   }
 
+  test("property: random values, random batch splits == sequential truth (seeded)") {
+    val rnd = new scala.util.Random(0xFACE)
+    // heavy ties (small domain) + outliers, split into 4 random batches
+    val vals = (1 to 400).map(_ =>
+      if (rnd.nextInt(20) == 0) 100000L + rnd.nextInt(1000)
+      else rnd.nextInt(500).toLong)
+    val cuts = Seq(0, 1 + rnd.nextInt(130), 150 + rnd.nextInt(130),
+      300 + rnd.nextInt(90), 400).distinct.sorted
+    run(10L) { (in, emitted) =>
+      cuts.sliding(2).foreach { case Seq(a, b) =>
+        in.addData(vals.slice(a, b).map(MeasureEvent("p", _)): _*)
+        val e = emitted().filter(_.group == "p").last
+        val seen = vals.take(b)
+        assert((e.n, e.p50_c, e.p90_c, e.p99_c) ===
+          (seen.size.toLong, truth(seen, 10, 500), truth(seen, 10, 900),
+            truth(seen, 10, 990)),
+          s"diverged after prefix $b")
+      case _ => ()
+      }
+    }
+  }
+
   test("bucket width rounds down consistently; groups are independent") {
     run(100L) { (in, emitted) =>
       in.addData(
