@@ -123,7 +123,8 @@ class ChangefeedScan(dir: String, startCursorUs: Option[Long],
     with SupportsPushDownAggregates with SupportsRuntimeFiltering
     with SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN
-    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   import org.apache.spark.sql.sources._
 
   private var prunedSchema: StructType = ChangefeedDataSource.schema
@@ -289,6 +290,34 @@ class ChangefeedScan(dir: String, startCursorUs: Option[Long],
     else Array(Expressions.sort(
       Expressions.column("sort_us"), SortDirection.ASCENDING))
   }
+
+  // Statistics REPORT (SupportsReportStatistics): size from the
+  // SAME metadata-pruned segment list the batch plans — a narrow
+  // sort_us slice of a multi-year log reports the slice's bytes, not
+  // the log's, so the OPTIMIZER (not a hint) picks broadcast when a
+  // feed slice joins a big table: the pruned size falls under
+  // autoBroadcastJoinThreshold and the exchange disappears. The
+  // metadata aggregate reports one row. numRows is left unset for
+  // row scans — segment names carry time ranges, not counts, and a
+  // wrong row estimate is worse than none (sizeInBytes is what join
+  // strategy reads). Listing + one size stat per surviving file,
+  // driver-side, planning-time only.
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val (bytes, rows): (Long, java.util.OptionalLong) =
+        if (pushedAggs.nonEmpty) (64L, java.util.OptionalLong.of(1L))
+        else {
+          val surviving = ChangefeedLog.listSegments(dir)
+            .filter(s => s.lastUs > minExclusiveUs && s.firstUs <= maxInclusiveUs)
+          val b = surviving.map { s =>
+            try java.nio.file.Files.size(s.path) catch { case _: Exception => 0L }
+          }.sum
+          (b, java.util.OptionalLong.empty())
+        }
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = rows
+    }
 
   override def build(): Scan = this
   override def readSchema(): StructType =
