@@ -124,6 +124,7 @@ object SparkEntry {
     "q_decile_lift" -> (Analytics.qDecileLift _),
     "dedup_incremental_minhash" -> (Dedup.incrementalMinhash _),
     "dedup_cluster_sizes" -> (Dedup.clusterSizes _),
+    "dedup_threshold_sweep" -> ((s: SparkSession, d: String) => Dedup.thresholdSweep(s, d)),
     "pack_efficiency" -> ((s: SparkSession, d: String) => Sampling.packEfficiency(s, d)),
     // §2.4 dedup
     "dedup_exact" -> (Dedup.exact _),
@@ -545,6 +546,49 @@ object SparkEntry {
          |SELECT cluster_size, count(*) AS n_clusters,
          |  cluster_size * count(*) AS n_docs
          |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // three recursive CC passes over threshold-filtered edge subsets
+    // of ONE scored pair frame; integer threshold compares both sides
+    "dedup_threshold_sweep" ->
+      s"""WITH RECURSIVE $shCte,
+         |pj AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS i,
+         |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS u
+         |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+         |e5 AS (SELECT doc_a AS a, doc_b AS b FROM pj WHERE i*1000 >= 500*u
+         |  UNION ALL SELECT doc_b, doc_a FROM pj WHERE i*1000 >= 500*u),
+         |r5(doc, lab) AS (SELECT doc_id, doc_id FROM documents
+         |  UNION SELECT e.b, r.lab FROM r5 r JOIN e5 e ON e.a = r.doc),
+         |g5 AS (SELECT count(*) AS sz FROM
+         |  (SELECT doc, min(lab) AS lab FROM r5 GROUP BY 1) GROUP BY lab),
+         |e7 AS (SELECT doc_a AS a, doc_b AS b FROM pj WHERE i*1000 >= 700*u
+         |  UNION ALL SELECT doc_b, doc_a FROM pj WHERE i*1000 >= 700*u),
+         |r7(doc, lab) AS (SELECT doc_id, doc_id FROM documents
+         |  UNION SELECT e.b, r.lab FROM r7 r JOIN e7 e ON e.a = r.doc),
+         |g7 AS (SELECT count(*) AS sz FROM
+         |  (SELECT doc, min(lab) AS lab FROM r7 GROUP BY 1) GROUP BY lab),
+         |e9 AS (SELECT doc_a AS a, doc_b AS b FROM pj WHERE i*1000 >= 900*u
+         |  UNION ALL SELECT doc_b, doc_a FROM pj WHERE i*1000 >= 900*u),
+         |r9(doc, lab) AS (SELECT doc_id, doc_id FROM documents
+         |  UNION SELECT e.b, r.lab FROM r9 r JOIN e9 e ON e.a = r.doc),
+         |g9 AS (SELECT count(*) AS sz FROM
+         |  (SELECT doc, min(lab) AS lab FROM r9 GROUP BY 1) GROUP BY lab),
+         |s AS (
+         |  SELECT CAST(500 AS BIGINT) AS threshold_pm,
+         |    CAST(coalesce(count(*), 0) AS BIGINT) AS n_multi_clusters,
+         |    CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_dup_docs
+         |  FROM g5 WHERE sz >= 2
+         |  UNION ALL SELECT CAST(700 AS BIGINT),
+         |    CAST(coalesce(count(*), 0) AS BIGINT),
+         |    CAST(coalesce(sum(sz), 0) AS BIGINT) FROM g7 WHERE sz >= 2
+         |  UNION ALL SELECT CAST(900 AS BIGINT),
+         |    CAST(coalesce(count(*), 0) AS BIGINT),
+         |    CAST(coalesce(sum(sz), 0) AS BIGINT) FROM g9 WHERE sz >= 2)
+         |SELECT threshold_pm, n_multi_clusters, n_dup_docs,
+         |  n_dup_docs - n_multi_clusters AS n_would_drop
+         |FROM s ORDER BY threshold_pm""".stripMargin,
 
     "pack_efficiency" ->
       """WITH t AS (SELECT doc_id, source,

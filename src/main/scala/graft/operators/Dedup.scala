@@ -716,6 +716,41 @@ object Dedup {
         (col("cluster_size") * col("n_clusters")).as("n_docs"))
       .orderBy(col("cluster_size"))
 
+  /** §2#204 THRESHOLD SWEEP — the tuning table behind every dedup
+    * rollout: at jaccard ≥ 0.5 / 0.7 / 0.9, how many multi-doc
+    * families form, how much document mass they hold, and how many
+    * docs a canonical-keep policy would drop. One row per candidate
+    * threshold makes the aggressiveness/risk trade VISIBLE before a
+    * threshold ships (0.9 ~ boilerplate-only, 0.5 ~ aggressive
+    * paraphrase collapse). Shape: the memoized candidate pairs are
+    * scored ONCE; each threshold filters that tiny pair frame and
+    * runs the CC loop over ITS edge subset — 3 × O(diameter) rounds
+    * over |edges| (the corpus is never re-read), then a 3-row union.
+    * The integer threshold compare (inter·1000 ≥ t‰·union) matches
+    * the oracle exactly. */
+  def thresholdSweep(spark: SparkSession, sfDir: String,
+      thresholdsPm: Seq[Int] = Seq(500, 700, 900)): DataFrame = {
+    val (inter, sizes) = candidateInter(spark, sfDir)
+    val scored = ngramJaccardFrom(inter, sizes)
+      .select(col("doc_a"), col("doc_b"), col("inter_n"), col("union_n"))
+      .localCheckpoint(true)
+    val allDocs = Tables.documentsPar(spark, sfDir).select(col("doc_id"))
+    thresholdsPm.map { t =>
+      val edges = scored
+        .where(col("inter_n") * 1000 >= lit(t.toLong) * col("union_n"))
+        .select(col("doc_a"), col("doc_b"))
+      clusterFrom(edges, allDocs)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .where(col("sz") >= 2L)
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n_multi_clusters"),
+          coalesce(sum(col("sz")), lit(0L)).as("n_dup_docs"))
+        .select(lit(t.toLong).as("threshold_pm"), col("n_multi_clusters"),
+          col("n_dup_docs"),
+          (col("n_dup_docs") - col("n_multi_clusters")).as("n_would_drop"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("threshold_pm"))
+  }
+
   /** Corpus + planted near-duplicates (doc_id+1000000, last 3 words
     * dropped → shingle Jaccard ≥ ~0.85 even for the shortest docs) —
     * derived deterministically from the data so the MinHash/SimHash
