@@ -32,6 +32,15 @@ object Fns {
   /** Whitespace tokens of a trimmed text column. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** The canonical normalization (lowercase, strip non-alphanumerics,
+    * collapse whitespace) — ONE definition for every consumer
+    * (text_normalize, normalized dedup, the pipelines, dedup_report),
+    * mirrored verbatim by the oracle SQL: a drifted copy would silently
+    * split the dedup universe. */
+  def normText(text: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " ")
+
   /** n-gram word shingles: distinct space-joined n-token windows.
     * transform over an index sequence + slice — all higher-order
     * built-ins, fully codegen'd, narrow (no shuffle). */

@@ -51,9 +51,7 @@ object Dedup {
   def exactNormalized(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documentsPar(spark, sfDir)
       .select(col("doc_id"),
-        md5(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""),
-          "\\s+", " ")).as("norm_hash"),
+        md5(normText(col("text"))).as("norm_hash"),
         md5(col("text")).as("raw_hash"))
       .groupBy(col("norm_hash"))
       .agg(min(col("doc_id")).as("canonical_doc_id"),
@@ -451,9 +449,7 @@ object Dedup {
   def report(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documentsPar(spark, sfDir)
       .select(col("source"), md5(col("text")).as("eh"),
-        md5(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""),
-          "\\s+", " ")).as("nh"))
+        md5(normText(col("text"))).as("nh"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("eh")).as("n_exact_classes"),

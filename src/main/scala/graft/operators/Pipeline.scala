@@ -50,9 +50,7 @@ object Pipeline {
   def streamIngest(docs: DataFrame, benchWindowHashes: Seq[Long],
       minTokens: Int = 10): DataFrame = {
     val norm = docs.select(col("doc_id"), col("source"), col("lang"),
-      regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""),
-        "\\s+", " ").as("norm_text"))
+      normText(col("text")).as("norm_text"))
     val bench = array(benchWindowHashes.map(lit): _*)
     val bucket = (col("doc_id") % lit(1000000007L)) * lit(2654435761L) % lit(1000000007L) % lit(1000L)
     val rate = Sampling.stratifiedRatesPm.toSeq.sortBy(_._1)
@@ -97,9 +95,7 @@ object Pipeline {
     require(k % nBands == 0, s"k=$k must split into nBands=$nBands")
     val rowsPerBand = k / nBands
     val norm = docs.select(col("ts"), col("doc_id"), col("source"), col("lang"),
-      regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""),
-        "\\s+", " ").as("norm_text"))
+      normText(col("text")).as("norm_text"))
     val bench = array(benchWindowHashes.map(lit): _*)
     val bucket = (col("doc_id") % lit(1000000007L)) * lit(2654435761L) % lit(1000000007L) % lit(1000L)
     val rate = Sampling.stratifiedRatesPm.toSeq.sortBy(_._1)
@@ -140,9 +136,7 @@ object Pipeline {
     val norm = Tables.documents(spark, sfDir)
       .where(col("doc_id") % 50 === 0)
       .select(col("doc_id"),
-        tokens(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""),
-          "\\s+", " ")).as("toks"))
+        tokens(normText(col("text"))).as("toks"))
       .where(size(col("toks")) >= minTokens)
     norm.select(explode(shingleHashes(col("toks"), 4)).as("w"))
       .distinct().collect().map(_.getLong(0)).toSeq
@@ -153,9 +147,7 @@ object Pipeline {
     // 1. normalize (same transform as text_normalize)
     val norm = Tables.documentsPar(spark, sfDir)
       .select(col("doc_id"), col("source"), col("lang"),
-        regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""),
-          "\\s+", " ").as("norm_text"))
+        normText(col("text")).as("norm_text"))
     // 2. exact dedup on normalized content: canonical (min doc_id) wins
     val wDedup = Window.partitionBy(md5(col("norm_text"))).orderBy(col("doc_id"))
     val canon = norm.withColumn("rn", row_number().over(wDedup))

@@ -105,9 +105,7 @@ object TextAnalysis {
   def normalize(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documentsPar(spark, sfDir)
       .select(col("doc_id"),
-        regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""),
-          "\\s+", " ").as("norm_text"))
+        normText(col("text")).as("norm_text"))
       .select(col("doc_id"), col("norm_text"),
         length(col("norm_text")).cast("long").as("n_chars_norm"))
       .orderBy(col("doc_id"))
