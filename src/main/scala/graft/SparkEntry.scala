@@ -107,6 +107,7 @@ object SparkEntry {
     "graph_triangles" -> (Graph.triangles _),
     "graph_bfs_dist" -> ((s: SparkSession, d: String) => Graph.bfsDist(s, d)),
     "text_lang_confusion" -> (TextAnalysis.langConfusion _),
+    "text_contamination_rate" -> ((s: SparkSession, d: String) => TextAnalysis.contaminationRate(s, d)),
     "dedup_report" -> (Dedup.report _),
     "ann_recall_report" -> ((s: SparkSession, d: String) => Similarity.recallReport(s, d)),
     "graph_kcore" -> ((s: SparkSession, d: String) => Graph.kcore(s, d)),
@@ -1874,6 +1875,23 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_hits
         |FROM corpus JOIN bench USING (s)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the graded form: every corpus doc with its overlap rate
+    "text_contamination_rate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |d AS (SELECT doc_id, list_distinct(list_transform(
+        |  generate_series(1, greatest(len(toks)-3,1)),
+        |  i -> array_to_string(toks[i:i+3], ' '))) AS sh FROM t),
+        |bench AS (SELECT DISTINCT unnest(sh) AS s FROM d WHERE doc_id % 50 = 0),
+        |corpus AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE doc_id % 50 <> 0),
+        |w AS (SELECT doc_id, count(*) AS n_windows FROM corpus GROUP BY 1),
+        |h AS (SELECT doc_id, count(*) AS n_hits
+        |  FROM corpus JOIN bench USING (s) GROUP BY 1)
+        |SELECT w.doc_id, w.n_windows,
+        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  coalesce(h.n_hits, 0) * 1000 // w.n_windows AS overlap_pm
+        |FROM w LEFT JOIN h ON w.doc_id = h.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
 
     "text_gopher_rules" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),

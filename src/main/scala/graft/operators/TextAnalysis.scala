@@ -150,6 +150,31 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** §2#206 GRADED contamination — [[decontaminate]] reports WHO is
+    * contaminated; this reports HOW MUCH, for every corpus doc: window
+    * count, benchmark-overlapping windows, and the overlap rate in
+    * per-mille. The graded signal is what threshold debates are
+    * actually about (one shared window in a 10k-window doc is a quote;
+    * 400‰ is a copy) — the binary filter is this query with a cut at
+    * overlap_pm > 0. Same broadcast-bounded semi-join shape as #66;
+    * the left join keeps the zero-overlap majority in the report. */
+  def contaminationRate(spark: SparkSession, sfDir: String, n: Int = 4): DataFrame = {
+    val sh = Tables.documentsPar(spark, sfDir)
+      .select(col("doc_id"),
+        explode(shingleHashes(tokens(col("text")), n)).as("sh"))
+    val bench = sh.where(col("doc_id") % 50 === 0).select(col("sh")).distinct()
+    val hits = sh.where(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), "sh")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    sh.where(col("doc_id") % 50 =!= 0)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("coalesce(n_hits, 0) * 1000 div n_windows").as("overlap_pm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** §2#67 repetition detection (the Gopher-style boilerplate filter):
     * duplicate-trigram fraction (catches looping/boilerplate text) and
     * top-token frequency (catches single-token spam), per-mille. The
