@@ -121,6 +121,7 @@ object SparkEntry {
     "ts_lateness" -> (TimeSeries.lateness _),
     "ts_trend" -> (TimeSeries.trend _),
     "ts_cohort_matrix" -> (TimeSeries.cohortMatrix _),
+    "ts_dau_wau" -> (TimeSeries.dauWau _),
     "q_funnel_windowed" -> ((s: SparkSession, d: String) => Analytics.qFunnelWindowed(s, d)),
     "q_decile_lift" -> (Analytics.qDecileLift _),
     "dedup_incremental_minhash" -> (Dedup.incrementalMinhash _),
@@ -1244,6 +1245,20 @@ object SparkEntry {
         |  m.n_active * 1000 // sz.cohort_size AS retention_pm
         |FROM m JOIN sz ON m.cohort_wk = sz.cohort_wk
         |ORDER BY 1, 2""".stripMargin,
+
+    // trailing-7d distinct via forward 7x explode of the (user, day)
+    // distinct frame — identical integer logic both engines
+    "ts_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |  epoch_us(ts) // 86400000000 AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |wau AS (SELECT wday AS day, count(*) AS wau FROM
+        |  (SELECT DISTINCT user_id, unnest(generate_series(day, day + 6)) AS wday
+        |   FROM ud) GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  dau.dau * 1000 // wau.wau AS stickiness_pm
+        |FROM dau JOIN wau ON dau.day = wau.day
+        |ORDER BY dau.day""".stripMargin,
 
     // greedy earliest-chain with a per-step 24h deadline — identical
     // join-with-window construction on both engines

@@ -508,6 +508,36 @@ object TimeSeries {
       .orderBy(col("event_type"))
   }
 
+  /** §2#207 DAU / WAU / STICKINESS — the engagement dashboard's
+    * headline series: per day, distinct daily actives, distinct
+    * trailing-7-day actives, and DAU·1000/WAU (the stickiness ratio
+    * product teams track; 1000‰ = every weekly user shows up daily).
+    * The trailing-window distinct is computed WITHOUT a distinct-over-
+    * range window (which neither engine does): each (user, day) row
+    * contributes itself to the 7 forward days, so WAU(d) = distinct
+    * users in [d−6, d] becomes a 7× explode + distinct + count —
+    * exact, shuffle keyed on (user, day), identical integer logic on
+    * both engines. Cost: 7× the (user, day) DISTINCT frame — already
+    * collapsed from the raw feed, so the explosion never touches
+    * events. */
+  def dauWau(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr(s"unix_micros(ts) div $dayUs").as("day"))
+      .distinct()
+      .localCheckpoint(true)
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6L)).as("wday"))
+      .distinct()
+      .groupBy(col("wday").as("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        expr("dau * 1000 div wau").as("stickiness_pm"))
+      .orderBy(col("day"))
+  }
+
   /** §2#196 COHORT RETENTION MATRIX — the classic product-analytics
     * triangle: users grouped by their FIRST-activity week (the
     * cohort), each cell = how many of that cohort were active `offset`
