@@ -1293,7 +1293,7 @@ object SparkEntry {
          |d AS (SELECT *,
          |  sum(n_u) OVER (ORDER BY spend_c) AS cum,
          |  sum(n_u) OVER () AS n_tot FROM h),
-         |g AS (SELECT 1 + (10 * (cum - n_u)) // n_tot AS decile,
+         |g AS (SELECT CAST(1 + (10 * (cum - n_u)) // n_tot AS BIGINT) AS decile,
          |  sum(n_u) AS n_users, sum(n_conv) AS n_converted
          |  FROM d GROUP BY 1),
          |o AS (SELECT CAST(sum(converted) AS BIGINT) * 1000 // count(*)
@@ -1803,15 +1803,15 @@ object SparkEntry {
         |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
         |sc AS (
         |  SELECT doc_id, labeled_lang, 'en' AS lang,
-        |    CAST(floor(len(list_filter(toks, tk -> list_contains(['the','a','and','of','to','fast','slow','small','big'], tk))) * 1000.0 / greatest(len(toks),1)) AS BIGINT) AS score_pm FROM t
+        |    CAST(len(list_filter(toks, tk -> list_contains(['the','a','and','of','to','fast','slow','small','big'], tk))) * 1000 // greatest(len(toks),1) AS BIGINT) AS score_pm FROM t
         |  UNION ALL SELECT doc_id, labeled_lang, 'de',
-        |    CAST(floor(len(list_filter(toks, tk -> list_contains(['der','die','das','und','ist','schnell','klein'], tk))) * 1000.0 / greatest(len(toks),1)) AS BIGINT) FROM t
+        |    CAST(len(list_filter(toks, tk -> list_contains(['der','die','das','und','ist','schnell','klein'], tk))) * 1000 // greatest(len(toks),1) AS BIGINT) FROM t
         |  UNION ALL SELECT doc_id, labeled_lang, 'fr',
-        |    CAST(floor(len(list_filter(toks, tk -> list_contains(['le','la','et','est','vite','petit','grand'], tk))) * 1000.0 / greatest(len(toks),1)) AS BIGINT) FROM t
+        |    CAST(len(list_filter(toks, tk -> list_contains(['le','la','et','est','vite','petit','grand'], tk))) * 1000 // greatest(len(toks),1) AS BIGINT) FROM t
         |  UNION ALL SELECT doc_id, labeled_lang, 'es',
-        |    CAST(floor(len(list_filter(toks, tk -> list_contains(['el','la','y','es','rapido','pequeno','grande'], tk))) * 1000.0 / greatest(len(toks),1)) AS BIGINT) FROM t
+        |    CAST(len(list_filter(toks, tk -> list_contains(['el','la','y','es','rapido','pequeno','grande'], tk))) * 1000 // greatest(len(toks),1) AS BIGINT) FROM t
         |  UNION ALL SELECT doc_id, labeled_lang, 'zh',
-        |    CAST(floor(len(list_filter(toks, tk -> list_contains(['de','shi','he','kuai','xiao','da'], tk))) * 1000.0 / greatest(len(toks),1)) AS BIGINT) FROM t),
+        |    CAST(len(list_filter(toks, tk -> list_contains(['de','shi','he','kuai','xiao','da'], tk))) * 1000 // greatest(len(toks),1) AS BIGINT) FROM t),
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_pm DESC, lang DESC) AS rk FROM sc)
         |SELECT doc_id, labeled_lang, lang AS predicted_lang, score_pm
         |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
@@ -1823,20 +1823,20 @@ object SparkEntry {
         |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
         |sc AS (
         |  SELECT doc_id, labeled_lang, 'en' AS lang,
-        |    CAST(floor(len(list_filter(toks, tk -> list_contains(['the','a','and','of','to','fast','slow','small','big'], tk))) * 1000.0 / greatest(len(toks),1)) AS BIGINT) AS score_pm FROM t
+        |    CAST(len(list_filter(toks, tk -> list_contains(['the','a','and','of','to','fast','slow','small','big'], tk))) * 1000 // greatest(len(toks),1) AS BIGINT) AS score_pm FROM t
         |  UNION ALL SELECT doc_id, labeled_lang, 'de',
-        |    CAST(floor(len(list_filter(toks, tk -> list_contains(['der','die','das','und','ist','schnell','klein'], tk))) * 1000.0 / greatest(len(toks),1)) AS BIGINT) FROM t
+        |    CAST(len(list_filter(toks, tk -> list_contains(['der','die','das','und','ist','schnell','klein'], tk))) * 1000 // greatest(len(toks),1) AS BIGINT) FROM t
         |  UNION ALL SELECT doc_id, labeled_lang, 'fr',
-        |    CAST(floor(len(list_filter(toks, tk -> list_contains(['le','la','et','est','vite','petit','grand'], tk))) * 1000.0 / greatest(len(toks),1)) AS BIGINT) FROM t
+        |    CAST(len(list_filter(toks, tk -> list_contains(['le','la','et','est','vite','petit','grand'], tk))) * 1000 // greatest(len(toks),1) AS BIGINT) FROM t
         |  UNION ALL SELECT doc_id, labeled_lang, 'es',
-        |    CAST(floor(len(list_filter(toks, tk -> list_contains(['el','la','y','es','rapido','pequeno','grande'], tk))) * 1000.0 / greatest(len(toks),1)) AS BIGINT) FROM t
+        |    CAST(len(list_filter(toks, tk -> list_contains(['el','la','y','es','rapido','pequeno','grande'], tk))) * 1000 // greatest(len(toks),1) AS BIGINT) FROM t
         |  UNION ALL SELECT doc_id, labeled_lang, 'zh',
-        |    CAST(floor(len(list_filter(toks, tk -> list_contains(['de','shi','he','kuai','xiao','da'], tk))) * 1000.0 / greatest(len(toks),1)) AS BIGINT) FROM t),
+        |    CAST(len(list_filter(toks, tk -> list_contains(['de','shi','he','kuai','xiao','da'], tk))) * 1000 // greatest(len(toks),1) AS BIGINT) FROM t),
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_pm DESC, lang DESC) AS rk FROM sc),
         |m AS (SELECT labeled_lang, lang AS predicted_lang FROM r WHERE rk = 1),
         |c AS (SELECT labeled_lang, predicted_lang, count(*) AS n_docs FROM m GROUP BY 1, 2)
-        |SELECT labeled_lang, predicted_lang, n_docs,
-        |  n_docs * 1000 // sum(n_docs) OVER (PARTITION BY labeled_lang) AS share_pm
+        |SELECT labeled_lang, predicted_lang, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_docs * 1000 // sum(n_docs) OVER (PARTITION BY labeled_lang) AS BIGINT) AS share_pm
         |FROM c ORDER BY 1, 2""".stripMargin,
 
     "dedup_report" ->

@@ -67,9 +67,11 @@ def main(sf_dir, out_dir):
             so = sorted(tuple(norm(r[i]) for i in order_o) for r in o_rows)
             ss = sorted(tuple(norm(r[i]) for i in order_s) for r in s_rows)
             shown = 0
+            names = [o_cols[i] for i in order_o]
             for a, b in zip(so, ss):
                 if a != b and shown < 3:
-                    print(f"   oracle: {a}\n   spark : {b}")
+                    diff = [names[i] for i in range(len(a)) if a[i] != b[i]]
+                    print(f"   oracle: {a}\n   spark : {b}\n   differs in: {diff}")
                     shown += 1
             n_fail += 1
         else:
