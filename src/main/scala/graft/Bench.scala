@@ -103,14 +103,42 @@ object Bench {
         }
         Map("dedup_candidates_build" -> times.min)
       } else Map.empty[String, Double]
+    // Same deal for the ANN truth memo (Similarity.bruteforceTopk):
+    // consumers ride the per-session checkpoint; the scan itself is
+    // timed here so a truth-build regression still shows in the output.
+    val annFamily = Set("ann_bruteforce_topk", "ann_recall_report")
+    val ivfPqFamily = Set("ann_ivf_pq", "ann_recall_report")
+    val truthEntry = {
+      val truth =
+        if (selected.keySet.exists(annFamily)) {
+          val times = (1 to 3).map { _ =>
+            graft.operators.Similarity.invalidateMemos(spark)
+            val t0 = System.nanoTime()
+            graft.operators.Similarity.bruteforceTopk(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          Map("ann_truth_build" -> times.min)
+        } else Map.empty[String, Double]
+      val ivfpq =
+        if (selected.keySet.exists(ivfPqFamily)) {
+          val times = (1 to 3).map { _ =>
+            graft.operators.Similarity.invalidateMemos(spark)
+            val t0 = System.nanoTime()
+            graft.operators.Similarity.ivfPqTopk(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          Map("ann_ivfpq_build" -> times.min)
+        } else Map.empty[String, Double]
+      truth ++ ivfpq
+    }
     val gcTotalMs = gcMs - gc0
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ")
-    val qs = (results ++ candEntry).map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = (results ++ candEntry ++ truthEntry).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
       .mkString("{", ",", "}")
-    val total = (results ++ candEntry).values.filter(_ >= 0).sum
+    val total = (results ++ candEntry ++ truthEntry).values.filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"gc_ms":$gcTotalMs,"sf":"$sfDir","epoch_ms":${System.currentTimeMillis()}}"""
     // Persist the FULL per-query record in-repo: the round driver
     // truncates its bench artifact to a 2000-char tail, losing most
@@ -127,7 +155,7 @@ object Bench {
           .lastOption
       else None
       val regs = regressions(prevLine.map(parseQueries).getOrElse(Map.empty),
-        results ++ candEntry)
+        results ++ candEntry ++ truthEntry)
       regs.toSeq.sortBy(-_._2._2).foreach { case (k, (p, v)) =>
         System.err.println(f"[bench] REGRESSION $k: $p%.2f s -> $v%.2f s (${v / p}%.1fx)")
       }

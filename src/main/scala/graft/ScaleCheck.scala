@@ -224,6 +224,7 @@ object ScaleCheck {
       ops.map { case (name, fn) =>
         val times = (1 to reps).map { _ =>
           Dedup.invalidateCandidates(spark)
+          Similarity.invalidateMemos(spark)
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
           fn(spark, dir, scale).count()

@@ -31,8 +31,57 @@ object Similarity {
 
   /** §2#29 exact cosine top-5 per query vector (vec_id < 10). The tiny
     * query side is broadcast; ranking is on µ-scaled cosine so
-    * cross-engine float noise can't flip ranks. */
-  def bruteforceTopk(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    * cross-engine float noise can't flip ranks.
+    *
+    * MEMOIZED PER (session, sfDir, k) — same WeakHashMap+SoftReference
+    * discipline as Dedup's candidate-pair memo (Dedup.scala:86): the
+    * exact top-k is consumed both as the ann_bruteforce_topk query and
+    * as recallReport's truth denominator, and re-running the
+    * query×corpus scan for the report pays the most expensive ANN
+    * stage twice for identical rows. Bench times the build on its own
+    * as "ann_truth_build" so a truth-scan regression still shows. */
+  def bruteforceTopk(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame =
+    truthMemo.synchronized {
+      var per = truthMemo.get(spark)
+      if (per == null) {
+        per = scala.collection.mutable.Map.empty
+        truthMemo.put(spark, per)
+      }
+      per.get((sfDir, k)).flatMap(r => Option(r.get())) match {
+        case Some(v) => v
+        case None =>
+          val v = computeBruteforceTopk(spark, sfDir, k).localCheckpoint(true)
+          per.put((sfDir, k), new java.lang.ref.SoftReference(v))
+          v
+      }
+    }
+
+  private val truthMemo =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[(String, Int),
+        java.lang.ref.SoftReference[DataFrame]]]()
+
+  /** The built IVF-PQ index memo — same discipline, keyed by every
+    * build parameter (the query path must match how codes were built).
+    * This is the faiss build/search split as a session cache: train +
+    * encode once, serve ann_ivf_pq AND recallReport's ivf_pq rung from
+    * the same checkpointed tables. Bench times the build on its own as
+    * "ann_ivfpq_build". */
+  private val indexMemo =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[(String, Int, Int, Int, Int, Boolean),
+        java.lang.ref.SoftReference[IvfPqIndex]]]()
+
+  /** Drop this session's memoized truth/index frames (ScaleCheck: each
+    * timed repetition must pay the full build, not read checkpoint
+    * blocks). */
+  def invalidateMemos(spark: SparkSession): Unit = {
+    truthMemo.synchronized { truthMemo.remove(spark); () }
+    indexMemo.synchronized { indexMemo.remove(spark); () }
+  }
+
+  private def computeBruteforceTopk(spark: SparkSession, sfDir: String,
+      k: Int): DataFrame = {
     val q = corpus(spark, sfDir).where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"))
@@ -453,7 +502,31 @@ object Similarity {
     * 100 TB deployment amortizes the training cost. */
   private[operators] def buildIvfPqIndex(spark: SparkSession, sfDir: String,
       nCells: Int = 8, m: Int = 8, codesPerSub: Int = 64, iters: Int = 2,
-      residual: Boolean = true): IvfPqIndex = {
+      residual: Boolean = true): IvfPqIndex =
+    indexMemo.synchronized {
+      var per = indexMemo.get(spark)
+      if (per == null) {
+        per = scala.collection.mutable.Map.empty
+        indexMemo.put(spark, per)
+      }
+      val key = (sfDir, nCells, m, codesPerSub, iters, residual)
+      per.get(key).flatMap(r => Option(r.get())) match {
+        case Some(v) => v
+        case None =>
+          val raw = computeIvfPqIndex(spark, sfDir, nCells, m, codesPerSub,
+            iters, residual)
+          // cents/cb are checkpointed by their builders; the encoded
+          // inverted index is the expensive leaf consumers re-scan —
+          // materialize it so reuse reads blocks, not the encode plan
+          val v = raw.copy(codesCell = raw.codesCell.localCheckpoint(true))
+          per.put(key, new java.lang.ref.SoftReference(v))
+          v
+      }
+    }
+
+  private def computeIvfPqIndex(spark: SparkSession, sfDir: String,
+      nCells: Int, m: Int, codesPerSub: Int, iters: Int,
+      residual: Boolean): IvfPqIndex = {
     graft.functions.Registry.ensure(spark)
     val base = corpus(spark, sfDir).drop("label")
       .select(col("vec_id"),
@@ -590,8 +663,10 @@ object Similarity {
     * method's results semi-join it and collapse to one row — the cost
     * is just running the rungs, which is the point of the report. */
   def recallReport(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    // already checkpointed by the bruteforceTopk memo — the select is a
+    // narrow projection over materialized blocks, not a recompute
     val exact = bruteforceTopk(spark, sfDir, k)
-      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+      .select(col("query_id"), col("neighbor_id"))
     val nTruth = exact.count()
     def scoredAs(method: String, df: DataFrame): DataFrame =
       df.select(col("query_id"), col("neighbor_id"))
