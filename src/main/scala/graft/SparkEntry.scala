@@ -240,6 +240,94 @@ object SparkEntry {
       |  FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
       |        FROM documents))""".stripMargin
 
+  /** Shared by the three iterative-graph oracles: the same-source
+    * shingle-overlap pair frame (bit-identical to Dedup.candidatePairs
+    * — pinned by the sql-green dedup_ngram_jaccard/graph_bfs_dist that
+    * consume the identical CTE) and its bidirected edge view.
+    * MATERIALIZED: the unrolled rounds below reference these many
+    * times, and DuckDB would otherwise inline the shingle join once
+    * per reference. */
+  private val graphEdgesCte =
+    s"""$shCte,
+       |pairs AS MATERIALIZED (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+       |ed AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs)""".stripMargin
+
+  /** graph_pagerank oracle: the engine's fixed-iteration ALL-INTEGER
+    * PageRank unrolled — each round is one CTE (recursive CTEs can't
+    * aggregate over the recursive relation in standard SQL, and the
+    * iteration count is a compile-time constant anyway). Integer `//`
+    * here ≡ Spark's `div` on the non-negative ranks. */
+  private def pagerankOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT n.doc_id,
+         |    CAST(150000000 + (85 * coalesce(s.in_sum, 0)) // 100 AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.b AS doc_id, sum(r.pr // e.out_deg) AS in_sum
+         |    FROM edd e JOIN r${i - 1} r ON r.doc_id = e.a GROUP BY 1) s
+         |  USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphEdgesCte,
+       |deg AS MATERIALIZED (SELECT a, count(*) AS out_deg FROM ed GROUP BY 1),
+       |edd AS MATERIALIZED (SELECT ed.a, ed.b, deg.out_deg FROM ed JOIN deg USING (a)),
+       |nodes AS MATERIALIZED (SELECT a AS doc_id FROM deg),
+       |r0 AS (SELECT doc_id, CAST(1000000000 AS BIGINT) AS pr FROM nodes),
+       |$rounds
+       |SELECT doc_id, pr AS rank_e9 FROM r$iters ORDER BY doc_id""".stripMargin
+  }
+
+  /** graph_label_prop oracle: the deterministic synchronous variant
+    * unrolled — per round, neighbor votes plus the self-vote, argmax
+    * by (votes desc, label asc) via row_number. */
+  private def labelPropOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT doc_id, label FROM (
+         |    SELECT doc_id, label,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, label) AS rk
+         |    FROM (SELECT doc_id, label, count(*) AS n FROM (
+         |      SELECT e.b AS doc_id, l.label FROM ed e JOIN l${i - 1} l ON l.doc_id = e.a
+         |      UNION ALL SELECT doc_id, label FROM l${i - 1})
+         |    GROUP BY 1, 2))
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphEdgesCte,
+       |nodes AS MATERIALIZED (SELECT DISTINCT a AS doc_id FROM ed),
+       |l0 AS (SELECT doc_id, doc_id AS label FROM nodes),
+       |$rounds,
+       |sizes AS (SELECT label, count(*) AS community_size FROM l$iters GROUP BY 1)
+       |SELECT l.doc_id, l.label AS community,
+       |  CAST(s.community_size AS BIGINT) AS community_size
+       |FROM l$iters l JOIN sizes s USING (label) ORDER BY l.doc_id""".stripMargin
+  }
+
+  /** graph_kcore oracle: peel-to-fixpoint unrolled with headroom —
+    * each extra round past convergence is the identity, so `rounds`
+    * only needs to EXCEED the true peeling depth (single digits on
+    * this corpus; 24 is generous and cheap on the materialized edge
+    * frame). */
+  private def kcoreOracle(rounds: Int, k: Int): String = {
+    val rs = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (
+         |  SELECT d FROM (SELECT doc_a AS d FROM e${i - 1}
+         |                 UNION ALL SELECT doc_b FROM e${i - 1})
+         |  GROUP BY 1 HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT doc_a, doc_b FROM e${i - 1}
+         |  WHERE doc_a IN (SELECT d FROM k$i) AND doc_b IN (SELECT d FROM k$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphEdgesCte,
+       |e0 AS (SELECT doc_a, doc_b FROM pairs),
+       |$rs
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS core_deg FROM (
+       |  SELECT doc_a AS doc_id FROM e$rounds UNION ALL SELECT doc_b FROM e$rounds)
+       |GROUP BY 1 HAVING count(*) >= $k ORDER BY doc_id""".stripMargin
+  }
+
   /** Sequential double cosine similarity in micro-units (mirrors
     * Fns.cosine + Fns.scaled). */
   private def cosE6(a: String, b: String) =
@@ -285,6 +373,99 @@ object SparkEntry {
       |ORDER BY purchase_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // r11 rows→sql upgrades: the engine's fixed-iteration integer graph
+    // ops replayed as unrolled CTE rounds
+    "graph_pagerank" -> pagerankOracle(6),
+    "graph_label_prop" -> labelPropOracle(8),
+    "graph_kcore" -> kcoreOracle(24, 2),
+
+    // the CM grid commutes (counter sums), so the oracle reproduces the
+    // ESTIMATES exactly: cell_r(x) = low10((x*seed_r) mod 2^64) XOR
+    // low10(x >>> 31), and low10 of the wrapped product is
+    // ((x%1024)*(seed_r%1024))%1024 because 1024 | 2^64 — the seeds
+    // appear below reduced mod 1024 (21, 847, 505, 965)
+    "q_heavy_hitters" ->
+      """WITH e AS (SELECT user_id FROM events),
+        |c AS MATERIALIZED (SELECT user_id,
+        |  xor(((user_id % 1024) * 21) % 1024, (user_id >> 31) & 1023) AS c0,
+        |  xor(((user_id % 1024) * 847) % 1024, (user_id >> 31) & 1023) AS c1,
+        |  xor(((user_id % 1024) * 505) % 1024, (user_id >> 31) & 1023) AS c2,
+        |  xor(((user_id % 1024) * 965) % 1024, (user_id >> 31) & 1023) AS c3
+        |  FROM e),
+        |g0 AS (SELECT c0, count(*) AS n FROM c GROUP BY 1),
+        |g1 AS (SELECT c1, count(*) AS n FROM c GROUP BY 1),
+        |g2 AS (SELECT c2, count(*) AS n FROM c GROUP BY 1),
+        |g3 AS (SELECT c3, count(*) AS n FROM c GROUP BY 1),
+        |kk AS (SELECT unnest(generate_series(0, 9)) AS user_id),
+        |kc AS (SELECT user_id,
+        |  (user_id * 21) % 1024 AS c0, (user_id * 847) % 1024 AS c1,
+        |  (user_id * 505) % 1024 AS c2, (user_id * 965) % 1024 AS c3 FROM kk),
+        |est AS (SELECT kc.user_id, least(g0.n, g1.n, g2.n, g3.n) AS est_n
+        |  FROM kc JOIN g0 USING (c0) JOIN g1 USING (c1)
+        |  JOIN g2 USING (c2) JOIN g3 USING (c3)),
+        |ex AS (SELECT user_id, count(*) AS exact_n FROM e
+        |  WHERE user_id BETWEEN 0 AND 9 GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM e)
+        |SELECT ex.user_id, CAST(ex.exact_n AS BIGINT) AS exact_n,
+        |  CAST(est.est_n AS BIGINT) AS est_n,
+        |  CAST(tot.n_total AS BIGINT) AS n_total,
+        |  CAST(est.est_n - ex.exact_n AS BIGINT) AS slack
+        |FROM ex JOIN est USING (user_id) CROSS JOIN tot
+        |ORDER BY ex.user_id""".stripMargin,
+
+    // md5-based polynomial rolling hash, replayed with list_reduce;
+    // list_prepend(0, …) supplies the engine's zero init
+    "text_fingerprint" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |h AS (SELECT doc_id, len(toks) AS n_tokens,
+        |  list_transform(toks,
+        |    tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT % 2147483648) AS hs
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(list_reduce(list_prepend(0, hs),
+        |    (a, b) -> (a * 1000003 + b) % 2147483648) AS BIGINT) AS fingerprint,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // exact trailing-24h distinct brute-forced over the tiny hour
+    // frame (the engine computes it with the interval diff-array; both
+    // are THE SAME exact quantity); est_ok asserts the HLL estimate
+    // lands within ±10% of it
+    "ts_sliding_distinct" ->
+      """WITH h AS (SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi,
+        |  user_id FROM events),
+        |hh AS MATERIALIZED (SELECT hi, count(DISTINCT user_id) AS hour_exact
+        |  FROM h GROUP BY 1),
+        |ex AS (SELECT w.hi, count(DISTINCT h.user_id) AS exact_24h
+        |  FROM hh w JOIN h ON h.hi BETWEEN w.hi - 23 AND w.hi GROUP BY 1),
+        |nh AS (SELECT a.hi, count(*) AS n_hours_window
+        |  FROM hh a JOIN hh b ON b.hi BETWEEN a.hi - 23 AND a.hi GROUP BY 1)
+        |SELECT CAST(hh.hi * 3600000000 AS BIGINT) AS hour_us,
+        |  CAST(hh.hour_exact AS BIGINT) AS hour_exact,
+        |  CAST(ex.exact_24h AS BIGINT) AS exact_24h,
+        |  CAST(nh.n_hours_window AS BIGINT) AS n_hours_window,
+        |  CAST(1 AS BIGINT) AS est_ok
+        |FROM hh JOIN ex USING (hi) JOIN nh USING (hi)
+        |ORDER BY hour_us""".stripMargin,
+
+    "q_approx_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(1 AS BIGINT) AS est_ok
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q_hll_union" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  CAST(1 AS BIGINT) AS est_ok
+        |FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT '__ALL__', CAST(count(DISTINCT user_id) AS BIGINT),
+        |  CAST(1 AS BIGINT) FROM events
+        |ORDER BY event_type""".stripMargin,
+
     "cdc_changefeed_rows" ->
       s"""WITH $chCte, $rsCte
          |SELECT sort_us, tbl, key, value FROM (

@@ -94,10 +94,17 @@ object Fns {
 
   /** Polynomial rolling-hash fingerprint of a token array, base-1000003
     * modulo 2^31 (the accumulator stays < 2^52, so no ANSI-mode long
-    * overflow — deterministic and order-sensitive). */
+    * overflow — deterministic and order-sensitive). The per-token hash
+    * is the top 60 bits of md5 rather than xxhash64 so the fingerprint
+    * is reproducible by any engine with md5 (the DuckDB oracle
+    * replays it with list_reduce) — md5-per-token costs more than
+    * xxhash64, but fingerprinting is a once-per-doc pass, not a
+    * per-shingle hot loop. */
   def rollingFingerprint(tokenCol: Column): Column =
     aggregate(tokenCol, lit(0L), (acc, t) =>
-      pmod(acc * lit(1000003L) + pmod(xxhash64(t), lit(1L << 31)), lit(1L << 31)))
+      pmod(acc * lit(1000003L) +
+        pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"), lit(1L << 31)),
+        lit(1L << 31)))
 
   /** Sequential-fold dot product via the native codegen'd DotProduct
     * expression (requires Registry.ensure(spark) once per session).

@@ -308,9 +308,12 @@ object Analytics {
       .orderBy(col("l_returnflag"))
 
   /** §2#41 sketch aggregate: HyperLogLog++ approximate distinct users
-    * per event_type next to the exact count (rows-only check — the
-    * sketch estimate is engine-specific by construction; the spec
-    * asserts the relative error bound instead). */
+    * per event_type next to the exact count. The sketch estimate is
+    * engine-specific by construction, so it enters the sql gate as the
+    * est_ok accuracy bit (|est−exact| ≤ 10%·exact — a ≥5σ band at
+    * rsd 0.02, deterministic because HLL unions are order-insensitive)
+    * while the exact companions hash bit-exact; the spec still asserts
+    * the tight relative error bound on the raw estimate. */
   def qApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
@@ -318,6 +321,9 @@ object Analytics {
         approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        when(abs(col("approx_users") - col("exact_users")) * lit(1000L)
+          <= lit(100L) * col("exact_users"), 1L).otherwise(0L).as("est_ok"))
       .orderBy(col("event_type"))
 
   /** §2#53 custom sketch aggregate: top-5 distinct prices per group via
@@ -592,10 +598,15 @@ object Analytics {
     * sketches — the operation a 1000-executor rollup actually needs
     * (re-aggregating exact distincts across groups requires a second
     * full shuffle of raw ids; unioning sketches ships a few KiB per
-    * group). Exact counts ride along; estimates are engine-specific →
-    * rows-only check, spec pins the error bound. */
+    * group). Exact counts hash bit-exact in the sql gate; the
+    * engine-specific estimates participate as the est_ok accuracy bit
+    * (±10% of exact — ≥6σ at the default lgK=12), so a broken sketch
+    * union fails the gate while the raw estimate stays engine-free;
+    * the spec pins the tight error bound on the raw values. */
   def qHllUnion(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.events(spark, sfDir).select(col("event_type"), col("user_id"))
+    def estOk = when(abs(col("est_users") - col("exact_users")) * lit(1000L)
+      <= lit(100L) * col("exact_users"), 1L).otherwise(0L).as("est_ok")
     val perType = e.groupBy(col("event_type"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"),
         countDistinct(col("user_id")).as("exact_users"))
@@ -610,6 +621,7 @@ object Analytics {
         hll_sketch_estimate(col("sk")).cast("long").as("est_users"),
         col("exact_users"))
       .unionByName(total)
+      .select(col("event_type"), col("exact_users"), estOk)
       .orderBy(col("event_type"))
   }
 

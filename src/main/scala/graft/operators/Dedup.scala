@@ -662,10 +662,10 @@ object Dedup {
     val bidir = edges
       .unionByName(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))
         .select(col("doc_a"), col("doc_b")))
-      .localCheckpoint(true)
+      .transform(graft.Checkpoints.cut)
     val nodes = bidir.select(col("doc_a").as("doc_id")).distinct()
     var labels = nodes.select(col("doc_id"), col("doc_id").as("lab"))
-      .localCheckpoint(true)
+      .transform(graft.Checkpoints.cut)
     val maxRounds = 50
     var changed = 1L
     var rounds = 0
@@ -680,7 +680,7 @@ object Dedup {
         .unionByName(viaEdges)
         .groupBy(col("doc_id"))
         .agg(min(col("lab")).as("lab"), min(col("own")).as("own"))
-        .localCheckpoint(true)
+        .transform(graft.Checkpoints.cut)
       changed = next.where(col("lab") < col("own")).count()
       labels = next.select(col("doc_id"), col("lab"))
       rounds += 1

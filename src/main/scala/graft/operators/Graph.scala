@@ -45,8 +45,8 @@ object Graph {
     val edgesDeg = bidir.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .join(deg, "src")
       .repartition(col("src"))
-      .localCheckpoint(true)
-    val nodes = deg.select(col("src").as("doc_id")).localCheckpoint(true)
+      .transform(graft.Checkpoints.cut)
+    val nodes = deg.select(col("src").as("doc_id")).transform(graft.Checkpoints.cut)
     var ranks = nodes.select(col("doc_id"), lit(scale).as("rank"))
     for (_ <- 1 to iters) {
       val contrib = edgesDeg
@@ -57,7 +57,7 @@ object Graph {
         .select(col("doc_id"),
           (lit(15L * scale / 100L) +
             expr("85 * coalesce(in_sum, 0L) div 100")).as("rank"))
-        .localCheckpoint(true)
+        .transform(graft.Checkpoints.cut)
     }
     ranks.select(col("doc_id"), col("rank").as("rank_e9"))
       .orderBy(col("doc_id"))
@@ -86,7 +86,7 @@ object Graph {
   /** Core of [[kcore]] over any unique `(doc_a < doc_b)` edge list. */
   def kcoreFrom(edges0: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    var edges = edges0.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    var edges = edges0.select(col("doc_a"), col("doc_b")).transform(graft.Checkpoints.cut)
     var prevEdges = edges.count()
     var converged = prevEdges == 0L
     var rounds = 0
@@ -103,7 +103,7 @@ object Graph {
       val pruned = edges
         .join(keep.select(col("d").as("doc_a")), Seq("doc_a"), "left_semi")
         .join(keep.select(col("d").as("doc_b")), Seq("doc_b"), "left_semi")
-        .localCheckpoint(true)
+        .transform(graft.Checkpoints.cut)
       val n = pruned.count()
       converged = n == prevEdges || n == 0L
       prevEdges = n
@@ -144,9 +144,9 @@ object Graph {
         edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .repartition(col("src"))
-      .localCheckpoint(true)
+      .transform(graft.Checkpoints.cut)
     val nodes = bidir.select(col("src").as("doc_id")).distinct()
-      .localCheckpoint(true)
+      .transform(graft.Checkpoints.cut)
     var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
     for (_ <- 1 to iters) {
       val votes = bidir
@@ -158,7 +158,7 @@ object Graph {
       labels = votes.groupBy(col("doc_id"))
         .agg(min(struct((-col("n")).as("neg_n"), col("label"))).as("best"))
         .select(col("doc_id"), col("best.label").as("label"))
-        .localCheckpoint(true)
+        .transform(graft.Checkpoints.cut)
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
     labels.join(sizes, "label")
@@ -243,9 +243,9 @@ object Graph {
       maxHops: Int): DataFrame = {
     val bidir = edges.unionByName(
         edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint(true)
+      .transform(graft.Checkpoints.cut)
     var visited = clusters.select(col("cluster_id").as("doc_id")).distinct()
-      .withColumn("hops", lit(0L)).localCheckpoint(true)
+      .withColumn("hops", lit(0L)).transform(graft.Checkpoints.cut)
     var frontier = visited
     var round = 0
     var grew = 1L
@@ -255,10 +255,10 @@ object Graph {
         .select(col("doc_b").as("doc_id")).distinct()
         .join(visited.select(col("doc_id")), Seq("doc_id"), "left_anti")
         .withColumn("hops", lit((round + 1).toLong))
-        .localCheckpoint(true)
+        .transform(graft.Checkpoints.cut)
       grew = next.count()
       if (grew > 0) {
-        visited = visited.unionByName(next).localCheckpoint(true)
+        visited = visited.unionByName(next).transform(graft.Checkpoints.cut)
         frontier = next
       }
       round += 1

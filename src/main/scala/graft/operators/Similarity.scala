@@ -80,8 +80,11 @@ object Similarity {
     indexMemo.synchronized { indexMemo.remove(spark); () }
   }
 
-  private def computeBruteforceTopk(spark: SparkSession, sfDir: String,
-      k: Int): DataFrame = {
+  /** The raw (un-memoized, un-checkpointed) plan — exposed so
+    * plan-shape specs can assert the broadcast join that the memo's
+    * checkpoint scan would otherwise hide. */
+  private[graft] def computeBruteforceTopk(spark: SparkSession, sfDir: String,
+      k: Int = 5): DataFrame = {
     val q = corpus(spark, sfDir).where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"))
@@ -249,7 +252,7 @@ object Similarity {
       .orderBy(col("h"), col("vec_id")).limit(k) // k rows — driver-safe
       .withColumn("cell", row_number().over(seedW).cast("long") - 1L)
       .select(col("cell"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
-      .localCheckpoint(true)
+      .transform(graft.Checkpoints.cut)
     for (_ <- 1 to iters) {
       val assigned = base.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("emb"), col("cell"),
@@ -266,7 +269,7 @@ object Similarity {
         .select(col("cell"),
           transform(col("parts"), p => p.getField("m")).as("c_emb"))
         .withColumn("c_nrm", norm2(col("c_emb")))
-        .localCheckpoint(true)
+        .transform(graft.Checkpoints.cut)
     }
     cents
   }
@@ -385,7 +388,7 @@ object Similarity {
         .select(col("s"), col("code"),
           transform(col("parts"), p => p.getField("mx")).as("c_sv"))
         .withColumn("c_sq", dot(col("c_sv"), col("c_sv")))
-        .localCheckpoint(true)
+        .transform(graft.Checkpoints.cut)
     }
     // encode: m codes per corpus vector — the only thing the scan reads
     val codes = subs.join(broadcast(cb), Seq("s"))

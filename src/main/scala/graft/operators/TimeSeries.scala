@@ -113,23 +113,66 @@ object TimeSeries {
     * union associatively — ONE pass compacts each hour to a KiB sketch
     * and the 24-hour union runs over the |hours|-row frame, which the
     * raw corpus never enters. The global orderBy window is safe for the
-    * same reason: it sorts hours, not events. Engine-specific estimates
-    * → rows-only; the spec pins the error against an exact driver-side
-    * recompute. */
+    * same reason: it sorts hours, not events. The output is fully
+    * sql-gated: the exact trailing distinct rides along (interval
+    * diff-array — see inline note), and the engine-specific HLL
+    * estimate participates as the est_ok accuracy bit rather than as a
+    * raw value the oracle could never reproduce. */
   def slidingDistinct(spark: SparkSession, sfDir: String): DataFrame = {
-    val hourly = Tables.events(spark, sfDir)
-      .select(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
-        col("user_id"))
-      .groupBy(col("hour_us"))
+    val hourIdx = Tables.events(spark, sfDir)
+      .select((unix_micros(date_trunc("hour", col("ts"))) / 3600000000L)
+        .cast("long").as("hi"), col("user_id"))
+    val hourly = hourIdx
+      .groupBy(col("hi"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"),
         countDistinct(col("user_id")).as("hour_exact"))
-    val w = Window.orderBy(col("hour_us")).rowsBetween(-23, 0)
-    hourly
+    // RANGE frames on the hour index (not ROWS): a gap hour must age
+    // rows out of the trailing-24h union even though no row exists for
+    // it — and the exact companion below is defined on event time, so
+    // the estimate has to be too
+    val w = Window.orderBy(col("hi")).rangeBetween(-23, 0)
+    val est = hourly
       .withColumn("est_24h",
         hll_sketch_estimate(hll_union_agg(col("sk")).over(w)).cast("long"))
       .withColumn("n_hours_window", count(lit(1)).over(w).cast("long"))
-      .select(col("hour_us"), col("hour_exact"), col("est_24h"),
+      .select(col("hi"), col("hour_exact"), col("est_24h"),
         col("n_hours_window"))
+    // EXACT trailing-24h distinct, scalably: a user active at hours
+    // h_1<h_2<… is in window W iff some h_i ∈ [W−23, W]; merge the
+    // per-user active hours into coverage intervals (consecutive gaps
+    // ≤ 23 fuse), each interval [a,b] covers windows [a, b+23], and the
+    // count per window is a ±1 boundary diff-array prefix-summed over
+    // the |hours|-sized frame. One user-keyed shuffle + one |hours|-row
+    // running sum — the raw ids never pass through a window frame, so
+    // unlike the re-scan formulation this stays feasible at 100 TB.
+    val perUserHours = hourIdx.distinct()
+    val uw = Window.partitionBy(col("user_id")).orderBy(col("hi"))
+    val intervals = perUserHours
+      .withColumn("newIv",
+        when(col("hi") - lag(col("hi"), 1).over(uw) <= 23, 0L).otherwise(1L))
+      .withColumn("iv", sum(col("newIv")).over(
+        uw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("iv"))
+      .agg(min(col("hi")).as("a"), max(col("hi")).as("b"))
+    val deltas = intervals.select(col("a").as("hi"), lit(1L).as("d"))
+      .unionByName(intervals.select((col("b") + 24L).as("hi"), lit(-1L).as("d")))
+      .groupBy(col("hi")).agg(sum(col("d")).as("d"))
+    val cumw = Window.orderBy(col("hi"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exact = est.select(col("hi")).unionByName(deltas.select(col("hi")))
+      .distinct()
+      .join(deltas, Seq("hi"), "left")
+      .withColumn("exact_24h", sum(coalesce(col("d"), lit(0L))).over(cumw))
+      .select(col("hi"), col("exact_24h"))
+    est.join(exact, "hi")
+      .select((col("hi") * 3600000000L).as("hour_us"), col("hour_exact"),
+        col("exact_24h"),
+        col("n_hours_window"),
+        // the sketch stays in the plan as a pinned accuracy bit: HLL at
+        // the default lgK=12 is ~1.6% rsd, so ±10% is a ≥6σ band — a
+        // broken union/estimate flips this to 0 and fails the hash gate
+        when(abs(col("est_24h") - col("exact_24h")) * lit(1000L)
+          <= lit(100L) * col("exact_24h"), 1L).otherwise(0L).as("est_ok"))
       .orderBy(col("hour_us"))
   }
 

@@ -581,20 +581,35 @@ class NewOpsSpec extends SparkSuite {
   }
 
   test("q_hll_union: union estimate tracks exact distinct within HLL error") {
+    // gated output: (event_type, exact_users, est_ok)
     val rows = Analytics.qHllUnion(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val (totals, perType) = rows.partition(_._1 == "__ALL__")
     assert(totals.length === 1 && perType.nonEmpty)
-    // default lgConfigK=12 → relative error ~1.6%; allow 5% + slack
-    rows.foreach { case (t, est, exact) =>
+    rows.foreach { case (t, _, ok) => assert(ok === 1L, s"$t: est_ok=0") }
+    // the union row's exact count is the true global distinct (not the
+    // sum of per-type exacts — users appear under several types)
+    val (_, totalExact, _) = totals.head
+    assert(totalExact <= perType.map(_._2).sum)
+    assert(totalExact >= perType.map(_._2).max)
+    // raw estimates (recomputed: per-type sketches + their union) stay
+    // within the tight HLL band — default lgConfigK=12 → rsd ~1.6%;
+    // allow 5% + slack
+    val e = graft.Tables.events(spark, sf).select(col("event_type"), col("user_id"))
+    val per = e.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("exact"))
+    val perRows = per
+      .select(col("event_type"),
+        hll_sketch_estimate(col("sk")).cast("long").as("est"), col("exact"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val unionEst = per
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long")).head().getLong(0)
+    val globalExact = e.agg(countDistinct(col("user_id"))).head().getLong(0)
+    (perRows :+ (("__ALL__", unionEst, globalExact))).foreach { case (t, est, exact) =>
       assert(math.abs(est - exact) <= exact / 20 + 2,
         s"$t: HLL est $est vs exact $exact")
     }
-    // the union row's exact count is the true global distinct (not the
-    // sum of per-type exacts — users appear under several types)
-    val (_, _, totalExact) = totals.head
-    assert(totalExact <= perType.map(_._3).sum)
-    assert(totalExact >= perType.map(_._3).max)
   }
 
   test("cdc_variant_extract matches the string-JSON extraction path") {
@@ -608,22 +623,23 @@ class NewOpsSpec extends SparkSuite {
   }
 
   test("ts_sliding_distinct: 24h union estimate tracks an exact recompute") {
+    // gated output: (hour_us, hour_exact, exact_24h, n_hours_window, est_ok)
     val got = TimeSeries.slidingDistinct(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(got.nonEmpty)
-    // exact trailing-24h distinct users, recomputed from raw events
+    // the exact trailing-24h distinct from the interval diff-array must
+    // equal a naive time-range recompute from raw events
     val raw = graft.Tables.events(spark, sf)
       .select(date_trunc("hour", col("ts")).cast("long").as("hour_us"), col("user_id"))
       .collect().map(r => (r.getLong(0) * 1000000L, r.getLong(1)))
-    val hours = got.map(_._1)
-    got.foreach { case (h, hourExact, est, nw) =>
-      val idx = hours.indexOf(h)
-      assert(nw === math.min(idx + 1, 24).toLong)
-      val windowHours = hours.slice(math.max(idx - 23, 0), idx + 1).toSet
-      val exact = raw.filter(t => windowHours(t._1)).map(_._2).distinct.length
-      assert(math.abs(est - exact) <= exact / 20 + 2,
-        s"hour $h: est $est vs exact $exact")
-      assert(est >= hourExact - hourExact / 20 - 2) // window superset of the hour
+    got.foreach { case (h, hourExact, exact24, nw, estOk) =>
+      val lo = h - 23L * 3600000000L
+      val exact = raw.filter(t => t._1 >= lo && t._1 <= h).map(_._2).distinct.length
+      assert(exact24 === exact.toLong, s"hour $h: exact_24h $exact24 vs $exact")
+      val nwExact = got.map(_._1).count(x => x >= lo && x <= h)
+      assert(nw === nwExact.toLong)
+      assert(estOk === 1L, s"hour $h: est_ok=0")
+      assert(exact24 >= hourExact) // window is a superset of the hour
     }
   }
 

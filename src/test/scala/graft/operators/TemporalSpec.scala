@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.SparkSuite
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{approx_count_distinct, col, countDistinct}
 
 class TemporalSpec extends SparkSuite {
 
@@ -104,9 +104,21 @@ class TemporalSpec extends SparkSuite {
   }
 
   test("approx distinct stays within the configured 2% rsd (loose 10% bound)") {
+    // the gated output carries exacts + the est_ok bit; the raw
+    // estimate's error bound is asserted here against a direct
+    // recompute with the same rsd
     val rows = Analytics.qApproxDistinct(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
+      assert(r.getLong(3) === 1L, s"${r.getString(0)}: est_ok=0")
+    }
+    val raw = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx"),
+        countDistinct(col("user_id")).as("exact"))
+      .collect()
+    assert(raw.nonEmpty)
+    raw.foreach { r =>
       val approx = r.getLong(1).toDouble
       val exact = r.getLong(2).toDouble
       assert(math.abs(approx - exact) / exact <= 0.10,

@@ -92,7 +92,9 @@ class PlanQualitySpec extends SparkSuite {
   }
 
   test("ann brute force broadcasts the query side") {
-    val plan = planOf(Similarity.bruteforceTopk(spark, sf))
+    // the public entry memoizes via localCheckpoint (plan = block
+    // scan), so the shape is asserted on the underlying compute plan
+    val plan = planOf(Similarity.computeBruteforceTopk(spark, sf))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"query side not broadcast:\n$plan")
   }
