@@ -54,6 +54,7 @@ object SparkEntry {
     "q_robust_stats" -> (Analytics.qRobustStats _),
     "ts_sliding_distinct" -> (TimeSeries.slidingDistinct _),
     "dedup_cluster" -> (Dedup.cluster _),
+    "dedup_cluster_star" -> (Dedup.clusterStar _),
     // §2.2 streaming analytics (batch twins)
     "stream_window_agg" -> (StreamOps.windowAgg _),
     "stream_sliding_agg" -> (StreamOps.slidingAgg _),
@@ -695,6 +696,26 @@ object SparkEntry {
          |  us AS valid_from_us, valid_to_us,
          |  CAST(CASE WHEN valid_to_us = 9223372036854775807 THEN 1 ELSE 0 END AS BIGINT) AS is_current
          |FROM r ORDER BY user_id, event_type, version_n""".stripMargin,
+
+    // dedup_cluster_star is the Kiveris star-contraction CC — a
+    // DIFFERENT O(log n)-round algorithm that must land on the SAME
+    // fixpoint (cluster id = component-minimum doc_id), so it shares
+    // dedup_cluster's oracle verbatim: the hash gate itself proves the
+    // two implementations agree
+    "dedup_cluster_star" ->
+      s"""WITH RECURSIVE $shCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(doc, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc)
+         |SELECT doc AS doc_id, min(lab) AS cluster_id
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_cluster" ->
       s"""WITH RECURSIVE $shCte,

@@ -689,6 +689,7 @@ object Dedup {
       throw new IllegalStateException(
         s"dedup_cluster did not converge in $maxRounds rounds " +
         s"($changed labels still changing) — component diameter exceeds the cap")
+    hashMinRounds = rounds
     val isolated = allDocs
       .join(labels, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("lab"))
@@ -696,6 +697,106 @@ object Dedup {
       .select(col("doc_id"), col("lab").as("cluster_id"))
       .orderBy(col("doc_id"))
   }
+
+  /** §2#208 TWO-PHASE STAR-CONTRACTION connected components (Kiveris,
+    * Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components
+    * in MapReduce and Beyond", SoCC 2014) — the O(log n)-round CC that
+    * complements [[clusterFrom]]'s hash-min label propagation:
+    *
+    *   - large-star: every node connects its LARGER neighbors to the
+    *     minimum of its closed neighborhood;
+    *   - small-star: every node connects its smaller neighbors (and
+    *     itself) to the minimum among them;
+    *
+    * alternating until the edge set is a fixpoint, at which point the
+    * graph is a union of stars centered at each component's minimum.
+    * Hash-min needs O(component diameter) rounds — optimal on near-dup
+    * graphs, whose dup-family components have tiny diameters
+    * (StarClusterSpec pins rounds ≤ 8 on this corpus), but a
+    * 100k-node path would need 100k rounds; star contraction closes
+    * that adversarial gap in ~log n rounds. Output contract is
+    * IDENTICAL to clusterFrom (cluster id = component-minimum doc_id),
+    * so dedup_cluster_star shares dedup_cluster's recursive-CTE oracle
+    * — the sql gate itself proves the two fixpoints coincide.
+    *
+    * Scale shape: each half-round is one groupBy over the current edge
+    * frame (map-side-combinable min) + one join back, lineage cut per
+    * round ([[graft.Checkpoints.cut]] — reliable-checkpoint aware);
+    * edges only ever CONTRACT (toward |nodes| star edges), so the
+    * per-round shuffle shrinks as the rounds proceed. */
+  def clusterStar(spark: SparkSession, sfDir: String): DataFrame =
+    clusterStarFrom(candidatePairs(spark, sfDir),
+      Tables.documentsPar(spark, sfDir).select(col("doc_id")))
+
+  /** Star-contraction CC over any unique `(doc_a, doc_b)` edge frame;
+    * returns (doc_id, cluster_id) over `allDocs` like clusterFrom. */
+  def clusterStarFrom(edges0: DataFrame, allDocs: DataFrame): DataFrame = {
+    // canonical undirected edge set (u < v), self-loops dropped
+    var e = edges0
+      .where(col("doc_a") =!= col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("u"),
+        greatest(col("doc_a"), col("doc_b")).as("v"))
+      .distinct()
+      .transform(graft.Checkpoints.cut)
+
+    // large-star: center a, closed-neighborhood min m = min(N(a) ∪ {a});
+    // emit (m, b) for every neighbor b > a. m ≤ a < b keeps u < v.
+    def largeStar(cur: DataFrame): DataFrame = {
+      val bidir = cur.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(cur.select(col("v").as("a"), col("u").as("b")))
+      val m = bidir.groupBy(col("a"))
+        .agg(min(col("b")).as("mb"))
+        .select(col("a"), least(col("mb"), col("a")).as("m"))
+      bidir.join(m, "a")
+        .where(col("b") > col("a"))
+        .select(col("m").as("u"), col("b").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // small-star on the canonical frame: group by the LARGER endpoint
+    // v — its strictly-smaller neighbors are exactly the u's; connect
+    // them (and v) to their minimum.
+    def smallStar(cur: DataFrame): DataFrame = {
+      val m = cur.groupBy(col("v")).agg(min(col("u")).as("m"))
+      val withM = cur.join(m, "v")
+      withM.select(col("m").as("u"), col("v"))
+        .unionByName(withM.where(col("u") =!= col("m"))
+          .select(col("m").as("u"), col("u").as("v")))
+        .distinct()
+    }
+
+    val maxRounds = 60
+    var rounds = 0
+    var changed = e.count() > 0
+    while (changed && rounds < maxRounds) {
+      val next = graft.Checkpoints.cut(smallStar(largeStar(e)))
+      // contraction converges when the edge set stabilizes; except()
+      // runs over the already-contracted (small) frames
+      changed = next.exceptAll(e).limit(1).count() > 0 ||
+        e.exceptAll(next).limit(1).count() > 0
+      e = next
+      rounds += 1
+    }
+    if (changed)
+      throw new IllegalStateException(
+        s"star contraction did not converge in $maxRounds rounds")
+    starRounds = rounds
+    val members = e.select(col("v").as("doc_id"), col("u").as("lab"))
+      .unionByName(e.select(col("u").as("doc_id"), col("u").as("lab")))
+      .distinct()
+    val isolated = allDocs
+      .join(members, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("lab"))
+    members.unionByName(isolated)
+      .select(col("doc_id"), col("lab").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Round count of the last clusterStarFrom/clusterFrom run in this
+    * JVM — diagnostic only (specs pin the round-complexity claims). */
+  @volatile private[graft] var starRounds: Int = -1
+  @volatile private[graft] var hashMinRounds: Int = -1
 
   /** §2#202 CLUSTER-SIZE HISTOGRAM — "how big are my dup families":
     * per cluster size, how many clusters and how much document mass
