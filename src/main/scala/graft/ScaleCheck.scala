@@ -205,7 +205,16 @@ object ScaleCheck {
       "pipeline_funnel" -> ((s: SparkSession, d: String, _: Int) =>
         graft.operators.Pipeline.curationFunnel(s, d)),
       "q_asof_nearest" -> ((s: SparkSession, d: String, _: Int) =>
-        graft.operators.Temporal.asofNearest(s, d)))
+        graft.operators.Temporal.asofNearest(s, d)),
+      // r11: the bench's heavy five, decade-proofed. robust_stats is
+      // three combinable agg passes over K× lineitem (scan-speed band);
+      // recall_report pays truth + all four rungs per rep (memos
+      // invalidated) — its growth is the SUM of the rung bands, which
+      // are each ~K× at fixed bits/cells
+      "q_robust_stats" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.qRobustStats(s, d)),
+      "ann_recall_report" -> ((s: SparkSession, d: String, _: Int) =>
+        Similarity.recallReport(s, d)))
 
     // SPARK_GRAFT_OPS=a,b,c restricts the run (default: everything) —
     // lets a round re-measure just its new ops without paying for the
@@ -295,5 +304,15 @@ object ScaleCheck {
     }.reduce(_ unionAll _)
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    // lineitem (r11, for q_robust_stats): orderkey shifted per copy,
+    // measures verbatim — per-group row counts grow K× at constant
+    // group count (3 returnflags), the map-side-combine stress shape
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    (0 until copies).map { i =>
+      li.withColumn("l_orderkey",
+        col("l_orderkey") + lit(i.toLong * 100000000L))
+    }.reduce(_ unionAll _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
   }
 }

@@ -55,6 +55,7 @@ object SparkEntry {
     "ts_sliding_distinct" -> (TimeSeries.slidingDistinct _),
     "dedup_cluster" -> (Dedup.cluster _),
     "dedup_cluster_star" -> (Dedup.clusterStar _),
+    "text_classifier_score" -> (TextAnalysis.classifierScore _),
     // §2.2 streaming analytics (batch twins)
     "stream_window_agg" -> (StreamOps.windowAgg _),
     "stream_sliding_agg" -> (StreamOps.slidingAgg _),
@@ -456,6 +457,28 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(1 AS BIGINT) AS est_ok
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // same weight formula on both engines: md5-60bit → 2^15 bucket →
+    // Knuth multiply, double mod → [0,2000]; nonnegative fold keeps
+    // integer division floor ≡ truncation across engines
+    "text_classifier_score" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, len(toks) AS n_tokens,
+        |  list_sum(list_transform(toks, tk ->
+        |    ((('0x' || substr(md5(tk), 1, 15))::BIGINT % 32768)
+        |      * 2654435761) % 1000003 % 2001)) AS sum_w
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(sum_w // greatest(n_tokens, 1) - 1000 AS BIGINT) AS score_pm,
+        |  CAST(CASE WHEN sum_w // greatest(n_tokens, 1) >= 1000
+        |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_quantiles_approx" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(1 AS BIGINT) AS p50_ok, CAST(1 AS BIGINT) AS p90_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_hll_union" ->
       """SELECT event_type,

@@ -288,11 +288,15 @@ object Analytics {
   /** §2#60 the 100 TB twin of qQuantiles: `approx_percentile` with
     * accuracy 10000 (error <= 0.01% of rank). Constant-memory sketch per
     * group, partial-agg mergeable — per-group state no longer scales
-    * with group size. Engine-specific estimate → rows-only driver
-    * check; the spec asserts the rank-error bound against the exact
-    * percentiles. */
-  def qQuantilesApprox(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
+    * with group size. The sketch values are engine-specific, so the sql
+    * gate carries the exact count bit-exact plus p50_ok/p90_ok accuracy
+    * bits (estimate within ±1% of the EXACT percentile, itself computed
+    * in-plan by the scalable histogram-compaction path — a ~100×-wide
+    * band over the sketch's rank-error guarantee on this value
+    * distribution); the spec still asserts the tight bound on raw
+    * values. */
+  def qQuantilesApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val approx = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       // ONE sketch per group serving both percentiles — two separate
       // approx_percentile agg expressions would each build their own
@@ -302,10 +306,20 @@ object Analytics {
           array(lit(0.5), lit(0.9)), lit(10000)).as("pcts"),
         count(lit(1)).as("n"))
       .select(col("l_returnflag"),
-        round(element_at(col("pcts"), 1) * 100).cast("long").as("p50_price_c"),
-        round(element_at(col("pcts"), 2) * 100).cast("long").as("p90_price_c"),
+        round(element_at(col("pcts"), 1) * 100).cast("long").as("ap50"),
+        round(element_at(col("pcts"), 2) * 100).cast("long").as("ap90"),
         col("n"))
+    val exact = qQuantilesSortRank(spark, sfDir)
+      .select(col("l_returnflag"), col("p50_price_c").as("ep50"),
+        col("p90_price_c").as("ep90"))
+    def ok(a: Column, e: Column) =
+      when(abs(a - e) * lit(1000L) <= lit(10L) * e, 1L).otherwise(0L)
+    approx.join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("n"),
+        ok(col("ap50"), col("ep50")).as("p50_ok"),
+        ok(col("ap90"), col("ep90")).as("p90_ok"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** §2#41 sketch aggregate: HyperLogLog++ approximate distinct users
     * per event_type next to the exact count. The sketch estimate is

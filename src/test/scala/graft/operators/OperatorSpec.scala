@@ -604,9 +604,24 @@ class OperatorSpec extends SparkSuite {
   }
 
   test("q_quantiles_approx tracks the exact percentiles within the sketch error bound") {
+    // gated output: (l_returnflag, n, p50_ok, p90_ok) — every ok bit 1
+    val gated = Analytics.qQuantilesApprox(spark, sf).collect()
+    assert(gated.nonEmpty)
+    gated.foreach { r =>
+      assert(r.getLong(2) === 1L && r.getLong(3) === 1L,
+        s"${r.getString(0)}: accuracy bit 0")
+    }
+    // raw sketch values recomputed here; tight 2%-band vs exact
     val exact = Analytics.qQuantiles(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val approx = Analytics.qQuantilesApprox(spark, sf).collect()
+    val approx = graft.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_percentile(col("l_extendedprice"),
+        array(lit(0.5), lit(0.9)), lit(10000)).as("pcts"))
+      .select(col("l_returnflag"),
+        round(element_at(col("pcts"), 1) * 100).cast("long"),
+        round(element_at(col("pcts"), 2) * 100).cast("long"))
+      .collect()
     assert(approx.length === exact.size)
     approx.foreach { r =>
       val (p50, p90) = exact(r.getString(0))
@@ -745,5 +760,24 @@ class OperatorSpec extends SparkSuite {
       }.map(_.getLong(0)).toSet
     assert(sampled.map(_.getLong(0)).toSet === want)
     assert(sampled.nonEmpty)
+  }
+
+  test("text_classifier_score: bounded scores, consistent keep bit, non-degenerate") {
+    val rows = TextAnalysis.classifierScore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, n, score, keep) =>
+      assert(n > 0, s"doc $d empty token array")
+      assert(score >= -1000L && score <= 1000L, s"doc $d score $score out of band")
+      assert(keep === (if (score >= 0L) 1L else 0L), s"doc $d keep/score mismatch")
+    }
+    // hashed pseudo-weights must spread: a constant score column would
+    // mean the bucket→weight map collapsed
+    assert(rows.map(_._3).distinct.length > 10)
+    assert(rows.exists(_._4 === 1L) && rows.exists(_._4 === 0L))
+    // deterministic rerun
+    val again = TextAnalysis.classifierScore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq === rows.toSeq)
   }
 }
