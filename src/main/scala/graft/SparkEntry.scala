@@ -33,6 +33,7 @@ object SparkEntry {
     "cdc_compact_tombstones" -> (Changefeed.compactTombstones _),
     "cdc_payload_parse" -> (Changefeed.payloadParse _),
     "cdc_lag" -> (Changefeed.lagReport _),
+    "cdc_incremental_view" -> (Changefeed.incrementalView _),
     "cdc_resolved_batches" -> (Changefeed.resolvedBatches _),
     "cdc_table_router" -> (Changefeed.tableRouter _),
     "cdc_fan_in" -> ((s: SparkSession, d: String) => Changefeed.fanIn(s, d)),
@@ -356,7 +357,7 @@ object SparkEntry {
       | FROM ev)
       |SELECT user_id, event_id AS purchase_id, us AS purchase_us,
       |  last_click_id, last_click_us, us - last_click_us AS gap_us,
-      |  CASE WHEN last_click_id IS NOT NULL THEN 1 ELSE 0 END AS attributed
+      |  CAST(CASE WHEN last_click_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS attributed
       |FROM w WHERE event_type='purchase'
       |ORDER BY purchase_id""".stripMargin
 
@@ -457,6 +458,25 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(1 AS BIGINT) AS est_ok
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // IVM ledger: per-PK lag gives each change's superseded value; the
+    // running view is a prefix sum over the batch×type ledger — all
+    // integer, both engines
+    "cdc_incremental_view" ->
+      s"""WITH v AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+         |  ${cents("value")} AS c FROM events),
+         |l AS (SELECT *, lag(c) OVER (PARTITION BY user_id, event_type
+         |  ORDER BY us, event_id) AS prev_c FROM v),
+         |d AS (SELECT us - us % 3600000000 + 3600000000 AS batch_us, event_type,
+         |  CASE WHEN prev_c IS NULL THEN 1 ELSE 0 END AS dc,
+         |  c - coalesce(prev_c, 0) AS ds FROM l),
+         |b AS (SELECT batch_us, event_type, CAST(sum(dc) AS BIGINT) AS d_count,
+         |  CAST(sum(ds) AS BIGINT) AS d_sum_c FROM d GROUP BY 1, 2)
+         |SELECT CAST(batch_us AS BIGINT) AS batch_us, event_type, d_count, d_sum_c,
+         |  CAST(sum(d_count) OVER w AS BIGINT) AS view_count,
+         |  CAST(sum(d_sum_c) OVER w AS BIGINT) AS view_sum_c
+         |FROM b WINDOW w AS (PARTITION BY event_type ORDER BY batch_us)
+         |ORDER BY event_type, batch_us""".stripMargin,
 
     // same weight formula on both engines: md5-60bit → 2^15 bucket →
     // Knuth multiply, double mod → [0,2000]; nonnegative fold keeps
@@ -951,7 +971,7 @@ object SparkEntry {
 
     "q_semi_anti" ->
       """WITH ok AS (SELECT DISTINCT o_custkey FROM orders)
-        |SELECT c_nationkey,
+        |SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
         |  CAST(sum(CASE WHEN ok.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
         |  CAST(sum(CASE WHEN ok.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders
         |FROM customer c LEFT JOIN ok ON c.c_custkey = ok.o_custkey
@@ -2154,7 +2174,7 @@ object SparkEntry {
         |       ELSE '' END AS first_fail
         |FROM m)
         |SELECT doc_id, n_tokens, mean_word_len_pm, alpha_pm, n_stop, dup_3gram_pm,
-        |  first_fail, CASE WHEN first_fail = '' THEN 1 ELSE 0 END AS keep
+        |  first_fail, CAST(CASE WHEN first_fail = '' THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM v ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->

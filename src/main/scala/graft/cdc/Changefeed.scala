@@ -216,6 +216,50 @@ object Changefeed {
       .orderBy(col("window_end_us"))
   }
 
+  /** §2#211 INCREMENTAL VIEW MAINTENANCE over the changefeed — the
+    * materialized-aggregate consumer every CDC pipeline eventually
+    * builds (the Materialize/Flink-SQL shape): maintain
+    * `SELECT event_type, count(*), sum(value) FROM latest-state GROUP
+    * BY event_type` WITHOUT re-reading state, by folding each change's
+    * DELTA into the view. A change that creates its PK contributes
+    * (+1, +value); one that supersedes a prior version contributes
+    * (0, value_new − value_old) — the old value is the PK's previous
+    * version in the log (one lag over the PK partition). Deltas
+    * aggregate per resolved batch (the same cadence-aligned window
+    * assignment as [[resolvedBatches]]), and the running view is a
+    * prefix sum over the |batches|×|types| ledger.
+    *
+    * Why it matters at 100 TB: the naive alternative recomputes the
+    * aggregate from compacted state per checkpoint — a full state scan
+    * per batch. The IVM path touches each change exactly once: one
+    * PK-partitioned lag (co-locatable with the feed's key
+    * partitioning), one map-side-combinable delta agg, and a window
+    * over the tiny ledger frame. The final ledger row per type equals
+    * the from-scratch aggregate over [[compact]] — pinned by spec AND
+    * by the DuckDB oracle hash. */
+  def incrementalView(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = defaultResolvedFrequencyUs
+    val pkw = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    val deltas = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"), cents(col("value")).as("c"))
+      .withColumn("prev_c", lag(col("c"), 1).over(pkw))
+      .select(
+        (col("us") - pmod(col("us"), lit(f)) + lit(f)).as("batch_us"),
+        col("event_type"),
+        when(col("prev_c").isNull, 1L).otherwise(0L).as("dc"),
+        (col("c") - coalesce(col("prev_c"), lit(0L))).as("ds"))
+      .groupBy(col("batch_us"), col("event_type"))
+      .agg(sum(col("dc")).as("d_count"), sum(col("ds")).as("d_sum_c"))
+    val runw = Window.partitionBy(col("event_type")).orderBy(col("batch_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("view_count", sum(col("d_count")).over(runw))
+      .withColumn("view_sum_c", sum(col("d_sum_c")).over(runw))
+      .orderBy(col("event_type"), col("batch_us"))
+  }
+
   /** §2#109 relay lag report — the monitoring query an operator of the
     * reference would run: per queue partition, the last PUBLISHED
     * change timestamp vs the latest RESOLVED cursor; the gap is how far

@@ -960,7 +960,7 @@ object Analytics {
     val withoutO = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_without_orders"))
     withO.join(withoutO, Seq("c_nationkey"), "full_outer")
-      .select(col("c_nationkey"),
+      .select(col("c_nationkey").cast("long").as("c_nationkey"),
         coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
         coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
       .orderBy(col("c_nationkey"))

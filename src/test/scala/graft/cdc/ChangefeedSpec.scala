@@ -60,4 +60,39 @@ class ChangefeedSpec extends SparkSuite {
     val keys = rows.map(_.getString(1)).toSet
     assert(keys.contains("event_id") && keys.contains("value_cents"))
   }
+
+  test("incremental view: final ledger row equals a from-scratch aggregate of compacted state") {
+    // the whole point of IVM — delta-folding must land exactly where a
+    // full recompute over latest-per-PK state lands
+    val ledger = Changefeed.incrementalView(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(ledger.nonEmpty)
+    val finalPerType = ledger.groupBy(_._1).view
+      .mapValues(rows => rows.maxBy(_._2)).toMap
+    val scratch = Changefeed.compact(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("event_type"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("last_value_cents")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(finalPerType.keySet === scratch.keySet)
+    finalPerType.foreach { case (t, (_, _, _, _, viewCount, viewSum)) =>
+      val (n, s) = scratch(t)
+      assert(viewCount === n, s"$t: IVM count $viewCount vs scratch $n")
+      assert(viewSum === s, s"$t: IVM sum $viewSum vs scratch $s")
+    }
+    // deltas are consistent: per type, running view == prefix-sum of deltas
+    ledger.groupBy(_._1).foreach { case (t, rows) =>
+      val ordered = rows.sortBy(_._2)
+      val (cs, ss) = ordered.foldLeft((0L, 0L)) { case ((c, s), r) =>
+        val (nc, ns) = (c + r._3, s + r._4)
+        assert(r._5 === nc && r._6 === ns, s"$t batch ${r._2} prefix mismatch")
+        (nc, ns)
+      }
+      assert(cs > 0L, s"$t: no inserts?")
+      (cs, ss)
+    }
+  }
 }

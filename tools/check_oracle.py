@@ -34,6 +34,19 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # Pre-flight dtype guard: every oracle output column must be
+    # BIGINT or VARCHAR (repo rule — HUGEINT window sums and floats are
+    # exactly the class that hash-diverges across DuckDB versions, see
+    # the r10 q_decile_lift incident). Warning, not failure: the
+    # driver's gate doesn't run this file, so this is our tripwire.
+    for name, sql in sorted(oracle.items()):
+        try:
+            desc = con.execute(f"DESCRIBE SELECT * FROM ({sql})").fetchall()
+            odd = [(r[0], r[1]) for r in desc if r[1] not in ("BIGINT", "VARCHAR")]
+            if odd:
+                print(f"DTYPE {name}: non-BIGINT/VARCHAR oracle columns {odd}")
+        except Exception:
+            pass  # the main loop reports oracle errors properly
     for name, sql in sorted(oracle.items()):
         try:
             res = con.execute(sql)
