@@ -57,6 +57,7 @@ object SparkEntry {
     "dedup_cluster" -> (Dedup.cluster _),
     "dedup_cluster_star" -> (Dedup.clusterStar _),
     "text_classifier_score" -> (TextAnalysis.classifierScore _),
+    "text_substring_dedup" -> ((s, d) => TextAnalysis.substringDedup(s, d)),
     // §2.2 streaming analytics (batch twins)
     "stream_window_agg" -> (StreamOps.windowAgg _),
     "stream_sliding_agg" -> (StreamOps.slidingAgg _),
@@ -477,6 +478,37 @@ object SparkEntry {
          |  CAST(sum(d_sum_c) OVER w AS BIGINT) AS view_sum_c
          |FROM b WINDOW w AS (PARTITION BY event_type ORDER BY batch_us)
          |ORDER BY event_type, batch_us""".stripMargin,
+
+    // duplicated-span detection: identical per-token md5-60bit hashes
+    // + length-8 polynomial window hashes mod 2^31 on both engines;
+    // the interval union is a lead() over each doc's dup window starts
+    "text_substring_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id, len(toks) AS n,
+        |  list_transform(toks,
+        |    tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT % 2147483648) AS hs
+        |  FROM t),
+        |wi AS (SELECT doc_id, n,
+        |  unnest(CASE WHEN n >= 8
+        |    THEN generate_series(1, CAST(n AS INT) - 7) ELSE [] END) AS i
+        |  FROM b),
+        |wh AS (SELECT w.doc_id, w.i,
+        |  list_reduce(list_prepend(0, b.hs[w.i:w.i+7]),
+        |    (a, h) -> (a * 1000003 + h) % 2147483648) AS h
+        |  FROM wi w JOIN b ON b.doc_id = w.doc_id),
+        |dup AS (SELECT h FROM wh GROUP BY h HAVING count(*) >= 2),
+        |d AS (SELECT doc_id, i FROM wh WHERE h IN (SELECT h FROM dup)),
+        |c AS (SELECT doc_id, least(8, coalesce(
+        |    lead(i) OVER (PARTITION BY doc_id ORDER BY i) - i, 8)) AS contrib
+        |  FROM d),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+        |  CAST(sum(contrib) AS BIGINT) AS dup_tokens FROM c GROUP BY 1)
+        |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+        |  coalesce(agg.n_dup_windows, 0) AS n_dup_windows,
+        |  coalesce(agg.dup_tokens, 0) AS dup_tokens,
+        |  CAST(coalesce(agg.dup_tokens, 0) * 1000 // greatest(b.n, 1) AS BIGINT) AS dup_pm
+        |FROM b LEFT JOIN agg USING (doc_id) ORDER BY b.doc_id""".stripMargin,
 
     // same weight formula on both engines: md5-60bit → 2^15 bucket →
     // Knuth multiply, double mod → [0,2000]; nonnegative fold keeps

@@ -435,6 +435,67 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** §2#214 DUPLICATED-SUBSTRING SPAN DETECTION — the corpus-wide
+    * repeated-span pass of Lee et al. 2022 ("Deduplicating Training
+    * Data Makes Language Models Better", ExactSubstr): every length-w
+    * token window that occurs ≥ 2 times ANYWHERE in the corpus
+    * (including inside the same document) marks its span duplicated;
+    * per document, report how many windows and how many TOKENS sit in
+    * duplicated spans (overlapping windows union via interval
+    * merging, not double-counted). This is the span-level complement
+    * of doc-level dedup: boilerplate headers, license blocks, and
+    * templated paragraphs light up here even when no whole document
+    * duplicates.
+    *
+    * Shape: per-token md5-60bit hashes once per doc, then length-w
+    * polynomial window hashes (integer mod 2^31 — identical math in
+    * the DuckDB oracle; the published suffix-array formulation is
+    * sequential, the fixed-w rolling-hash formulation is its
+    * distributed equivalent). One explode to |corpus|·w-window rows of
+    * LONGS (never strings), one map-side-combinable occurrence count,
+    * one doc-keyed window for the interval union. 2^31 hash space
+    * means ~1-in-2^31 window-pair collisions — deterministic and
+    * engine-identical, documented rather than hidden. */
+  def substringDedup(spark: SparkSession, sfDir: String, w: Int = 8): DataFrame =
+    substringDedupOf(Tables.documentsPar(spark, sfDir), w)
+
+  /** [[substringDedup]] over any (doc_id, text) frame. */
+  def substringDedupOf(docs: DataFrame, w: Int): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens: $w")
+    val m = 1L << 31
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("hs", expr(
+        s"transform(toks, t -> pmod(CAST(conv(substring(md5(t),1,15),16,10) AS BIGINT), ${m}L))"))
+      .withColumn("whs", expr(
+        s"""CASE WHEN n >= $w THEN
+           |  transform(sequence(1L, n - ${w - 1}L),
+           |    i -> aggregate(slice(hs, CAST(i AS INT), $w), 0L,
+           |      (a, h) -> pmod(a * 1000003L + h, ${m}L)))
+           |ELSE array() END""".stripMargin))
+      .select(col("doc_id"), col("n"), col("whs"))
+      .localCheckpoint(true) // window hashes feed BOTH the count and the join
+    val win = base
+      .select(col("doc_id"), posexplode(col("whs")).as(Seq("p", "wh")))
+    val dup = win.groupBy(col("wh")).agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= 2L).select(col("wh"))
+    val dw = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val contrib = win.join(dup, "wh")
+      .withColumn("contrib",
+        least(lit(w.toLong),
+          coalesce(lead(col("p"), 1).over(dw) - col("p"), lit(w.toLong))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_windows"), sum(col("contrib")).as("dup_tokens"))
+    base.select(col("doc_id"), col("n"))
+      .join(contrib, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_pm", expr("dup_tokens * 1000 div greatest(n_tokens, 1)"))
+      .orderBy(col("doc_id"))
+  }
+
   /** §2#210 HASHED-FEATURE LINEAR CLASSIFIER INFERENCE — the
     * fastText-style quality-classifier serving pass every curation
     * pipeline runs over its full corpus (the CCNet/LLaMA wiki-ref

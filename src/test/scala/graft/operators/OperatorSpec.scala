@@ -762,6 +762,33 @@ class OperatorSpec extends SparkSuite {
     assert(sampled.nonEmpty)
   }
 
+  test("text_substring_dedup: planted shared + within-doc spans, clean doc at zero") {
+    import spark.implicits._
+    val span = (1 to 8).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma delta"),          // shares span with doc 2
+      (2L, s"$span completely different tail here"),  // shares span with doc 1
+      (3L, "unique words only nothing repeated anywhere at all ever"),
+      (4L, s"$span and again $span")                  // within-doc repetition
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.substringDedupOf(docs, 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(rows(3) === ((9L, 0L, 0L, 0L)), "clean doc must report zero")
+    // docs 1, 2, 4 all contain the planted span → marked
+    Seq(1L, 2L, 4L).foreach { d =>
+      assert(rows(d)._2 >= 1L, s"doc $d: no dup windows found")
+      assert(rows(d)._3 >= 8L, s"doc $d: dup span shorter than the window")
+    }
+    // interval union never exceeds the doc
+    rows.foreach { case (d, (n, _, dupToks, pm)) =>
+      assert(dupToks <= n, s"doc $d: union $dupToks > $n tokens")
+      assert(pm === dupToks * 1000 / math.max(n, 1), s"doc $d: pm mismatch")
+    }
+    // within-doc repetition specifically: doc 4's two copies both covered
+    assert(rows(4L)._3 >= 16L, "doc 4: both span copies must be covered")
+  }
+
   test("text_classifier_score: bounded scores, consistent keep bit, non-degenerate") {
     val rows = TextAnalysis.classifierScore(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
