@@ -58,6 +58,7 @@ object SparkEntry {
     "dedup_cluster_star" -> (Dedup.clusterStar _),
     "text_classifier_score" -> (TextAnalysis.classifierScore _),
     "text_substring_dedup" -> ((s, d) => TextAnalysis.substringDedup(s, d)),
+    "text_substring_scrub" -> ((s, d) => TextAnalysis.substringScrub(s, d)),
     // §2.2 streaming analytics (batch twins)
     "stream_window_agg" -> (StreamOps.windowAgg _),
     "stream_sliding_agg" -> (StreamOps.slidingAgg _),
@@ -509,6 +510,37 @@ object SparkEntry {
         |  coalesce(agg.dup_tokens, 0) AS dup_tokens,
         |  CAST(coalesce(agg.dup_tokens, 0) * 1000 // greatest(b.n, 1) AS BIGINT) AS dup_pm
         |FROM b LEFT JOIN agg USING (doc_id) ORDER BY b.doc_id""".stripMargin,
+
+    // the removal half: keep token j iff no duplicated window start s
+    // covers it (DuckDB lambdas index 1-based, matching wi's i)
+    "text_substring_scrub" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks, len(toks) AS n,
+        |  list_transform(toks,
+        |    tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT % 2147483648) AS hs
+        |  FROM t),
+        |wi AS (SELECT doc_id, n,
+        |  unnest(CASE WHEN n >= 8
+        |    THEN generate_series(1, CAST(n AS INT) - 7) ELSE [] END) AS i
+        |  FROM b),
+        |wh AS (SELECT w.doc_id, w.i,
+        |  list_reduce(list_prepend(0, b.hs[w.i:w.i+7]),
+        |    (a, h) -> (a * 1000003 + h) % 2147483648) AS h
+        |  FROM wi w JOIN b ON b.doc_id = w.doc_id),
+        |dup AS (SELECT h FROM wh GROUP BY h HAVING count(*) >= 2),
+        |d AS (SELECT doc_id, i FROM wh WHERE h IN (SELECT h FROM dup)),
+        |st AS (SELECT doc_id, list_sort(list(i)) AS starts FROM d GROUP BY 1),
+        |k AS (SELECT b.doc_id, b.n,
+        |  CASE WHEN st.starts IS NULL THEN b.toks
+        |       ELSE list_filter(b.toks, (x, j) ->
+        |         len(list_filter(st.starts, s -> j >= s AND j <= s + 7)) = 0)
+        |  END AS kept
+        |  FROM b LEFT JOIN st USING (doc_id))
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  coalesce(array_to_string(kept, ' '), '') AS scrubbed_text
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     // same weight formula on both engines: md5-60bit → 2^15 bucket →
     // Knuth multiply, double mod → [0,2000]; nonnegative fold keeps

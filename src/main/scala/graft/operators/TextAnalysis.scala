@@ -459,11 +459,14 @@ object TextAnalysis {
   def substringDedup(spark: SparkSession, sfDir: String, w: Int = 8): DataFrame =
     substringDedupOf(Tables.documentsPar(spark, sfDir), w)
 
-  /** [[substringDedup]] over any (doc_id, text) frame. */
-  def substringDedupOf(docs: DataFrame, w: Int): DataFrame = {
+  /** Shared stage of [[substringDedupOf]]/[[substringScrubOf]]:
+    * (doc_id, toks, n, whs) with the length-w polynomial window
+    * hashes, checkpointed once — the occurrence count and the
+    * doc-side join both read it. */
+  private def windowHashFrame(docs: DataFrame, w: Int): DataFrame = {
     require(w >= 2, s"window must be >= 2 tokens: $w")
     val m = 1L << 31
-    val base = docs
+    docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
       .withColumn("hs", expr(
@@ -474,14 +477,24 @@ object TextAnalysis {
            |    i -> aggregate(slice(hs, CAST(i AS INT), $w), 0L,
            |      (a, h) -> pmod(a * 1000003L + h, ${m}L)))
            |ELSE array() END""".stripMargin))
-      .select(col("doc_id"), col("n"), col("whs"))
-      .localCheckpoint(true) // window hashes feed BOTH the count and the join
+      .select(col("doc_id"), col("toks"), col("n"), col("whs"))
+      .localCheckpoint(true)
+  }
+
+  /** 0-based window starts of corpus-duplicated windows, per doc. */
+  private def dupWindows(base: DataFrame): DataFrame = {
     val win = base
       .select(col("doc_id"), posexplode(col("whs")).as(Seq("p", "wh")))
     val dup = win.groupBy(col("wh")).agg(count(lit(1)).as("occ"))
       .where(col("occ") >= 2L).select(col("wh"))
+    win.join(dup, "wh").select(col("doc_id"), col("p"))
+  }
+
+  /** [[substringDedup]] over any (doc_id, text) frame. */
+  def substringDedupOf(docs: DataFrame, w: Int): DataFrame = {
+    val base = windowHashFrame(docs, w)
     val dw = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-    val contrib = win.join(dup, "wh")
+    val contrib = dupWindows(base)
       .withColumn("contrib",
         least(lit(w.toLong),
           coalesce(lead(col("p"), 1).over(dw) - col("p"), lit(w.toLong))))
@@ -493,6 +506,34 @@ object TextAnalysis {
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
       .withColumn("dup_pm", expr("dup_tokens * 1000 div greatest(n_tokens, 1)"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** §2#215 DUPLICATED-SPAN SCRUB — the REMOVAL half of the Lee et al.
+    * recipe ([[substringDedup]] detects; this emits the cleaned
+    * corpus): tokens under any corpus-duplicated length-w window are
+    * dropped, the survivors re-join into the scrubbed text. Per-doc
+    * dup starts collect into ONE bounded array (≤ n windows), then the
+    * keep test is a codegen'd indexed filter — token i survives iff no
+    * dup window covers it. Same hash machinery, same oracle math. */
+  def substringScrub(spark: SparkSession, sfDir: String, w: Int = 8): DataFrame =
+    substringScrubOf(Tables.documentsPar(spark, sfDir), w)
+
+  /** [[substringScrub]] over any (doc_id, text) frame. */
+  def substringScrubOf(docs: DataFrame, w: Int): DataFrame = {
+    val base = windowHashFrame(docs, w)
+    val starts = dupWindows(base)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("p"))).as("starts"))
+    base.join(starts, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        s"""CASE WHEN starts IS NULL THEN toks ELSE
+           |  filter(toks, (x, i) ->
+           |    NOT exists(starts, s -> i >= s AND i <= s + ${w - 1}))
+           |END""".stripMargin))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("scrubbed_text"))
       .orderBy(col("doc_id"))
   }
 

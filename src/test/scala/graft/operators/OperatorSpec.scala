@@ -787,6 +787,21 @@ class OperatorSpec extends SparkSuite {
     }
     // within-doc repetition specifically: doc 4's two copies both covered
     assert(rows(4L)._3 >= 16L, "doc 4: both span copies must be covered")
+
+    // the scrub is the exact complement of the detection: per doc,
+    // kept = total − union-covered, and clean docs pass through intact
+    val scrub = TextAnalysis.substringScrubOf(docs, 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    rows.foreach { case (d, (n, _, dupToks, _)) =>
+      val (sn, kept, _) = scrub(d)
+      assert(sn === n)
+      assert(kept === n - dupToks, s"doc $d: kept $kept != $n - $dupToks")
+    }
+    assert(scrub(3L)._3 === "unique words only nothing repeated anywhere at all ever")
+    assert(!scrub(1L)._3.contains("shared1"), "doc 1 must lose the planted span")
+    assert(scrub(1L)._3.contains("alpha") && scrub(1L)._3.contains("delta"),
+      "doc 1 must keep its unique tokens")
   }
 
   test("text_classifier_score: bounded scores, consistent keep bit, non-degenerate") {
