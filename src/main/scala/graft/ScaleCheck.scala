@@ -214,7 +214,23 @@ object ScaleCheck {
       "q_robust_stats" -> ((s: SparkSession, d: String, _: Int) =>
         Analytics.qRobustStats(s, d)),
       "ann_recall_report" -> ((s: SparkSession, d: String, _: Int) =>
-        Similarity.recallReport(s, d)))
+        Similarity.recallReport(s, d)),
+      // r11 additions. cluster_star's rounds are O(log n) — with n
+      // growing 10× the round count grows by ~3 fixed-cost rounds, so
+      // expect the dedup-family band plus a small constant.
+      // substring dedup/scrub: |corpus·w| long-hash explode + one
+      // occurrence count — the df-join band. classifier: pure narrow
+      // fold, scan-speed band. IVM: one PK shuffle + tiny ledger.
+      "dedup_cluster_star" -> ((s: SparkSession, d: String, _: Int) =>
+        Dedup.clusterStar(s, d)),
+      "text_substring_dedup" -> ((s: SparkSession, d: String, _: Int) =>
+        TextAnalysis.substringDedup(s, d)),
+      "text_substring_scrub" -> ((s: SparkSession, d: String, _: Int) =>
+        TextAnalysis.substringScrub(s, d)),
+      "text_classifier_score" -> ((s: SparkSession, d: String, _: Int) =>
+        TextAnalysis.classifierScore(s, d)),
+      "cdc_incremental_view" -> ((s: SparkSession, d: String, _: Int) =>
+        Changefeed.incrementalView(s, d)))
 
     // SPARK_GRAFT_OPS=a,b,c restricts the run (default: everything) —
     // lets a round re-measure just its new ops without paying for the
