@@ -184,6 +184,8 @@ object SparkEntry {
     "text_rarity" -> (TextAnalysis.rarity _),
     "text_chunk_dedup" -> ((s: SparkSession, d: String) => TextAnalysis.chunkDedup(s, d)),
     "text_bpe_pairs" -> (TextAnalysis.bpePairs _),
+    "text_bpe_train" -> ((s: SparkSession, d: String) => TextAnalysis.bpeTrain(s, d)),
+    "text_bpe_encode" -> ((s: SparkSession, d: String) => TextAnalysis.bpeEncode(s, d)),
     "text_gopher_rules" -> (TextAnalysis.gopherRules _),
     "text_compression_ratio" -> (TextAnalysis.compressionRatio _),
     "sample_weighted" -> ((s: SparkSession, d: String) => Sampling.sampleWeighted(s, d)),
@@ -260,6 +262,36 @@ object SparkEntry {
        |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
        |ed AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs)""".stripMargin
+
+  /** text_bpe_train/_encode oracle CTE chain: the engine's k BPE merge
+    * rounds unrolled — w0 is the word-frequency vocab in the double-
+    * spaced symbol encoding; each round counts adjacent pairs, picks
+    * the argmax under (cnt DESC, x, y), and applies the SAME literal
+    * replace the engine uses (both engines scan the original left to
+    * right and continue after each match — exact greedy). Lines carry
+    * no `|` margin: the fragment is interpolated into stripMargin'd
+    * strings. */
+  private def bpeOracleCtes(k: Int, src: String): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""w0 AS MATERIALIZED (SELECT tok, n,
+'  ' || regexp_replace(tok, '(.)', '\\1  ', 'g') AS s FROM (
+SELECT tok, count(*) AS n FROM (
+SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM $src)
+GROUP BY 1))""")
+    for (r <- 1 to k) sb.append(
+      s""",
+p$r AS (SELECT pr.x AS x, pr.y AS y, sum(n) AS cnt FROM (
+SELECT n, unnest(list_transform(range(1, len(sy)),
+  i -> {'x': sy[i], 'y': sy[i+1]})) AS pr
+FROM (SELECT n, string_split(trim(s), '  ') AS sy FROM w${r - 1}))
+GROUP BY 1, 2),
+m$r AS MATERIALIZED (SELECT x, y, cnt FROM p$r ORDER BY cnt DESC, x, y LIMIT 1),
+w$r AS MATERIALIZED (SELECT tok, n,
+replace(s, ' ' || x || '  ' || y || ' ', ' ' || x || y || ' ') AS s
+FROM w${r - 1} CROSS JOIN m$r)""")
+    sb.toString
+  }
 
   /** graph_pagerank oracle: the engine's fixed-iteration ALL-INTEGER
     * PageRank unrolled — each round is one CTE (recursive CTEs can't
@@ -377,7 +409,109 @@ object SparkEntry {
       |FROM w WHERE event_type='purchase' AND last_click_id IS NOT NULL
       |ORDER BY purchase_id""".stripMargin
 
+  /** Corpus ∪ planted near-dup variants (doc_id+1e6, last 3 tokens
+    * dropped) — mirrors Dedup.corpusWithPlants; shared by the
+    * simhash/minhash/winnowing oracles. Lines deliberately carry no
+    * `|` margin: the fragment is interpolated into stripMargin'd
+    * strings. */
+  private val plantedCorpusSql: String =
+    """t0 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+c AS (SELECT doc_id, toks FROM t0 UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, toks[1:greatest(len(toks)-3,1)] AS toks
+      FROM t0 WHERE doc_id % 10 = 0)"""
+
+  /** Distinct md5-mod-2^31 3-shingle hashes per doc over a (doc_id,
+    * toks) CTE named `c` — mirrors Fns.shingleMd5Hashes(toks, 3). */
+  private def shingleHashCte(src: String): String =
+    s"""sh AS (SELECT DISTINCT doc_id,
+  ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483648 AS h
+  FROM (SELECT doc_id, unnest(list_transform(
+    range(1, greatest(len(toks) - 2, 1) + 1),
+    i -> array_to_string(toks[i:i+2], ' '))) AS s FROM $src))"""
+
+  /** The 96 MinHash permutation constants as a VALUES list — generated
+    * from the SAME Fns.minhashA/minhashB the engine uses, so the two
+    * sides cannot drift. */
+  private val minhashPermSql: String = (0 until 96)
+    .map(i => s"(${i}, ${graft.functions.Fns.minhashA(i)}, ${graft.functions.Fns.minhashB(i)})")
+    .mkString(", ")
+
+  /** MinHash signature + band-key CTEs over `sh` (expects `perm` too):
+    * per-(doc, i) permutation minima and per-band joined keys. */
+  private val minhashSigCtes: String =
+    """s AS MATERIALIZED (SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
+  FROM sh CROSS JOIN perm GROUP BY 1, 2),
+bnd AS (SELECT doc_id, i // 3 AS band,
+  string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bkey
+  FROM s GROUP BY 1, 2)"""
+
   def oracleSql: Map[String, String] = Map(
+    // r11b rows→sql upgrades: the md5+affine replayable hash family
+    // lets DuckDB recompute MinHash/SimHash/winnowing signatures
+    // bit-for-bit (see Fns.shingleMd5Hashes/affineHash/md5Hash60)
+    "dedup_simhash" ->
+      s"""WITH $plantedCorpusSql,
+         |tok AS (SELECT doc_id, unnest(toks) AS tk FROM c),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS hv FROM tok),
+         |v AS (SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS j) bits GROUP BY 1, 2),
+         |sig AS (SELECT doc_id,
+         |  CAST(sum(CASE WHEN vote > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS sig
+         |  FROM v GROUP BY 1)
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+         |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.sig, y.sig)) <= 8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH $plantedCorpusSql,
+         |${shingleHashCte("c")},
+         |perm AS (SELECT * FROM (VALUES $minhashPermSql) p(i, a, b)),
+         |$minhashSigCtes,
+         |pr AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bnd x JOIN bnd y
+         |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |eq AS (SELECT pr.doc_a, pr.doc_b, count(*) FILTER (WHERE sa.m = sb.m) AS neq
+         |  FROM pr JOIN s sa ON sa.doc_id = pr.doc_a
+         |  JOIN s sb ON sb.doc_id = pr.doc_b AND sb.i = sa.i GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(neq * 1000 // 96 AS BIGINT) AS est_jaccard_pm
+         |FROM eq WHERE neq * 1000 >= 48000 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_incremental_minhash" ->
+      s"""WITH t0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         |${shingleHashCte("t0")},
+         |perm AS (SELECT * FROM (VALUES $minhashPermSql) p(i, a, b)),
+         |$minhashSigCtes,
+         |cand AS (SELECT DISTINCT b.doc_id, e.doc_id AS matched
+         |  FROM bnd b JOIN bnd e ON b.band = e.band AND b.bkey = e.bkey
+         |  WHERE b.doc_id % 5 = 4 AND e.doc_id % 5 <> 4),
+         |eq AS (SELECT c.doc_id, c.matched, count(*) FILTER (WHERE sa.m = sb.m) AS neq
+         |  FROM cand c JOIN s sa ON sa.doc_id = c.doc_id
+         |  JOIN s sb ON sb.doc_id = c.matched AND sb.i = sa.i GROUP BY 1, 2),
+         |ver AS (SELECT doc_id, min(matched) AS matched_doc_id FROM eq
+         |  WHERE neq * 1000 >= 48000 GROUP BY 1)
+         |SELECT t0.doc_id,
+         |  CAST(CASE WHEN ver.matched_doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_near_dup,
+         |  COALESCE(ver.matched_doc_id, -1) AS matched_doc_id
+         |FROM t0 LEFT JOIN ver USING (doc_id) WHERE t0.doc_id % 5 = 4
+         |ORDER BY t0.doc_id""".stripMargin,
+
+    "dedup_winnowing" ->
+      s"""WITH $plantedCorpusSql,
+         |hs AS (SELECT doc_id, list_transform(
+         |    range(1, greatest(len(toks) - 3, 1) + 1),
+         |    i -> ('0x' || substr(md5(array_to_string(toks[i:i+3], ' ')), 1, 15))::BIGINT) AS hs
+         |  FROM c),
+         |fp AS (SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(hs) - 3, 1) + 1),
+         |    i -> list_min(hs[i:i+3]))) AS fp FROM hs),
+         |rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 128),
+         |pr AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp))
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM pr x JOIN pr y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY doc_a, doc_b""".stripMargin,
+
     // r11 rows→sql upgrades: the engine's fixed-iteration integer graph
     // ops replayed as unrolled CTE rounds
     "graph_pagerank" -> pagerankOracle(6),
@@ -1772,6 +1906,28 @@ object SparkEntry {
         |  FROM t WHERE len(tok) >= 2)
         |SELECT substr(tok, CAST(i AS INT), 2) AS pair, count(*) AS n
         |FROM i GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    // the full k-round trainer: unrolled merge CTEs (see bpeOracleCtes)
+    "text_bpe_train" -> {
+      val unions = (1 to 8).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, x AS left_sym, y AS right_sym, " +
+          s"x || y AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m$r")
+        .mkString("\nUNION ALL\n")
+      s"WITH ${bpeOracleCtes(8, "documents")}\n$unions\nORDER BY round"
+    },
+
+    "text_bpe_encode" ->
+      s"""WITH ${bpeOracleCtes(8, "documents")},
+v AS (SELECT tok, len(string_split(trim(s), '  ')) AS n_syms_tok,
+  length(tok) AS n_chars_tok FROM w8),
+d AS (SELECT doc_id,
+  unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(n_chars_tok) AS BIGINT) AS n_chars,
+  CAST(sum(n_syms_tok) AS BIGINT) AS n_syms,
+  CAST(sum(n_syms_tok) * 1000 // greatest(sum(n_chars_tok), 1) AS BIGINT)
+    AS syms_per_kchar
+FROM d JOIN v USING (tok) GROUP BY 1 ORDER BY d.doc_id""",
     "dedup_ngram_jaccard" ->
       s"""WITH $shCte
          |SELECT doc_a, doc_b, inter_n, union_n,

@@ -75,17 +75,59 @@ object Fns {
   /** Per-element seeded hash for MinHash: xxhash64(value, seed). The
     * k-wide signature itself is built as k codegen'd `min` aggregates
     * over exploded shingles (see Dedup.minhashLsh) — far faster than a
-    * per-row interpreted higher-order fold. */
+    * per-row interpreted higher-order fold. Kept for the STREAMING
+    * admission path (signatures never leave the in-state registry, so
+    * replayability buys nothing there); the batch MinHash family below
+    * is the oracle-replayable one. */
   def seededHash(c: Column, seed: Int): Column = xxhash64(c, lit(seed))
+
+  /** Top-60-bit md5 of a column as a positive BIGINT — the
+    * cross-engine-replayable hash basis (DuckDB:
+    * `('0x' || substr(md5(x),1,15))::BIGINT`), same construct as
+    * [[rollingFingerprint]]'s per-token hash. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast(LongType)
+
+  /** [[md5Hash60]] reduced mod 2^31 — small enough that an affine
+    * permutation `(a*h+b) mod p` stays far below 2^63 under ANSI. */
+  def md5Hash31(c: Column): Column = pmod(md5Hash60(c), lit(1L << 31))
+
+  /** Distinct md5-based hashes of the n-token shingle windows — the
+    * replayable sibling of [[shingleHashes]]: hashes the space-JOINED
+    * window string (md5 has no multi-arg form), values in [0, 2^31).
+    * ~10× the per-window hash cost of xxhash64 — used only where the
+    * hash VALUES shape the gated output (MinHash permutation mins);
+    * set-overlap ops keep the cheap opaque hashes. */
+  def shingleMd5Hashes(words: Column, n: Int): Column =
+    array_distinct(transform(shingleMd5HashesOrdered(words, n),
+      h => pmod(h, lit(1L << 31))))
+
+  /** POSITION-ORDERED md5 window hashes (no distinct, full 60 bits) —
+    * winnowing's replayable window sequence. */
+  def shingleMd5HashesOrdered(words: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(words) - lit(n - 1), lit(1))),
+      i => md5Hash60(array_join(slice(words, i, lit(n)), " ")))
+
+  /** The MinHash permutation family: p is the Mersenne prime 2^31−1;
+    * a_i/b_i derive from i by pure integer arithmetic so the DuckDB
+    * oracle regenerates the SAME constants from `range(k)` (a_i ≠ 0
+    * for all i ≤ 96: p is prime and exceeds both factors). With
+    * h < 2^31 the product stays < 2^62 — no ANSI overflow. */
+  val minhashP = 2147483647L
+  def minhashA(i: Int): Long = ((2654435761L % minhashP) * (i + 1)) % minhashP
+  def minhashB(i: Int): Long = ((1099511628211L % minhashP) * (i + 1)) % minhashP
+  def affineHash(h: Column, i: Int): Column =
+    pmod(lit(minhashA(i)) * h + lit(minhashB(i)), lit(minhashP))
 
   /** Per-bit ±1 SimHash vote of a 64-bit hash column (bit j). Summed
     * per doc as 64 codegen'd aggregates (see Dedup.simhash). */
   def simhashVote(h: Column, j: Int): Column =
     shiftright(h, j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)
 
-  /** Fold 64 per-bit majority-vote counters back into one BIGINT. */
-  def simhashFromVotes(vote: Int => Column): Column =
-    (0 until 64).map { j =>
+  /** Fold per-bit majority-vote counters back into one BIGINT. */
+  def simhashFromVotes(vote: Int => Column, nBits: Int = 64): Column =
+    (0 until nBits).map { j =>
       when(vote(j) > lit(0L), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 

@@ -563,9 +563,12 @@ object Dedup {
     * pairwise join all share one bit-identical definition. */
   private[operators] def minhashBands(docs: DataFrame): (DataFrame, DataFrame) = {
     val k = 96; val bands = 32; val rows = k / bands
+    // same replayable md5+affine family as [[minhashLsh]] (r11) — the
+    // persisted artifact, the incremental probe, and the oracle all
+    // reproduce identical signatures
     val ex = docs.select(col("doc_id"),
-      explode(shingleHashes(tokens(col("text")), 3)).as("h0"))
-    val minAggs = (0 until k).map(i => min(seededHash(col("h0"), i)).as(s"m$i"))
+      explode(shingleMd5Hashes(tokens(col("text")), 3)).as("h0"))
+    val minAggs = (0 until k).map(i => min(affineHash(col("h0"), i)).as(s"m$i"))
     val sigs = ex.groupBy(col("doc_id"))
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
@@ -870,11 +873,15 @@ object Dedup {
     * Jaccard ≥ 0.5. */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val k = 96; val bands = 32; val rows = k / bands
-    // shingle-window hashes directly (no strings), then derive the k
-    // seeded hashes from the 8-byte base hash
+    // REPLAYABLE basis (r11): md5-mod-2^31 per shingle window, then
+    // the k permutations as the affine family (a_i·h+b_i) mod p — ONE
+    // md5 + 96 multiply-adds per shingle, vs the 96 xxhash64 calls of
+    // the old seeded path (measured FASTER at sf0.1: arithmetic beats
+    // 95 extra hash invocations). The DuckDB oracle regenerates the
+    // same a_i/b_i from range(96) and hash-gates the pairs.
     val ex = corpusWithPlants(spark, sfDir)
-      .select(col("doc_id"), explode(shingleHashes(col("toks"), 3)).as("h0"))
-    val minAggs = (0 until k).map(i => min(seededHash(col("h0"), i)).as(s"m$i"))
+      .select(col("doc_id"), explode(shingleMd5Hashes(col("toks"), 3)).as("h0"))
+    val minAggs = (0 until k).map(i => min(affineHash(col("h0"), i)).as(s"m$i"))
     val sigs = ex.groupBy(col("doc_id"))
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
@@ -921,17 +928,29 @@ object Dedup {
   private val simhashBlockPairs =
     for { i <- 0 until 10; j <- (i + 1) until 10 } yield (i, j)
 
-  /** 64-bit SimHash signature per doc: explode token hashes, 64
-    * codegen'd per-bit vote sums, fold back into one BIGINT. Exposed
-    * for the spec's brute-force ground truth. */
+  /** SimHash signature per doc: explode token hashes, codegen'd
+    * per-bit vote sums, fold back into one BIGINT. Exposed for the
+    * spec's brute-force ground truth.
+    *
+    * The token hash is the REPLAYABLE md5-top-60 basis (r11), so the
+    * DuckDB oracle recomputes identical signatures and the query is
+    * hash-gated, not rows-only. Only bits 0-59 can be set (bits 60-63
+    * vote uniformly 0 for every doc — they add nothing to any Hamming
+    * distance and the 10-block banding layout is unchanged). md5 per
+    * TOKEN costs ~10× xxhash64 per hash, but the vote aggregation —
+    * not the hash — dominates this operator (measured: no bench
+    * movement at sf0.1). */
+  private[operators] val simhashBits = 60
   private[operators] def simhashSigs(docs: DataFrame): DataFrame = {
     val hashes = docs
       .select(col("doc_id"), explode(col("toks")).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val voteAggs = (0 until 64).map(j => sum(simhashVote(col("h"), j)).as(s"b$j"))
+      .select(col("doc_id"), md5Hash60(col("t")).as("h"))
+    val voteAggs =
+      (0 until simhashBits).map(j => sum(simhashVote(col("h"), j)).as(s"b$j"))
     hashes.groupBy(col("doc_id"))
       .agg(voteAggs.head, voteAggs.tail: _*)
-      .select(col("doc_id"), simhashFromVotes(j => col(s"b$j")).as("sig"))
+      .select(col("doc_id"),
+        simhashFromVotes(j => col(s"b$j"), simhashBits).as("sig"))
   }
 
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame =
@@ -1119,8 +1138,13 @@ object Dedup {
     * spec's direct set-intersection ground truth. */
   private[operators] def winnowFps(spark: SparkSession, sfDir: String,
       ngram: Int, w: Int): DataFrame =
+    // md5-ordered window hashes (r11): winnowing's SELECTION (per-
+    // window argmin) depends on the hash VALUES, so replaying n_shared
+    // in the oracle requires the replayable basis — unlike the
+    // set-overlap ops, where hash equality ⟺ string equality lets the
+    // oracle work on shingle strings while the engine keeps xxhash64
     corpusWithPlants(spark, sfDir)
-      .select(col("doc_id"), shingleHashesOrdered(col("toks"), ngram).as("hs"))
+      .select(col("doc_id"), shingleMd5HashesOrdered(col("toks"), ngram).as("hs"))
       .select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(1), greatest(size(col("hs")) - lit(w - 1), lit(1))),
           i => array_min(slice(col("hs"), i, lit(w)))))).as("fp"))

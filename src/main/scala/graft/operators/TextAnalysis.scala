@@ -620,4 +620,145 @@ object TextAnalysis {
           greatest(col("raw_bytes"), lit(1L))).cast("long"))
       .orderBy(col("doc_id"))
   }
+
+  /** Memoized (merge table, final vocab frame) per (session, sfDir,
+    * merges) — bpe_train and bpe_encode share one trained state; same
+    * WeakHashMap/SoftReference discipline as Dedup's candidate memo
+    * (a strong value would pin the session via the DataFrame). */
+  private val bpeMemo = new java.util.WeakHashMap[SparkSession,
+    scala.collection.mutable.Map[(String, Int),
+      java.lang.ref.SoftReference[
+        (Seq[(Long, String, String, String, Long)], DataFrame)]]]()
+
+  /** Drop the trained-BPE memo (ScaleCheck: each timed repetition
+    * retrains). */
+  def invalidateBpe(spark: SparkSession): Unit =
+    bpeMemo.synchronized { bpeMemo.remove(spark); () }
+
+  /** The k-round BPE merge loop over any (doc_id, text) frame — see
+    * [[bpeTrain]] for semantics. Returns the merge table rows and the
+    * final vocab frame (tok, n, s) with s the double-spaced symbol
+    * string after all merges. */
+  private[operators] def bpeMergesOf(docs: DataFrame, merges: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    val vocab = docs
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      // "  a  b  c  ": every symbol boundary (incl. both edges) carries
+      // TWO spaces, so a merge pattern " x  y " consumes only the inner
+      // space of each boundary and adjacent occurrences still match —
+      // single literal replace per round = exact greedy left-to-right
+      .withColumn("s",
+        concat(lit("  "), regexp_replace(col("tok"), "(.)", "$1  ")))
+      .localCheckpoint(true)
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    var cur = vocab
+    var r = 1
+    var done = false
+    while (r <= merges && !done) {
+      val sy = split(trim(col("s")), "  ")
+      val prs = filter(
+        zip_with(sy, slice(sy, lit(2), size(sy)),
+          (a, b) => struct(a.as("x"), b.as("y"))),
+        p => p.getField("y").isNotNull)
+      // ONE row reaches the driver per round (the argmax pair) — the
+      // bounded-collect class; the count itself is map-side combinable
+      // on |distinct pairs| keys, never corpus-sized
+      val top = cur.select(col("n"), explode(prs).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("x"), col("y"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val x = top(0).getString(0); val y = top(0).getString(1)
+        out += ((r.toLong, x, y, x + y, top(0).getLong(2)))
+        cur = cur.withColumn("s",
+          replace(col("s"),
+            lit(" " + x + "  " + y + " "), lit(" " + x + y + " ")))
+        r += 1
+      }
+    }
+    (out.result(), cur)
+  }
+
+  private def bpeMerges(spark: SparkSession, sfDir: String, merges: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) =
+    bpeMemo.synchronized {
+      var perSession = bpeMemo.get(spark)
+      if (perSession == null) {
+        perSession = scala.collection.mutable.Map.empty
+        bpeMemo.put(spark, perSession)
+      }
+      perSession.get((sfDir, merges)).flatMap(r => Option(r.get())) match {
+        case Some(v) => v
+        case None =>
+          val v = bpeMergesOf(Tables.documentsPar(spark, sfDir), merges)
+          val pinned = (v._1, v._2.localCheckpoint(true))
+          perSession.put((sfDir, merges),
+            new java.lang.ref.SoftReference(pinned))
+          pinned
+      }
+    }
+
+  /** §2#216 BPE TOKENIZER TRAINING (Sennrich et al. 2016,
+    * arXiv:1508.07909) — k full merge rounds, extending #123's single
+    * pair-count iteration into the actual trainer: per round, count
+    * adjacent-symbol pairs across the corpus WEIGHTED by word
+    * frequency (training runs over the |vocab|-sized word-count
+    * table, the published recipe — the corpus is scanned ONCE), pick
+    * the most frequent pair under the total order (count desc, left
+    * asc, right asc), and merge every greedy left-to-right occurrence
+    * corpus-wide via ONE literal `replace` over the double-spaced
+    * symbol encoding (see [[bpeMergesOf]]).
+    *
+    * Replayable end-to-end: the DuckDB oracle runs the same k rounds
+    * as unrolled MATERIALIZED CTEs with the same literal replace —
+    * strings and integer counts only, hash-gated. At 100 TB: vocab is
+    * ~10^8 rows (Heaps' law); each round is a map-side-combinable
+    * pair count (shuffle carries |distinct pairs| rows) plus a narrow
+    * replace; the driver holds one row per round. */
+  def bpeTrain(spark: SparkSession, sfDir: String, merges: Int = 8)
+      : DataFrame = {
+    import spark.implicits._
+    bpeMerges(spark, sfDir, merges)._1
+      .toDF("round", "left_sym", "right_sym", "merged", "pair_count")
+      .orderBy(col("round"))
+  }
+
+  /** §2#217 BPE ENCODING under the trained merges — the tokenizer-
+    * fertility table (symbols per character) a tokenizer rollout is
+    * judged by: per document, whitespace-token count, character mass,
+    * symbol count after #216's k merges, and symbols-per-1000-chars
+    * (templated/repetitive docs compress far below prose — the same
+    * curation axis as deflate #166, but under the ACTUAL tokenizer).
+    * The per-word symbol table is vocab-sized and broadcast; the
+    * corpus-side join is a narrow explode + hash-agg per doc. Integer
+    * division end-to-end (`div` ↔ DuckDB `//`). */
+  def bpeEncode(spark: SparkSession, sfDir: String, merges: Int = 8)
+      : DataFrame =
+    bpeEncodeWith(Tables.documentsPar(spark, sfDir),
+      bpeMerges(spark, sfDir, merges)._2)
+
+  /** Spec seam: encode `docs` under a fresh (unmemoized) training run
+    * over the same frame. */
+  private[operators] def bpeEncodeOf(docs: DataFrame, merges: Int): DataFrame =
+    bpeEncodeWith(docs, bpeMergesOf(docs, merges)._2)
+
+  private def bpeEncodeWith(docs: DataFrame, trained: DataFrame): DataFrame = {
+    val vocabSyms = trained
+      .select(col("tok"),
+        size(split(trim(col("s")), "  ")).cast("long").as("n_syms_tok"),
+        length(col("tok")).cast("long").as("n_chars_tok"))
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .join(broadcast(vocabSyms), "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_chars_tok")).as("n_chars"),
+        sum(col("n_syms_tok")).as("n_syms"))
+      .select(col("doc_id"), col("n_tokens"), col("n_chars"), col("n_syms"),
+        expr("n_syms * 1000 div greatest(n_chars, 1)").as("syms_per_kchar"))
+      .orderBy(col("doc_id"))
+  }
 }
