@@ -230,7 +230,20 @@ object ScaleCheck {
       "text_classifier_score" -> ((s: SparkSession, d: String, _: Int) =>
         TextAnalysis.classifierScore(s, d)),
       "cdc_incremental_view" -> ((s: SparkSession, d: String, _: Int) =>
-        Changefeed.incrementalView(s, d)))
+        Changefeed.incrementalView(s, d)),
+      // r11b: trainer cost = one corpus-token agg + 8 vocab-sized
+      // rounds; the perturbed copies multiply VOCAB by K (every token
+      // gets a per-copy suffix), so this measures the trainer against
+      // Heaps'-law vocab growth, the actual 100 TB axis. Encode adds
+      // the corpus-side broadcast join — scan-speed band.
+      "text_bpe_train" -> ((s: SparkSession, d: String, _: Int) =>
+        TextAnalysis.bpeTrain(s, d)),
+      "text_bpe_encode" -> ((s: SparkSession, d: String, _: Int) =>
+        TextAnalysis.bpeEncode(s, d)),
+      "dedup_simhash" -> ((s: SparkSession, d: String, _: Int) =>
+        Dedup.simhash(s, d)),
+      "dedup_winnowing" -> ((s: SparkSession, d: String, _: Int) =>
+        Dedup.winnowing(s, d)))
 
     // SPARK_GRAFT_OPS=a,b,c restricts the run (default: everything) —
     // lets a round re-measure just its new ops without paying for the
@@ -250,6 +263,7 @@ object ScaleCheck {
         val times = (1 to reps).map { _ =>
           Dedup.invalidateCandidates(spark)
           Similarity.invalidateMemos(spark)
+          TextAnalysis.invalidateBpe(spark)
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
           fn(spark, dir, scale).count()

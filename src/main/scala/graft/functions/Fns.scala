@@ -103,7 +103,16 @@ object Fns {
       h => pmod(h, lit(1L << 31))))
 
   /** POSITION-ORDERED md5 window hashes (no distinct, full 60 bits) —
-    * winnowing's replayable window sequence. */
+    * winnowing's replayable window sequence.
+    *
+    * Measured dead end (r11, do not retry): per-token md5 + a
+    * polynomial `aggregate()` fold per window — "one md5 per token
+    * instead of one per window" — came out ~80% SLOWER at sf0.1
+    * (winnowing 1.25→2.22 s, minhash_lsh 0.96→1.70 s): the lambda
+    * fold evaluates outside whole-stage codegen and loses to the
+    * codegen'd concat+md5 it replaces. substringDedup keeps that
+    * recipe because its windows are LONG (w=8) and its fold output
+    * feeds an explode anyway. */
   def shingleMd5HashesOrdered(words: Column, n: Int): Column =
     transform(
       sequence(lit(1), greatest(size(words) - lit(n - 1), lit(1))),
