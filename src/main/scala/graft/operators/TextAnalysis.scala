@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.Tables
+import graft.{Checkpoints, Tables}
 import graft.functions.Fns._
 
 /** Text analysis for training-data pipelines (§2.6). All narrow per-row
@@ -638,10 +638,21 @@ object TextAnalysis {
   /** The k-round BPE merge loop over any (doc_id, text) frame — see
     * [[bpeTrain]] for semantics. Returns the merge table rows and the
     * final vocab frame (tok, n, s) with s the double-spaced symbol
-    * string after all merges. */
-  private[operators] def bpeMergesOf(docs: DataFrame, merges: Int)
+    * string after all merges.
+    *
+    * `cutEvery`: the per-round `replace` columns chain — Catalyst
+    * collapses the projections into ONE expression nested k deep, so
+    * at real merge counts (k = 32k..100k in published tokenizers) the
+    * un-cut plan is a codegen/analysis hazard long before it is a
+    * compute one. Every `cutEvery` rounds the vocab frame is
+    * materialized through [[graft.Checkpoints.cut]] (reliable or
+    * local per the session conf), resetting expression depth to 1.
+    * BpeProps pins k=64 ≡ the direct greedy trainer, so the cut is
+    * provably value-neutral. */
+  private[operators] def bpeMergesOf(docs: DataFrame, merges: Int,
+      cutEvery: Int = 8)
       : (Seq[(Long, String, String, String, Long)], DataFrame) = {
-    val vocab = docs
+    val vocab = Checkpoints.cut(docs
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
       // "  a  b  c  ": every symbol boundary (incl. both edges) carries
@@ -649,8 +660,7 @@ object TextAnalysis {
       // space of each boundary and adjacent occurrences still match —
       // single literal replace per round = exact greedy left-to-right
       .withColumn("s",
-        concat(lit("  "), regexp_replace(col("tok"), "(.)", "$1  ")))
-      .localCheckpoint(true)
+        concat(lit("  "), regexp_replace(col("tok"), "(.)", "$1  "))))
     val out = Seq.newBuilder[(Long, String, String, String, Long)]
     var cur = vocab
     var r = 1
@@ -676,6 +686,7 @@ object TextAnalysis {
         cur = cur.withColumn("s",
           replace(col("s"),
             lit(" " + x + "  " + y + " "), lit(" " + x + y + " ")))
+        if (r % cutEvery == 0) cur = Checkpoints.cut(cur)
         r += 1
       }
     }
@@ -694,7 +705,7 @@ object TextAnalysis {
         case Some(v) => v
         case None =>
           val v = bpeMergesOf(Tables.documentsPar(spark, sfDir), merges)
-          val pinned = (v._1, v._2.localCheckpoint(true))
+          val pinned = (v._1, Checkpoints.cut(v._2))
           perSession.put((sfDir, merges),
             new java.lang.ref.SoftReference(pinned))
           pinned
@@ -732,8 +743,14 @@ object TextAnalysis {
     * symbol count after #216's k merges, and symbols-per-1000-chars
     * (templated/repetitive docs compress far below prose — the same
     * curation axis as deflate #166, but under the ACTUAL tokenizer).
-    * The per-word symbol table is vocab-sized and broadcast; the
-    * corpus-side join is a narrow explode + hash-agg per doc. Integer
+    * The per-word symbol table is vocab-sized; the join strategy is
+    * deliberately LEFT TO STATS/AQE — at test sf the vocab is tiny and
+    * AQE broadcasts it, but at 100 TB Heaps' law puts the vocab near
+    * 10^8 rows, where a mandated broadcast is a driver/executor OOM
+    * and the right plan is a shuffled hash join on `tok` (or the
+    * exchange-free bucketed scan via [[persistBpe]]'s vocab table,
+    * bucketed on `tok` exactly like the band table). The corpus side
+    * is a narrow explode + hash-agg per doc either way. Integer
     * division end-to-end (`div` ↔ DuckDB `//`). */
   def bpeEncode(spark: SparkSession, sfDir: String, merges: Int = 8)
       : DataFrame =
@@ -752,7 +769,7 @@ object TextAnalysis {
         length(col("tok")).cast("long").as("n_chars_tok"))
     docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .join(broadcast(vocabSyms), "tok")
+      .join(vocabSyms, "tok")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("n_chars_tok")).as("n_chars"),
@@ -761,4 +778,45 @@ object TextAnalysis {
         expr("n_syms * 1000 div greatest(n_chars, 1)").as("syms_per_kchar"))
       .orderBy(col("doc_id"))
   }
+
+  /** PERSIST the trained tokenizer — the build-once/query-many split
+    * the ANN index ([[Similarity.persistIvfPqIndex]]), the pair graph
+    * ([[Dedup.persistCandidates]]) and the band table
+    * ([[Dedup.persistBandTable]]) already have; a real rollout ships
+    * `merges` + `vocab` as artifacts, not a session memo. Two tables:
+    *
+    *   - `{name}_merges` (round, left_sym, right_sym, merged,
+    *     pair_count) — tiny (k rows), the shippable merge list;
+    *   - `{name}_vocab`  (tok, n, s) bucketed + sorted on `tok`, so a
+    *     [[bpeEncodePersisted]] probe joins the corpus's exploded
+    *     tokens against it with NO exchange on the vocab side — the
+    *     10^8-row-vocab plan the broadcast mandate used to break.
+    *
+    * Strings and longs only, deterministic trainer ⇒ persisted ≡
+    * inline EXACTLY (pinned by BpePersistSpec), unlike the float ANN
+    * index where only floors are pinned. */
+  def persistBpe(spark: SparkSession, sfDir: String, merges: Int = 8,
+      name: String = "bpe", buckets: Int = 8): Unit = {
+    import spark.implicits._
+    val (table, vocab) = bpeMerges(spark, sfDir, merges)
+    table.toDF("round", "left_sym", "right_sym", "merged", "pair_count")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${name}_merges")
+    vocab.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "tok").sortBy("tok")
+      .saveAsTable(s"${name}_vocab")
+  }
+
+  /** Merge table read back from the [[persistBpe]] artifact. */
+  def bpeTrainPersisted(spark: SparkSession, name: String = "bpe")
+      : DataFrame =
+    spark.table(s"${name}_merges").orderBy(col("round"))
+
+  /** Encode under the PERSISTED vocab: the corpus side shuffles on
+    * `tok` into the artifact's bucketing; the vocab side is a bucketed
+    * scan — zero train cost, zero vocab exchange, any corpus size. */
+  def bpeEncodePersisted(spark: SparkSession, sfDir: String,
+      name: String = "bpe"): DataFrame =
+    bpeEncodeWith(Tables.documentsPar(spark, sfDir),
+      spark.table(s"${name}_vocab"))
 }

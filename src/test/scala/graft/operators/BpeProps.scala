@@ -77,6 +77,36 @@ class BpeProps extends SparkSuite {
     }
   }
 
+  test("k=64 with periodic lineage cuts equals the direct trainer (real merge depth)") {
+    // published tokenizers run tens of thousands of merge rounds; the
+    // chained per-round replace columns would nest the projection 64
+    // deep without the cutEvery checkpoint. Run a corpus rich enough
+    // to sustain 64 merges and pin the FULL merge table and encode
+    // against the direct greedy implementation — proving the periodic
+    // cut (every 8 rounds → 8 cuts here) is value-neutral at depth.
+    val rnd = new scala.util.Random(64)
+    val alphabet = "abcdefghij"
+    val words = (1 to 40).map(_ =>
+      (1 to 3 + rnd.nextInt(8))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val docs = (1L to 8L).map { id =>
+      id -> (1 to 30 + rnd.nextInt(30))
+        .map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    }
+    val (expMerges, expSyms) = truth(docs.map(_._2), 64)
+    assert(expMerges.size === 64, s"corpus too small: ${expMerges.size} merges")
+    val df = docs.toDF("doc_id", "text")
+    val gotMerges = TextAnalysis.bpeMergesOf(df, 64)._1
+      .map(m => (m._2, m._3, m._5))
+    assert(gotMerges === expMerges, "k=64 merge tables differ")
+    val gotEnc = TextAnalysis.bpeEncodeOf(df, 64).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    docs.foreach { case (id, text) =>
+      val expN = text.trim.split("\\s+").map(expSyms).sum.toLong
+      assert(gotEnc(id) === expN, s"doc $id: n_syms at k=64")
+    }
+  }
+
   test("shared-boundary overlap merges exactly greedily (a a a → [aa, a])") {
     // the construction where single-space replace diverges: 'aaa' as
     // chars [a,a,a] under merge (a,a) must become [aa, a], and
