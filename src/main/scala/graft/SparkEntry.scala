@@ -2468,4 +2468,212 @@ FROM d JOIN v USING (tok) GROUP BY 1 ORDER BY d.doc_id""",
         |  base64(CAST(substr(text,1,6) AS BLOB)) AS header_b64
         |FROM documents ORDER BY doc_id""".stripMargin
   )
+
+  /** Shared structural gate for the ANN top-k rungs: every query holds
+    * exactly k=5 ranked rows (ranks 1..5, no duplicate neighbors), the
+    * reported score is a valid e6 cosine, and rows are ordered by the
+    * score they claim to be ranked by. */
+  private def annRungCheck(score: String): String =
+    s"""SELECT 'rank_shape' AS chk, query_id FROM result GROUP BY query_id
+       HAVING count(*) <> 5 OR min(rank) <> 1 OR max(rank) <> 5
+          OR count(DISTINCT rank) <> 5 OR count(DISTINCT neighbor_id) <> 5
+       UNION ALL
+       SELECT 'score_range', query_id FROM result
+       WHERE $score < -1000000 OR $score > 1000000
+       UNION ALL
+       SELECT 'rank_monotone', query_id FROM (
+         SELECT query_id, $score AS s,
+                lag($score) OVER (PARTITION BY query_id ORDER BY rank) AS p
+         FROM result) WHERE p IS NOT NULL AND s > p"""
+
+  /** STRUCTURAL gates for the rows-kind queries (no value oracle is
+    * possible — float geometry, JVM codec bytes — but SHAPE is still
+    * checkable): DuckDB SQL over the view `result` (the Verify dump
+    * for that query) plus the sf tables; every returned row is a NAMED
+    * violation, so zero rows = pass. Dumped by Verify as
+    * rows_checks.json next to oracle_sql.json; tools/check_oracle.py
+    * runs them in the same pass as the hash gates. This narrows the
+    * rows-kind trust gap from "non-empty" to "shape-verified":
+    * cardinalities tie back to the SOURCE tables (16·|docs| histogram
+    * rows, one row per document, plants all dropped), orderings and
+    * bounds are pinned, and per-mille ratios are recomputed. */
+  def rowsChecks: Map[String, String] = Map(
+    "ann_lsh_topk" -> annRungCheck("cos_e6"),
+    "ann_ivf_kmeans" -> annRungCheck("cos_e6"),
+    "ann_pq_adc" -> annRungCheck("cos_e6"),
+    "ann_sq_topk" -> annRungCheck("cos_e6"),
+    "ann_ivf_pq" -> annRungCheck("cos_e6"),
+
+    "ann_mmr_topk" ->
+      """SELECT 'rank_shape' AS chk, query_id FROM result GROUP BY query_id
+        |HAVING count(*) <> 5 OR min(rank) <> 1 OR max(rank) <> 5
+        |   OR count(DISTINCT rank) <> 5 OR count(DISTINCT neighbor_id) <> 5
+        |UNION ALL
+        |SELECT 'rel_range', query_id FROM result
+        |WHERE rel_e6 < -1000000 OR rel_e6 > 1000000
+        |UNION ALL
+        |SELECT 'first_is_most_relevant', query_id FROM (
+        |  SELECT query_id,
+        |         max_by(rel_e6, -rank) AS first_rel, max(rel_e6) AS max_rel
+        |  FROM result GROUP BY query_id) WHERE first_rel <> max_rel""".stripMargin,
+
+    "ann_recall_report" ->
+      """SELECT 'four_rungs' AS chk, CAST(NULL AS VARCHAR) AS method
+        |FROM result HAVING count(*) <> 4
+        |UNION ALL
+        |SELECT 'methods', method FROM result
+        |WHERE method NOT IN ('lsh', 'ivf', 'ivf_pq', 'sq8')
+        |UNION ALL
+        |SELECT 'recall_identity', method FROM result
+        |WHERE n_hits < 0 OR n_hits > n_truth
+        |   OR recall_pm <> n_hits * 1000 // n_truth
+        |UNION ALL
+        |SELECT 'floor', method FROM result
+        |WHERE recall_pm > 1000
+        |   OR (method = 'lsh'    AND recall_pm < 700)
+        |   OR (method = 'ivf'    AND recall_pm < 300)
+        |   OR (method = 'ivf_pq' AND recall_pm < 300)
+        |   OR (method = 'sq8'    AND recall_pm < 700)""".stripMargin,
+
+    "dedup_semantic" ->
+      """SELECT 'corpus_partition' AS chk, CAST(NULL AS BIGINT) AS vec_id
+        |FROM result HAVING count(*) <>
+        |  (SELECT count(*) + 100 FROM embeddings)
+        |  OR count(DISTINCT vec_id) <> count(*)
+        |UNION ALL
+        |SELECT 'kept_domain', vec_id FROM result WHERE kept NOT IN (0, 1)
+        |UNION ALL
+        |SELECT 'plants_dropped', vec_id FROM result
+        |WHERE vec_id >= 1000000 AND kept <> 0
+        |UNION ALL
+        |SELECT 'originals_kept', vec_id FROM result
+        |WHERE vec_id < 100 AND kept <> 1""".stripMargin,
+
+    "dedup_embedding_lsh" ->
+      """SELECT 'canonical_order' AS chk, vec_a FROM result
+        |WHERE vec_a >= vec_b
+        |UNION ALL
+        |SELECT 'plant_pairs_found', CAST(v AS BIGINT) FROM (
+        |  SELECT unnest(generate_series(0, 99)) AS v) plants
+        |WHERE NOT EXISTS (SELECT 1 FROM result
+        |  WHERE vec_a = v AND vec_b = v + 1000000 AND cos_e6 >= 999990)""".stripMargin,
+
+    "text_compression_ratio" ->
+      """SELECT 'one_row_per_doc' AS chk, d.doc_id FROM documents d
+        |FULL OUTER JOIN result r ON d.doc_id = r.doc_id
+        |WHERE d.doc_id IS NULL OR r.doc_id IS NULL
+        |UNION ALL
+        |SELECT 'raw_bytes_exact', r.doc_id FROM result r JOIN documents d
+        |ON d.doc_id = r.doc_id
+        |WHERE r.raw_bytes <> octet_length(CAST(d.text AS BLOB))
+        |UNION ALL
+        |SELECT 'ratio_identity', doc_id FROM result
+        |WHERE deflate_bytes <= 0
+        |   OR ratio_pm <> deflate_bytes * 1000 // greatest(raw_bytes, 1)""".stripMargin,
+
+    "mm_decode_features" ->
+      """SELECT 'one_row_per_doc' AS chk, d.doc_id FROM documents d
+        |FULL OUTER JOIN result r ON d.doc_id = r.doc_id
+        |WHERE d.doc_id IS NULL OR r.doc_id IS NULL
+        |UNION ALL
+        |SELECT 'dims_positive', doc_id FROM result
+        |WHERE width < 1 OR height < 1 OR n_frames < 1""".stripMargin,
+
+    "mm_resize" ->
+      """SELECT 'one_row_per_doc' AS chk, d.doc_id FROM documents d
+        |FULL OUTER JOIN result r ON d.doc_id = r.doc_id
+        |WHERE d.doc_id IS NULL OR r.doc_id IS NULL
+        |UNION ALL
+        |SELECT 'thumb_dims', doc_id FROM result
+        |WHERE out_w <> 32 OR out_h <> 32""".stripMargin,
+
+    "mm_frame_sample" ->
+      """SELECT 'all_docs_sampled' AS chk, d.doc_id FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM result r WHERE r.doc_id = d.doc_id)
+        |UNION ALL
+        |SELECT 'frame_idx_unique', doc_id FROM result
+        |GROUP BY doc_id, frame_idx HAVING count(*) > 1
+        |UNION ALL
+        |SELECT 'luma_range', doc_id FROM result
+        |WHERE frame_idx < 0 OR mean_luma < -1 OR mean_luma > 255""".stripMargin,
+
+    "mm_phash_dedup" ->
+      """SELECT 'canonical_order' AS chk, doc_a FROM result
+        |WHERE doc_a >= doc_b
+        |UNION ALL
+        |SELECT 'hamming_range', doc_a FROM result
+        |WHERE hamming < 0 OR hamming > 64""".stripMargin,
+
+    "mm_audio_features" ->
+      """SELECT 'one_row_per_doc' AS chk, d.doc_id FROM documents d
+        |FULL OUTER JOIN result r ON d.doc_id = r.doc_id
+        |WHERE d.doc_id IS NULL OR r.doc_id IS NULL
+        |UNION ALL
+        |SELECT 'signal_bounds', doc_id FROM result
+        |WHERE channels < 1 OR sample_rate <= 0 OR n_samples < 0
+        |   OR rms < 0 OR rms > peak""".stripMargin,
+
+    "mm_audio_segments" ->
+      """SELECT 'interval_valid' AS chk, doc_id FROM result
+        |WHERE start_ms < 0 OR start_ms >= end_ms OR seg_idx < 0 OR mean_rms < 0
+        |UNION ALL
+        |SELECT 'non_overlapping', doc_id FROM (
+        |  SELECT doc_id, start_ms,
+        |         lag(end_ms) OVER (PARTITION BY doc_id ORDER BY seg_idx) AS pe
+        |  FROM result) WHERE pe IS NOT NULL AND start_ms < pe""".stripMargin,
+
+    "mm_audio_resample" ->
+      """SELECT 'one_row_per_doc' AS chk, d.doc_id FROM documents d
+        |FULL OUTER JOIN result r ON d.doc_id = r.doc_id
+        |WHERE d.doc_id IS NULL OR r.doc_id IS NULL
+        |UNION ALL
+        |SELECT 'rate_conservation', doc_id FROM result
+        |WHERE rate_in <= 0 OR rate_out <= 0
+        |   OR abs(n_out * rate_in - n_in * rate_out) >= rate_in""".stripMargin,
+
+    "mm_audio_snr" ->
+      """SELECT 'one_row_per_doc' AS chk, d.doc_id FROM documents d
+        |FULL OUTER JOIN result r ON d.doc_id = r.doc_id
+        |WHERE d.doc_id IS NULL OR r.doc_id IS NULL
+        |UNION ALL
+        |SELECT 'nonneg', doc_id FROM result
+        |WHERE n_frames < 0 OR noise_rms < 0 OR signal_rms < 0 OR src IS NULL""".stripMargin,
+
+    "mm_image_histogram" ->
+      """SELECT 'sixteen_bins_per_doc' AS chk, d.doc_id FROM documents d
+        |LEFT JOIN (SELECT doc_id, count(*) AS nb, min(bin) AS mn, max(bin) AS mx,
+        |             count(DISTINCT bin) AS nd, sum(n_px) AS px,
+        |             min(src) AS s FROM result GROUP BY doc_id) h
+        |ON d.doc_id = h.doc_id
+        |WHERE h.doc_id IS NULL OR nb <> 16 OR mn <> 0 OR mx <> 15 OR nd <> 16
+        |UNION ALL
+        |SELECT 'row_count', CAST(NULL AS BIGINT) FROM result
+        |HAVING count(*) <> 16 * (SELECT count(*) FROM documents)
+        |UNION ALL
+        |SELECT 'stub_rows_zeroed', doc_id FROM (
+        |  SELECT doc_id, min(src) AS s, sum(n_px) AS px, min(n_px) AS mnp
+        |  FROM result GROUP BY doc_id)
+        |WHERE mnp < 0 OR (s = 'stub' AND px <> 0) OR (s <> 'stub' AND px <= 0)""".stripMargin,
+
+    "mm_image_entropy" ->
+      """SELECT 'one_row_per_doc' AS chk, d.doc_id FROM documents d
+        |FULL OUTER JOIN result r ON d.doc_id = r.doc_id
+        |WHERE d.doc_id IS NULL OR r.doc_id IS NULL
+        |UNION ALL
+        |SELECT 'entropy_bounds', doc_id FROM result
+        |WHERE n_px < 0 OR entropy_mb < 0 OR entropy_mb > 4000
+        |   OR (src = 'stub' AND entropy_mb <> 0)""".stripMargin,
+
+    "mm_keyframes" ->
+      """SELECT 'all_docs_covered' AS chk, d.doc_id FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM result r WHERE r.doc_id = d.doc_id)
+        |UNION ALL
+        |SELECT 'first_frame_kept', doc_id FROM (
+        |  SELECT doc_id, min_by(reason, frame_idx) AS r0, min(frame_idx) AS f0
+        |  FROM result GROUP BY doc_id) WHERE f0 <> 0 OR r0 <> 'first'
+        |UNION ALL
+        |SELECT 'bounds', doc_id FROM result
+        |WHERE frame_idx < 0 OR mean_luma < -1 OR mean_luma > 255
+        |   OR delta_luma < 0 OR delta_luma > 255 OR reason IS NULL""".stripMargin
+  )
 }

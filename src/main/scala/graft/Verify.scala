@@ -43,6 +43,11 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(e => keep(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // structural gates for the rows-kind queries: DuckDB SQL over the
+    // dump (view `result`) + sf tables, zero returned rows = pass
+    val checks = SparkEntry.rowsChecks.filter(e => keep(e._1))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/rows_checks.json"), checks)
     spark.stop()
   }
 }

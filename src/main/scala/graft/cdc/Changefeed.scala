@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.Checkpoints.CutOps
 import graft.functions.Fns._
 
 /** Batch re-expression of the reference CDC pipeline
@@ -675,7 +676,7 @@ object Changefeed {
         unix_micros(col("ts")).as("us"))
     val per = e.groupBy(col("source_id"))
       .agg(max(col("us")).as("frontier_us"), count(lit(1)).as("n_total"))
-      .localCheckpoint(true)
+      .cut
     val global = per.agg(min(col("frontier_us")).as("safe_frontier_us"))
     val safe = e.crossJoin(broadcast(global))
       .groupBy(col("source_id"), col("safe_frontier_us"))

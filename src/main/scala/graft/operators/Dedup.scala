@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Checkpoints.CutOps
 import graft.functions.Fns._
 
 /** Deduplication operators for LLM training-data pipelines (§2.4).
@@ -108,7 +109,7 @@ object Dedup {
         case Some(v) => v
         case None =>
           val (inter, sizes) = computeCandidateInter(spark, sfDir, maxDf)
-          val v = (inter.localCheckpoint(true), sizes.localCheckpoint(true))
+          val v = (inter.cut, sizes.cut)
           perSession((sfDir, maxDf)) =
             new java.lang.ref.SoftReference((v._1, v._2))
           v
@@ -124,7 +125,7 @@ object Dedup {
     val ex = Tables.documentsPar(spark, sfDir)
       .select(col("doc_id"), col("source"),
         explode(shingleHashes(tokens(col("text")), 3)).as("sh8"))
-      .localCheckpoint(true)
+      .cut
     // df prefix filter: hot shingles out before the self-join (see
     // defaultMaxShingleDf). The map-side-combined df agg is one pass
     // over `ex`. No broadcast hint: the hot list is < totalShingles /
@@ -349,7 +350,7 @@ object Dedup {
     * The arrays are sets by construction (shingleHashes dedups), so
     * the intersection size is exact. */
   def jaccardPrefixFrom(ex0: DataFrame, tPm: Int): DataFrame = {
-    val ex = ex0.localCheckpoint(true)
+    val ex = ex0.cut
     val cand = prefixCandidates(ex, tPm)
     val sets = ex.groupBy(col("doc_id"))
       .agg(collect_list(col("sh8")).as("shs"), count(lit(1)).as("n_sh"))
@@ -572,7 +573,7 @@ object Dedup {
     val sigs = ex.groupBy(col("doc_id"))
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-      .localCheckpoint(true)
+      .cut
     val banded = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",",
@@ -774,10 +775,15 @@ object Dedup {
     var changed = e.count() > 0
     while (changed && rounds < maxRounds) {
       val next = graft.Checkpoints.cut(smallStar(largeStar(e)))
-      // contraction converges when the edge set stabilizes; except()
-      // runs over the already-contracted (small) frames
-      changed = next.exceptAll(e).limit(1).count() > 0 ||
-        e.exceptAll(next).limit(1).count() > 0
+      // contraction converges when the edge set stabilizes. Both
+      // frames are DISTINCT canonical sets, so set equality ⟺ empty
+      // symmetric difference — computed as ONE action per round (the
+      // union of both exceptAlls, limit-1'd) over the two
+      // already-materialized checkpoint block sets, instead of the
+      // two separate exceptAll jobs r11 paid; at 10^9 edges the
+      // per-round job-launch constant is the cost that matters.
+      changed = next.exceptAll(e).unionByName(e.exceptAll(next))
+        .limit(1).count() > 0
       e = next
       rounds += 1
     }
@@ -833,7 +839,7 @@ object Dedup {
     val (inter, sizes) = candidateInter(spark, sfDir)
     val scored = ngramJaccardFrom(inter, sizes)
       .select(col("doc_a"), col("doc_b"), col("inter_n"), col("union_n"))
-      .localCheckpoint(true)
+      .cut
     val allDocs = Tables.documentsPar(spark, sfDir).select(col("doc_id"))
     thresholdsPm.map { t =>
       val edges = scored
@@ -885,7 +891,7 @@ object Dedup {
     val sigs = ex.groupBy(col("doc_id"))
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-      .localCheckpoint(true)
+      .cut
     val banded = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",", slice(col("sig"), b * lit(rows) + 1, lit(rows))), b))))
@@ -965,7 +971,7 @@ object Dedup {
   private[operators] def hammingPairs64(sigFrame: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 8,
       s"10-block pair banding guarantees recall only to Hamming 8, got $maxHamming")
-    val sigs = sigFrame.localCheckpoint(true)
+    val sigs = sigFrame.cut
     def block(i: Int): Column =
       shiftrightunsigned(col("sig"), simhashBlockOffsets(i))
         .bitwiseAND(lit((1L << simhashBlockSizes(i)) - 1))
@@ -1063,7 +1069,7 @@ object Dedup {
     val plants = base.where(col("vec_id") < 100)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("emb"))
     val corpus = base.unionByName(plants)
-      .withColumn("nrm", norm2(col("emb"))).localCheckpoint(true)
+      .withColumn("nrm", norm2(col("emb"))).cut
     val cents = Similarity.kmeansCentroids(corpus, nCells, iters)
     // hard-assign each vector to its best cell; cc = cos to OWN centroid
     val assigned = corpus.crossJoin(broadcast(cents))
@@ -1074,7 +1080,7 @@ object Dedup {
         struct(col("cc"), -col("cell"))).as("best"))
       .select(col("vec_id"), col("best.emb").as("emb"), col("best.nrm").as("nrm"),
         col("best.cell").as("cell"), col("best.cc").as("cc"))
-      .localCheckpoint(true) // feeds both sides of the pair join + output
+      .cut // feeds both sides of the pair join + output
     val slim = assigned.select(col("vec_id"), col("emb"), col("nrm"),
       col("cell"), col("cc"))
     val dropped = slim.as("x").join(slim.as("y"),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.Checkpoints.CutOps
 import graft.functions.Fns._
 
 /** §2#88 the COMPOSED training-data pipeline — every preparation stage
@@ -157,7 +158,7 @@ object Pipeline {
     //    both the decontamination-window path and the survivor path
     //    read this frame.
     val quality = canon.where(size(col("toks")) >= minTokens)
-      .localCheckpoint(true)
+      .cut
     // 4. decontamination: drop eval docs AND any corpus doc sharing a
     //    4-token window with one (broadcast — eval sets are bounded)
     val wins = quality.select(col("doc_id"),
@@ -217,7 +218,7 @@ object Pipeline {
     // subexpression reuse), and the union's two consumers would pay it
     // twice: measured 18.5 s → ~1 s at sf0.1 from this one seam.
     val keepQ = TextAnalysis.gopherRules(spark, sfDir)
-      .localCheckpoint(true)
+      .cut
       .where(col("keep") === 1L).select(col("doc_id"))
     val canon = Dedup.canonical(spark, sfDir)
       .select(col("canonical_doc_id").as("doc_id"))

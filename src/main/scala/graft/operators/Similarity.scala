@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.Checkpoints.CutOps
 import graft.functions.Fns._
 
 /** Similarity search over the embeddings table (§2.5).
@@ -50,7 +51,7 @@ object Similarity {
       per.get((sfDir, k)).flatMap(r => Option(r.get())) match {
         case Some(v) => v
         case None =>
-          val v = computeBruteforceTopk(spark, sfDir, k).localCheckpoint(true)
+          val v = computeBruteforceTopk(spark, sfDir, k).cut
           per.put((sfDir, k), new java.lang.ref.SoftReference(v))
           v
       }
@@ -195,7 +196,7 @@ object Similarity {
     * force. */
   def ivfTopk(spark: SparkSession, sfDir: String, k: Int = 5, nProbe: Int = 3): DataFrame = {
     // base feeds centroids, assignment AND probing — materialize once
-    val base = corpus(spark, sfDir).localCheckpoint(true)
+    val base = corpus(spark, sfDir).cut
     val centroids = base
       .select(col("label"), posexplode(col("emb")).as(Seq("dim", "x")))
       .groupBy(col("label"), col("dim")).agg(avg(col("x")).as("m"))
@@ -281,7 +282,7 @@ object Similarity {
     * cell once, per-query work ∝ nProbe/nCells of the corpus. */
   def ivfKmeansTopk(spark: SparkSession, sfDir: String, k: Int = 5,
       nCells: Int = 8, nProbe: Int = 3, iters: Int = 2): DataFrame = {
-    val base = corpus(spark, sfDir).localCheckpoint(true)
+    val base = corpus(spark, sfDir).cut
     val cents = kmeansCentroids(base, nCells, iters)
     val scored = base.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("emb"), col("nrm"), col("cell"),
@@ -349,7 +350,7 @@ object Similarity {
     // one row per (vec_id, subspace): the 8-dim subvector
     val subs = subvectors(base, m)
       .withColumn("svsq", dot(col("sv"), col("sv")))
-      .localCheckpoint(true)
+      .cut
     // codebook seeds: the bottom-codesPerSub vectors by multiplicative
     // hash seed ALL m subspaces at once (cheap, deterministic, no collect)
     val seedIds = base
@@ -361,7 +362,7 @@ object Similarity {
     var cb = subs.join(broadcast(seedIds), "vec_id")
       .select(col("s"), col("code"), col("sv").as("c_sv"))
       .withColumn("c_sq", dot(col("c_sv"), col("c_sv")))
-      .localCheckpoint(true)
+      .cut
     // Codebooks train on a deterministic ~50% sample — the standard PQ
     // recipe (k-means needs a representative sample, not the corpus; at
     // 100 TB you'd train on ~1e5 vectors and encode everything). The
@@ -369,7 +370,7 @@ object Similarity {
     // sample_stratified.
     val train = subs.where(
       (col("vec_id") % lit(1000000007L)) * lit(2654435761L) % lit(1000000007L) % lit(2L) === 0L)
-      .localCheckpoint(true)
+      .cut
     // Lloyd's per subspace: argmin L2 assign (map-side-combinable
     // min_by — no window over corpus×codes) + per-(s, code) mean
     for (_ <- 1 to iters) {
@@ -436,7 +437,7 @@ object Similarity {
     val base = corpus(spark, sfDir).drop("label")
       .select(col("vec_id"),
         transform(col("emb"), x => x / col("nrm")).as("emb"))
-      .localCheckpoint(true)
+      .cut
     val (subs, cb, codes) = pqStages(base, m, codesPerSub, iters)
     // ADC table: every (query, s, code) → partial dot (m × 16 entries
     // per query — the whole "distance computation" a scan needs)
@@ -521,7 +522,7 @@ object Similarity {
           // cents/cb are checkpointed by their builders; the encoded
           // inverted index is the expensive leaf consumers re-scan —
           // materialize it so reuse reads blocks, not the encode plan
-          val v = raw.copy(codesCell = raw.codesCell.localCheckpoint(true))
+          val v = raw.copy(codesCell = raw.codesCell.cut)
           per.put(key, new java.lang.ref.SoftReference(v))
           v
       }
@@ -535,7 +536,7 @@ object Similarity {
       .select(col("vec_id"),
         transform(col("emb"), x => x / col("nrm")).as("emb"))
       .withColumn("nrm", lit(1.0)) // unit vectors for the coarse stage
-      .localCheckpoint(true)
+      .cut
     val cents = kmeansCentroids(base, nCells, iters)
     val scored = base.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cell"),
@@ -558,7 +559,7 @@ object Similarity {
       nProbe: Int = 3): DataFrame = {
     val m = idx.m
     val qVecs = idx.unit.where(col("vec_id") < 10)
-      .withColumn("nrm", lit(1.0)).localCheckpoint(true)
+      .withColumn("nrm", lit(1.0)).cut
     val qProbe = qVecs.crossJoin(broadcast(idx.cents))
       .select(col("vec_id"), col("cell"),
         cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")).as("cell_cos"))
@@ -724,7 +725,7 @@ object Similarity {
     // L2-normalize first, like PQ: on unit vectors dot = cosine
     val base = corpus(spark, sfDir).drop("label")
       .select(col("vec_id"), transform(col("emb"), x => x / col("nrm")).as("emb"))
-      .localCheckpoint(true)
+      .cut
     val stats = base.select(posexplode(col("emb")).as(Seq("d", "x")))
       .groupBy(col("d")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
       .agg(array_sort(collect_list(struct(col("d"), col("lo"), col("hi")))).as("s"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Checkpoints, Tables}
+import graft.Checkpoints.CutOps
 import graft.functions.Fns._
 
 /** Text analysis for training-data pipelines (§2.6). All narrow per-row
@@ -478,7 +479,7 @@ object TextAnalysis {
            |      (a, h) -> pmod(a * 1000003L + h, ${m}L)))
            |ELSE array() END""".stripMargin))
       .select(col("doc_id"), col("toks"), col("n"), col("whs"))
-      .localCheckpoint(true)
+      .cut
   }
 
   /** 0-based window starts of corpus-duplicated windows, per doc. */

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.Checkpoints.CutOps
 import graft.functions.Fns._
 
 /** Time-series analytics over `events` (§2.3 extensions): gap-filled
@@ -568,7 +569,7 @@ object TimeSeries {
     val ud = Tables.events(spark, sfDir)
       .select(col("user_id"), expr(s"unix_micros(ts) div $dayUs").as("day"))
       .distinct()
-      .localCheckpoint(true)
+      .cut
     val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
     val wau = ud
       .select(col("user_id"),

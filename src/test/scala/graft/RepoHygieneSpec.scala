@@ -34,4 +34,19 @@ class RepoHygieneSpec extends AnyFunSuite {
       s"raw control bytes (git-binary trigger) in: ${offenders.mkString(", ")}" +
         " — use the \\u0000 escape instead of a literal byte")
   }
+
+  test("no direct localCheckpoint outside Checkpoints.scala (src/main)") {
+    // every lineage cut and memo materialization must ride the
+    // Checkpoints.cut seam so the reliable-checkpoint conf governs
+    // ALL of them — a raw localCheckpoint is un-recomputable state a
+    // preemptible cluster loses with the executor, whether it sits in
+    // a fixpoint loop or a one-shot memo pin.
+    val offenders = scalaFiles("src/main")
+      .filterNot(_.getFileName.toString == "Checkpoints.scala")
+      .filter(p => new String(Files.readAllBytes(p), "UTF-8")
+        .contains(".localCheckpoint("))
+    assert(offenders.isEmpty,
+      s"raw localCheckpoint outside Checkpoints.scala: $offenders — " +
+        "route through Checkpoints.cut / .cut")
+  }
 }

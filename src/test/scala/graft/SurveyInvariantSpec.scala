@@ -82,6 +82,17 @@ class SurveyInvariantSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracleSql entries with no query: $orphans")
   }
 
+  test("rowsChecks cover exactly the rows-kind queries") {
+    // the structural gates exist to close the rows-kind trust gap —
+    // every rows-kind query must carry one, and none may shadow a
+    // hash-gated sql query (the stronger gate already applies there)
+    val rowsNames = surveyRows.filter(_.check == "rows").flatMap(_.name).toSet
+    val unchecked = rowsNames.diff(SparkEntry.rowsChecks.keySet)
+    val misplaced = SparkEntry.rowsChecks.keySet.diff(rowsNames)
+    assert(unchecked.isEmpty, s"rows-kind queries with no shape check: $unchecked")
+    assert(misplaced.isEmpty, s"rowsChecks on non-rows queries: $misplaced")
+  }
+
   test("§2 component ids are unique") {
     val ids = surveyRows.map(_.id).filter(_.forall(_.isDigit))
     val dups = ids.groupBy(identity).collect { case (k, v) if v.size > 1 => k }

@@ -90,14 +90,41 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(o_rows)} rows)")
             n_pass += 1
-    # rows-only queries (no oracle)
+    # rows-only queries: non-empty, plus the structural gates from
+    # rows_checks.json (SQL over view `result`; any returned row is a
+    # named violation, zero rows = pass)
     import os
+    try:
+        checks = json.load(open(f"{out_dir}/rows_checks.json"))
+    except FileNotFoundError:
+        checks = {}
     for name in sorted(os.listdir(out_dir)):
         path = os.path.join(out_dir, name)
         if os.path.isdir(path) and name not in oracle:
             n = con.execute(f"SELECT count(*) FROM '{path}/*.parquet'").fetchone()[0]
-            status = "ROWS" if n > 0 else "EMPTY!"
-            print(f"{status} {name}: {n} rows (no oracle)")
+            if n == 0:
+                print(f"EMPTY! {name}: 0 rows (no oracle)")
+                n_fail += 1
+                continue
+            if name not in checks:
+                print(f"ROWS {name}: {n} rows (no oracle, no shape check)")
+                continue
+            con.execute("DROP VIEW IF EXISTS result")
+            con.execute(f"CREATE VIEW result AS SELECT * FROM '{path}/*.parquet'")
+            try:
+                viol = con.execute(checks[name]).fetchall()
+            except Exception as e:
+                print(f"FAIL {name}: rows-check error: {e}")
+                n_fail += 1
+                continue
+            if viol:
+                named = sorted({v[0] for v in viol})
+                print(f"FAIL {name}: {len(viol)} shape violations ({named}) "
+                      f"e.g. {viol[:3]}")
+                n_fail += 1
+            else:
+                print(f"ROWS {name}: {n} rows (shape-checked: ok)")
+                n_pass += 1
     print(f"\n{n_pass} pass / {n_fail} fail")
     return 1 if n_fail else 0
 
