@@ -223,12 +223,18 @@ object SparkEntry {
       |      '}}' AS value
       |  FROM events)""".stripMargin
 
-  /** Synthetic resolved-cursor rows (mirrors Changefeed.resolvedRows). */
+  /** The engine's resolved cadence, interpolated so the oracles can
+    * never silently diverge from `Changefeed.defaultResolvedFrequencyUs`
+    * (the minhashPermSql single-source-of-truth pattern). */
+  private val freqUs: Long = graft.cdc.Changefeed.defaultResolvedFrequencyUs
+
+  /** Synthetic resolved-cursor rows (mirrors Changefeed.resolvedRows:
+    * bucket end = us − us % f + f, epoch-aligned like the engine). */
   private val rsCte =
-    """rs AS (
-      |  SELECT DISTINCT epoch_us(date_trunc('hour', ts)) + 3600000000 AS sort_us,
+    s"""rs AS (
+      |  SELECT DISTINCT epoch_us(ts) - epoch_us(ts) % $freqUs + $freqUs AS sort_us,
       |    CAST(NULL AS VARCHAR) AS tbl, CAST(NULL AS VARCHAR) AS key,
-      |    '{"resolved": "' || CAST(epoch_us(date_trunc('hour', ts)) + 3600000000 AS VARCHAR) ||
+      |    '{"resolved": "' || CAST(epoch_us(ts) - epoch_us(ts) % $freqUs + $freqUs AS VARCHAR) ||
       |      '.0000000000"}' AS value
       |  FROM events)""".stripMargin
 
@@ -603,7 +609,7 @@ bnd AS (SELECT doc_id, i // 3 AS band,
          |  ${cents("value")} AS c FROM events),
          |l AS (SELECT *, lag(c) OVER (PARTITION BY user_id, event_type
          |  ORDER BY us, event_id) AS prev_c FROM v),
-         |d AS (SELECT us - us % 3600000000 + 3600000000 AS batch_us, event_type,
+         |d AS (SELECT us - us % $freqUs + $freqUs AS batch_us, event_type,
          |  CASE WHEN prev_c IS NULL THEN 1 ELSE 0 END AS dc,
          |  c - coalesce(prev_c, 0) AS ds FROM l),
          |b AS (SELECT batch_us, event_type, CAST(sum(dc) AS BIGINT) AS d_count,
@@ -817,7 +823,7 @@ bnd AS (SELECT doc_id, i // 3 AS band,
 
     "cdc_resolved_batches" ->
       s"""WITH $chCte,
-         |b AS (SELECT sort_us - (sort_us % 3600000000) + 3600000000 AS window_end_us,
+         |b AS (SELECT sort_us - (sort_us % $freqUs) + $freqUs AS window_end_us,
          |  key, sort_us FROM ch),
          |a AS (SELECT window_end_us, count(*) AS n_changes, min(key) AS first_key,
          |  max(key) AS last_key, max(sort_us) AS last_change_us FROM b GROUP BY 1)

@@ -296,6 +296,14 @@ object Analytics {
     * distribution); the spec still asserts the tight bound on raw
     * values. */
   def qQuantilesApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    // COST NOTE (ADVICE r11): the oracle-gated ok-bits require the
+    // exact quantiles, so this op's bench number deliberately includes
+    // one qQuantilesSortRank pass — it measures "sketch + the check",
+    // not the sketch alone (the sketch-alone cost is the gap to
+    // q_quantiles_sortrank in the same bench). The ±1% band is a gate
+    // on THIS distribution; the distribution-free guarantee is the
+    // sketch's rank-error bound, asserted in OperatorSpec where
+    // partitioning is pinned.
     val approx = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       // ONE sketch per group serving both percentiles — two separate

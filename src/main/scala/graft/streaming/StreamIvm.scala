@@ -11,28 +11,42 @@ case class IvmDelta(event_type: String, d_count: Long, d_sum_c: Long)
 case class IvmView(event_type: String, view_count: Long, view_sum_c: Long)
 
 /** Stage 1 of the LIVE incremental view (§2#212): keyed by the logical
-  * PK, holds the PK's last applied value and folds each micro-batch's
-  * changes into ONE delta row — (+1, +v) when the PK first appears,
-  * (0, v_new − v_old) after. The streaming twin of the batch
-  * `cdc_incremental_view` lag: the "previous version" lives in
-  * ValueState instead of a window frame. State per PK: one long. */
+  * PK, holds the PK's last applied (us, event_id, value) and folds each
+  * micro-batch's changes into ONE delta row — (+1, +v) when the PK
+  * first appears, (0, v_new − v_old) after. The streaming twin of the
+  * batch `cdc_incremental_view` lag: the "previous version" lives in
+  * ValueState instead of a window frame.
+  *
+  * Cross-batch ordering: within a batch rows apply in (us, event_id)
+  * order; ACROSS batches the state remembers the last applied
+  * (us, event_id), and any later-arriving change at or below that
+  * point is DROPPED — a stale version must never overwrite a newer
+  * one, so the final state equals the batch `cdc_incremental_view`
+  * ledger under ANY batch slicing of the history, including
+  * out-of-order slicings (pinned by StreamIvmSpec). This matches the
+  * batch twin, whose lag window orders globally by (us, event_id).
+  * State per PK: three longs. */
 class IvmDeltaProcessor
     extends StatefulProcessor[String, IvmChange, IvmDelta] {
 
-  @transient private var last: ValueState[Long] = _
+  // (last applied us, event_id, value)
+  @transient private var last: ValueState[(Long, Long, Long)] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    last = getHandle.getValueState[Long](
-      "last", Encoders.scalaLong, TTLConfig.NONE)
+    last = getHandle.getValueState[(Long, Long, Long)](
+      "last", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong), TTLConfig.NONE)
 
   override def handleInputRows(key: String, rows: Iterator[IvmChange],
       timerValues: TimerValues): Iterator[IvmDelta] = {
-    val sorted = rows.toSeq.sortBy(c => (c.us, c.event_id))
-    if (sorted.isEmpty) return Iterator.empty
     val existed = last.exists()
-    val prev = if (existed) last.get() else 0L
-    val fin = sorted.last
-    last.update(fin.value_c)
+    val (pUs, pId, prev) = if (existed) last.get() else (Long.MinValue, Long.MinValue, 0L)
+    val fresh = rows
+      .filter(c => c.us > pUs || (c.us == pUs && c.event_id > pId))
+      .toSeq.sortBy(c => (c.us, c.event_id))
+    if (fresh.isEmpty) return Iterator.empty
+    val fin = fresh.last
+    last.update((fin.us, fin.event_id, fin.value_c))
     Iterator.single(IvmDelta(fin.event_type,
       if (existed) 0L else 1L, fin.value_c - prev))
   }

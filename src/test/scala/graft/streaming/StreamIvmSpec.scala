@@ -56,6 +56,37 @@ class StreamIvmSpec extends SparkSuite {
     assert(latest("view") === (("view", 1L, 500L)))
   })
 
+  test("out-of-order arrival: a stale change in a later batch is dropped")(withRocksDb {
+    // the ADVICE r11 seam: a change arriving in a LATER micro-batch
+    // with an EARLIER (us, event_id) must not overwrite the newer
+    // applied version — state remembers the last applied position and
+    // drops stale rows, so the final view equals the batch ledger
+    // (which orders globally by (us, event_id)) even under
+    // out-of-order slicings.
+    val in = MemoryStream[Ev](33, spark, None)
+    def ev(id: Long, ms: Long, u: Long, typ: String, v: Double) =
+      Ev(id, new java.sql.Timestamp(ms), u, typ, v, "{}")
+    val q = StreamIvm.views(in.toDF())(spark).writeStream
+      .outputMode("update")
+      .format("memory").queryName("ivm_ooo")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt-ivm3").toString)
+      .start()
+
+    in.addData(ev(2, 2000, 1, "click", 7.50)) // newest version first
+    q.processAllAvailable()
+    in.addData(ev(1, 1000, 1, "click", 1.00)) // stale: must be ignored
+    q.processAllAvailable()
+
+    val rows = spark.table("ivm_ooo").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    q.stop()
+    // batch ledger final state: count 1, sum 750c (the us=2000 version)
+    val latest = rows.zipWithIndex.groupBy(_._1._1).view
+      .mapValues(_.maxBy(_._2)._1).toMap
+    assert(latest("click") === (("click", 1L, 750L)),
+      s"stale change leaked into the view: ${rows.toSeq}")
+  })
+
   test("streamed view over the corpus equals the batch ledger's final rows")(withRocksDb {
     val events = graft.Tables.events(spark, sf).orderBy(col("event_id"))
     val half = events.count() / 2
