@@ -286,7 +286,7 @@ object ScaleCheck {
     * Copy i: doc_id shifted into its own range; every alphanumeric
     * token suffixed with i, so cross-copy shingle/hash collisions are
     * structurally impossible while intra-copy structure is preserved. */
-  private def writeCorpus(spark: SparkSession, sfDir: String,
+  private[graft] def writeCorpus(spark: SparkSession, sfDir: String,
       outDir: String, copies: Int): Unit = {
     val base = Tables.documents(spark, sfDir)
     val frames = (0 until copies).map { i =>
@@ -344,5 +344,40 @@ object ScaleCheck {
     }.reduce(_ unionAll _)
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+  }
+}
+
+/** Build a COMPLETE 10-table K× corpus for a full-suite correctness
+  * pass at true 10× scale (VERDICT r11 item 8): the five fact tables
+  * via [[ScaleCheck.writeCorpus]]'s perturbed-copy generator, the five
+  * dimension tables verbatim — facts grow K×, dims stay (the real
+  * warehouse growth shape: 10× lineitem per part/supplier/customer,
+  * with o_custkey intact so every join key still resolves). The output
+  * dir then serves BOTH engines: graft.Verify dumps Spark results from
+  * it and tools/check_oracle.py runs the same oracle SQL over the same
+  * files in DuckDB — the correctness gate itself, exercised at 10×. */
+object ScaleCorpus {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val k = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val outDir = args.headOption.getOrElse("target/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      // µs timestamps on the wire so DuckDB reads the copy like the
+      // original (INT96 would round-trip but muddy the comparison)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ScaleCheck.writeCorpus(spark, sfDir, outDir, k)
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    println(s"""{"corpus":"$outDir","scale":$k}""")
+    spark.stop()
   }
 }

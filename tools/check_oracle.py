@@ -3,7 +3,11 @@
 in DuckDB over the sf parquet tables and hash-compare against the Spark
 parquet dumps produced by graft.Verify.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [jsonOut]
+
+With jsonOut set, also writes a CORRECTNESS_r*-shaped JSON record
+(per-query rows/schema/hash match) — used for the repo's own
+correctness snapshots at scales the driver doesn't run (e.g. sf1).
 """
 import sys, json, hashlib
 import duckdb
@@ -28,12 +32,23 @@ def table_hash(cols, rows):
         h.update(b"\x1e")
     return h.hexdigest()
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
+    import os
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver sf dirs hold single files; ScaleCorpus writes Spark
+        # directories of part files — glob the latter
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    record = {}
+    def rec(name, rows_m, schema_m, hash_m, s_rows, o_rows, err):
+        record[name] = {"rows_match": rows_m, "schema_match": schema_m,
+                        "hash_match": hash_m, "spark_rows": s_rows,
+                        "oracle_rows": o_rows, "err": err}
     # Pre-flight dtype guard: every oracle output column must be
     # BIGINT or VARCHAR (repo rule — HUGEINT window sums and floats are
     # exactly the class that hash-diverges across DuckDB versions, see
@@ -54,6 +69,7 @@ def main(sf_dir, out_dir):
             o_rows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            rec(name, None, None, None, None, None, f"oracle error: {e}")
             n_fail += 1
             continue
         try:
@@ -62,14 +78,17 @@ def main(sf_dir, out_dir):
             s_rows = res2.fetchall()
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
+            rec(name, None, None, None, None, len(o_rows), f"spark output unreadable: {e}")
             n_fail += 1
             continue
         if sorted(o_cols) != sorted(s_cols):
             print(f"FAIL {name}: cols oracle={sorted(o_cols)} spark={sorted(s_cols)}")
+            rec(name, len(o_rows) == len(s_rows), False, None, len(s_rows), len(o_rows), None)
             n_fail += 1
             continue
         if len(o_rows) != len(s_rows):
             print(f"FAIL {name}: rows oracle={len(o_rows)} spark={len(s_rows)}")
+            rec(name, False, True, None, len(s_rows), len(o_rows), None)
             n_fail += 1
             continue
         ho, hs = table_hash(o_cols, o_rows), table_hash(s_cols, s_rows)
@@ -86,9 +105,11 @@ def main(sf_dir, out_dir):
                     diff = [names[i] for i in range(len(a)) if a[i] != b[i]]
                     print(f"   oracle: {a}\n   spark : {b}\n   differs in: {diff}")
                     shown += 1
+            rec(name, True, True, False, len(s_rows), len(o_rows), None)
             n_fail += 1
         else:
             print(f"PASS {name} ({len(o_rows)} rows)")
+            rec(name, True, True, True, len(s_rows), len(o_rows), None)
             n_pass += 1
     # rows-only queries: non-empty, plus the structural gates from
     # rows_checks.json (SQL over view `result`; any returned row is a
@@ -104,10 +125,12 @@ def main(sf_dir, out_dir):
             n = con.execute(f"SELECT count(*) FROM '{path}/*.parquet'").fetchone()[0]
             if n == 0:
                 print(f"EMPTY! {name}: 0 rows (no oracle)")
+                rec(name, None, None, None, 0, None, "no_oracle")
                 n_fail += 1
                 continue
             if name not in checks:
                 print(f"ROWS {name}: {n} rows (no oracle, no shape check)")
+                rec(name, None, None, None, n, None, "no_oracle")
                 continue
             con.execute("DROP VIEW IF EXISTS result")
             con.execute(f"CREATE VIEW result AS SELECT * FROM '{path}/*.parquet'")
@@ -115,18 +138,27 @@ def main(sf_dir, out_dir):
                 viol = con.execute(checks[name]).fetchall()
             except Exception as e:
                 print(f"FAIL {name}: rows-check error: {e}")
+                rec(name, None, None, None, n, None, f"rows-check error: {e}")
                 n_fail += 1
                 continue
             if viol:
                 named = sorted({v[0] for v in viol})
                 print(f"FAIL {name}: {len(viol)} shape violations ({named}) "
                       f"e.g. {viol[:3]}")
+                rec(name, None, None, None, n, None,
+                    f"shape violations: {named}")
                 n_fail += 1
             else:
                 print(f"ROWS {name}: {n} rows (shape-checked: ok)")
+                rec(name, None, None, None, n, None, "no_oracle")
                 n_pass += 1
     print(f"\n{n_pass} pass / {n_fail} fail")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(dict(sorted(record.items())), f, indent=2)
+        print(f"wrote {json_out} ({len(record)} entries)")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
