@@ -178,6 +178,7 @@ object SparkEntry {
     "text_scrub_pii" -> (TextAnalysis.scrubPii _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
+    "text_decontaminate_fuzzy" -> (TextAnalysis.decontaminateFuzzy _),
     "text_repetition" -> (TextAnalysis.repetition _),
     "text_vocab" -> ((s: SparkSession, d: String) => TextAnalysis.vocab(s, d)),
     "text_salient_terms" -> (TextAnalysis.salientTerms _),
@@ -469,6 +470,33 @@ bnd AS (SELECT doc_id, i // 3 AS band,
          |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.sig, y.sig)) <= 8
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // fuzzy decontamination: same replayable signature basis, bench
+    // side = doc_id % 50 = 0 (the #66 convention), paraphrased plants
+    // at +2000000; threshold est ≥ 700‰ ⟺ neq·1000 ≥ 67200
+    "text_decontaminate_fuzzy" ->
+      s"""WITH c0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         |c AS (SELECT doc_id, toks FROM c0
+         |  UNION ALL SELECT doc_id + 2000000, toks[1:greatest(len(toks)-3, 1)]
+         |  FROM c0 WHERE doc_id % 50 = 0),
+         |${shingleHashCte("c")},
+         |perm AS (SELECT * FROM (VALUES $minhashPermSql) p(i, a, b)),
+         |$minhashSigCtes,
+         |cand AS (SELECT DISTINCT t.doc_id, b.doc_id AS bench_doc
+         |  FROM bnd t JOIN bnd b ON t.band = b.band AND t.bkey = b.bkey
+         |  WHERE (t.doc_id % 50 <> 0 OR t.doc_id >= 2000000)
+         |    AND b.doc_id % 50 = 0 AND b.doc_id < 2000000),
+         |eq AS (SELECT cand.doc_id, cand.bench_doc,
+         |  count(*) FILTER (WHERE sa.m = sb.m) AS neq
+         |  FROM cand JOIN s sa ON sa.doc_id = cand.doc_id
+         |  JOIN s sb ON sb.doc_id = cand.bench_doc AND sb.i = sa.i GROUP BY 1, 2),
+         |sc AS (SELECT doc_id, bench_doc, CAST(neq * 1000 // 96 AS BIGINT) AS est_pm
+         |  FROM eq WHERE neq * 1000 >= 67200),
+         |w AS (SELECT *, max(est_pm) OVER (PARTITION BY doc_id) AS mx FROM sc)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_matches,
+         |  CAST(min(bench_doc) FILTER (WHERE est_pm = mx) AS BIGINT) AS best_bench_id,
+         |  CAST(max(est_pm) AS BIGINT) AS best_est_pm
+         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH $plantedCorpusSql,

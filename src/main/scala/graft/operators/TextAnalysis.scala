@@ -780,6 +780,81 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** §2#220 FUZZY benchmark decontamination — the paraphrase-robust
+    * complement of #66 (exact window-hash matching misses a benchmark
+    * doc lightly rewritten into the crawl; near-dup contamination is
+    * the documented leak class behind inflated eval scores): MinHash
+    * signatures over 3-shingles for BOTH sides, the benchmark side's
+    * band table BROADCAST (eval sets are hand-curated and bounded —
+    * #66's scale argument, unchanged), corpus docs probe it on
+    * (band, bandhash), and collisions are verified by signature
+    * agreement (est. Jaccard ≥ 0.7). Per flagged doc: how many
+    * benchmark docs it matches, the best match and its similarity —
+    * the triage table a decontamination rollout reviews.
+    *
+    * Guaranteed positives by construction: paraphrased benchmark
+    * plants (doc_id+2000000, last 3 words dropped — the
+    * corpusWithPlants convention). Replayable md5+affine family
+    * throughout ⇒ the DuckDB oracle recomputes signatures bit-for-bit
+    * and the query is hash-gated like the #26 family. Scale shape:
+    * 96 map-side-combinable min-aggs per side, ONE broadcast probe
+    * (no corpus shuffle before verification), verify join bounded by
+    * collisions — never corpus×bench. */
+  def decontaminateFuzzy(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 96; val bands = 32; val rows = k / bands
+    val base = Tables.documentsPar(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val bench = base.where(col("doc_id") % 50 === 0)
+    val plants = bench.select((col("doc_id") + 2000000L).as("doc_id"),
+      slice(col("toks"), lit(1),
+        greatest(size(col("toks")) - 3, lit(1))).as("toks"))
+    val train = base.where(col("doc_id") % 50 =!= 0).unionByName(plants)
+
+    def sigsOf(docs: DataFrame): DataFrame = {
+      val ex = docs.select(col("doc_id"),
+        explode(shingleMd5Hashes(col("toks"), 3)).as("h0"))
+      val minAggs = (0 until k).map(i => min(affineHash(col("h0"), i)).as(s"m$i"))
+      ex.groupBy(col("doc_id"))
+        .agg(minAggs.head, minAggs.tail: _*)
+        .select(col("doc_id"),
+          array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+        .cut
+    }
+    def bandsOf(sigs: DataFrame): DataFrame =
+      sigs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            slice(col("sig"), b * lit(rows) + 1, lit(rows))), b))))
+        .toDF("doc_id", "band", "bandhash")
+
+    val bSigs = sigsOf(bench)
+    val tSigs = sigsOf(train)
+    val cand = bandsOf(tSigs)
+      .join(broadcast(bandsOf(bSigs)
+        .select(col("band"), col("bandhash"), col("doc_id").as("bench_doc"))),
+        Seq("band", "bandhash"))
+      .select(col("doc_id"), col("bench_doc")).distinct()
+    val scored = cand
+      .join(tSigs.select(col("doc_id"), col("sig")), "doc_id")
+      .join(bSigs.select(col("doc_id").as("bench_doc"), col("sig").as("sig_b")),
+        "bench_doc")
+      .select(col("doc_id"), col("bench_doc"),
+        (size(filter(zip_with(col("sig"), col("sig_b"), (x, y) => x === y),
+          b => b)) * lit(1000) / lit(k)).cast("long").as("est_pm"))
+      .where(col("est_pm") >= 700)
+    scored
+      .withColumn("best_pm", max(col("est_pm")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bench_matches"),
+        max(col("est_pm")).as("best_est_pm"),
+        min(when(col("est_pm") === col("best_pm"), col("bench_doc")))
+          .as("best_bench_id"))
+      .select(col("doc_id"), col("n_bench_matches"), col("best_bench_id"),
+        col("best_est_pm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PERSIST the trained tokenizer — the build-once/query-many split
     * the ANN index ([[Similarity.persistIvfPqIndex]]), the pair graph
     * ([[Dedup.persistCandidates]]) and the band table

