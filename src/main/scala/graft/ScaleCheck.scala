@@ -243,7 +243,12 @@ object ScaleCheck {
       "dedup_simhash" -> ((s: SparkSession, d: String, _: Int) =>
         Dedup.simhash(s, d)),
       "dedup_winnowing" -> ((s: SparkSession, d: String, _: Int) =>
-        Dedup.winnowing(s, d)))
+        Dedup.winnowing(s, d)),
+      // r12: fuzzy decontamination — bench side stays 1/50th of the
+      // corpus, so BOTH sig passes grow ~K× while the broadcast probe
+      // stays bench-bounded; expect the minhash family band
+      "text_decontaminate_fuzzy" -> ((s: SparkSession, d: String, _: Int) =>
+        TextAnalysis.decontaminateFuzzy(s, d)))
 
     // SPARK_GRAFT_OPS=a,b,c restricts the run (default: everything) —
     // lets a round re-measure just its new ops without paying for the
