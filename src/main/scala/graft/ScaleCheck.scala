@@ -297,8 +297,13 @@ object ScaleCheck {
     val frames = (0 until copies).map { i =>
       base.select(
         (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
-        col("source"),
-        regexp_replace(col("text"), "([A-Za-z0-9]+)", s"$$1$i").as("text"))
+        regexp_replace(col("text"), "([A-Za-z0-9]+)", s"$$1$i").as("text"),
+        col("lang"), col("source"))
+        // full driver schema (lang/n_chars feed langid, stratified
+        // sampling, weighted sampling, the train-data pipeline);
+        // n_chars re-derived from the PERTURBED text so the length
+        // column stays truthful
+        .withColumn("n_chars", length(col("text")).cast("long"))
     }
     frames.reduce(_ unionAll _)
       .repartition(spark.sparkContext.defaultParallelism)
