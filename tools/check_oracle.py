@@ -9,8 +9,10 @@ With jsonOut set, also writes a CORRECTNESS_r*-shaped JSON record
 (per-query rows/schema/hash match) — used for the repo's own
 correctness snapshots at scales the driver doesn't run (e.g. sf1).
 """
-import sys, json, hashlib
+import sys, os, json, hashlib, functools
 import duckdb
+
+print = functools.partial(print, flush=True)  # stream progress through pipes
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -43,12 +45,41 @@ def main(sf_dir, out_dir, json_out=None):
             src = f"{src}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    full_oracle_keys = set(oracle)
+    # CHECK_ONLY / CHECK_SKIP: comma-separated sql-query filters for
+    # splitting a long gate run (the 10x corpus makes a handful of
+    # pair-join oracles hour-scale in DuckDB); CHECK_ROWS=0 skips the
+    # rows-kind section so a partial run doesn't re-pay it
+    env_only = {s for s in os.environ.get("CHECK_ONLY", "").split(",") if s}
+    env_skip = {s for s in os.environ.get("CHECK_SKIP", "").split(",") if s}
+    if env_only:
+        oracle = {k: v for k, v in oracle.items() if k in env_only}
+    if env_skip:
+        oracle = {k: v for k, v in oracle.items() if k not in env_skip}
     n_pass = n_fail = 0
     record = {}
+    # CHECK_RESUME=1 with jsonOut: reload a prior (partial) record and
+    # skip every query already in it — lets an hour-scale gate run
+    # survive kills/restarts; the record is re-written after every
+    # query (atomic tmp+rename) so progress is never lost.
+    if json_out and os.environ.get("CHECK_RESUME") == "1" \
+            and os.path.exists(json_out):
+        record = json.load(open(json_out))
+        done = set(record)
+        oracle = {k: v for k, v in oracle.items() if k not in done}
+        print(f"resume: {len(done)} entries already recorded, "
+              f"{len(oracle)} sql queries remaining")
+    def flush_record():
+        if json_out:
+            tmp = json_out + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(dict(sorted(record.items())), f, indent=2)
+            os.replace(tmp, json_out)
     def rec(name, rows_m, schema_m, hash_m, s_rows, o_rows, err):
         record[name] = {"rows_match": rows_m, "schema_match": schema_m,
                         "hash_match": hash_m, "spark_rows": s_rows,
                         "oracle_rows": o_rows, "err": err}
+        flush_record()
     # Pre-flight dtype guard: every oracle output column must be
     # BIGINT or VARCHAR (repo rule — HUGEINT window sums and floats are
     # exactly the class that hash-diverges across DuckDB versions, see
@@ -119,9 +150,15 @@ def main(sf_dir, out_dir, json_out=None):
         checks = json.load(open(f"{out_dir}/rows_checks.json"))
     except FileNotFoundError:
         checks = {}
-    for name in sorted(os.listdir(out_dir)):
+    if os.environ.get("CHECK_ROWS", "1") == "0":
+        checks, rows_dirs = {}, []
+    else:
+        rows_dirs = sorted(os.listdir(out_dir))
+    for name in rows_dirs:
         path = os.path.join(out_dir, name)
-        if os.path.isdir(path) and name not in oracle:
+        if name in record:  # already recorded by a resumed prior run
+            continue
+        if os.path.isdir(path) and name not in full_oracle_keys:
             n = con.execute(f"SELECT count(*) FROM '{path}/*.parquet'").fetchone()[0]
             if n == 0:
                 print(f"EMPTY! {name}: 0 rows (no oracle)")
