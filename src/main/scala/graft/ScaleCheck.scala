@@ -248,7 +248,12 @@ object ScaleCheck {
       // corpus, so BOTH sig passes grow ~K× while the broadcast probe
       // stays bench-bounded; expect the minhash family band
       "text_decontaminate_fuzzy" -> ((s: SparkSession, d: String, _: Int) =>
-        TextAnalysis.decontaminateFuzzy(s, d)))
+        TextAnalysis.decontaminateFuzzy(s, d)),
+      // r12: perplexity — same two-count-table join family as
+      // text_rarity/bigram_lm; expect the df-join band (count tables
+      // grow with VOCAB under the per-copy suffixes, corpus side ~K×)
+      "text_perplexity" -> ((s: SparkSession, d: String, _: Int) =>
+        TextAnalysis.perplexity(s, d)))
 
     // SPARK_GRAFT_OPS=a,b,c restricts the run (default: everything) —
     // lets a round re-measure just its new ops without paying for the

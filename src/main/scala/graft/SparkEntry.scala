@@ -43,6 +43,7 @@ object SparkEntry {
     "cdc_snapshot_diff" -> (Changefeed.snapshotDiff _),
     "cdc_resolved_gaps" -> ((s: SparkSession, d: String) => Changefeed.resolvedGaps(s, d)),
     "text_bigram_lm" -> (TextAnalysis.bigramLm _),
+    "text_perplexity" -> (TextAnalysis.perplexity _),
     "ts_interpolate" -> (TimeSeries.interpolate _),
     "ts_seasonal" -> (TimeSeries.seasonal _),
     "ts_xcorr" -> ((s: SparkSession, d: String) => TimeSeries.xcorr(s, d)),
@@ -1629,6 +1630,19 @@ bnd AS (SELECT doc_id, i // 3 AS band,
         |  FROM p JOIN b USING (bg) JOIN u USING (w1))
         |SELECT doc_id, count(*) AS n_bigrams,
         |  CAST(sum(score) // count(*) AS BIGINT) AS coherence_ppm
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_perplexity" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |p AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS bg
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i
+        |        FROM t WHERE len(toks) >= 2)),
+        |u AS (SELECT w1, count(*) AS n1 FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY 1),
+        |b AS (SELECT bg, count(*) AS n2 FROM p GROUP BY 1),
+        |s AS (SELECT doc_id,
+        |    length(bin(least(n1 // n2, 2147483647) * least(n1 // n2, 2147483647))) - 1 AS hb
+        |  FROM p JOIN b USING (bg) JOIN u USING (w1))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST((500 * sum(hb)) // count(*) AS BIGINT) AS ppl_millibits
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_mode" ->
       s"""WITH c AS (SELECT event_type, ${cents("value")} AS v_c, count(*) AS n

@@ -895,4 +895,52 @@ object TextAnalysis {
       name: String = "bpe"): DataFrame =
     bpeEncodeWith(Tables.documentsPar(spark, sfDir),
       spark.table(s"${name}_vocab"))
+
+  /** §2#221 bigram-LM perplexity scoring (exact-integer surprisal) —
+    * the log-domain companion of [[bigramLm]]: #128 reports the
+    * ARITHMETIC mean of conditional bigram probabilities, where one
+    * stock bigram can mask many impossible ones; perplexity is the
+    * GEOMETRIC mean — mean per-bigram surprisal −log₂P(w2|w1) — the
+    * statistic the CCNet recipe (Wenzek et al. 2020) actually ranks
+    * corpora by before keeping the low-perplexity tail. Done in EXACT
+    * integers so the DuckDB oracle hash-gates it: with q = n1 div n2
+    * (≥ 1 — every bigram occurrence is also a w1 occurrence) capped at
+    * 2³¹−1, the surprisal in HALF-bits is floor(2·log₂ q) =
+    * length(bin(q·q)) − 1 — binary-string length is the same exact
+    * integer log in Spark and DuckDB, no float ln anywhere; the
+    * per-doc mean in millibits is `500·Σ div n` (half-bit → millibit).
+    * Low = stock prose under the corpus LM; high = word salad / OCR
+    * noise / wrong-language text — the drop tail.
+    *
+    * Shape: identical to [[bigramLm]] — narrow zip_with bigram build
+    * (no self-join, no window), two map-side-combinable count tables
+    * (vocab-/bigram-vocab-sized: AQE broadcast here, shuffle join at
+    * 100 TB), one combinable per-doc agg; the surprisal itself is a
+    * codegen'd string-length projection. The 2³¹ cap keeps q² inside
+    * BIGINT at any corpus size — surprisal saturates at 62 half-bits
+    * (a 1-in-2³¹ bigram), far past any filter's decision boundary. */
+  def perplexity(spark: SparkSession, sfDir: String): DataFrame =
+    perplexityFrom(Tables.documentsPar(spark, sfDir))
+
+  /** Core of [[perplexity]] over any `(doc_id, text)` frame. */
+  def perplexityFrom(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val pairs = base.where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(toks, 1, size(toks)-1), slice(toks, 2, size(toks)-1)," +
+          " (x, y) -> struct(x AS w1, concat(x, ' ', y) AS bg))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+    val uni = base.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+    val big = pairs.groupBy(col("bg")).agg(count(lit(1)).as("n2"))
+    pairs.join(big, "bg").join(uni, "w1")
+      .withColumn("q", expr("least(n1 div n2, 2147483647L)"))
+      .select(col("doc_id"),
+        (length(expr("bin(q * q)")) - 1).cast("long").as("hb"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("hb")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("500 * s div n_bigrams").as("ppl_millibits"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -989,6 +989,35 @@ class NewOpsSpec extends SparkSuite {
     assert(real.forall(r => r.getLong(2) > 0L && r.getLong(2) <= 1000000L))
   }
 
+  test("text_perplexity: EQUALS integer brute force; salad above prose") {
+    import spark.implicits._
+    val prose = (1L to 8L).map(i => (i, "the cat sat on the mat " * 4))
+    val salad = Seq((99L, "mat the on sat cat cat mat on the sat the"))
+    val corpus = prose ++ salad
+    val out = TextAnalysis.perplexityFrom(corpus.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute force with the same integer definition: q = n1 div n2 capped,
+    // half-bit surprisal = floor(2*log2(q)) via leading zeros, mean in
+    // millibits = 500*sum div n — the engine must match EXACTLY
+    val toks = corpus.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+    val n1 = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong)
+    val bgs = toks.map { case (id, ts) => id -> ts.zip(ts.tail) }
+    val n2 = bgs.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong)
+    val want = bgs.filter(_._2.nonEmpty).map { case (id, bg) =>
+      val hbs = bg.map { p =>
+        val q = math.min(n1(p._1) / n2(p), 2147483647L)
+        (63 - java.lang.Long.numberOfLeadingZeros(q * q)).toLong
+      }
+      (id, bg.size.toLong, 500L * hbs.sum / bg.size)
+    }.sortBy(_._1)
+    assert(out.toSeq === want)
+    // the scrambled doc is MORE surprising than the stock prose
+    val ppl = out.map(r => r._1 -> r._3).toMap
+    assert(ppl(99L) > ppl(1L), s"salad ${ppl(99L)} !> prose ${ppl(1L)}")
+    val real = TextAnalysis.perplexity(spark, sf).collect()
+    assert(real.forall(r => r.getLong(2) >= 0L && r.getLong(2) <= 62000L))
+  }
+
   test("sample_split: fractions near 90/5/5 and membership survives corpus growth") {
     val rows = Sampling.sampleSplit(spark, sf).collect()
     val bySplit = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum)
