@@ -44,6 +44,7 @@ object SparkEntry {
     "cdc_resolved_gaps" -> ((s: SparkSession, d: String) => Changefeed.resolvedGaps(s, d)),
     "text_bigram_lm" -> (TextAnalysis.bigramLm _),
     "text_perplexity" -> (TextAnalysis.perplexity _),
+    "text_token_entropy" -> (TextAnalysis.tokenEntropy _),
     "ts_interpolate" -> (TimeSeries.interpolate _),
     "ts_seasonal" -> (TimeSeries.seasonal _),
     "ts_xcorr" -> ((s: SparkSession, d: String) => TimeSeries.xcorr(s, d)),
@@ -1643,6 +1644,17 @@ bnd AS (SELECT doc_id, i // 3 AS band,
         |  FROM p JOIN b USING (bg) JOIN u USING (w1))
         |SELECT doc_id, count(*) AS n_bigrams,
         |  CAST((500 * sum(hb)) // count(*) AS BIGINT) AS ppl_millibits
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_token_entropy" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+        |w AS (SELECT doc_id, c,
+        |    CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM c),
+        |s AS (SELECT doc_id, c, n,
+        |    length(bin(least(n // c, 2147483647) * least(n // c, 2147483647))) - 1 AS hb
+        |  FROM w)
+        |SELECT doc_id, max(n) AS n_tokens, count(*) AS n_distinct,
+        |  CAST((500 * sum(c * hb)) // max(n) AS BIGINT) AS entropy_millibits
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_mode" ->
       s"""WITH c AS (SELECT event_type, ${cents("value")} AS v_c, count(*) AS n

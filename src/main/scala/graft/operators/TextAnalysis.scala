@@ -943,4 +943,47 @@ object TextAnalysis {
         expr("500 * s div n_bigrams").as("ppl_millibits"))
       .orderBy(col("doc_id"))
   }
+
+  /** §2#222 per-document token entropy (exact-integer plug-in
+    * estimate) — the classic redundancy statistic quality pipelines
+    * cut on (near-zero entropy = templated/generated boilerplate, a
+    * failure mode [[quality]]'s uniq-token RATIO misses: a doc that is
+    * 99% one token and 1% varied has a low ratio but the shape only
+    * entropy sees; the Gopher repetition rules are special cases of
+    * this distribution being degenerate). Plug-in entropy
+    * Σ (cᵢ/n)·log₂(n/cᵢ) with the SAME floored-integer log as
+    * [[perplexity]]: per token occurrence the surprisal in half-bits
+    * is floor(2·log₂(n div cᵢ)) = length(bin(q²))−1, the doc reports
+    * the occurrence-mean in millibits `500·Σcᵢ·hbᵢ div n` plus the
+    * raw sizes. Uniform-all-distinct docs ≈ log₂n bits (millibits
+    * ≈ 1000·log₂n), single-token docs = 0 — the drop tail.
+    *
+    * Shape: one map-side-combinable count on (doc_id, tok) — the only
+    * corpus-sized shuffle, carrying ids not text — then a window sum
+    * per doc_id over the ALREADY doc-clustered counts (no second
+    * exchange: (doc_id, tok) hash-clustering does not co-locate
+    * doc_ids, so Spark inserts one doc_id exchange for the window —
+    * |distinct (doc,tok)| rows, the compacted form) and one
+    * combinable final agg. No joins, no float math anywhere. */
+  def tokenEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    tokenEntropyFrom(Tables.documentsPar(spark, sfDir))
+
+  /** Core of [[tokenEntropy]] over any `(doc_id, text)` frame. */
+  def tokenEntropyFrom(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("doc_id"))
+    counts
+      .withColumn("n", sum(col("c")).over(w))
+      .withColumn("q", expr("least(n div c, 2147483647L)"))
+      .select(col("doc_id"), col("c"), col("n"),
+        (length(expr("bin(q * q)")) - 1).cast("long").as("hb"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum(expr("c * hb")).as("s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        expr("500 * s div n_tokens").as("entropy_millibits"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1018,6 +1018,32 @@ class NewOpsSpec extends SparkSuite {
     assert(real.forall(r => r.getLong(2) >= 0L && r.getLong(2) <= 62000L))
   }
 
+  test("text_token_entropy: EQUALS integer brute force; degenerate=0, uniform≈log2 n") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "a a a a a a a a",                      // single token: 0 bits
+      2L -> "a b c d e f g h",                      // uniform 8: exactly 3 bits
+      3L -> ("spam " * 99 + "ham"))                 // 99%-one-token skew
+    val out = TextAnalysis.tokenEntropyFrom(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = docs.map { case (id, t) =>
+      val c = t.trim.split("\\s+").toSeq.groupBy(identity).view.mapValues(_.size.toLong)
+      val n = c.values.sum
+      val s = c.values.map { ci =>
+        val q = math.min(n / ci, 2147483647L)
+        ci * (63 - java.lang.Long.numberOfLeadingZeros(q * q))
+      }.sum
+      (id, n, c.size.toLong, 500L * s / n)
+    }.sortBy(_._1)
+    assert(out.toSeq === want)
+    val byId = out.map(r => r._1 -> r._4).toMap
+    assert(byId(1L) === 0L)            // degenerate distribution
+    assert(byId(2L) === 3000L)         // uniform 8 = exactly 3 bits
+    assert(byId(3L) < 500L)            // heavy skew ≈ low entropy
+    val real = TextAnalysis.tokenEntropy(spark, sf).collect()
+    assert(real.forall(r => r.getLong(3) >= 0L && r.getLong(3) <= 62000L))
+  }
+
   test("sample_split: fractions near 90/5/5 and membership survives corpus growth") {
     val rows = Sampling.sampleSplit(spark, sf).collect()
     val bySplit = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum)
