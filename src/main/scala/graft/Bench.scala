@@ -163,8 +163,11 @@ object Bench {
         s""""${esc(k)}":[$p,$v]""" }.mkString("{", ",", "}")
       val taggedLine = line.dropRight(1) +
         s""","regressions":$regJson${if (only.isDefined) ""","subset":true""" else ""}}"""
-      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-        (taggedLine + "\n").getBytes("UTF-8"))
+      // bench_full.json holds the latest FULL-suite record only — a
+      // subset measurement must not clobber the round's full snapshot
+      if (only.isEmpty)
+        java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+          (taggedLine + "\n").getBytes("UTF-8"))
       java.nio.file.Files.write(history, (taggedLine + "\n").getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)

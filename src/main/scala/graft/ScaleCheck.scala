@@ -253,7 +253,11 @@ object ScaleCheck {
       // text_rarity/bigram_lm; expect the df-join band (count tables
       // grow with VOCAB under the per-copy suffixes, corpus side ~K×)
       "text_perplexity" -> ((s: SparkSession, d: String, _: Int) =>
-        TextAnalysis.perplexity(s, d)))
+        TextAnalysis.perplexity(s, d)),
+      // r12: entropy — one (doc,tok) count + one doc window; corpus-
+      // linear with no join side at all — expect the narrow-agg band
+      "text_token_entropy" -> ((s: SparkSession, d: String, _: Int) =>
+        TextAnalysis.tokenEntropy(s, d)))
 
     // SPARK_GRAFT_OPS=a,b,c restricts the run (default: everything) —
     // lets a round re-measure just its new ops without paying for the
