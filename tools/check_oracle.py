@@ -37,6 +37,15 @@ def table_hash(cols, rows):
 def main(sf_dir, out_dir, json_out=None):
     import os
     con = duckdb.connect()
+    # CHECK_MEM / CHECK_THREADS: resource caps so several gate workers
+    # can run disjoint CHECK_ONLY subsets concurrently on one machine
+    # (DuckDB's defaults are 80% RAM and all cores PER PROCESS); the
+    # temp dir gives capped workers a spill path instead of an OOM.
+    if os.environ.get("CHECK_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['CHECK_MEM']}'")
+        con.execute(f"SET temp_directory='/tmp/ddb_spill_{os.getpid()}'")
+    if os.environ.get("CHECK_THREADS"):
+        con.execute(f"SET threads={int(os.environ['CHECK_THREADS'])}")
     for t in TABLES:
         # driver sf dirs hold single files; ScaleCorpus writes Spark
         # directories of part files — glob the latter
