@@ -475,19 +475,23 @@ bnd AS (SELECT doc_id, i // 3 AS band,
 
     // fuzzy decontamination: same replayable signature basis, bench
     // side = doc_id % 50 = 0 (the #66 convention), paraphrased plants
-    // at +2000000; threshold est ≥ 700‰ ⟺ neq·1000 ≥ 67200
+    // at a corpus-DERIVED offset (smallest multiple of 50 past
+    // max(doc_id) — a constant collides once ids outgrow it, e.g. the
+    // 10× corpus's +1e8 copy ranges); threshold est ≥ 700‰ ⟺
+    // neq·1000 ≥ 67200
     "text_decontaminate_fuzzy" ->
-      s"""WITH c0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+      s"""WITH ofs AS (SELECT ((max(doc_id) // 50) + 1) * 50 AS o FROM documents),
+         |c0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
          |c AS (SELECT doc_id, toks FROM c0
-         |  UNION ALL SELECT doc_id + 2000000, toks[1:greatest(len(toks)-3, 1)]
+         |  UNION ALL SELECT doc_id + (SELECT o FROM ofs), toks[1:greatest(len(toks)-3, 1)]
          |  FROM c0 WHERE doc_id % 50 = 0),
          |${shingleHashCte("c")},
          |perm AS (SELECT * FROM (VALUES $minhashPermSql) p(i, a, b)),
          |$minhashSigCtes,
          |cand AS (SELECT DISTINCT t.doc_id, b.doc_id AS bench_doc
          |  FROM bnd t JOIN bnd b ON t.band = b.band AND t.bkey = b.bkey
-         |  WHERE (t.doc_id % 50 <> 0 OR t.doc_id >= 2000000)
-         |    AND b.doc_id % 50 = 0 AND b.doc_id < 2000000),
+         |  WHERE (t.doc_id % 50 <> 0 OR t.doc_id >= (SELECT o FROM ofs))
+         |    AND b.doc_id % 50 = 0 AND b.doc_id < (SELECT o FROM ofs)),
          |eq AS (SELECT cand.doc_id, cand.bench_doc,
          |  count(*) FILTER (WHERE sa.m = sb.m) AS neq
          |  FROM cand JOIN s sa ON sa.doc_id = cand.doc_id

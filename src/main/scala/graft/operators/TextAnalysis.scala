@@ -800,12 +800,27 @@ object TextAnalysis {
     * 96 map-side-combinable min-aggs per side, ONE broadcast probe
     * (no corpus shuffle before verification), verify join bounded by
     * collisions — never corpus×bench. */
+  /** Plant-id offset for [[decontaminateFuzzy]]: the smallest multiple
+    * of 50 past max(doc_id), DERIVED from the corpus rather than a
+    * constant — a fixed offset collides with real ids the moment the
+    * corpus id space grows past it (the 10× corpus remaps copies to
+    * +10⁸ ranges; 100 TB ids are arbitrary), silently splitting the
+    * engine's structural bench/plant split from the oracle's id-range
+    * one. One single-column scan + a 1-row agg (the bounded-collect
+    * class); multiple-of-50 keeps the oracle's `≥ off ⇒ plant` test
+    * exact alongside the `% 50` bench test. */
+  def plantOffset(docs: DataFrame): Long = {
+    val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+    (mx / 50 + 1) * 50
+  }
+
   def decontaminateFuzzy(spark: SparkSession, sfDir: String): DataFrame = {
     val k = 96; val bands = 32; val rows = k / bands
     val base = Tables.documentsPar(spark, sfDir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val off = plantOffset(base)
     val bench = base.where(col("doc_id") % 50 === 0)
-    val plants = bench.select((col("doc_id") + 2000000L).as("doc_id"),
+    val plants = bench.select((col("doc_id") + off).as("doc_id"),
       slice(col("toks"), lit(1),
         greatest(size(col("toks")) - 3, lit(1))).as("toks"))
     val train = base.where(col("doc_id") % 50 =!= 0).unionByName(plants)

@@ -679,10 +679,11 @@ class OperatorSpec extends SparkSuite {
   }
 
   test("fuzzy decontamination finds the paraphrased benchmark plants") {
-    // each plant (doc_id+2000000, last 3 words dropped) is a paraphrase
-    // of exactly one benchmark doc — it must be flagged with its source
-    // as the best match, and no benchmark doc may appear on the corpus
-    // side of the report
+    // each plant (doc_id + corpus-derived offset, last 3 words dropped)
+    // is a paraphrase of exactly one benchmark doc — it must be flagged
+    // with its source as the best match, and no benchmark doc may
+    // appear on the corpus side of the report
+    val off = TextAnalysis.plantOffset(graft.Tables.documents(spark, sf))
     val flagged = TextAnalysis.decontaminateFuzzy(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
@@ -690,7 +691,7 @@ class OperatorSpec extends SparkSuite {
       .where(col("doc_id") % 50 === 0).select(col("doc_id"))
       .collect().map(_.getLong(0))
     assert(benchIds.nonEmpty)
-    val plantsFlagged = benchIds.filter(b => flagged.contains(b + 2000000L))
+    val plantsFlagged = benchIds.filter(b => flagged.contains(b + off))
     // MinHash est ≥ 700‰ at true jaccard ≈ 0.85: expect nearly all
     assert(plantsFlagged.length * 10 >= benchIds.length * 8,
       s"only ${plantsFlagged.length}/${benchIds.length} plants flagged")
@@ -702,15 +703,15 @@ class OperatorSpec extends SparkSuite {
     // source did — n_bench_matches must cover it), and that at least
     // one plant recovers its source exactly
     plantsFlagged.foreach { b =>
-      val (nMatches, best, estPm) = flagged(b + 2000000L)
-      assert(best % 50 === 0 && best < 2000000L,
-        s"plant ${b + 2000000L}: best match $best is not a benchmark doc")
+      val (nMatches, best, estPm) = flagged(b + off)
+      assert(best % 50 === 0 && best < off,
+        s"plant ${b + off}: best match $best is not a benchmark doc")
       assert(estPm >= 700 && estPm <= 1000)
       assert(nMatches >= 1)
     }
-    assert(plantsFlagged.exists(b => flagged(b + 2000000L)._2 === b),
+    assert(plantsFlagged.exists(b => flagged(b + off)._2 === b),
       "no plant recovered its own source benchmark doc")
-    assert(flagged.keySet.forall(id => id % 50 != 0 || id >= 2000000L),
+    assert(flagged.keySet.forall(id => id % 50 != 0 || id >= off),
       "a benchmark doc leaked onto the corpus side")
   }
 
