@@ -156,6 +156,7 @@ object SparkEntry {
     "sample_split" -> (Sampling.sampleSplit _),
     "sample_cap_per_source" -> ((s: SparkSession, d: String) => Sampling.capPerSource(s, d)),
     "sample_mixture" -> (Sampling.sampleMixture _),
+    "sample_epochs" -> ((s: SparkSession, d: String) => Sampling.sampleEpochs(s, d)),
     "sample_temperature" -> ((s: SparkSession, d: String) => Sampling.sampleTemperature(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "pipeline_train_data" -> ((s: SparkSession, d: String) => Pipeline.trainDataPipeline(s, d)),
@@ -2208,6 +2209,29 @@ FROM d JOIN v USING (tok) GROUP BY 1 ORDER BY d.doc_id""",
         |  CAST(sum(CASE WHEN bucket < keep_pm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(round(sum(CASE WHEN bucket < keep_pm THEN 1 ELSE 0 END) * 1000.0 / count(*), 0) AS BIGINT) AS achieved_pm
         |FROM d GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // epoch allocation: the same split-product floor(b*w/sum_w) as the
+    // engine — neither side may form b*w (BIGINT overflow at scale)
+    "sample_epochs" ->
+      """WITH per AS (SELECT source,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS avail_toks
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, avail_toks,
+        |    CAST(floor(sqrt(avail_toks)) AS BIGINT) AS w FROM per),
+        |t AS (SELECT *, CAST(sum(w) OVER () AS BIGINT) AS w_sum,
+        |    CAST(sum(avail_toks) OVER () AS BIGINT) * 2 AS budget FROM w),
+        |i AS (SELECT *,
+        |    (budget // w_sum) * w + ((budget % w_sum) * w) // w_sum AS ideal_toks
+        |  FROM t),
+        |e AS (SELECT *,
+        |    least((ideal_toks + avail_toks - 1) // avail_toks, 4) AS epochs FROM i)
+        |SELECT source, avail_toks,
+        |  CAST(1000 * w // w_sum AS BIGINT) AS weight_pm,
+        |  CAST(ideal_toks AS BIGINT) AS ideal_toks,
+        |  CAST(epochs AS BIGINT) AS epochs,
+        |  CAST(least(ideal_toks, epochs * avail_toks) AS BIGINT) AS realized_toks,
+        |  CAST(1000 * least(ideal_toks, epochs * avail_toks) // greatest(ideal_toks, 1) AS BIGINT) AS util_pm
+        |FROM e ORDER BY source""".stripMargin,
 
     "sample_temperature" ->
       """WITH d AS (SELECT doc_id, source FROM documents),

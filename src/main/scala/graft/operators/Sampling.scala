@@ -248,4 +248,49 @@ object Sampling {
       .where(col("bucket") < col("rate_pm"))
       .orderBy(col("doc_id"))
   }
+
+  /** §2#223 per-source EPOCH allocation under a token budget — the
+    * data-constrained mixing step (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models": when the budget exceeds a
+    * source's tokens you repeat it, with rapidly diminishing returns
+    * past ~4 epochs — so allocators cap repeats and report the
+    * shortfall): distribute `budgetX ×` the corpus tokens across
+    * sources ∝ isqrt(avail) (the α=1/2 temperature weights of
+    * [[sampleTemperature]]), then per source epochs =
+    * ceil(ideal/avail) capped at `maxEpochs`, realized = min(ideal,
+    * epochs·avail), utilization‰ — the planning table a training run
+    * logs before it starts reading.
+    *
+    * Integer-exact across engines: isqrt via correctly-rounded IEEE
+    * sqrt (the #163 precedent) and the budget split as
+    * `(b div Σw)·w + ((b mod Σw)·w) div Σw` — the exact
+    * floor(b·w/Σw) WITHOUT forming b·w, which overflows BIGINT once
+    * corpus tokens × isqrt(corpus) passes 2⁶³ (at 100 TB it does;
+    * the oracle mirrors the same split so neither side widens).
+    *
+    * Shape: one map-side-combinable per-source token sum →
+    * |sources| rows; the windows run on that tiny frame. */
+  def sampleEpochs(spark: SparkSession, sfDir: String,
+      budgetX: Int = 2, maxEpochs: Int = 4): DataFrame = {
+    import graft.functions.Fns.tokens
+    val win = Window.partitionBy(lit(1))
+    Tables.documentsPar(spark, sfDir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("avail_toks"))
+      .withColumn("w", expr("CAST(floor(sqrt(avail_toks)) AS BIGINT)"))
+      .withColumn("w_sum", sum(col("w")).over(win))
+      .withColumn("budget", sum(col("avail_toks")).over(win) * lit(budgetX.toLong))
+      .withColumn("ideal_toks",
+        expr("(budget div w_sum) * w + ((budget % w_sum) * w) div w_sum"))
+      .withColumn("epochs",
+        least(expr("(ideal_toks + avail_toks - 1) div avail_toks"),
+          lit(maxEpochs.toLong)))
+      .withColumn("realized_toks",
+        least(col("ideal_toks"), col("epochs") * col("avail_toks")))
+      .select(col("source"), col("avail_toks"),
+        expr("1000 * w div w_sum").as("weight_pm"),
+        col("ideal_toks"), col("epochs"), col("realized_toks"),
+        expr("1000 * realized_toks div greatest(ideal_toks, 1)").as("util_pm"))
+      .orderBy(col("source"))
+  }
 }

@@ -1044,6 +1044,31 @@ class NewOpsSpec extends SparkSuite {
     assert(real.forall(r => r.getLong(3) >= 0L && r.getLong(3) <= 62000L))
   }
 
+  test("sample_epochs: conservation, caps, and the exact split-product share") {
+    val rows = Sampling.sampleEpochs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val avail = rows.map(_.getLong(1)); val ideal = rows.map(_.getLong(3))
+    val budget = 2L * avail.sum
+    // shares were computed with the exact floor(b*w/sum_w) split —
+    // recompute with BigInt (no overflow dodge needed at test scale)
+    val w = avail.map(a => math.sqrt(a.toDouble).toLong)
+    val wSum = w.sum
+    rows.indices.foreach { i =>
+      val want = (BigInt(budget) * w(i) / wSum).toLong
+      assert(ideal(i) === want, s"share $i: ${ideal(i)} != $want")
+    }
+    // allocation never exceeds the budget and floor-rounding loses < |sources|
+    assert(ideal.sum <= budget && budget - ideal.sum < rows.length.toLong)
+    rows.foreach { r =>
+      val (a, e, real, util) = (r.getLong(1), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(e >= 1 && e <= 4)
+      assert(real <= r.getLong(3) && real <= e * a)
+      // realized falls short of ideal ONLY when the epoch cap binds
+      if (real < r.getLong(3)) assert(e === 4L && real === 4L * a)
+      assert(util >= 0 && util <= 1000)
+    }
+  }
+
   test("sample_split: fractions near 90/5/5 and membership survives corpus growth") {
     val rows = Sampling.sampleSplit(spark, sf).collect()
     val bySplit = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum)
