@@ -102,11 +102,17 @@ def main(sf_dir, out_dir, json_out=None):
                 print(f"DTYPE {name}: non-BIGINT/VARCHAR oracle columns {odd}")
         except Exception:
             pass  # the main loop reports oracle errors properly
+    import time
     for name, sql in sorted(oracle.items()):
+        t_q = time.time()
         try:
             res = con.execute(sql)
             o_cols = [d[0] for d in res.description]
             o_rows = res.fetchall()
+            # surface where gate time goes — the all-pairs oracles are
+            # hour-scale on a 10x corpus and worth seeing coming
+            if time.time() - t_q > 10:
+                print(f"SLOW {name}: oracle took {time.time()-t_q:.0f}s")
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             rec(name, None, None, None, None, None, f"oracle error: {e}")
