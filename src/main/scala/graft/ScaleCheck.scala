@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.cdc.Changefeed
-import graft.operators.{Analytics, Dedup, Graph, Layout, Multimodal, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.{Analytics, Dedup, Graph, Layout, Multimodal, Sampling, Similarity, TextAnalysis, TimeSeries}
 
 /** Empirical scale-curve check for the dedup suite (SURVEY §5).
   *
@@ -257,7 +257,11 @@ object ScaleCheck {
       // r12: entropy — one (doc,tok) count + one doc window; corpus-
       // linear with no join side at all — expect the narrow-agg band
       "text_token_entropy" -> ((s: SparkSession, d: String, _: Int) =>
-        TextAnalysis.tokenEntropy(s, d)))
+        TextAnalysis.tokenEntropy(s, d)),
+      // r12: epoch allocation — one combinable token sum to |sources|
+      // rows; pure scan-speed band
+      "sample_epochs" -> ((s: SparkSession, d: String, _: Int) =>
+        Sampling.sampleEpochs(s, d)))
 
     // SPARK_GRAFT_OPS=a,b,c restricts the run (default: everything) —
     // lets a round re-measure just its new ops without paying for the
