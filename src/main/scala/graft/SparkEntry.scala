@@ -113,6 +113,7 @@ object SparkEntry {
     "graph_pagerank" -> ((s: SparkSession, d: String) => Graph.pagerank(s, d)),
     "graph_triangles" -> (Graph.triangles _),
     "graph_bfs_dist" -> ((s: SparkSession, d: String) => Graph.bfsDist(s, d)),
+    "graph_degree_dist" -> ((s: SparkSession, d: String) => Graph.degreeDist(s, d)),
     "text_lang_confusion" -> (TextAnalysis.langConfusion _),
     "text_contamination_rate" -> ((s: SparkSession, d: String) => TextAnalysis.contaminationRate(s, d)),
     "dedup_report" -> (Dedup.report _),
@@ -158,6 +159,7 @@ object SparkEntry {
     "sample_mixture" -> (Sampling.sampleMixture _),
     "sample_epochs" -> ((s: SparkSession, d: String) => Sampling.sampleEpochs(s, d)),
     "sample_temperature" -> ((s: SparkSession, d: String) => Sampling.sampleTemperature(s, d)),
+    "sample_curriculum" -> ((s: SparkSession, d: String) => Sampling.sampleCurriculum(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "pipeline_train_data" -> ((s: SparkSession, d: String) => Pipeline.trainDataPipeline(s, d)),
     "pipeline_funnel" -> (Pipeline.curationFunnel _),
@@ -187,6 +189,7 @@ object SparkEntry {
     "text_salient_terms" -> (TextAnalysis.salientTerms _),
     "text_rarity" -> (TextAnalysis.rarity _),
     "text_chunk_dedup" -> ((s: SparkSession, d: String) => TextAnalysis.chunkDedup(s, d)),
+    "text_ngram_novelty" -> ((s: SparkSession, d: String) => TextAnalysis.ngramNovelty(s, d)),
     "text_bpe_pairs" -> (TextAnalysis.bpePairs _),
     "text_bpe_train" -> ((s: SparkSession, d: String) => TextAnalysis.bpeTrain(s, d)),
     "text_bpe_encode" -> ((s: SparkSession, d: String) => TextAnalysis.bpeEncode(s, d)),
@@ -1963,6 +1966,18 @@ bnd AS (SELECT doc_id, i // 3 AS band,
          |SELECT c.doc_id, c.cluster_id, min(b.hops) AS hops
          |FROM clusters c JOIN bfs b ON b.doc = c.doc_id
          |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "graph_degree_dist" ->
+      s"""WITH $shCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+         |deg AS (SELECT doc, CAST(count(*) AS BIGINT) AS degree FROM
+         |  (SELECT doc_a AS doc FROM pairs UNION ALL SELECT doc_b FROM pairs)
+         |  GROUP BY 1)
+         |SELECT d0.doc_id, coalesce(g.degree, 0) AS degree
+         |FROM documents d0 LEFT JOIN deg g ON g.doc = d0.doc_id
+         |ORDER BY d0.doc_id""".stripMargin,
     "text_bpe_pairs" ->
       """WITH t AS (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
@@ -2218,15 +2233,15 @@ FROM d JOIN v USING (tok) GROUP BY 1 ORDER BY d.doc_id""",
         |  FROM documents GROUP BY 1),
         |w AS (SELECT source, avail_toks,
         |    CAST(floor(sqrt(avail_toks)) AS BIGINT) AS w FROM per),
-        |t AS (SELECT *, CAST(sum(w) OVER () AS BIGINT) AS w_sum,
+        |t AS (SELECT *, CAST(greatest(sum(w) OVER (), 1) AS BIGINT) AS ws,
         |    CAST(sum(avail_toks) OVER () AS BIGINT) * 2 AS budget FROM w),
         |i AS (SELECT *,
-        |    (budget // w_sum) * w + ((budget % w_sum) * w) // w_sum AS ideal_toks
+        |    (budget // ws) * w + ((budget % ws) * w) // ws AS ideal_toks
         |  FROM t),
         |e AS (SELECT *,
-        |    least((ideal_toks + avail_toks - 1) // avail_toks, 4) AS epochs FROM i)
+        |    least(greatest(ideal_toks + avail_toks - 1, 0) // greatest(avail_toks, 1), 4) AS epochs FROM i)
         |SELECT source, avail_toks,
-        |  CAST(1000 * w // w_sum AS BIGINT) AS weight_pm,
+        |  CAST(1000 * w // ws AS BIGINT) AS weight_pm,
         |  CAST(ideal_toks AS BIGINT) AS ideal_toks,
         |  CAST(epochs AS BIGINT) AS epochs,
         |  CAST(least(ideal_toks, epochs * avail_toks) AS BIGINT) AS realized_toks,
@@ -2348,6 +2363,40 @@ FROM d JOIN v USING (tok) GROUP BY 1 ORDER BY d.doc_id""",
         |FROM t)
         |SELECT *, greatest(least(stopword_pm + uniq_pm - punct_pm, 1000), 0) AS quality_pm
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(toks) - 2, 1) + 1),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS s FROM t)),
+        |f AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+        |SELECT sh.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(1000 * sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS novelty_pm
+        |FROM sh JOIN f ON f.h = sh.h
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sample_curriculum" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(round(len(regexp_extract_all(text, '[^a-z0-9\s]')) * 1.0 / greatest(length(text),1) * 1000, 0) AS BIGINT) AS punct_pm,
+        |  CAST(round(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','it','for','on'], tk))) * 1.0 / greatest(len(toks),1) * 1000, 0) AS BIGINT) AS stopword_pm,
+        |  CAST(round(len(list_distinct(toks)) * 1.0 / greatest(len(toks),1) * 1000, 0) AS BIGINT) AS uniq_pm
+        |FROM t),
+        |q AS (SELECT n_tokens, greatest(least(stopword_pm + uniq_pm - punct_pm, 1000), 0) AS quality_pm FROM m),
+        |b AS (SELECT least(quality_pm // 100, 9) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(min(quality_pm) AS BIGINT) AS min_pm,
+        |  CAST(max(quality_pm) AS BIGINT) AS max_pm
+        |  FROM q GROUP BY 1)
+        |SELECT bucket, n_docs, n_tokens, min_pm, max_pm,
+        |  CAST(sum(n_tokens) OVER (ORDER BY bucket DESC) AS BIGINT) AS cum_tokens_from_top
+        |FROM b ORDER BY bucket""".stripMargin,
 
     // Spark casts the double score to long by TRUNCATION; DuckDB CAST
     // rounds-half-even — hence the explicit floor() on every score.

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** Iterative graph analytics over the dedup candidate-pair graph
   * (§2.4's edges reused as a general graph workload). Complements the
@@ -233,6 +234,33 @@ object Graph {
     * `maxHops` caps pathological chains (and matches the oracle's
     * recursion guard); the corpus' near-dup clusters are star-like, so
     * the loop exits on an empty frontier long before the cap. */
+  /** §2#227 PER-DOC DEGREE in the near-dup candidate graph — the
+    * cheapest whole-graph health read: degree 0 = unique content,
+    * small degrees = ordinary near-dup pairs, large degrees = hub docs
+    * (boilerplate/templates) that inflate every pairwise stage
+    * downstream and are the first candidates for df-capping or
+    * outright removal. Runs off the SAME memoized candidate-pair
+    * frame as pagerank/kcore/cluster — zero extra pair computation in
+    * a session or against the persisted pair artifact.
+    *
+    * Shape: pairs carry doc_a < doc_b once, so degree = one union of
+    * the two endpoint columns + one map-side-combinable count, then a
+    * left join against the doc spine to keep degree-0 docs (the join
+    * is |docs| ⋈ |docs-with-pairs|, both sides shuffled on doc_id —
+    * or exchange-free against a doc_id-bucketed table). Edges never
+    * leave their source partition groups (a.source = b.source), so
+    * the op is exact under whole-source stratified gates. */
+  def degreeDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Dedup.candidatePairs(spark, sfDir)
+    val deg = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    Tables.documentsPar(spark, sfDir).select(col("doc_id"))
+      .join(deg, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("degree"), lit(0L)).as("degree"))
+      .orderBy(col("doc_id"))
+  }
+
   def bfsDist(spark: SparkSession, sfDir: String, maxHops: Int = 20): DataFrame =
     bfsDistFrom(Dedup.candidatePairs(spark, sfDir),
       Dedup.cluster(spark, sfDir), maxHops)

@@ -278,19 +278,56 @@ object Sampling {
       .select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
       .groupBy(col("source")).agg(sum(col("n")).as("avail_toks"))
       .withColumn("w", expr("CAST(floor(sqrt(avail_toks)) AS BIGINT)"))
-      .withColumn("w_sum", sum(col("w")).over(win))
+      // greatest(·,1) guards: a source whose docs are all empty has
+      // avail_toks = 0 ⇒ w = 0 (and an all-empty corpus w_sum = 0);
+      // without the guard the divisions error under ANSI Spark and
+      // diverge from DuckDB. Guarded, such sources read as 0 epochs /
+      // 0 realized — the allocator skips them. Oracle mirrors exactly.
+      .withColumn("ws", expr("greatest(sum(w) OVER (), 1)"))
       .withColumn("budget", sum(col("avail_toks")).over(win) * lit(budgetX.toLong))
       .withColumn("ideal_toks",
-        expr("(budget div w_sum) * w + ((budget % w_sum) * w) div w_sum"))
+        expr("(budget div ws) * w + ((budget % ws) * w) div ws"))
       .withColumn("epochs",
-        least(expr("(ideal_toks + avail_toks - 1) div avail_toks"),
+        least(expr("greatest(ideal_toks + avail_toks - 1, 0) div greatest(avail_toks, 1)"),
           lit(maxEpochs.toLong)))
       .withColumn("realized_toks",
         least(col("ideal_toks"), col("epochs") * col("avail_toks")))
       .select(col("source"), col("avail_toks"),
-        expr("1000 * w div w_sum").as("weight_pm"),
+        expr("1000 * w div ws").as("weight_pm"),
         col("ideal_toks"), col("epochs"), col("realized_toks"),
         expr("1000 * realized_toks div greatest(ideal_toks, 1)").as("util_pm"))
       .orderBy(col("source"))
+  }
+
+  /** §2#226 CURRICULUM BUCKETS — the quality-ordered mixing table
+    * (curriculum learning à la Bengio et al. 2009, as data pipelines
+    * apply it: schedule training from high-quality strata down, or
+    * anneal the mix toward quality late in training): documents land
+    * in 10 fixed quality bands (bucket = quality_pm div 100, the
+    * [[TextAnalysis.quality]] score), and the table reports each
+    * band's doc/token mass plus the running token total from the BEST
+    * band down — exactly the "how many tokens do I get above quality
+    * X" lookup a schedule needs.
+    *
+    * Scale note: bands are VALUE buckets, not ntile ranks, on purpose —
+    * a rank curriculum needs a global sort of the corpus (one range
+    * exchange, then a single-partition ntile window: the known
+    * scale-killer), while value bands are one map-side-combinable agg
+    * to ≤11 rows; the cumulative window runs over those ≤11 rows, not
+    * the corpus. */
+  def sampleCurriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    TextAnalysis.quality(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_pm"))
+      .withColumn("bucket", least(expr("quality_pm div 100"), lit(9L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("quality_pm")).as("min_pm"), max(col("quality_pm")).as("max_pm"))
+      .withColumn("cum_tokens_from_top",
+        sum(col("n_tokens")).over(
+          Window.orderBy(col("bucket").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        col("min_pm"), col("max_pm"), col("cum_tokens_from_top"))
+      .orderBy(col("bucket"))
   }
 }

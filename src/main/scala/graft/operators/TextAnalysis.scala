@@ -246,6 +246,43 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** §2#225 N-GRAM NOVELTY — the curation-order complement of the
+    * dedup family: per document, the share of its distinct 3-shingles
+    * that are FIRST SEEN in this document (no doc with a smaller
+    * doc_id carries the shingle). A corpus sorted by acquisition order
+    * reads this as a novelty curve — late crawls full of already-seen
+    * n-grams contribute little new text and are downweight candidates
+    * (the aggregate view of what `text_chunk_dedup` flags span-by-span
+    * and `dedup_incremental` decides doc-by-doc).
+    *
+    * Shape: 60-bit md5 window hashes (the replayable family — longs on
+    * the shuffle, never shingle strings), one explode, one
+    * map-side-combinable min(doc_id) per shingle to |distinct
+    * shingles| rows, join back on the hash, one per-doc count agg.
+    * min-attribution makes ties (two docs, same shingle) land on the
+    * smaller doc_id — deterministic under any partitioning. 60-bit
+    * space keeps collision odds ~n²/2⁶¹ (negligible at 10⁹ shingles,
+    * vs the 31-bit variant that saturates at corpus scale); the oracle
+    * recomputes the identical hashes, so the gate is bit-exact. */
+  def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame =
+    ngramNoveltyOf(Tables.documentsPar(spark, sfDir))
+
+  /** [[ngramNovelty]] over any (doc_id, text) frame. */
+  def ngramNoveltyOf(docs: DataFrame): DataFrame = {
+    val ex = docs
+      .select(col("doc_id"),
+        explode(array_distinct(shingleMd5HashesOrdered(
+          tokens(col("text")), 3))).as("sh"))
+    val first = ex.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+    ex.join(first, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_pm", expr("1000 * n_novel div n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
   /** §2#100 chunk-level duplication stats — the practical form of
     * exact-substring dedup (Lee et al. 2022, "Deduplicating Training
     * Data Makes Language Models Better"): cut every document into
@@ -780,26 +817,6 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** §2#220 FUZZY benchmark decontamination — the paraphrase-robust
-    * complement of #66 (exact window-hash matching misses a benchmark
-    * doc lightly rewritten into the crawl; near-dup contamination is
-    * the documented leak class behind inflated eval scores): MinHash
-    * signatures over 3-shingles for BOTH sides, the benchmark side's
-    * band table BROADCAST (eval sets are hand-curated and bounded —
-    * #66's scale argument, unchanged), corpus docs probe it on
-    * (band, bandhash), and collisions are verified by signature
-    * agreement (est. Jaccard ≥ 0.7). Per flagged doc: how many
-    * benchmark docs it matches, the best match and its similarity —
-    * the triage table a decontamination rollout reviews.
-    *
-    * Guaranteed positives by construction: paraphrased benchmark
-    * plants (doc_id+2000000, last 3 words dropped — the
-    * corpusWithPlants convention). Replayable md5+affine family
-    * throughout ⇒ the DuckDB oracle recomputes signatures bit-for-bit
-    * and the query is hash-gated like the #26 family. Scale shape:
-    * 96 map-side-combinable min-aggs per side, ONE broadcast probe
-    * (no corpus shuffle before verification), verify join bounded by
-    * collisions — never corpus×bench. */
   /** Plant-id offset for [[decontaminateFuzzy]]: the smallest multiple
     * of 50 past max(doc_id), DERIVED from the corpus rather than a
     * constant — a fixed offset collides with real ids the moment the
@@ -814,6 +831,26 @@ object TextAnalysis {
     (mx / 50 + 1) * 50
   }
 
+  /** §2#220 FUZZY benchmark decontamination — the paraphrase-robust
+    * complement of #66 (exact window-hash matching misses a benchmark
+    * doc lightly rewritten into the crawl; near-dup contamination is
+    * the documented leak class behind inflated eval scores): MinHash
+    * signatures over 3-shingles for BOTH sides, the benchmark side's
+    * band table BROADCAST (eval sets are hand-curated and bounded —
+    * #66's scale argument, unchanged), corpus docs probe it on
+    * (band, bandhash), and collisions are verified by signature
+    * agreement (est. Jaccard ≥ 0.7). Per flagged doc: how many
+    * benchmark docs it matches, the best match and its similarity —
+    * the triage table a decontamination rollout reviews.
+    *
+    * Guaranteed positives by construction: paraphrased benchmark
+    * plants (last 3 words dropped) at ids shifted by the
+    * corpus-derived [[plantOffset]]. Replayable md5+affine family
+    * throughout ⇒ the DuckDB oracle recomputes signatures bit-for-bit
+    * and the query is hash-gated like the #26 family. Scale shape:
+    * 96 map-side-combinable min-aggs per side, ONE broadcast probe
+    * (no corpus shuffle before verification), verify join bounded by
+    * collisions — never corpus×bench. */
   def decontaminateFuzzy(spark: SparkSession, sfDir: String): DataFrame = {
     val k = 96; val bands = 32; val rows = k / bands
     val base = Tables.documentsPar(spark, sfDir)
@@ -854,8 +891,10 @@ object TextAnalysis {
       .join(bSigs.select(col("doc_id").as("bench_doc"), col("sig").as("sig_b")),
         "bench_doc")
       .select(col("doc_id"), col("bench_doc"),
-        (size(filter(zip_with(col("sig"), col("sig_b"), (x, y) => x === y),
-          b => b)) * lit(1000) / lit(k)).cast("long").as("est_pm"))
+        // integer div (repo rule): matches the oracle's `// k` exactly
+        // rather than relying on float division happening to floor
+        expr(s"(size(filter(zip_with(sig, sig_b, (x, y) -> x = y), " +
+          s"b -> b)) * 1000L) div $k").as("est_pm"))
       .where(col("est_pm") >= 700)
     scored
       .withColumn("best_pm", max(col("est_pm")).over(

@@ -149,6 +149,50 @@ class LiveJdbcSpec extends AnyFunSuite {
     }
   }
 
+  test("live: multi-table CHANGEFEED FOR t1, t2 drains both tables through one statement") {
+    withUrl { u =>
+      // the reference binds ONE process per table (cli.yml); the
+      // engine's consolidated form (#186) tails several tables with a
+      // single statement — prove the statement shape against the real
+      // parser and that landed records carry each table's name, the
+      // key the segment-log router (#156) fans out on
+      val t1 = fresh("mta")
+      val t2 = fresh("mtb")
+      val setup = connect(u)
+      try {
+        exec(setup, "SET CLUSTER SETTING kv.rangefeed.enabled = true")
+        exec(setup, s"CREATE TABLE $t1 (id INT PRIMARY KEY, v STRING)")
+        exec(setup, s"CREATE TABLE $t2 (id INT PRIMARY KEY, v STRING)")
+        exec(setup, s"INSERT INTO $t1 VALUES (1,'a'), (2,'b')")
+        exec(setup, s"INSERT INTO $t2 VALUES (10,'x'), (11,'y'), (12,'z')")
+      } finally setup.close()
+
+      val logDir = Files.createTempDirectory("livejdbcmt").toString
+      val store = JdbcCursorStore.forUrl(u, fresh("mtcur"))
+      val tail = new JdbcChangefeedTail(
+        () => bounded(connect(u), minRows = 6), // 5 changes + ≥1 resolved
+        s"$t1, $t2", logDir, store, resolvedFrequency = "1s")
+
+      val s = tail.runOnce()
+      assert(s.rowsIngested >= 5, s"expected the 5 inserts across both tables, got $s")
+      assert(s.resolvedSeen >= 1 && s.cursorsCommitted >= 1, s.toString)
+
+      // one shared cursor covers the whole multi-table feed
+      assert(store.get().exists(_.toLong > 0L), "resolved must commit a cursor")
+
+      // the landed log carries BOTH table names — the routing key the
+      // multi-table relay fans out on
+      import graft.sources.ChangefeedLog
+      val landedTables = ChangefeedLog.listSegments(logDir)
+        .iterator.flatMap(seg => ChangefeedLog.readSegment(seg.path))
+        .flatMap(_.tbl).toSet
+      // CockroachDB reports the bare table name in the changefeed row
+      val want = Set(t1, t2)
+      assert(want.subsetOf(landedTables.map(_.toLowerCase)),
+        s"landed segments must carry both tables, got $landedTables")
+    }
+  }
+
   test("live: a cursor below the replica GC threshold restarts from now") {
     withUrl { u =>
       val table = fresh("gc")

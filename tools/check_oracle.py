@@ -53,6 +53,7 @@ SAMPLE_SPECS = {
     "dedup_cluster": ("source", ["doc_id"]),
     "dedup_cluster_star": ("source", ["doc_id"]),
     "graph_bfs_dist": ("source", ["doc_id"]),
+    "graph_degree_dist": ("source", ["doc_id"]),
 }
 
 def sample_preds(unit, cols, seed, permille):
