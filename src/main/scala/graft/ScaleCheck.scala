@@ -261,7 +261,21 @@ object ScaleCheck {
       // r12: epoch allocation — one combinable token sum to |sources|
       // rows; pure scan-speed band
       "sample_epochs" -> ((s: SparkSession, d: String, _: Int) =>
-        Sampling.sampleEpochs(s, d)))
+        Sampling.sampleEpochs(s, d)),
+      // r13: novelty — one explode + combinable min per shingle + hash
+      // join back; per-copy suffixes grow the shingle space ~K× so the
+      // min table grows with the corpus — expect the df-join band
+      "text_ngram_novelty" -> ((s: SparkSession, d: String, _: Int) =>
+        TextAnalysis.ngramNovelty(s, d)),
+      // r13: curriculum — quality is a narrow per-row pass, bands are
+      // one combinable agg to ≤11 rows; pure scan-speed band
+      "sample_curriculum" -> ((s: SparkSession, d: String, _: Int) =>
+        Sampling.sampleCurriculum(s, d)),
+      // r13: degree — rides the memoized candidate pairs (invalidated
+      // per rep like the rest of the dedup family) + one count + one
+      // doc-spine join; expect the candidate-generation band
+      "graph_degree_dist" -> ((s: SparkSession, d: String, _: Int) =>
+        Graph.degreeDist(s, d)))
 
     // SPARK_GRAFT_OPS=a,b,c restricts the run (default: everything) —
     // lets a round re-measure just its new ops without paying for the

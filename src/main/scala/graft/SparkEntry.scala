@@ -174,6 +174,7 @@ object SparkEntry {
     "ann_sq_topk" -> ((s: SparkSession, d: String) => Similarity.sqTopk(s, d)),
     "ann_ivf_pq" -> ((s: SparkSession, d: String) => Similarity.ivfPqTopk(s, d)),
     "ann_filtered_topk" -> ((s: SparkSession, d: String) => Similarity.filteredTopk(s, d)),
+    "ann_range_search" -> ((s: SparkSession, d: String) => Similarity.rangeSearch(s, d)),
     "ann_mmr_topk" -> ((s: SparkSession, d: String) => Similarity.mmrTopk(s, d)),
     // §2.6 text analysis
     "text_tokens" -> (TextAnalysis.tokenCounts _),
@@ -2274,6 +2275,16 @@ FROM d JOIN v USING (tok) GROUP BY 1 ORDER BY d.doc_id""",
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, neighbor_id) AS rk FROM sims)
          |SELECT query_id, neighbor_id, cos_e6, CAST(rk AS BIGINT) AS "rank"
          |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "ann_range_search" ->
+      s"""WITH $embBase,
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM base WHERE vec_id < 10),
+         |sims AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+         |    ${cosE6("q.q_emb", "b.emb")} AS cos_e6
+         |  FROM base b CROSS JOIN q WHERE b.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, cos_e6
+         |FROM sims WHERE cos_e6 >= 200000
+         |ORDER BY query_id, neighbor_id""".stripMargin,
 
     "ann_filtered_topk" ->
       s"""WITH $embBase,

@@ -100,6 +100,35 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** §2#229 RANGE SEARCH — the fixed-radius twin of top-k (faiss
+    * `range_search`): per query, EVERY corpus vector with cosine ≥
+    * `thresholdE6`, not a fixed count. The retrieval mode dedup and
+    * contamination sweeps actually want — "everything this similar",
+    * where k is unknowable in advance (a doc may have 0 or 10⁴ true
+    * neighbors).
+    *
+    * Deliberately the exact scan, not a cell-probed approximation: a
+    * radius query against IVF cells is only exact with a triangle-
+    * inequality bound (cell radius bookkeeping) — the approximate
+    * rungs already exist for top-k; range semantics here stay exact.
+    * Scale shape is BETTER than the top-k scan: one broadcast of the
+    * bounded query side, one narrow codegen'd pass over the corpus,
+    * a pushed filter, NO window and NO shuffle at all — the output
+    * ordering is the only exchange, and at 100 TB the consumer is a
+    * join, not an ORDER BY. */
+  def rangeSearch(spark: SparkSession, sfDir: String,
+      thresholdE6: Long = 200000L): DataFrame = {
+    val q = corpus(spark, sfDir).where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    corpus(spark, sfDir).join(broadcast(q),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosPre(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("cos_e6"))
+      .where(col("cos_e6") >= thresholdE6)
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
   /** §2#30 multi-table MULTIPROBE LSH ANN top-k: `nTables` independent
     * random-hyperplane tables of `nBits` bits each (the classic
     * Indyk–Motwani amplification — a neighbor at per-bit agreement p is
