@@ -140,7 +140,15 @@ object StreamBench {
         i => ChangeRow(s"k${i % 10000}", i.toLong,
           if (i % 97 == 0) s"""{"after":null,"id":$i}"""
           else s"""{"after":{"id":$i},"v":${i % 1000}}"""),
-        "update", ds => CdcApply.updates(ds))))
+        "update", ds => CdcApply.updates(ds))),
+      // 1000 keys, event time advancing 1 ms/row — each key sees
+      // ~1 event/s of event time against a 2/s bucket, with periodic
+      // same-instant bursts so both verdict paths stay hot
+      ("stream_rate_limit", () => drive[RateEvent, RateVerdict](spark,
+        "ratelimit", rows, batches, reps,
+        i => RateEvent(s"k${i % 1000}", i.toLong,
+          new java.sql.Timestamp(1700000000000L + i.toLong)),
+        "append", ds => StreamRateLimit.admissions(ds))))
 
     val results = ops.map { case (name, f) =>
       val (sec, stateRows, emitted) = f()
