@@ -275,7 +275,28 @@ object ScaleCheck {
       // per rep like the rest of the dedup family) + one count + one
       // doc-spine join; expect the candidate-generation band
       "graph_degree_dist" -> ((s: SparkSession, d: String, _: Int) =>
-        Graph.degreeDist(s, d)))
+        Graph.degreeDist(s, d)),
+      // r13b: DSIR — one combinable (doc,bucket) count (recomputed on
+      // both sides of the bounded-broadcast join) + per-doc agg; the
+      // bucket table is FIXED at 4096 rows at any scale — expect the
+      // token-explode scan band (~K×)
+      "sample_dsir" -> ((s: SparkSession, d: String, _: Int) =>
+        Sampling.sampleDsir(s, d)),
+      // r13b: CCNet buckets — the #221 perplexity plan + a BOUNDED
+      // (lang, ppl-value) count table window + broadcast join back;
+      // expect the perplexity band (its plan dominates)
+      "text_ppl_buckets" -> ((s: SparkSession, d: String, _: Int) =>
+        TextAnalysis.pplBuckets(s, d)),
+      // r13b: KMV — one distinct on (source, shingle-hash) + rank-≤-k
+      // windows; pair work is |sources|²·2k regardless of corpus —
+      // expect the shingle-explode band
+      "q_kmv_jaccard" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.qKmvJaccard(s, d)),
+      // r13b: prune compare — one events scan, 4-way explode of
+      // (layout, file_id), combinable stats agg to ≤256 rows; pure
+      // scan-speed band
+      "layout_prune_compare" -> ((s: SparkSession, d: String, _: Int) =>
+        Layout.pruneCompare(s, d)))
 
     // SPARK_GRAFT_OPS=a,b,c restricts the run (default: everything) —
     // lets a round re-measure just its new ops without paying for the

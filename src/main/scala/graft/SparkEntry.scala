@@ -82,6 +82,8 @@ object SparkEntry {
     "q_mode" -> (Analytics.qMode _),
     "layout_zorder" -> (Layout.zorder _),
     "layout_hilbert" -> (Layout.hilbert _),
+    "layout_prune_compare" -> (Layout.pruneCompare _),
+    "q_kmv_jaccard" -> (Analytics.qKmvJaccard _),
     "q_conditional_pivot" -> (Analytics.qConditionalPivot _),
     "q_semi_anti" -> (Analytics.qSemiAnti _),
     "q_asof_join" -> (Temporal.asofJoin _),
@@ -160,6 +162,7 @@ object SparkEntry {
     "sample_epochs" -> ((s: SparkSession, d: String) => Sampling.sampleEpochs(s, d)),
     "sample_temperature" -> ((s: SparkSession, d: String) => Sampling.sampleTemperature(s, d)),
     "sample_curriculum" -> ((s: SparkSession, d: String) => Sampling.sampleCurriculum(s, d)),
+    "sample_dsir" -> ((s: SparkSession, d: String) => Sampling.sampleDsir(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "pipeline_train_data" -> ((s: SparkSession, d: String) => Pipeline.trainDataPipeline(s, d)),
     "pipeline_funnel" -> (Pipeline.curationFunnel _),
@@ -191,6 +194,7 @@ object SparkEntry {
     "text_rarity" -> (TextAnalysis.rarity _),
     "text_chunk_dedup" -> ((s: SparkSession, d: String) => TextAnalysis.chunkDedup(s, d)),
     "text_ngram_novelty" -> ((s: SparkSession, d: String) => TextAnalysis.ngramNovelty(s, d)),
+    "text_ppl_buckets" -> (TextAnalysis.pplBuckets _),
     "text_bpe_pairs" -> (TextAnalysis.bpePairs _),
     "text_bpe_train" -> ((s: SparkSession, d: String) => TextAnalysis.bpeTrain(s, d)),
     "text_bpe_encode" -> ((s: SparkSession, d: String) => TextAnalysis.bpeEncode(s, d)),
@@ -1699,6 +1703,56 @@ bnd AS (SELECT doc_id, i // 3 AS band,
          |  min(x0) AS x_lo, max(x0) AS x_hi, min(y0) AS y_lo, max(y0) AS y_hi,
          |  min(d) AS d_lo, max(d) AS d_hi
          |FROM h10 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "layout_prune_compare" ->
+      s"""WITH ${graft.operators.Layout.hilbertOracleCtes(
+        """SELECT user_id % 1024 AS x0,
+          |  (epoch_us(date_trunc('hour', ts)) // 3600000000) % 1024 AS y0,
+          |  user_id % 1024 AS x,
+          |  (epoch_us(date_trunc('hour', ts)) // 3600000000) % 1024 AS y,
+          |  CAST(0 AS BIGINT) AS d FROM events""".stripMargin)},
+         |p0 AS (SELECT x0, y0, d, x0 AS x, y0 AS y FROM h10),
+         |pts AS (SELECT x0, y0, d, ${graft.operators.Layout.zorderOracleExpr} AS z FROM p0),
+         |st AS (SELECT layout, file_id, count(*) AS n,
+         |    min(x0) AS x_lo, max(x0) AS x_hi, min(y0) AS y_lo, max(y0) AS y_hi
+         |  FROM (SELECT unnest(['x_sort', 'y_sort', 'zorder', 'hilbert']) AS layout,
+         |      unnest([x0 // 16, y0 // 16, z // 16384, d // 16384]) AS file_id, x0, y0
+         |    FROM pts)
+         |  GROUP BY 1, 2),
+         |pb AS (SELECT * FROM (VALUES ${graft.operators.Layout.probesOracleValues})
+         |  AS t(kind, probe_id, px_lo, px_hi, py_lo, py_hi))
+         |SELECT layout, kind, CAST(probe_id AS BIGINT) AS probe_id,
+         |  CAST(sum(CASE WHEN x_lo <= px_hi AND x_hi >= px_lo
+         |    AND y_lo <= py_hi AND y_hi >= py_lo THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+         |  CAST(sum(CASE WHEN x_lo <= px_hi AND x_hi >= px_lo
+         |    AND y_lo <= py_hi AND y_hi >= py_lo THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+         |  CAST(count(*) AS BIGINT) AS files_total
+         |FROM st CROSS JOIN pb
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_kmv_jaccard" ->
+      s"""WITH t AS (SELECT source, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         |du AS (SELECT DISTINCT source,
+         |  ('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 15))::BIGINT % 2147483648 AS h
+         |  FROM (SELECT source, toks,
+         |    unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i FROM t)),
+         |sk AS (SELECT source, h FROM (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM du)
+         |  WHERE rn <= ${graft.operators.Analytics.kmvK}),
+         |ty AS (SELECT DISTINCT source FROM sk),
+         |pr AS (SELECT a.source AS src_a, b.source AS src_b
+         |  FROM ty a JOIN ty b ON a.source < b.source),
+         |u AS (SELECT src_a, src_b, h,
+         |    max(CASE WHEN s.source = src_a THEN 1 ELSE 0 END) AS in_a,
+         |    max(CASE WHEN s.source = src_b THEN 1 ELSE 0 END) AS in_b
+         |  FROM pr JOIN sk s ON s.source = src_a OR s.source = src_b
+         |  GROUP BY 1, 2, 3),
+         |uk AS (SELECT * FROM (SELECT u.*,
+         |    row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn FROM u)
+         |  WHERE rn <= ${graft.operators.Analytics.kmvK})
+         |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS k_used,
+         |  CAST(sum(in_a * in_b) AS BIGINT) AS n_common,
+         |  CAST(1000 * sum(in_a * in_b) // count(*) AS BIGINT) AS jaccard_pm,
+         |  CAST(((count(*) - 1) * 2147483648) // greatest(max(h), 1) AS BIGINT) AS union_est
+         |FROM uk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "cdc_schema_drift" ->
       s"""WITH $chCte,
          |k AS (SELECT tbl, sort_us, unnest(json_keys(value, '$$.after')) AS key FROM ch),
@@ -2408,6 +2462,49 @@ FROM d JOIN v USING (tok) GROUP BY 1 ORDER BY d.doc_id""",
         |SELECT bucket, n_docs, n_tokens, min_pm, max_pm,
         |  CAST(sum(n_tokens) OVER (ORDER BY bucket DESC) AS BIGINT) AS cum_tokens_from_top
         |FROM b ORDER BY bucket""".stripMargin,
+
+    "sample_dsir" -> {
+      val b = graft.operators.Sampling.dsirBuckets
+      s"""WITH t AS (SELECT doc_id, source,
+         |  unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+         |c AS (SELECT doc_id, source,
+         |  ('0x' || substr(md5(tok), 1, 15))::BIGINT % $b AS b, count(*) AS c
+         |  FROM t GROUP BY 1, 2, 3),
+         |bt AS (SELECT b, CAST(sum(c) AS BIGINT) AS nr,
+         |  CAST(sum(CASE WHEN source = 'src0' THEN c ELSE 0 END) AS BIGINT) AS nt
+         |  FROM c GROUP BY 1),
+         |tt AS (SELECT CAST(sum(nr) AS BIGINT) AS trn, CAST(sum(nt) AS BIGINT) AS ttn FROM bt),
+         |qq AS (SELECT b, least(trn // (nr + 1), 32767) AS qr,
+         |  least(ttn // (nt + 1), 32767) AS qt FROM bt, tt),
+         |sd AS (SELECT b, (length(bin(qr * qr * qr * qr)) - 1)
+         |  - (length(bin(qt * qt * qt * qt)) - 1) AS sd FROM qq)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(sum(c * sd) AS BIGINT) AS logw_qb,
+         |  CAST(CASE WHEN sum(c * sd) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM c JOIN sd USING (b) GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "text_ppl_buckets" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |p AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS bg
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i
+        |        FROM t WHERE len(toks) >= 2)),
+        |u AS (SELECT w1, count(*) AS n1 FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY 1),
+        |b AS (SELECT bg, count(*) AS n2 FROM p GROUP BY 1),
+        |s AS (SELECT doc_id,
+        |    length(bin(least(n1 // n2, 2147483647) * least(n1 // n2, 2147483647))) - 1 AS hb
+        |  FROM p JOIN b USING (bg) JOIN u USING (w1)),
+        |ppl AS (SELECT doc_id, CAST((500 * sum(hb)) // count(*) AS BIGINT) AS ppl_millibits
+        |  FROM s GROUP BY 1),
+        |pl AS (SELECT ppl.doc_id, d.lang, ppl.ppl_millibits
+        |  FROM ppl JOIN documents d USING (doc_id)),
+        |vt AS (SELECT lang, ppl_millibits, count(*) AS nv FROM pl GROUP BY 1, 2),
+        |cuts AS (SELECT lang, ppl_millibits,
+        |    1 + (3 * (CAST(sum(nv) OVER (PARTITION BY lang ORDER BY ppl_millibits) AS BIGINT) - nv))
+        |      // CAST(sum(nv) OVER (PARTITION BY lang) AS BIGINT) AS bucket
+        |  FROM vt)
+        |SELECT pl.doc_id, pl.lang, pl.ppl_millibits, CAST(bucket AS BIGINT) AS bucket
+        |FROM pl JOIN cuts USING (lang, ppl_millibits) ORDER BY doc_id""".stripMargin,
 
     // Spark casts the double score to long by TRUNCATION; DuckDB CAST
     // rounds-half-even — hence the explicit floor() on every score.

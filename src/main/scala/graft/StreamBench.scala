@@ -148,7 +148,16 @@ object StreamBench {
         "ratelimit", rows, batches, reps,
         i => RateEvent(s"k${i % 1000}", i.toLong,
           new java.sql.Timestamp(1700000000000L + i.toLong)),
-        "append", ds => StreamRateLimit.admissions(ds))))
+        "append", ds => StreamRateLimit.admissions(ds))),
+      // 500 keys, 1 reference per 8 probes, ±4 ms timestamp jitter so
+      // probes land out of order around their references — the floor
+      // search and history merge both stay hot; state = 500·history
+      ("stream_asof", () => drive[AsofInput, AsofMatch](spark, "asof",
+        rows, batches, reps,
+        i => AsofInput(s"k${i % 500}", i.toLong,
+          new java.sql.Timestamp(1700000000000L + i.toLong + (i % 9) - 4),
+          i % 8 == 0, (i % 1000).toLong),
+        "append", ds => StreamAsofJoin.enrich(ds))))
 
     val results = ops.map { case (name, f) =>
       val (sec, stateRows, emitted) = f()

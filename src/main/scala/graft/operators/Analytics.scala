@@ -1011,4 +1011,70 @@ object Analytics {
         array_join(sort_array(collect_list(col("c_name"))), "|")
           .as("roster"))
       .orderBy(col("n_name"))
+
+  /** Sketch size for [[qKmvJaccard]] — fixed: the KMV synopsis is a
+    * constant of the pipeline, never corpus-proportional. */
+  val kmvK = 256
+
+  /** §2#233 KMV bottom-k set RESEMBLANCE between sources — the sketch
+    * the [[qHllUnion]] family can't provide: HLL unions cardinalities,
+    * but "how much does source A's CONTENT overlap source B's" needs
+    * Jaccard over their 3-shingle sets, and the K-Minimum-Values
+    * synopsis (Bar-Yossef et al. 2002; Beyer et al. SIGMOD'07) answers
+    * it from k hashes per side: the k smallest shingle hashes of A∪B
+    * are a uniform sample of the union, so the fraction of them
+    * present in BOTH sketches estimates |A∩B|/|A∪B| — and the kth
+    * smallest hash estimates the union size as (k−1)·M div h_k
+    * (hashes uniform on [0, M)). This is the corpus-curation
+    * diagnostic that says WHICH feeds mirror each other before any
+    * pairwise doc dedup runs — at k=[[kmvK]] per source it summarizes
+    * arbitrarily large sources in constant space, where the exact
+    * answer ([[graft.operators.Dedup]]'s pair joins) reads everything.
+    * Exact integers throughout: the replayable 31-bit md5 shingle
+    * hash (M = 2³¹ — products stay far under 2⁶³), estimates in raw
+    * counts and per-mille.
+    *
+    * Shape: one combinable distinct on (source, shingle-hash) — the
+    * only corpus-sized shuffle, carrying 31-bit hashes, never text;
+    * bottom-k per source is a rank-≤-k window (the
+    * [[graft.plans.TopKWindowRewrite]] pattern — per-partition
+    * bounded heaps, never a full sort at scale); everything after
+    * runs on |sources|·k rows: the source-pair union re-rank is
+    * |sources|²·2k rows regardless of corpus size. */
+  def qKmvJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    qKmvJaccardOf(Tables.documentsPar(spark, sfDir))
+
+  /** [[qKmvJaccard]] over any (source, text) frame. */
+  def qKmvJaccardOf(docs: DataFrame): DataFrame = {
+    import graft.functions.Fns.{tokens, shingleMd5Hashes}
+    val k = kmvK
+    val sk = docs
+      .select(col("source"),
+        explode(shingleMd5Hashes(tokens(col("text")), 3)).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"))))
+      .where(col("rn") <= k)
+      .select(col("source"), col("h"))
+    val pairs = sk.select(col("source").as("src_a")).distinct()
+      .join(sk.select(col("source").as("src_b")).distinct(),
+        col("src_a") < col("src_b"))
+    val u = pairs
+      .join(sk.as("s"), col("s.source") === col("src_a")
+        || col("s.source") === col("src_b"))
+      .groupBy(col("src_a"), col("src_b"), col("h"))
+      .agg(max(when(col("s.source") === col("src_a"), 1L).otherwise(0L)).as("in_a"),
+        max(when(col("s.source") === col("src_b"), 1L).otherwise(0L)).as("in_b"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))))
+      .where(col("rn") <= k)
+    u.groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("k_used"),
+        sum(expr("in_a * in_b")).as("n_common"),
+        max(col("h")).as("hk"))
+      .select(col("src_a"), col("src_b"), col("k_used"), col("n_common"),
+        expr("1000 * n_common div k_used").as("jaccard_pm"),
+        expr("((k_used - 1) * 2147483648L) div greatest(hk, 1)").as("union_est"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
 }

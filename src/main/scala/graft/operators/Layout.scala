@@ -132,4 +132,87 @@ object Layout {
 
   private[operators] val hilbertBits = bits
   private[operators] val hilbertFileBits = fileBits
+
+  /** The fixed probe workload for [[pruneCompare]]: 16 single-dim
+    * range predicates per dimension (width 64 of the 1024-wide
+    * domain) and 8 two-dim boxes (width 128) along the diagonal —
+    * (kind, probe_id, x_lo, x_hi, y_lo, y_hi) with −1/2^bits for an
+    * unconstrained dimension. Literal constants, identical in the
+    * oracle. */
+  private[graft] val probes: Seq[(String, Long, Long, Long, Long, Long)] = {
+    val dim = 1L << bits
+    val xs = (0L until 16L).map(i =>
+      ("x", i, 64 * i, 64 * i + 63, -1L, dim))
+    val ys = (0L until 16L).map(i =>
+      ("y", i, -1L, dim, 64 * i, 64 * i + 63))
+    val xy = (0L until 8L).map(i =>
+      ("xy", i, 128 * i, 128 * i + 127, 128 * i, 128 * i + 127))
+    xs ++ ys ++ xy
+  }
+
+  /** §2#234 ZONE-MAP PRUNING COMPARISON — the measurement that
+    * justifies [[zorder]]/[[hilbert]] as operators: simulate the
+    * min/max file-skipping a lakehouse scan planner performs, under
+    * the SAME probe workload, for four physical layouts of the same
+    * rows — sorted by x, sorted by y, Z-order, Hilbert — and report
+    * files/rows scanned per probe. The output is the table a platform
+    * team reads before choosing a table's OPTIMIZE clause: the
+    * single-dim sorts prune their own dimension perfectly and the
+    * other not at all; the space-filling curves bound BOTH dimensions
+    * per file (≤ 128 of 1024 here), so every probe kind prunes ~⅞ of
+    * files, with Hilbert's contiguous walk edging Morton's seam jumps
+    * on the two-dim boxes.
+    *
+    * All four layouts assign files by VALUE range (x div 16, y div
+    * 16, z div 2¹⁴, d div 2¹⁴) — the `repartitionByRange`-and-write
+    * shape, one range shuffle, never a global row_number sort. Shape:
+    * ONE scan of events computes all four file ids per row (the
+    * curve arithmetic is codegen'd projections), a 4-way explode
+    * carries only (layout, file_id, x, y), the stats agg map-side
+    * combines to ≤ 4·64 rows, and the probe join runs on that tiny
+    * frame (broadcast, 40 literal probes). A file is scanned iff its
+    * [min,max] box intersects the probe on every constrained
+    * dimension — exactly the zone-map test. */
+  def pruneCompare(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dim = 1L << bits
+    val fileDiv = 1L << (2 * bits - fileBits)
+    val zExpr = (0 until bits)
+      .map(i => s"(shiftleft(shiftright(x0, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright(y0, $i) & 1, ${2 * i + 1}))")
+      .mkString(" + ")
+    val points = Tables.events(spark, sfDir)
+      .select(expr(s"pmod(user_id, $dim)").as("x"),
+        expr(s"pmod(unix_micros(date_trunc('hour', ts)) div 3600000000, $dim)").as("y"))
+    val stats = hilbertIndex(points)
+      .withColumn("z", expr(zExpr))
+      .select(col("x0"), col("y0"), explode(expr(
+        s"""array(named_struct('layout', 'x_sort', 'file_id', x0 div 16),
+           |      named_struct('layout', 'y_sort', 'file_id', y0 div 16),
+           |      named_struct('layout', 'zorder', 'file_id', z div $fileDiv),
+           |      named_struct('layout', 'hilbert', 'file_id', d div $fileDiv))"""
+          .stripMargin)).as("lf"))
+      .select(col("lf.layout").as("layout"), col("lf.file_id").as("file_id"),
+        col("x0"), col("y0"))
+      .groupBy(col("layout"), col("file_id"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x0")).as("x_lo"), max(col("x0")).as("x_hi"),
+        min(col("y0")).as("y_lo"), max(col("y0")).as("y_hi"))
+    val probeDf = probes.toDF("kind", "probe_id", "px_lo", "px_hi", "py_lo", "py_hi")
+    stats.crossJoin(broadcast(probeDf))
+      .withColumn("hit", when(
+        col("x_lo") <= col("px_hi") && col("x_hi") >= col("px_lo")
+          && col("y_lo") <= col("py_hi") && col("y_hi") >= col("py_lo"), 1L)
+        .otherwise(0L))
+      .groupBy(col("layout"), col("kind"), col("probe_id"))
+      .agg(sum(col("hit")).as("files_scanned"),
+        sum(col("hit") * col("n")).as("rows_scanned"),
+        count(lit(1)).as("files_total"))
+      .orderBy(col("layout"), col("kind"), col("probe_id"))
+  }
+
+  /** The DuckDB mirror of [[pruneCompare]]'s probe table (VALUES list). */
+  def probesOracleValues: String = probes
+    .map { case (k, i, xl, xh, yl, yh) => s"('$k', $i, $xl, $xh, $yl, $yh)" }
+    .mkString(", ")
 }

@@ -330,4 +330,75 @@ object Sampling {
         col("min_pm"), col("max_pm"), col("cum_tokens_from_top"))
       .orderBy(col("bucket"))
   }
+
+  /** Bucket count for [[sampleDsir]] — fixed, NOT corpus-proportional:
+    * the whole point of hashed features is that the model size is a
+    * constant of the pipeline, so the bucket table broadcast is
+    * justified at ANY corpus scale (4096 rows forever). */
+  val dsirBuckets = 4096L
+
+  /** §2#231 DSIR importance scoring — Data Selection via Importance
+    * Resampling (Xie et al. 2023): score every raw document by how
+    * much more likely its hashed-unigram bag is under the TARGET
+    * domain's token distribution than under the raw corpus's, and
+    * keep the docs the target distribution prefers. Here the target
+    * is the `source = 'src0'` slice (the "looks like my curated
+    * domain" stand-in — any doc predicate slots in); features are md5
+    * token hashes folded into [[dsirBuckets]] buckets, add-one
+    * smoothed PER BUCKET (n+1, totals unpadded — padding totals by B
+    * swamps a target slice smaller than the bucket count and biases
+    * every score negative; measured on the sf corpus before this
+    * shipped).
+    *
+    * Exact integers end to end, at QUARTER-bit resolution (the #221
+    * half-bit convention is too coarse for cross-slice divergences
+    * under ~0.35 bits/token): a bucket's surprisal under distribution
+    * (N, n) is floor(4·log₂(N div (n+1))) = length(bin(q⁴))−1
+    * quarter-bits with q capped at 2¹⁵−1 (q⁴ < 2⁶⁰ — no BIGINT
+    * overflow; the cap saturates at p < 2⁻¹⁵, far past any keep
+    * boundary), and the doc's log importance weight is logw_qb =
+    * Σ_tok (surp_raw − surp_target) — positive ⇔ the doc's tokens are
+    * systematically more probable under the target LM. `keep` =
+    * logw_qb ≥ 0 is deliberately a PER-ROW decision, not a global
+    * rank: DSIR's top-quantile resample needs a corpus-wide sort at
+    * 100 TB, while the sign test is embarrassingly parallel and
+    * selects "more target-like than raw" exactly.
+    *
+    * Shape: one map-side-combinable (doc, bucket) count; the bucket
+    * distribution table is B rows (bounded by construction — hashed
+    * features make the model size a pipeline constant) → broadcast
+    * join back; one combinable per-doc agg. No corpus-wide shuffle
+    * beyond the compacted (doc, bucket) pairs. */
+  def sampleDsir(spark: SparkSession, sfDir: String): DataFrame =
+    sampleDsirOf(Tables.documentsPar(spark, sfDir))
+
+  /** [[sampleDsir]] over any (doc_id, source, text) frame. */
+  def sampleDsirOf(docs: DataFrame): DataFrame = {
+    import graft.functions.Fns.{tokens, md5Hash60}
+    val b = dsirBuckets
+    val compact = docs
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("source"), pmod(md5Hash60(col("tok")), lit(b)).as("b"))
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val buckets = compact.groupBy(col("b"))
+      .agg(sum(col("c")).as("nr"),
+        sum(when(col("source") === "src0", col("c")).otherwise(0L)).as("nt"))
+      // totals via a window over the ≤B-row bucket table, not the corpus
+      .withColumn("trn", sum(col("nr")).over(Window.partitionBy(lit(1))))
+      .withColumn("ttn", sum(col("nt")).over(Window.partitionBy(lit(1))))
+      .withColumn("qr", expr("least(trn div (nr + 1), 32767L)"))
+      .withColumn("qt", expr("least(ttn div (nt + 1), 32767L)"))
+      .withColumn("sd",
+        expr("""(length(bin(qr * qr * qr * qr)) - 1)
+               |- (length(bin(qt * qt * qt * qt)) - 1)""".stripMargin)
+          .cast("long"))
+      .select(col("b"), col("sd"))
+    compact.join(broadcast(buckets), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), sum(col("c") * col("sd")).as("logw_qb"))
+      .select(col("doc_id"), col("n_tokens"), col("logw_qb"),
+        expr("CAST(CASE WHEN logw_qb >= 0 THEN 1 ELSE 0 END AS BIGINT)").as("keep"))
+      .orderBy(col("doc_id"))
+  }
 }

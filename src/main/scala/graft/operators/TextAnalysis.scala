@@ -1040,4 +1040,43 @@ object TextAnalysis {
         expr("500 * s div n_tokens").as("entropy_millibits"))
       .orderBy(col("doc_id"))
   }
+
+  /** §2#232 CCNet perplexity buckets — the head/middle/tail split
+    * (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data"): per LANGUAGE, rank documents by
+    * LM perplexity ([[perplexity]]'s exact-integer millibits) and cut
+    * the corpus into terciles — bucket 1 ("head", most fluent) feeds
+    * training as-is, 2 is kept under scrutiny, 3 is the drop tail.
+    *
+    * Tercile boundaries are VALUE-granular on purpose: all docs
+    * sharing a (lang, ppl) value get the bucket of that value's first
+    * ntile slot — 1 + (3·docs_strictly_below) div n_lang — so ties
+    * never split across buckets and, critically, the ranking runs
+    * over the (lang, ppl_millibits) COUNT table, which is BOUNDED
+    * (ppl_millibits ∈ [0, 31000] by the 62-half-bit surprisal cap ⇒
+    * ≤ 31001 rows per language) — never a per-language sort of the
+    * corpus (the single-task window that dies at 100 TB; same design
+    * as [[Sampling.sampleCurriculum]]'s value bands). Docs with < 2
+    * tokens have no bigrams and are excluded, as in [[perplexity]].
+    *
+    * Shape: [[perplexityFrom]]'s plan + one combinable (lang, ppl)
+    * count → bounded table, window over that table, broadcast join
+    * back by (lang, ppl). */
+  def pplBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documentsPar(spark, sfDir)
+    val ppl = perplexityFrom(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val vt = ppl.groupBy(col("lang"), col("ppl_millibits"))
+      .agg(count(lit(1)).as("nv"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("ppl_millibits"))
+    val cuts = vt
+      .withColumn("below", sum(col("nv")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("n_lang", sum(col("nv")).over(Window.partitionBy(col("lang"))))
+      .select(col("lang"), col("ppl_millibits"),
+        expr("1 + (3 * coalesce(below, 0L)) div n_lang").as("bucket"))
+    ppl.join(broadcast(cuts), Seq("lang", "ppl_millibits"))
+      .select(col("doc_id"), col("lang"), col("ppl_millibits"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
 }

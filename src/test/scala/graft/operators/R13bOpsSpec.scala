@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-13 second wave: DSIR importance scoring, CCNet
+  * perplexity buckets, KMV source resemblance, zone-map pruning
+  * comparison. */
+class R13bOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** floor(4·log₂ q) as the engine computes it: length(bin(q⁴))−1,
+    * i.e. the bit length of q⁴ minus one (0 for q ≤ 1). */
+  private def surpQb(q: Long): Long = {
+    val q4 = q * q * q * q
+    if (q4 <= 0) 0L else 63L - java.lang.Long.numberOfLeadingZeros(q4)
+  }
+
+  test("sample_dsir: exact-integer law against a driver-side recompute") {
+    // crafted corpus: target source's docs are all token T; the other
+    // source's are all token X — maximal, sign-separable divergence
+    val docs = Seq(
+      (1L, "src0", "t t t t"),
+      (2L, "src0", "t t x t"),
+      (3L, "srcZ", "x x x x"),
+      (4L, "srcZ", "x t x x"))
+      .toDF("doc_id", "source", "text")
+    val got = Sampling.sampleDsirOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // driver-side recompute of the exact spec: raw (T:10, X:6? no —
+    // T appears 4+3+1=8, X appears 1+4+3=8), target = src0 slice
+    val raw = Map("t" -> 8L, "x" -> 8L); val tgt = Map("t" -> 7L, "x" -> 1L)
+    val (trn, ttn) = (raw.values.sum, tgt.values.sum)
+    def sd(tok: String): Long =
+      surpQb(math.min(trn / (raw(tok) + 1), 32767L)) -
+        surpQb(math.min(ttn / (tgt(tok) + 1), 32767L))
+    def logw(toks: Seq[String]): Long = toks.map(sd).sum
+    assert(got(1L) === ((4L, logw(Seq.fill(4)("t")), 1L)))
+    assert(got(3L) === ((4L, logw(Seq.fill(4)("x")), 0L)))
+    assert(got(2L)._2 === logw(Seq("t", "t", "t", "x")))
+    assert(got(4L)._2 === logw(Seq("t", "x", "x", "x")))
+    // sign separation: pure-target doc keeps, pure-other doc drops
+    assert(got(1L)._3 === 1L && got(3L)._3 === 0L)
+  }
+
+  test("sample_dsir: corpus laws — one row per doc, token conservation") {
+    val out = Sampling.sampleDsir(spark, sf)
+    val docs = graft.Tables.documents(spark, sf)
+    assert(out.count() === docs.count())
+    // n_tokens must equal the tokenizer's count (same split convention)
+    val direct = docs.select(col("doc_id"),
+      size(graft.functions.Fns.tokens(col("text"))).cast("long").as("n"))
+    assert(out.join(direct, "doc_id")
+      .where(col("n_tokens") =!= col("n")).count() === 0L)
+    assert(out.where(col("keep") =!= (col("logw_qb") >= 0L).cast("long"))
+      .count() === 0L)
+  }
+
+  test("text_ppl_buckets: the value-granular ntile law, ties never split") {
+    val out = TextAnalysis.pplBuckets(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val n = rows.length.toLong
+      // brute-force recompute: bucket(v) = 1 + 3·|{ppl < v}| div n
+      rows.foreach { case (_, _, v, b) =>
+        val below = rows.count(_._3 < v).toLong
+        assert(b === 1L + (3L * below) / n,
+          s"$lang ppl=$v bucket $b != ntile-law value")
+      }
+      // ties share buckets by construction; buckets cover 1..3 only
+      assert(rows.map(_._4).forall(b => b >= 1 && b <= 3))
+    }
+    // domain = docs with ≥ 2 tokens (the perplexity support)
+    val withBigrams = graft.Tables.documents(spark, sf)
+      .where(size(graft.functions.Fns.tokens(col("text"))) >= 2).count()
+    assert(out.length.toLong === withBigrams)
+  }
+
+  test("q_kmv_jaccard: exact when sets are smaller than k (sketch = set)") {
+    // two identical sources, one disjoint — n_shingles << k=256, so
+    // the KMV estimate IS the exact Jaccard of the shingle-hash sets
+    val docs = Seq(
+      (1L, "sA", "a b c d e f"),
+      (2L, "sB", "a b c d e f"),  // identical content to sA
+      (3L, "sC", "p q r s t u"))  // disjoint content
+      .toDF("doc_id", "source", "text")
+    val crafted = Analytics.qKmvJaccardOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // 6 tokens → 4 shingles per doc; identical sets → 1000‰, disjoint → 0
+    assert(crafted(("sA", "sB")) === ((4L, 4L, 1000L)))
+    assert(crafted(("sA", "sC"))._3 === 0L)
+    assert(crafted(("sB", "sC"))._3 === 0L)
+    // the operator on the real corpus: estimates live in bounds and
+    // k_used never exceeds k
+    val out = Analytics.qKmvJaccard(spark, sf)
+    val k = Analytics.kmvK.toLong
+    assert(out.where(col("k_used") > k || col("n_common") > col("k_used")
+      || col("jaccard_pm") < 0 || col("jaccard_pm") > 1000
+      || col("union_est") < col("k_used") - 1).count() === 0L)
+    val nSrc = graft.Tables.documents(spark, sf)
+      .select(col("source")).distinct().count()
+    assert(out.count() === nSrc * (nSrc - 1) / 2, "every source pair")
+  }
+
+  test("layout_prune_compare: tiling and pruning laws") {
+    val rows = Layout.pruneCompare(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val layouts = rows.map(_._1).distinct.sorted
+    assert(layouts === Array("hilbert", "x_sort", "y_sort", "zorder"))
+    assert(rows.length === 4 * 40, "4 layouts × 40 probes")
+    val total = graft.Tables.events(spark, sf).count()
+    // the 16 width-64 x probes tile the x domain; x_sort files are
+    // 16-wide and 64-aligned nest inside exactly one probe → the
+    // probe sweep scans every row exactly once
+    val xSortX = rows.filter(r => r._1 == "x_sort" && r._2 == "x")
+    assert(xSortX.map(_._5).sum === total)
+    val ySortY = rows.filter(r => r._1 == "y_sort" && r._2 == "y")
+    assert(ySortY.map(_._5).sum === total)
+    // curve files may straddle probe boundaries → sweeps can only
+    // re-scan, never lose rows
+    for (l <- Seq("zorder", "hilbert"); k <- Seq("x", "y"))
+      assert(rows.filter(r => r._1 == l && r._2 == k).map(_._5).sum >= total,
+        s"$l/$k sweep lost rows")
+    // a sorted layout prunes its own dimension to ≤ 4 of 64 file slots
+    assert(xSortX.forall(_._4 <= 4), "x_sort on x probes: ≤ 4 files")
+    assert(ySortY.forall(_._4 <= 4), "y_sort on y probes: ≤ 4 files")
+    // files_scanned ≤ files_total, rows ≥ 0 everywhere
+    assert(rows.forall(r => r._4 <= r._6 && r._4 >= 0 && r._5 >= 0))
+  }
+}
