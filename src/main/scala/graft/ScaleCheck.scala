@@ -296,7 +296,15 @@ object ScaleCheck {
       // (layout, file_id), combinable stats agg to ≤256 rows; pure
       // scan-speed band
       "layout_prune_compare" -> ((s: SparkSession, d: String, _: Int) =>
-        Layout.pruneCompare(s, d)))
+        Layout.pruneCompare(s, d)),
+      // r13c: shelf packing — narrow token count + per-(source, band)
+      // rank windows + combinable per-bin agg; scan-speed band
+      "pack_shelves" -> ((s: SparkSession, d: String, _: Int) =>
+        Sampling.packShelves(s, d)),
+      // r13c: order audit — one per-key lag window over events + a
+      // 32-row combinable agg; scan-speed band
+      "cdc_order_audit" -> ((s: SparkSession, d: String, _: Int) =>
+        graft.cdc.Changefeed.orderAudit(s, d)))
 
     // SPARK_GRAFT_OPS=a,b,c restricts the run (default: everything) —
     // lets a round re-measure just its new ops without paying for the

@@ -42,6 +42,7 @@ object SparkEntry {
     "cdc_dlq" -> (Changefeed.dlq _),
     "cdc_snapshot_diff" -> (Changefeed.snapshotDiff _),
     "cdc_resolved_gaps" -> ((s: SparkSession, d: String) => Changefeed.resolvedGaps(s, d)),
+    "cdc_order_audit" -> ((s: SparkSession, d: String) => Changefeed.orderAudit(s, d)),
     "text_bigram_lm" -> (TextAnalysis.bigramLm _),
     "text_perplexity" -> (TextAnalysis.perplexity _),
     "text_token_entropy" -> (TextAnalysis.tokenEntropy _),
@@ -163,6 +164,7 @@ object SparkEntry {
     "sample_temperature" -> ((s: SparkSession, d: String) => Sampling.sampleTemperature(s, d)),
     "sample_curriculum" -> ((s: SparkSession, d: String) => Sampling.sampleCurriculum(s, d)),
     "sample_dsir" -> ((s: SparkSession, d: String) => Sampling.sampleDsir(s, d)),
+    "pack_shelves" -> ((s: SparkSession, d: String) => Sampling.packShelves(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "pipeline_train_data" -> ((s: SparkSession, d: String) => Pipeline.trainDataPipeline(s, d)),
     "pipeline_funnel" -> (Pipeline.curationFunnel _),
@@ -2483,6 +2485,34 @@ FROM d JOIN v USING (tok) GROUP BY 1 ORDER BY d.doc_id""",
          |  CAST(CASE WHEN sum(c * sd) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM c JOIN sd USING (b) GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    "pack_shelves" ->
+      """WITH t AS (SELECT source, doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n FROM documents),
+        |b AS (SELECT source, doc_id, n,
+        |  CASE WHEN n <= 1 THEN 1 ELSE (CAST(1 AS BIGINT) << length(bin(n - 1))) END AS band
+        |  FROM t),
+        |s AS (SELECT *, greatest(512 // band, 1) AS slots,
+        |  row_number() OVER (PARTITION BY source, band ORDER BY doc_id) AS rn FROM b),
+        |g AS (SELECT source, band, slots, n, (rn - 1) // slots AS bin_id FROM s)
+        |SELECT source, CAST(band AS BIGINT) AS band, CAST(bin_id AS BIGINT) AS bin_id,
+        |  CAST(max(slots) AS BIGINT) AS slots, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS load_toks,
+        |  CAST(1000 * sum(n) // 512 AS BIGINT) AS used_pm
+        |FROM g GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "cdc_order_audit" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT user_id, us,
+        |  lag(us) OVER (PARTITION BY user_id ORDER BY event_id) AS prev FROM e),
+        |r AS (SELECT user_id % 32 AS part_id, user_id,
+        |  CASE WHEN prev IS NOT NULL AND prev > us THEN prev - us ELSE 0 END AS reg FROM l)
+        |SELECT part_id, CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+        |  CAST(count(*) AS BIGINT) AS n_changes,
+        |  CAST(sum(CASE WHEN reg > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions,
+        |  CAST(max(reg) AS BIGINT) AS max_regress_us,
+        |  CAST(1000 * (count(*) - sum(CASE WHEN reg > 0 THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS ordered_pm
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_ppl_buckets" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),

@@ -157,7 +157,14 @@ object StreamBench {
         i => AsofInput(s"k${i % 500}", i.toLong,
           new java.sql.Timestamp(1700000000000L + i.toLong + (i % 9) - 4),
           i % 8 == 0, (i % 1000).toLong),
-        "append", ds => StreamAsofJoin.enrich(ds))))
+        "append", ds => StreamAsofJoin.enrich(ds))),
+      // 200 keys × k=10 reservoirs over a 1M id space: early batches
+      // churn members, later ones mostly reject — both paths measured;
+      // state = keys·k, never O(rows)
+      ("stream_reservoir", () => drive[ReservoirOffer, ReservoirChange](
+        spark, "reservoir", rows, batches, reps,
+        i => ReservoirOffer(s"k${i % 200}", ((i.toLong * 48271) % 1000000L)),
+        "append", ds => StreamReservoir.changes(ds))))
 
     val results = ops.map { case (name, f) =>
       val (sec, stateRows, emitted) = f()

@@ -688,4 +688,41 @@ object Changefeed {
         (col("n_total") - col("n_safe")).as("n_held"))
       .orderBy(col("source_id"))
   }
+
+  /** §2#237 per-key ORDER AUDIT — the monotonicity check the
+    * reference's cursor design silently depends on (main.rs:132-169
+    * advances the `updated_at` cursor to the batch max; a key whose
+    * event time REGRESSES between consecutive changes re-delivers or
+    * skips under that contract, and the GC-threshold restart
+    * amplifies it): per key, walk the feed in commit order (event_id)
+    * and count event-time inversions, reporting per queue partition
+    * (the #8 `pmod(key, 32)` routing) how many keys/changes are
+    * affected and the worst observed regression — the table an
+    * on-call reads before trusting a cursor-advance policy.
+    *
+    * Shape: one window per user_id partition in event_id order (hash
+    * exchange on the key — each of 1000 executors audits its key
+    * range independently, per-key state is one lag value), then a
+    * map-side-combinable agg to 32 partition rows. */
+  def orderAudit(spark: SparkSession, sfDir: String,
+      nParts: Int = 32): DataFrame =
+    orderAuditOf(Tables.events(spark, sfDir), nParts)
+
+  /** [[orderAudit]] over any (user_id, event_id, ts) frame. */
+  def orderAuditOf(events: DataFrame, nParts: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("reg", when(col("prev").isNotNull && col("prev") > col("us"),
+        col("prev") - col("us")).otherwise(0L))
+      .groupBy(pmod(col("user_id"), lit(nParts.toLong)).as("part_id"))
+      .agg(countDistinct(col("user_id")).as("n_keys"),
+        count(lit(1)).as("n_changes"),
+        sum(when(col("reg") > 0, 1L).otherwise(0L)).as("n_inversions"),
+        max(col("reg")).as("max_regress_us"))
+      .withColumn("ordered_pm",
+        expr("1000 * (n_changes - n_inversions) div n_changes"))
+      .orderBy(col("part_id"))
+  }
 }

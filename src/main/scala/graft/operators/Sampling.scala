@@ -331,6 +331,54 @@ object Sampling {
       .orderBy(col("bucket"))
   }
 
+  /** §2#236 SHELF bin packing — packing WHOLE documents (the
+    * no-split regime: instruction-tuning examples, contrastive pairs,
+    * anything where a truncated document is a corrupted label; #69
+    * concat-and-chunk deliberately splits, this deliberately never
+    * does). Classic First-Fit-Decreasing is inherently SEQUENTIAL —
+    * bin state threads through every placement, which is exactly what
+    * a 1000-executor packer cannot do — so this is the parallel
+    * approximation the shelf/harmonic family gives (Lee & Lee, JACM
+    * 1985): round each doc up to its ceiling power of two `band`,
+    * give a band's bins exactly `capacity div band` slots, and assign
+    * by rank within (source, band). Every placement is then PURE
+    * ARITHMETIC on a per-source rank — no bin state, no sequential
+    * scan — at the harmonic family's bounded waste (a full shelf of
+    * band 2ᵏ docs is ≥ half full, since every member exceeds 2ᵏ⁻¹).
+    *
+    * Oversize docs (> capacity) keep their own bin with slots = 1 and
+    * used_pm > 1000 — visible, never silently dropped or truncated.
+    *
+    * Shape: one narrow token-count pass; one window per (source,
+    * band) partition in doc_id order (the #69 scale story: sources
+    * pack independently across executors; a skewed giant source salts
+    * by coarse doc_id range); one combinable per-bin agg. Integer
+    * arithmetic end to end — the ceiling power of two is the exact
+    * bit-length log, length(bin(n−1)), same construct both engines. */
+  def packShelves(spark: SparkSession, sfDir: String,
+      capacity: Long = 512L): DataFrame =
+    packShelvesOf(Tables.documentsPar(spark, sfDir), capacity)
+
+  /** [[packShelves]] over any (doc_id, source, text) frame. */
+  def packShelvesOf(docs: DataFrame, capacity: Long): DataFrame = {
+    import graft.functions.Fns.tokens
+    val w = Window.partitionBy(col("source"), col("band"))
+      .orderBy(col("doc_id"))
+    docs
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n"))
+      .withColumn("band", expr(
+        "CASE WHEN n <= 1 THEN 1L ELSE shiftleft(1L, length(bin(n - 1))) END"))
+      .withColumn("slots", expr(s"greatest($capacity div band, 1L)"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("bin_id", expr("(rn - 1) div slots"))
+      .groupBy(col("source"), col("band"), col("bin_id"))
+      .agg(max(col("slots")).as("slots"), count(lit(1)).as("n_docs"),
+        sum(col("n")).as("load_toks"))
+      .withColumn("used_pm", expr(s"1000 * load_toks div $capacity"))
+      .orderBy(col("source"), col("band"), col("bin_id"))
+  }
+
   /** Bucket count for [[sampleDsir]] — fixed, NOT corpus-proportional:
     * the whole point of hashed features is that the model size is a
     * constant of the pipeline, so the bucket table broadcast is

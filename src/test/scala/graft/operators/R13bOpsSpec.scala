@@ -105,6 +105,63 @@ class R13bOpsSpec extends SparkSuite {
     assert(out.count() === nSrc * (nSrc - 1) / 2, "every source pair")
   }
 
+  test("pack_shelves: exact placement on crafted sizes, shelf laws") {
+    def txt(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (1L, "s1", txt(100)), (2L, "s1", txt(100)), (3L, "s1", txt(100)),
+      (4L, "s1", txt(100)), (5L, "s1", txt(100)), // band 128, 4 slots
+      (6L, "s1", txt(300)),                       // band 512, 1 slot
+      (7L, "s1", txt(600)),                       // oversize: band 1024
+      (8L, "s1", txt(1)))                         // band 1
+      .toDF("doc_id", "source", "text")
+    val out = Sampling.packShelvesOf(docs, 512L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // (source, band, bin_id, slots, n_docs, load, used_pm)
+    val byBand = out.groupBy(_._2)
+    assert(out.map(_._5).sum === 8L, "every doc lands in exactly one bin")
+    // band 128: docs 1-4 fill bin 0 (4 slots), doc 5 opens bin 1
+    assert(byBand(128L).map(b => (b._3, b._5, b._6)).sorted.toSeq ===
+      Seq((0L, 4L, 400L), (1L, 1L, 100L)))
+    // band 512: one slot per bin
+    assert(byBand(512L).head._5 === 1L && byBand(512L).head._6 === 300L)
+    // oversize: own bin, visible over-capacity
+    assert(byBand(1024L).head._7 > 1000L)
+    assert(byBand(1L).head._6 === 1L)
+    // corpus laws: bands are powers of two covering n; full bins ≥
+    // half capacity (the harmonic shelf guarantee, non-oversize bands)
+    val corpus = Sampling.packShelves(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    corpus.foreach { case (band, slots, nd, load) =>
+      assert((band & (band - 1)) === 0L, s"band $band not a power of two")
+      assert(nd <= slots)
+      if (nd == slots)
+        assert(2 * load >= slots * band,
+          s"full shelf under half band mass: band=$band load=$load")
+    }
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(corpus.map(_._3).sum === nDocs)
+  }
+
+  test("cdc_order_audit: inversions counted per key in commit order") {
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000L)
+    // key 0: monotone; key 1: one regression of 5000 µs; key 33 (same
+    // partition as key 1 mod 32): clean — partition rollup mixes them
+    val events = Seq(
+      (0L, 1L, 1000000L), (0L, 2L, 2000000L),
+      (1L, 3L, 9000000L), (1L, 4L, 4000000L), (1L, 5L, 6000000L),
+      (33L, 6L, 1000000L), (33L, 7L, 1000000L)) // equal ts: NOT an inversion
+      .map { case (u, e, us) => (u, e, ts(us)) }
+      .toDF("user_id", "event_id", "ts")
+    val got = graft.cdc.Changefeed.orderAuditOf(events, 32).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got(0L) === ((1L, 2L, 0L, 0L, 1000L)))
+    // partition 1 holds keys 1 and 33: 5 changes, 1 inversion, worst
+    // regression 9s−4s = 5,000,000 µs
+    assert(got(1L) === ((2L, 5L, 1L, 5000000L, 800L)))
+  }
+
   test("layout_prune_compare: tiling and pruning laws") {
     val rows = Layout.pruneCompare(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
