@@ -304,7 +304,11 @@ object ScaleCheck {
       // r13c: order audit — one per-key lag window over events + a
       // 32-row combinable agg; scan-speed band
       "cdc_order_audit" -> ((s: SparkSession, d: String, _: Int) =>
-        graft.cdc.Changefeed.orderAudit(s, d)))
+        graft.cdc.Changefeed.orderAudit(s, d)),
+      // r13c: modularity — rides the memoized candidate pairs + two
+      // label joins + a |langs|-row agg; candidate-generation band
+      "graph_modularity" -> ((s: SparkSession, d: String, _: Int) =>
+        Graph.modularity(s, d)))
 
     // SPARK_GRAFT_OPS=a,b,c restricts the run (default: everything) —
     // lets a round re-measure just its new ops without paying for the

@@ -117,6 +117,7 @@ object SparkEntry {
     "graph_triangles" -> (Graph.triangles _),
     "graph_bfs_dist" -> ((s: SparkSession, d: String) => Graph.bfsDist(s, d)),
     "graph_degree_dist" -> ((s: SparkSession, d: String) => Graph.degreeDist(s, d)),
+    "graph_modularity" -> (Graph.modularity _),
     "text_lang_confusion" -> (TextAnalysis.langConfusion _),
     "text_contamination_rate" -> ((s: SparkSession, d: String) => TextAnalysis.contaminationRate(s, d)),
     "dedup_report" -> (Dedup.report _),
@@ -2035,6 +2036,35 @@ bnd AS (SELECT doc_id, i // 3 AS band,
          |SELECT d0.doc_id, coalesce(g.degree, 0) AS degree
          |FROM documents d0 LEFT JOIN deg g ON g.doc = d0.doc_id
          |ORDER BY d0.doc_id""".stripMargin,
+    "graph_modularity" ->
+      s"""WITH $shCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+         |lp AS (SELECT da.lang AS lang_a, db.lang AS lang_b
+         |  FROM pairs JOIN documents da ON da.doc_id = pairs.doc_a
+         |             JOIN documents db ON db.doc_id = pairs.doc_b),
+         |ei AS (SELECT lang_a AS lang, CAST(count(*) AS BIGINT) AS e_in
+         |  FROM lp WHERE lang_a = lang_b GROUP BY 1),
+         |ds AS (SELECT lang, CAST(count(*) AS BIGINT) AS d_sum FROM
+         |  (SELECT lang_a AS lang FROM lp UNION ALL SELECT lang_b FROM lp)
+         |  GROUP BY 1),
+         |nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY 1),
+         |per AS (SELECT nd.lang, nd.n_docs,
+         |  coalesce(ds.d_sum, 0) AS d_sum, coalesce(ei.e_in, 0) AS e_in,
+         |  4 * m.m * coalesce(ei.e_in, 0)
+         |    - coalesce(ds.d_sum, 0) * coalesce(ds.d_sum, 0) AS q_num
+         |  FROM nd LEFT JOIN ds ON ds.lang = nd.lang
+         |          LEFT JOIN ei ON ei.lang = nd.lang, m)
+         |SELECT lang, n_docs, d_sum, e_in, CAST(q_num AS BIGINT) AS q_num FROM per
+         |UNION ALL
+         |SELECT '__ALL__', CAST(sum(n_docs) AS BIGINT), CAST(sum(d_sum) AS BIGINT),
+         |  CAST(sum(e_in) AS BIGINT), CAST(sum(q_num) AS BIGINT) FROM per
+         |ORDER BY lang""".stripMargin,
+
     "text_bpe_pairs" ->
       """WITH t AS (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),

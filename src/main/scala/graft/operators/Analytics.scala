@@ -1047,7 +1047,10 @@ object Analytics {
   /** [[qKmvJaccard]] over any (source, text) frame. */
   def qKmvJaccardOf(docs: DataFrame): DataFrame = {
     import graft.functions.Fns.{tokens, shingleMd5Hashes}
+    import graft.Checkpoints.CutOps
     val k = kmvK
+    // .cut on the |sources|·k sketch: it feeds the pair spine twice
+    // and the union join — without it the shingle explode runs 3×
     val sk = docs
       .select(col("source"),
         explode(shingleMd5Hashes(tokens(col("text")), 3)).as("h"))
@@ -1056,6 +1059,7 @@ object Analytics {
         Window.partitionBy(col("source")).orderBy(col("h"))))
       .where(col("rn") <= k)
       .select(col("source"), col("h"))
+      .cut
     val pairs = sk.select(col("source").as("src_a")).distinct()
       .join(sk.select(col("source").as("src_b")).distinct(),
         col("src_a") < col("src_b"))

@@ -295,4 +295,66 @@ object Graph {
       .select(col("doc_id"), col("cluster_id"), col("hops"))
       .orderBy(col("doc_id"))
   }
+
+  /** §2#239 PARTITION MODULARITY of the near-dup graph under the
+    * LANGUAGE labeling (Newman & Girvan 2004): Q = Σ_c (e_c/m −
+    * (d_c/2m)²) — how much more intra-language the duplicate edges
+    * are than a degree-preserving random rewiring. The curation
+    * question it answers: near-dups should be language-assortative
+    * (same text, same language); a LOW modularity means heavy
+    * cross-language edge mass — template/boilerplate duplication or a
+    * broken language tagger — exactly what to inspect before trusting
+    * per-language dedup or mixing decisions. (The CC clusters of
+    * [[Dedup.cluster]] would be the degenerate labeling here — every
+    * candidate edge is intra-component by construction — so the
+    * INDEPENDENT lang label is the partition under test.)
+    *
+    * Exact integers: per language the summand is reported as the
+    * numerator q_num = 4m·e_c − d_c² over the implied common
+    * denominator 4m² (Q = Σ q_num / 4m²) — no division, no floats;
+    * exact while m < 2³⁰ (4m² < 2⁶³ — the near-dup graph is orders of
+    * magnitude sparser than the corpus; past that, per-language
+    * reduced rationals are the upgrade path). A `__ALL__` row carries
+    * the column sums — its d_sum IS 2m and its q_num IS the Q
+    * numerator — so the reader reconstitutes Q from one table.
+    *
+    * Shape: reuses the memoized candidate pairs; two broadcast-sized
+    * joins (doc → lang), one combinable per-lang agg, the global m as
+    * a 1-row broadcast (the [[graft.cdc.Changefeed.fanIn]] pattern —
+    * never a driver-side count). */
+  def modularity(spark: SparkSession, sfDir: String): DataFrame =
+    modularityFrom(Dedup.candidatePairs(spark, sfDir),
+      Tables.documentsPar(spark, sfDir).select(col("doc_id"), col("lang")))
+
+  /** [[modularity]] over any (doc_a, doc_b) edges + (doc_id, lang)
+    * labeling. */
+  def modularityFrom(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    val la = labels.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"))
+    val lb = labels.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"))
+    val labeled = pairs.join(la, "doc_a").join(lb, "doc_b")
+    val mRow = pairs.agg(count(lit(1)).as("m"))
+    // intra-language edge counts (cross-language edges belong to no c)
+    val eIn = labeled.where(col("lang_a") === col("lang_b"))
+      .groupBy(col("lang_a").as("lang")).agg(count(lit(1)).as("e_in"))
+    // degree mass per language: every edge endpoint contributes 1
+    val dSum = labeled.select(col("lang_a").as("lang"))
+      .unionByName(labeled.select(col("lang_b").as("lang")))
+      .groupBy(col("lang")).agg(count(lit(1)).as("d_sum"))
+    val nDocs = labels.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val per = nDocs
+      .join(dSum, Seq("lang"), "left").join(eIn, Seq("lang"), "left")
+      .crossJoin(broadcast(mRow))
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("d_sum"), lit(0L)).as("d_sum"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"),
+        (lit(4L) * col("m") * coalesce(col("e_in"), lit(0L))
+          - coalesce(col("d_sum"), lit(0L)) * coalesce(col("d_sum"), lit(0L)))
+          .as("q_num"))
+    val total = per.agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("d_sum")).as("d_sum"), sum(col("e_in")).as("e_in"),
+        sum(col("q_num")).as("q_num"))
+      .select(lit("__ALL__").as("lang"), col("n_docs"), col("d_sum"),
+        col("e_in"), col("q_num"))
+    per.unionByName(total).orderBy(col("lang"))
+  }
 }

@@ -423,12 +423,16 @@ object Sampling {
   /** [[sampleDsir]] over any (doc_id, source, text) frame. */
   def sampleDsirOf(docs: DataFrame): DataFrame = {
     import graft.functions.Fns.{tokens, md5Hash60}
+    import graft.Checkpoints.CutOps
     val b = dsirBuckets
+    // .cut: the compacted counts feed BOTH the bucket table and the
+    // scoring join — without the cut the token explode runs twice
     val compact = docs
       .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), col("source"), pmod(md5Hash60(col("tok")), lit(b)).as("b"))
       .groupBy(col("doc_id"), col("source"), col("b"))
       .agg(count(lit(1)).as("c"))
+      .cut
     val buckets = compact.groupBy(col("b"))
       .agg(sum(col("c")).as("nr"),
         sum(when(col("source") === "src0", col("c")).otherwise(0L)).as("nt"))

@@ -1063,9 +1063,13 @@ object TextAnalysis {
     * count → bounded table, window over that table, broadcast join
     * back by (lang, ppl). */
   def pplBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.Checkpoints.CutOps
     val docs = Tables.documentsPar(spark, sfDir)
+    // .cut: the scored frame feeds BOTH the cut table and the final
+    // join — without it the whole bigram-LM plan executes twice
     val ppl = perplexityFrom(docs)
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .cut
     val vt = ppl.groupBy(col("lang"), col("ppl_millibits"))
       .agg(count(lit(1)).as("nv"))
     val w = Window.partitionBy(col("lang")).orderBy(col("ppl_millibits"))

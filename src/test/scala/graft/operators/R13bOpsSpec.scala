@@ -162,6 +162,29 @@ class R13bOpsSpec extends SparkSuite {
     assert(got(1L) === ((2L, 5L, 1L, 5000000L, 800L)))
   }
 
+  test("graph_modularity: hand-computed Q on a crafted labeled graph") {
+    val pairs = Seq((1L, 2L), (3L, 4L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val labels = Seq((1L, "X"), (2L, "X"), (3L, "Y"), (4L, "Y"))
+      .toDF("doc_id", "lang")
+    val got = Graph.modularityFrom(pairs, labels).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // m=3; e_X=1 (1-2), e_Y=1 (3-4); d_X = deg1+deg2 = 3, d_Y = 3;
+    // q_c = 4·3·1 − 9 = 3 each; Q = 6/36 = 1/6 (hand: 2/3 − 2·(1/2)²)
+    assert(got("X") === ((2L, 3L, 1L, 3L)))
+    assert(got("Y") === ((2L, 3L, 1L, 3L)))
+    assert(got("__ALL__") === ((4L, 6L, 2L, 6L)))
+    // corpus: ALL row's d_sum = 2m and per-lang q_num sums to it
+    val out = Graph.modularity(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val all = out("__ALL__")
+    val per = out.filterNot(_._1 == "__ALL__").values
+    assert(per.map(_._4).sum === all._4)
+    assert(per.map(_._2).sum === all._2)
+    assert(all._2 % 2 === 0L, "total degree mass must be even (2m)")
+  }
+
   test("layout_prune_compare: tiling and pruning laws") {
     val rows = Layout.pruneCompare(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),

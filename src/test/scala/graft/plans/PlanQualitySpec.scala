@@ -494,4 +494,36 @@ class PlanQualitySpec extends SparkSuite {
     assert(mg >= 0 && win >= 0 && mg < win,
       s"greedy stage not downstream of the candidate window cut:\n$plan")
   }
+
+  test("r13 ops: bounded broadcasts, no cartesians, partial aggs") {
+    // sample_dsir: the FIXED 4096-row bucket table comes back as a
+    // broadcast join; the (doc,bucket) compact is a partial agg
+    val dsir = planOf(graft.operators.Sampling.sampleDsir(spark, sf))
+    assert(dsir.contains("BroadcastHashJoin"),
+      s"dsir bucket join not broadcast:\n$dsir")
+    assert(dsir.contains("partial_count") || dsir.contains("HashAggregate"),
+      s"dsir compact not a hash aggregate:\n$dsir")
+    assert(!dsir.contains("CartesianProduct"))
+    // text_ppl_buckets: the bounded (lang, ppl) cut table joins back
+    // broadcast — the corpus is never sorted per language
+    val ppl = planOf(graft.operators.TextAnalysis.pplBuckets(spark, sf))
+    assert(ppl.contains("BroadcastHashJoin"),
+      s"ppl cuts join not broadcast:\n$ppl")
+    assert(!ppl.contains("CartesianProduct"))
+    // pack_shelves: exactly one exchange family — the per-(source,
+    // band) window's — then a partial agg; no global sort of the docs
+    val shelves = planOf(graft.operators.Sampling.packShelves(spark, sf))
+    assert(!shelves.contains("CartesianProduct"))
+    assert(shelves.contains("Window"),
+      s"shelves rank window missing:\n$shelves")
+    // cdc_order_audit: one per-key window, then partial aggregation
+    val audit = planOf(graft.cdc.Changefeed.orderAudit(spark, sf))
+    assert(audit.contains("Window") && audit.contains("HashAggregate"),
+      s"order audit shape off:\n$audit")
+    // graph_modularity: the 1-row m frame is a broadcast nested loop
+    // (allowed), never a CartesianProduct
+    val mod = planOf(graft.operators.Graph.modularity(spark, sf))
+    assert(!mod.contains("CartesianProduct"),
+      s"modularity m-join degenerated to cartesian:\n$mod")
+  }
 }
