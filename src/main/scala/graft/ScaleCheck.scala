@@ -308,7 +308,15 @@ object ScaleCheck {
       // r13c: modularity — rides the memoized candidate pairs + two
       // label joins + a |langs|-row agg; candidate-generation band
       "graph_modularity" -> ((s: SparkSession, d: String, _: Int) =>
-        Graph.modularity(s, d)))
+        Graph.modularity(s, d)),
+      // r13d: banding sweep — one signature build (the minhash band)
+      // + five banded equi-joins whose work ∝ collisions
+      "dedup_lsh_tuning" -> ((s: SparkSession, d: String, _: Int) =>
+        Dedup.lshTuning(s, d)),
+      // r13d: count-min — combinable 1024-cell agg + TakeOrdered-20;
+      // pure scan-speed band
+      "q_countmin_err" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.qCountminErr(s, d)))
 
     // SPARK_GRAFT_OPS=a,b,c restricts the run (default: everything) —
     // lets a round re-measure just its new ops without paying for the

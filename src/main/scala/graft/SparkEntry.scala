@@ -85,6 +85,7 @@ object SparkEntry {
     "layout_hilbert" -> (Layout.hilbert _),
     "layout_prune_compare" -> (Layout.pruneCompare _),
     "q_kmv_jaccard" -> (Analytics.qKmvJaccard _),
+    "q_countmin_err" -> (Analytics.qCountminErr _),
     "q_conditional_pivot" -> (Analytics.qConditionalPivot _),
     "q_semi_anti" -> (Analytics.qSemiAnti _),
     "q_asof_join" -> (Temporal.asofJoin _),
@@ -137,6 +138,7 @@ object SparkEntry {
     "q_funnel_windowed" -> ((s: SparkSession, d: String) => Analytics.qFunnelWindowed(s, d)),
     "q_decile_lift" -> (Analytics.qDecileLift _),
     "dedup_incremental_minhash" -> (Dedup.incrementalMinhash _),
+    "dedup_lsh_tuning" -> (Dedup.lshTuning _),
     "dedup_cluster_sizes" -> (Dedup.clusterSizes _),
     "dedup_threshold_sweep" -> ((s: SparkSession, d: String) => Dedup.thresholdSweep(s, d)),
     "pack_efficiency" -> ((s: SparkSession, d: String) => Sampling.packEfficiency(s, d)),
@@ -529,6 +531,38 @@ bnd AS (SELECT doc_id, i // 3 AS band,
          |  JOIN s sb ON sb.doc_id = pr.doc_b AND sb.i = sa.i GROUP BY 1, 2)
          |SELECT doc_a, doc_b, CAST(neq * 1000 // 96 AS BIGINT) AS est_jaccard_pm
          |FROM eq WHERE neq * 1000 >= 48000 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_lsh_tuning" -> {
+      val cfgs = graft.operators.Dedup.lshTuningConfigs
+      val bndCtes = cfgs.map { case (b, r) =>
+        s"""bnd$b AS MATERIALIZED (SELECT doc_id, i // $r AS band,
+           |  string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bkey
+           |  FROM s GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      val blocks = cfgs.map { case (b, r) =>
+        val t = graft.operators.Dedup.lshTStarPm(b, r)
+        s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+           |  CAST($t AS BIGINT) AS t_star_pm,
+           |  CAST(count(*) AS BIGINT) AS n_candidates,
+           |  CAST(coalesce(sum(CASE WHEN mt >= 48 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_verified,
+           |  CAST(1000 * coalesce(sum(CASE WHEN mt >= 48 THEN 1 ELSE 0 END), 0)
+           |    // greatest(count(*), 1) AS BIGINT) AS precision_pm
+           |FROM (
+           |  SELECT sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS mt
+           |  FROM (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |        FROM bnd$b x JOIN bnd$b y
+           |        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id) c2
+           |  JOIN s sa ON sa.doc_id = c2.doc_a
+           |  JOIN s sb ON sb.doc_id = c2.doc_b AND sb.i = sa.i
+           |  GROUP BY c2.doc_a, c2.doc_b)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $plantedCorpusSql,
+         |${shingleHashCte("c")},
+         |perm AS (SELECT * FROM (VALUES $minhashPermSql) p(i, a, b)),
+         |$minhashSigCtes,
+         |$bndCtes
+         |SELECT * FROM ($blocks) ORDER BY bands DESC""".stripMargin
+    },
 
     "dedup_incremental_minhash" ->
       s"""WITH t0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
@@ -1731,6 +1765,31 @@ bnd AS (SELECT doc_id, i // 3 AS band,
          |  CAST(count(*) AS BIGINT) AS files_total
          |FROM st CROSS JOIN pb
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_countmin_err" -> {
+      val perm = (0 until graft.operators.Analytics.cmDepth)
+        .map(j => s"($j, ${graft.functions.Fns.minhashA(j)}, ${graft.functions.Fns.minhashB(j)})")
+        .mkString(", ")
+      val w = graft.operators.Analytics.cmWidth
+      s"""WITH e AS (SELECT user_id,
+         |  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2147483648 AS h
+         |  FROM events),
+         |p AS (SELECT * FROM (VALUES $perm) p(j, a, b)),
+         |cj AS (SELECT j, ((a * h + b) % 2147483647) % $w AS cell, count(*) AS n
+         |  FROM e CROSS JOIN p GROUP BY 1, 2),
+         |ex AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1),
+         |pr AS (SELECT user_id, exact_n FROM (SELECT *,
+         |    row_number() OVER (ORDER BY exact_n DESC, user_id) AS rn FROM ex)
+         |  WHERE rn <= 20),
+         |pc AS (SELECT pr.user_id, pr.exact_n, p.j,
+         |    ((p.a * e2.h + p.b) % 2147483647) % $w AS cell
+         |  FROM pr JOIN (SELECT DISTINCT user_id, h FROM e) e2 USING (user_id)
+         |  CROSS JOIN p)
+         |SELECT user_id, exact_n, CAST(min(n) AS BIGINT) AS est_n,
+         |  CAST(min(n) - exact_n AS BIGINT) AS overest_n
+         |FROM pc JOIN cj USING (j, cell)
+         |GROUP BY 1, 2 ORDER BY user_id""".stripMargin
+    },
+
     "q_kmv_jaccard" ->
       s"""WITH t AS (SELECT source, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
          |du AS (SELECT DISTINCT source,

@@ -1044,6 +1044,58 @@ object Analytics {
   def qKmvJaccard(spark: SparkSession, sfDir: String): DataFrame =
     qKmvJaccardOf(Tables.documentsPar(spark, sfDir))
 
+  /** Count-Min geometry for [[qCountminErr]] — fixed pipeline
+    * constants (d hash rows × w cells = 1 KiB of counters), never
+    * corpus-proportional. */
+  val cmDepth = 4
+  val cmWidth = 256L
+
+  /** §2#241 COUNT-MIN SKETCH error report (Cormode & Muthukrishnan
+    * 2005) — the third sketch family next to #113's HLL
+    * (cardinality) and #233's KMV (resemblance): FREQUENCY. A d×w
+    * grid of counters, each event incrementing one cell per hash
+    * row; a key's estimate is the MIN over its d cells — never an
+    * underestimate (every cell holds the key's true count plus
+    * non-negative collision mass), overshooting by ≤ 2N/w with
+    * probability ≥ 1−(1/2)^d. The report materializes that guarantee
+    * as data: for the top-20 keys by exact count, exact vs estimate
+    * vs overshoot — the table that says whether 1 KiB of state is
+    * enough before replacing an exact 10⁹-key groupBy with a sketch.
+    * Exact integers; the d hash rows are the replayable md5+affine
+    * family (same [[graft.functions.Fns.affineHash]] constants both
+    * engines), so the DuckDB oracle reproduces every collision.
+    *
+    * Shape: sketch = one map-side-combinable (j, cell) count to d·w
+    * ≤ 1024 rows; exact top-20 is a distributed TakeOrdered (never a
+    * global single-partition window); probes join the broadcast
+    * sketch. */
+  def qCountminErr(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Fns.{md5Hash31, affineHash}
+    val (d, w) = (cmDepth, cmWidth)
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), md5Hash31(col("user_id")).as("h"))
+    def cellStructs(src: Column) = array((0 until d).map(j =>
+      struct(lit(j.toLong).as("j"),
+        pmod(affineHash(src, j), lit(w)).as("cell"))): _*)
+    val cells = e.select(explode(cellStructs(col("h"))).as("jc"))
+      .groupBy(col("jc.j").as("j"), col("jc.cell").as("cell"))
+      .agg(count(lit(1)).as("n"))
+    val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+    val probes = exact
+      .orderBy(col("exact_n").desc, col("user_id")).limit(20)
+      .join(e.select(col("user_id"), col("h")).distinct(), "user_id")
+      .select(col("user_id"), col("exact_n"),
+        explode(cellStructs(col("h"))).as("jc"))
+      .select(col("user_id"), col("exact_n"),
+        col("jc.j").as("j"), col("jc.cell").as("cell"))
+    probes.join(broadcast(cells), Seq("j", "cell"))
+      .groupBy(col("user_id"), col("exact_n"))
+      .agg(min(col("n")).as("est_n"))
+      .select(col("user_id"), col("exact_n"), col("est_n"),
+        (col("est_n") - col("exact_n")).as("overest_n"))
+      .orderBy(col("user_id"))
+  }
+
   /** [[qKmvJaccard]] over any (source, text) frame. */
   def qKmvJaccardOf(docs: DataFrame): DataFrame = {
     import graft.functions.Fns.{tokens, shingleMd5Hashes}

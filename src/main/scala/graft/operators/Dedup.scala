@@ -871,6 +871,20 @@ object Dedup {
     base.unionByName(plants)
   }
 
+  /** The 96-permutation signature table over [[corpusWithPlants]] —
+    * shared by [[minhashLsh]] and [[lshTuning]] (built once per call
+    * site; each cuts lineage behind it). */
+  private[operators] def minhashSignatures(spark: SparkSession,
+      sfDir: String, k: Int): DataFrame = {
+    val ex = corpusWithPlants(spark, sfDir)
+      .select(col("doc_id"), explode(shingleMd5Hashes(col("toks"), 3)).as("h0"))
+    val minAggs = (0 until k).map(i => min(affineHash(col("h0"), i)).as(s"m$i"))
+    ex.groupBy(col("doc_id"))
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+      .cut
+  }
+
   /** §2#26 MinHash + banded LSH near-dup detection: 96-hash signatures,
     * 32 bands × 3 rows. Signatures are built as 96 codegen'd `min`
     * aggregates over exploded shingles (map-side partial, one shuffle
@@ -885,13 +899,7 @@ object Dedup {
     // the old seeded path (measured FASTER at sf0.1: arithmetic beats
     // 95 extra hash invocations). The DuckDB oracle regenerates the
     // same a_i/b_i from range(96) and hash-gates the pairs.
-    val ex = corpusWithPlants(spark, sfDir)
-      .select(col("doc_id"), explode(shingleMd5Hashes(col("toks"), 3)).as("h0"))
-    val minAggs = (0 until k).map(i => min(affineHash(col("h0"), i)).as(s"m$i"))
-    val sigs = ex.groupBy(col("doc_id"))
-      .agg(minAggs.head, minAggs.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-      .cut
+    val sigs = minhashSignatures(spark, sfDir, k)
     val banded = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",", slice(col("sig"), b * lit(rows) + 1, lit(rows))), b))))
@@ -910,6 +918,71 @@ object Dedup {
           b => b)) * lit(1000) / lit(k)).cast("long").as("est_jaccard_pm"))
       .where(col("est_jaccard_pm") >= 500)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The banding sweep of [[lshTuning]]: (bands, rows) with
+    * bands·rows = 96, r ≥ 3 — r = 2 is excluded on purpose: its
+    * collision rate on UNRELATED pairs (1−(1−j²)ᵇ ≈ 11% at j≈0.05)
+    * makes the candidate set quadratic in the corpus, the exact
+    * failure mode the sweep exists to expose numerically, and one
+    * config must not cost more than the whole suite. */
+  val lshTuningConfigs: Seq[(Int, Int)] =
+    Seq((32, 3), (24, 4), (16, 6), (12, 8), (8, 12))
+
+  /** Theoretical S-curve midpoint (1/b)^(1/r) in per-mille for a
+    * banding config — the Jaccard at which collision probability
+    * crosses ½ (Leskovec/Rajaraman/Ullman, MMDS ch.3). Computed once
+    * here and interpolated LITERALLY into the oracle SQL, so both
+    * engines carry the identical constant. */
+  def lshTStarPm(bands: Int, rows: Int): Long =
+    math.floor(1000.0 * math.pow(1.0 / bands, 1.0 / rows)).toLong
+
+  /** §2#240 LSH BANDING TUNER — the S-curve sweep that turns #26's
+    * magic (32 bands × 3 rows) into a measured decision: over the
+    * SAME 96-permutation signatures, evaluate five (bands, rows)
+    * splits and report each config's theoretical midpoint t* =
+    * (1/b)^(1/r), its measured candidate volume, how many candidates
+    * verify at the est-Jaccard ≥ 0.5 operating threshold, and the
+    * implied precision — the table that says "moving from 32×3 to
+    * 16×6 cuts candidates N× and costs these recall points" BEFORE a
+    * 100 TB re-shingle. Band keys here are the raw signature-slice
+    * CONTENT (not #26's xxhash64 buckets) so the DuckDB oracle's
+    * candidate COUNTS match bit-exactly — the production operator
+    * keeps the hashed 8-byte keys; this table is the offline
+    * calibration artifact.
+    *
+    * Shape: ONE signature build (the #26 plan, cut) feeds all five
+    * configs; each config is a banded equi-join (shuffle on the band
+    * key — work ∝ actual collisions, never corpus²) plus a
+    * zip_with verify on the two signature arrays; per-config output
+    * is ONE row, so the union is 5 rows. */
+  def lshTuning(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 96
+    val sigs = minhashSignatures(spark, sfDir, k)
+    lshTuningConfigs.map { case (b, r) =>
+      val banded = sigs.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(b - 1)),
+            bb => concat_ws(",", slice(col("sig"), bb * lit(r) + 1, lit(r))))))
+        .toDF("doc_id", "band", "bkey")
+      val cands = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cands
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .select(size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), m => m)).cast("long").as("mt"))
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(when(col("mt") >= 48L, 1L).otherwise(0L)), lit(0L))
+            .as("n_verified"))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          lit(lshTStarPm(b, r)).as("t_star_pm"),
+          col("n_candidates"), col("n_verified"),
+          expr("1000 * n_verified div greatest(n_candidates, 1)").as("precision_pm"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("bands").desc)
   }
 
   /** Core SimHash Hamming-LSH over any (doc_id, toks) frame: 64-bit

@@ -162,6 +162,42 @@ class R13bOpsSpec extends SparkSuite {
     assert(got(1L) === ((2L, 5L, 1L, 5000000L, 800L)))
   }
 
+  test("dedup_lsh_tuning: production config's verified set = minhash_lsh output") {
+    val rows = Dedup.lshTuning(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length === Dedup.lshTuningConfigs.length)
+    rows.foreach { case (b, rr, t, cand, ver, prec) =>
+      assert(b * rr === 96L, "bands × rows must cover the signature")
+      assert(t === Dedup.lshTStarPm(b.toInt, rr.toInt))
+      assert(ver <= cand && prec >= 0 && prec <= 1000)
+    }
+    // the (32, 3) row's verified count IS the #26 operator's output
+    // size: same signatures, same bands, same est ≥ 0.5 verify (the
+    // tuner's content keys vs #26's hashed keys cannot disagree on
+    // the verified SET, only on pre-verify candidate bucketing)
+    val prod = rows.find(_._1 == 32L).get
+    assert(prod._5 === Dedup.minhashLsh(spark, sf).count())
+  }
+
+  test("q_countmin_err: never underestimates; probes are the exact top-20") {
+    val out = Analytics.qCountminErr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nUsers = graft.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(out.length.toLong === math.min(20L, nUsers))
+    out.foreach { case (_, exact, est, over) =>
+      assert(est >= exact, "Count-Min must never underestimate")
+      assert(over === est - exact)
+    }
+    // probe selection = exact top-20 by (count desc, user_id)
+    val want = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id")).count()
+      .orderBy(col("count").desc, col("user_id")).limit(20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(r => r._1 -> r._2).toMap === want)
+  }
+
   test("graph_modularity: hand-computed Q on a crafted labeled graph") {
     val pairs = Seq((1L, 2L), (3L, 4L), (1L, 3L)).toDF("doc_a", "doc_b")
     val labels = Seq((1L, "X"), (2L, "X"), (3L, "Y"), (4L, "Y"))
