@@ -316,7 +316,15 @@ object ScaleCheck {
       // r13d: count-min — combinable 1024-cell agg + TakeOrdered-20;
       // pure scan-speed band
       "q_countmin_err" -> ((s: SparkSession, d: String, _: Int) =>
-        Analytics.qCountminErr(s, d)))
+        Analytics.qCountminErr(s, d)),
+      // r13d: dispersion — one (user, hour) combinable count + per-
+      // user agg; scan-speed band
+      "ts_dispersion" -> ((s: SparkSession, d: String, _: Int) =>
+        TimeSeries.dispersion(s, d)),
+      // r13d: zipf — one (source, token) count + vocab-sized rank
+      // windows; scan-speed band (vocab grows Heaps-slowly)
+      "text_zipf_check" -> ((s: SparkSession, d: String, _: Int) =>
+        TextAnalysis.zipfCheck(s, d)))
 
     // SPARK_GRAFT_OPS=a,b,c restricts the run (default: everything) —
     // lets a round re-measure just its new ops without paying for the

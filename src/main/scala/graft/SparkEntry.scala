@@ -135,6 +135,8 @@ object SparkEntry {
     "ts_trend" -> (TimeSeries.trend _),
     "ts_cohort_matrix" -> (TimeSeries.cohortMatrix _),
     "ts_dau_wau" -> (TimeSeries.dauWau _),
+    "ts_dispersion" -> (TimeSeries.dispersion _),
+    "text_zipf_check" -> (TextAnalysis.zipfCheck _),
     "q_funnel_windowed" -> ((s: SparkSession, d: String) => Analytics.qFunnelWindowed(s, d)),
     "q_decile_lift" -> (Analytics.qDecileLift _),
     "dedup_incremental_minhash" -> (Dedup.incrementalMinhash _),
@@ -2589,6 +2591,39 @@ FROM d JOIN v USING (tok) GROUP BY 1 ORDER BY d.doc_id""",
         |  CAST(sum(n) AS BIGINT) AS load_toks,
         |  CAST(1000 * sum(n) // 512 AS BIGINT) AS used_pm
         |FROM g GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "ts_dispersion" ->
+      """WITH c AS (SELECT user_id,
+        |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS h, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT user_id, max(h) - min(h) + 1 AS span_hours,
+        |  CAST(count(*) AS BIGINT) AS active_hours,
+        |  CAST(sum(x) AS BIGINT) AS n_events,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM c GROUP BY 1)
+        |SELECT user_id, CAST(span_hours AS BIGINT) AS span_hours, active_hours,
+        |  n_events,
+        |  CAST(1000 * (span_hours * sxx - n_events * n_events)
+        |    // greatest(n_events * (span_hours - 1), 1) AS BIGINT) AS dispersion_pm
+        |FROM a ORDER BY user_id""".stripMargin,
+
+    "text_zipf_check" ->
+      """WITH f AS (SELECT source, tok, count(*) AS f FROM
+        |  (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |   FROM documents) GROUP BY 1, 2),
+        |r AS (SELECT source,
+        |  length(bin(r * r)) - 1 AS x, length(bin(f * f)) - 1 AS y
+        |  FROM (SELECT source, f,
+        |    row_number() OVER (PARTITION BY source ORDER BY f DESC, tok) AS r
+        |    FROM f)),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM r GROUP BY 1)
+        |SELECT source, n_types,
+        |  CAST(1000 * greatest(sx * sy - n_types * sxy, 0)
+        |    // greatest(n_types * sxx - sx * sx, 1) AS BIGINT) AS zipf_neg_slope_pm
+        |FROM a ORDER BY source""".stripMargin,
 
     "cdc_order_audit" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

@@ -1083,4 +1083,48 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("ppl_millibits"), col("bucket"))
       .orderBy(col("doc_id"))
   }
+
+  /** §2#243 ZIPF CONFORMANCE check — per source, the least-squares
+    * slope of the log-log rank-frequency line (Zipf 1949: natural
+    * text sits near slope −1; generated/templated feeds flatten
+    * toward 0, keyword-stuffed spam steepens — the corpus-level
+    * companion of the per-doc Gopher screens): ranks by (freq desc,
+    * token) and both axes in EXACT half-bit logs (length(bin(v²))−1,
+    * the #221 construct), so the regression is pure integer sums and
+    * the slope is reported as its negation in per-mille —
+    * `zipf_neg_slope_pm ≈ 1000` = Zipfian, ≪ 1000 = flat/templated.
+    * (Negated before the division on purpose: BIGINT `div` truncates
+    * toward zero in Spark but floors in DuckDB — negative numerators
+    * are the one place the two disagree, so no hash-gated op may
+    * divide one.)
+    *
+    * Shape: one combinable (source, token) count; ranking windows
+    * run per source over VOCAB-sized partitions (Heaps' law keeps
+    * |types| ≪ corpus; the window never sees raw tokens); one
+    * combinable per-source agg of the five regression sums. */
+  def zipfCheck(spark: SparkSession, sfDir: String): DataFrame =
+    zipfCheckOf(Tables.documentsPar(spark, sfDir))
+
+  /** [[zipfCheck]] over any (source, text) frame. */
+  def zipfCheckOf(docs: DataFrame): DataFrame = {
+    val freqs = docs
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("f"))
+    val ranked = freqs
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("f").desc, col("tok"))).cast("long"))
+      .select(col("source"),
+        (length(expr("bin(r * r)")) - 1).cast("long").as("x"),
+        (length(expr("bin(f * f)")) - 1).cast("long").as("y"))
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n_types"),
+        expr("""1000 * greatest(sx * sy - n_types * sxy, 0)
+               |div greatest(n_types * sxx - sx * sx, 1)"""
+          .stripMargin).as("zipf_neg_slope_pm"))
+      .orderBy(col("source"))
+  }
 }

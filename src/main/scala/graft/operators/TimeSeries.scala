@@ -668,4 +668,49 @@ object TimeSeries {
           .cast("long").as("forecast_next_e3"))
       .orderBy(col("event_type"))
   }
+
+  /** §2#242 BURSTINESS via the index of dispersion (Fano factor,
+    * variance-to-mean of the per-hour event counts INCLUDING the
+    * empty hours of the user's active span): a Poisson visitor reads
+    * ≈ 1000‰, a human's diurnal rhythm somewhat above, and a
+    * scripted crawler either far above (burst-sleep loops) or far
+    * below (metronome schedulers) — the classic traffic-shape screen
+    * that rate thresholds (#230 is the enforcement side) can't see.
+    * Empty hours matter: over only the NONEMPTY hours a burst-sleep
+    * bot looks Poisson; over the span it doesn't — and the zeros are
+    * FREE to include, since with Σ over nonempty hours and n = span,
+    * Σx and Σx² are unchanged by zero terms.
+    *
+    * Exact integers: dispersion = ((n·Σx² − S²) div (S·(n−1)))
+    * per-mille with the usual greatest(·,1) guards (single-hour
+    * spans report 0 — no variance to speak of). Sum-of-squares of
+    * hourly counts stays far inside BIGINT at any scale (S < 2⁶³
+    * would overflow S² first — at which point the per-user hourly
+    * count table is itself absurd).
+    *
+    * Shape: one map-side-combinable (user, hour) count — the only
+    * corpus-sized shuffle — then a combinable per-user agg. */
+  def dispersion(spark: SparkSession, sfDir: String): DataFrame =
+    dispersionOf(Tables.events(spark, sfDir))
+
+  /** [[dispersion]] over any (user_id, ts) frame. */
+  def dispersionOf(events: DataFrame): DataFrame = {
+    val hourUs = 3600000000L
+    events
+      .select(col("user_id"),
+        expr(s"unix_micros(date_trunc('hour', ts)) div $hourUs").as("h"))
+      .groupBy(col("user_id"), col("h"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("user_id"))
+      .agg((max(col("h")) - min(col("h")) + 1L).as("span_hours"),
+        count(lit(1)).as("active_hours"),
+        sum(col("x")).as("n_events"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("user_id"), col("span_hours"), col("active_hours"),
+        col("n_events"),
+        expr("""1000 * (span_hours * sxx - n_events * n_events)
+               |div greatest(n_events * (span_hours - 1), 1)"""
+          .stripMargin).as("dispersion_pm"))
+      .orderBy(col("user_id"))
+  }
 }

@@ -198,6 +198,44 @@ class R13bOpsSpec extends SparkSuite {
     assert(out.map(r => r._1 -> r._2).toMap === want)
   }
 
+  test("ts_dispersion: hand-computed Fano factors, span includes empty hours") {
+    def ts(hour: Long, k: Long) = new java.sql.Timestamp(hour * 3600000L + k)
+    val events = (
+      // user 1: 2 events in hour 0, NONE in hour 1, 2 in hour 2 —
+      // span 3, S=4, Σx²=8 → 1000·(3·8−16)/(4·2) = 1000 (the zeros
+      // matter: over nonempty hours only it would read 0)
+      Seq((1L, 0L), (1L, 0L), (1L, 2L), (1L, 2L)) ++
+      // user 2: metronome 1/hour × 4 → dispersion 0
+      Seq((2L, 0L), (2L, 1L), (2L, 2L), (2L, 3L)) ++
+      // user 3: single hour → guard path, 0
+      Seq((3L, 5L), (3L, 5L), (3L, 5L)))
+      .zipWithIndex
+      .map { case ((u, h), i) => (u, ts(h, i.toLong)) }
+      .toDF("user_id", "ts")
+    val got = TimeSeries.dispersionOf(events).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got(1L) === ((3L, 2L, 4L, 1000L)))
+    assert(got(2L) === ((4L, 4L, 4L, 0L)))
+    assert(got(3L) === ((1L, 1L, 3L, 0L)))
+  }
+
+  test("text_zipf_check: exact integer regression on a crafted frequency ladder") {
+    // freqs 16/4/1 at ranks 1/2/3: x_hb = (0,2,3), y_hb = (8,4,0) →
+    // num = sx·sy − n·sxy = 5·12 − 3·8 = 36, den = n·sxx − sx² =
+    // 3·13 − 25 = 14 → 36000 div 14 = 2571
+    val text = (Seq.fill(16)("a") ++ Seq.fill(4)("b") ++ Seq("c")).mkString(" ")
+    val docs = Seq((1L, "sZ", text)).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.zipfCheckOf(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("sZ") === ((3L, 2571L)))
+    // corpus law: per-mille slope is non-negative and bounded sanely
+    val out = TextAnalysis.zipfCheck(spark, sf)
+    assert(out.where(col("zipf_neg_slope_pm") < 0).count() === 0L)
+    assert(out.count() === graft.Tables.documents(spark, sf)
+      .select(col("source")).distinct().count())
+  }
+
   test("graph_modularity: hand-computed Q on a crafted labeled graph") {
     val pairs = Seq((1L, 2L), (3L, 4L), (1L, 3L)).toDF("doc_a", "doc_b")
     val labels = Seq((1L, "X"), (2L, "X"), (3L, "Y"), (4L, "Y"))
