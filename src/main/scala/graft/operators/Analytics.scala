@@ -1063,7 +1063,12 @@ object Analytics {
     * enough before replacing an exact 10⁹-key groupBy with a sketch.
     * Exact integers; the d hash rows are the replayable md5+affine
     * family (same [[graft.functions.Fns.affineHash]] constants both
-    * engines), so the DuckDB oracle reproduces every collision.
+    * engines), so the DuckDB oracle reproduces every collision. The
+    * native-aggregate twin is [[graft.functions.CountMinLongs]] (one
+    * 32 KiB TypedImperativeAggregate buffer, the execution-speed
+    * form); THIS op is the relational formulation whose every cell
+    * the cross-engine oracle can hash-gate — same sketch, two
+    * extension depths, each verifying the other's math.
     *
     * Shape: sketch = one map-side-combinable (j, cell) count to d·w
     * ≤ 1024 rows; exact top-20 is a distributed TakeOrdered (never a
