@@ -2600,22 +2600,24 @@ FROM d JOIN v USING (tok) GROUP BY 1 ORDER BY d.doc_id""",
         |  CAST(count(*) AS BIGINT) AS active_hours,
         |  CAST(sum(x) AS BIGINT) AS n_events,
         |  CAST(sum(x * x) AS BIGINT) AS sxx
-        |  FROM c GROUP BY 1)
+        |  FROM c GROUP BY 1),
+        |q AS (SELECT *, span_hours * sxx - n_events * n_events AS num,
+        |  greatest(n_events * (span_hours - 1), 1) AS den FROM a)
         |SELECT user_id, CAST(span_hours AS BIGINT) AS span_hours, active_hours,
         |  n_events,
-        |  CAST(1000 * (span_hours * sxx - n_events * n_events)
-        |    // greatest(n_events * (span_hours - 1), 1) AS BIGINT) AS dispersion_pm
-        |FROM a ORDER BY user_id""".stripMargin,
+        |  CAST(1000 * (num // den) + (1000 * (num % den)) // den AS BIGINT) AS dispersion_pm
+        |FROM q ORDER BY user_id""".stripMargin,
 
     "text_zipf_check" ->
-      """WITH f AS (SELECT source, tok, count(*) AS f FROM
-        |  (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      s"""WITH f AS (SELECT source, tok, count(*) AS f FROM
+        |  (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
         |   FROM documents) GROUP BY 1, 2),
         |r AS (SELECT source,
         |  length(bin(r * r)) - 1 AS x, length(bin(f * f)) - 1 AS y
         |  FROM (SELECT source, f,
         |    row_number() OVER (PARTITION BY source ORDER BY f DESC, tok) AS r
-        |    FROM f)),
+        |    FROM f)
+        |  WHERE r <= ${graft.operators.TextAnalysis.zipfRankCap}),
         |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types,
         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
         |  CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx

@@ -1070,25 +1070,31 @@ object Analytics {
     * the cross-engine oracle can hash-gate — same sketch, two
     * extension depths, each verifying the other's math.
     *
-    * Shape: sketch = one map-side-combinable (j, cell) count to d·w
-    * ≤ 1024 rows; exact top-20 is a distributed TakeOrdered (never a
-    * global single-partition window); probes join the broadcast
-    * sketch. */
+    * Shape: ONE corpus scan — the combinable per-user count; every
+    * event of a user hits the same d cells, so the sketch is the
+    * per-user counts re-aggregated over their cells (d·w ≤ 1024
+    * rows), and the exact top-20 is a distributed TakeOrdered over
+    * the same |users|-row frame (never a global single-partition
+    * window); probes join the broadcast sketch. */
   def qCountminErr(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.Fns.{md5Hash31, affineHash}
+    import graft.Checkpoints.CutOps
     val (d, w) = (cmDepth, cmWidth)
-    val e = Tables.events(spark, sfDir)
-      .select(col("user_id"), md5Hash31(col("user_id")).as("h"))
+    // .cut: the |users|-row count frame feeds the sketch AND the
+    // top-20 probe side — one events scan total
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+      .withColumn("h", md5Hash31(col("user_id")))
+      .cut
     def cellStructs(src: Column) = array((0 until d).map(j =>
       struct(lit(j.toLong).as("j"),
         pmod(affineHash(src, j), lit(w)).as("cell"))): _*)
-    val cells = e.select(explode(cellStructs(col("h"))).as("jc"))
+    val cells = perUser
+      .select(col("exact_n"), explode(cellStructs(col("h"))).as("jc"))
       .groupBy(col("jc.j").as("j"), col("jc.cell").as("cell"))
-      .agg(count(lit(1)).as("n"))
-    val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
-    val probes = exact
+      .agg(sum(col("exact_n")).as("n"))
+    val probes = perUser
       .orderBy(col("exact_n").desc, col("user_id")).limit(20)
-      .join(e.select(col("user_id"), col("h")).distinct(), "user_id")
       .select(col("user_id"), col("exact_n"),
         explode(cellStructs(col("h"))).as("jc"))
       .select(col("user_id"), col("exact_n"),

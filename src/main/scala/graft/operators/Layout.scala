@@ -32,12 +32,17 @@ object Layout {
     * production scale you'd `repartitionByRange(z)` + write, which
     * range-shuffles ONCE and never sorts globally; the stats agg is
     * map-side combinable on file_id (64 rows out). */
+  /** The Morton bit-interleave as a Spark SQL expression over the
+    * given column names — single source of truth for [[zorder]] and
+    * [[pruneCompare]] (the DuckDB twin is [[zorderOracleExpr]]). */
+  private def zExprFor(x: String, y: String): String = (0 until bits)
+    .map(i => s"(shiftleft(shiftright($x, $i) & 1, ${2 * i}) + " +
+      s"shiftleft(shiftright($y, $i) & 1, ${2 * i + 1}))")
+    .mkString(" + ")
+
   def zorder(spark: SparkSession, sfDir: String): DataFrame = {
     val dim = 1L << bits
-    val zExpr = (0 until bits)
-      .map(i => s"(shiftleft(shiftright(x, $i) & 1, ${2 * i}) + " +
-        s"shiftleft(shiftright(y, $i) & 1, ${2 * i + 1}))")
-      .mkString(" + ")
+    val zExpr = zExprFor("x", "y")
     Tables.events(spark, sfDir)
       .select(expr(s"pmod(user_id, $dim)").as("x"),
         expr(s"pmod(unix_micros(date_trunc('hour', ts)) div 3600000000, $dim)").as("y"))
@@ -177,10 +182,7 @@ object Layout {
     import spark.implicits._
     val dim = 1L << bits
     val fileDiv = 1L << (2 * bits - fileBits)
-    val zExpr = (0 until bits)
-      .map(i => s"(shiftleft(shiftright(x0, $i) & 1, ${2 * i}) + " +
-        s"shiftleft(shiftright(y0, $i) & 1, ${2 * i + 1}))")
-      .mkString(" + ")
+    val zExpr = zExprFor("x0", "y0")
     val points = Tables.events(spark, sfDir)
       .select(expr(s"pmod(user_id, $dim)").as("x"),
         expr(s"pmod(unix_micros(date_trunc('hour', ts)) div 3600000000, $dim)").as("y"))

@@ -1098,12 +1098,24 @@ object TextAnalysis {
     * are the one place the two disagree, so no hash-gated op may
     * divide one.)
     *
+    * The fit runs over the HEAD of the ranking — the first
+    * [[zipfRankCap]] = 2¹⁸ types per source. Statistically that is
+    * where the Zipf line lives anyway (the singleton tail bends it
+    * for every natural corpus), and arithmetically it is the BIGINT
+    * safety bound: with n ≤ 2¹⁸ and half-bit logs ≤ 124, the worst
+    * regression cross-term 1000·sx·sy stays ≲ 3·10¹⁷ ≪ 2⁶³, where an
+    * uncapped 10⁷-type web source would overflow `1000·(sx·sy −
+    * n·sxy)` under ANSI.
+    *
     * Shape: one combinable (source, token) count; ranking windows
     * run per source over VOCAB-sized partitions (Heaps' law keeps
     * |types| ≪ corpus; the window never sees raw tokens); one
     * combinable per-source agg of the five regression sums. */
   def zipfCheck(spark: SparkSession, sfDir: String): DataFrame =
     zipfCheckOf(Tables.documentsPar(spark, sfDir))
+
+  /** Fit-head bound for [[zipfCheck]] — see the overflow argument. */
+  val zipfRankCap = 262144L
 
   /** [[zipfCheck]] over any (source, text) frame. */
   def zipfCheckOf(docs: DataFrame): DataFrame = {
@@ -1114,6 +1126,7 @@ object TextAnalysis {
       .withColumn("r", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
           .orderBy(col("f").desc, col("tok"))).cast("long"))
+      .where(col("r") <= zipfRankCap)
       .select(col("source"),
         (length(expr("bin(r * r)")) - 1).cast("long").as("x"),
         (length(expr("bin(f * f)")) - 1).cast("long").as("y"))

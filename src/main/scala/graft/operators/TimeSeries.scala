@@ -683,10 +683,15 @@ object TimeSeries {
     *
     * Exact integers: dispersion = ((n·Σx² − S²) div (S·(n−1)))
     * per-mille with the usual greatest(·,1) guards (single-hour
-    * spans report 0 — no variance to speak of). Sum-of-squares of
-    * hourly counts stays far inside BIGINT at any scale (S < 2⁶³
-    * would overflow S² first — at which point the per-user hourly
-    * count table is itself absurd).
+    * spans report 0 — no variance to speak of). The per-mille is
+    * formed as `1000·q + (1000·rem) div den` (q/rem = the raw
+    * quotient/remainder) — exactly floor(1000·num/den) WITHOUT
+    * forming 1000·num, which overflows BIGINT for a genuinely hot
+    * key (10⁶ events in one hour over a decade-long span puts
+    * span·Σx² near 10¹⁷; ×1000 crosses 2⁶³ — the same split
+    * [[Sampling.sampleEpochs]] uses for its budget). num itself
+    * stays safe while span·Σx² < 2⁶³ — a per-user HOURLY count
+    * table pushing that bound is itself the anomaly.
     *
     * Shape: one map-side-combinable (user, hour) count — the only
     * corpus-sized shuffle — then a combinable per-user agg. */
@@ -706,11 +711,12 @@ object TimeSeries {
         count(lit(1)).as("active_hours"),
         sum(col("x")).as("n_events"),
         sum(col("x") * col("x")).as("sxx"))
+      .withColumn("num", expr("span_hours * sxx - n_events * n_events"))
+      .withColumn("den", expr("greatest(n_events * (span_hours - 1), 1)"))
       .select(col("user_id"), col("span_hours"), col("active_hours"),
         col("n_events"),
-        expr("""1000 * (span_hours * sxx - n_events * n_events)
-               |div greatest(n_events * (span_hours - 1), 1)"""
-          .stripMargin).as("dispersion_pm"))
+        expr("1000 * (num div den) + (1000 * (num % den)) div den")
+          .as("dispersion_pm"))
       .orderBy(col("user_id"))
   }
 }

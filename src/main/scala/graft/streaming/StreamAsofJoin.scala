@@ -44,7 +44,12 @@ case class RefHist(tsMs: Array[Long], v: Array[Long])
   * batching; no processing-time clock anywhere). A reference arriving
   * AFTER a probe was already emitted does not retro-correct it —
   * append mode, the same contract as Spark's stream-stream interval
-  * join.
+  * join. Equal-timestamp references resolve LAST-WRITER-WINS by
+  * event_id (history is ts-unique — shuffle arrival order never
+  * leaks into a verdict), and probes match the batch's FULL merged
+  * reference view: `maxHistory` truncates only what is RETAINED for
+  * later batches, so a same-batch reference is never invisible to a
+  * same-batch probe.
   *
   * State per key: 2·`maxHistory` longs — O(keys), never O(rows); the
   * shuffle key is the join key, single-writer per key. */
@@ -74,24 +79,38 @@ class AsofJoinProcessor(maxHistory: Int)
     val prior = if (hist.exists()) hist.get() else RefHist(Array(), Array())
     // merge this batch's references into the retained history first:
     // "latest known at processing" — a batch's own references are
-    // known to its probes (ts order still gates the ≤ contract below)
+    // known to its probes (ts order still gates the ≤ contract
+    // below). Equal-timestamp references resolve LAST-WRITER-WINS by
+    // event_id (and a batch's writer replaces a retained value at
+    // the same ts) — group-iterator arrival order is shuffle-
+    // dependent, the (ts, event_id) sort is not, so replays
+    // reproduce the same retained value. The history is therefore
+    // ts-UNIQUE, which also makes the floor lookup unambiguous.
     val incoming = batch.filter(_.is_right)
-    val merged =
+      .sortBy(r => (r.ts.getTime, r.event_id))
+    val full =
       if (incoming.isEmpty) prior
       else {
-        val all = (prior.tsMs.zip(prior.v) ++
-          incoming.map(r => (r.ts.getTime, r.value)))
-          .sortBy(_._1).takeRight(maxHistory)
-        RefHist(all.map(_._1), all.map(_._2))
+        val m = scala.collection.mutable.TreeMap.empty[Long, Long]
+        prior.tsMs.indices.foreach(i => m(prior.tsMs(i)) = prior.v(i))
+        incoming.foreach(r => m(r.ts.getTime) = r.value)
+        RefHist(m.keysIterator.toArray, m.valuesIterator.toArray)
       }
-    if (incoming.nonEmpty) hist.update(merged)
+    // probes match against the FULL merged view — a same-batch
+    // reference must be visible to a same-batch probe even when the
+    // retention bound would evict it for LATER batches; only the
+    // stored state is truncated
+    if (incoming.nonEmpty) {
+      val keepFrom = math.max(0, full.tsMs.length - maxHistory)
+      hist.update(RefHist(full.tsMs.drop(keepFrom), full.v.drop(keepFrom)))
+    }
     val out = batch.filter(!_.is_right)
       .sortBy(p => (p.ts.getTime, p.event_id))
       .map { p =>
-        val i = floorIdx(merged.tsMs, p.ts.getTime)
+        val i = floorIdx(full.tsMs, p.ts.getTime)
         if (i < 0) AsofMatch(key, p.event_id, p.ts, matched = false, -1L, 0L)
         else AsofMatch(key, p.event_id, p.ts, matched = true,
-          merged.tsMs(i), merged.v(i))
+          full.tsMs(i), full.v(i))
       }
     out.iterator
   }

@@ -12,8 +12,8 @@ class StreamAsofJoinSpec extends SparkSuite {
 
   private def probe(key: String, id: Long, ms: Long) =
     AsofInput(key, id, new Timestamp(ms), is_right = false, 0L)
-  private def ref(key: String, ms: Long, v: Long) =
-    AsofInput(key, 0L, new Timestamp(ms), is_right = true, v)
+  private def ref(key: String, ms: Long, v: Long, id: Long = 0L) =
+    AsofInput(key, id, new Timestamp(ms), is_right = true, v)
 
   private def run(maxHistory: Int = 64)
       (body: (MemoryStream[AsofInput], () => Seq[AsofMatch]) => Unit): Unit = {
@@ -89,6 +89,34 @@ class StreamAsofJoinSpec extends SparkSuite {
       assert(!got(1L).matched, "evicted reference must not resurface")
       assert(got(2L).matched && got(2L).ref_value === 20L)
       assert(got(3L).matched && got(3L).ref_value === 5L)
+    }
+  }
+
+  test("equal-ts references: last writer by event_id wins, any arrival order") {
+    run() { (in, emitted) =>
+      // arrival order puts the SMALLER event_id last — the verdict
+      // must still be the larger writer's value
+      in.addData(ref("k", 1000L, 50L, id = 5), ref("k", 1000L, 20L, id = 2),
+        probe("k", 1, 1500L))
+      assert(emitted().head.ref_value === 50L)
+      // a later batch's writer at the same ts replaces the retained one
+      in.addData(ref("k", 1000L, 70L, id = 7), probe("k", 2, 1500L))
+      val m = emitted().find(_.event_id == 2L).get
+      assert(m.ref_value === 70L)
+    }
+  }
+
+  test("same-batch reference beyond the retention bound still matches its probe") {
+    run(maxHistory = 2) { (in, emitted) =>
+      // three refs + a probe between the first two, ONE batch: the
+      // probe must see ref@10 even though retention keeps only 20/30
+      in.addData(ref("k", 10L, 1L), ref("k", 20L, 2L), ref("k", 30L, 3L),
+        probe("k", 1, 15L))
+      val m1 = emitted().head
+      assert(m1.matched && m1.ref_ts_ms === 10L && m1.ref_value === 1L)
+      // next batch: ref@10 is evicted from RETAINED state
+      in.addData(probe("k", 2, 15L))
+      assert(!emitted().find(_.event_id == 2L).get.matched)
     }
   }
 
