@@ -164,7 +164,15 @@ object StreamBench {
       ("stream_reservoir", () => drive[ReservoirOffer, ReservoirChange](
         spark, "reservoir", rows, batches, reps,
         i => ReservoirOffer(s"k${i % 200}", ((i.toLong * 48271) % 1000000L)),
-        "append", ds => StreamReservoir.changes(ds))))
+        "append", ds => StreamReservoir.changes(ds))),
+      // 1000 keys, ~3% event-time regressions (every 31st change
+      // steps back 7 ms) — both the in-order and inversion paths hot
+      ("stream_order_audit", () => drive[AuditChange, AuditRow](spark,
+        "orderaudit", rows, batches, reps,
+        i => AuditChange(s"k${i % 1000}", i.toLong,
+          new java.sql.Timestamp(
+            1700000000000L + i.toLong + (if (i % 31 == 0) -7L else 0L))),
+        "update", ds => StreamOrderAudit.audit(ds))))
 
     val results = ops.map { case (name, f) =>
       val (sec, stateRows, emitted) = f()
