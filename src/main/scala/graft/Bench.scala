@@ -74,15 +74,28 @@ object Bench {
     val gc0 = gcMs
     // Best-of-3: the host has heavy exogenous load spikes; min-of-n is
     // the standard estimator for the query's actual cost under noise.
+    // I/O metrics (r13 verdict #1 — shuffle bytes MEASURED, not argued)
+    // come from the FIRST timed rep only: bytes moved are
+    // plan-deterministic, so one rep is exact where wall time needs
+    // min-of-n; snapshot deltas isolate each query because queries run
+    // sequentially on this thread.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val listener = ShuffleMetrics.install(spark)
+    val io = scala.collection.mutable.LinkedHashMap.empty[String, IoSnapshot]
     val results = selected.map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
+      val times = (1 to 3).map { rep =>
+        val pre = if (rep == 1) Some(listener.snapshot(spark.sparkContext))
+          else None
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         }
         val dt = (System.nanoTime() - t0) / 1e9
+        pre.foreach { p =>
+          io(name) =
+            listener.snapshot(spark.sparkContext, resetPeak = false) - p
+        }
         spark.catalog.clearCache()
         dt
       }
@@ -138,8 +151,15 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
       .mkString("{", ",", "}")
+    // Per-query data movement (first-rep deltas): shuffle read/write
+    // bytes, spill, peak single-task execution memory — the numbers a
+    // 100x scale-up is predicted from (plan shape says a shuffle
+    // exists; these say how many bytes it moves).
+    val ioJson = io.map { case (k, s) =>
+      s""""${esc(k)}":{"shuffle_read_b":${s.shuffleReadB},"shuffle_write_b":${s.shuffleWriteB},"spill_b":${s.spillB},"peak_exec_mem_b":${s.peakExecMemB}}"""
+    }.mkString("{", ",", "}")
     val total = (results ++ candEntry ++ truthEntry).values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"gc_ms":$gcTotalMs,"sf":"$sfDir","epoch_ms":${System.currentTimeMillis()}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"gc_ms":$gcTotalMs,"io":$ioJson,"sf":"$sfDir","epoch_ms":${System.currentTimeMillis()}}"""
     // Persist the FULL per-query record in-repo: the round driver
     // truncates its bench artifact to a 2000-char tail, losing most
     // per-query timings — bench_full.json (latest) + bench_history.jsonl

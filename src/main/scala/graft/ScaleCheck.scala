@@ -339,28 +339,70 @@ object ScaleCheck {
     // JIT/codegen warmup on the small side only.
     ops.foreach { case (_, fn) => fn(spark, x1Dir, 1).count() }
 
-    def measure(dir: String, scale: Int): Map[String, Double] =
-      ops.map { case (name, fn) =>
-        val times = (1 to reps).map { _ =>
+    // Shuffle BYTES measured alongside wall time (r13 verdict #1):
+    // bytes are plan-deterministic, so the first rep's listener delta
+    // is exact; wall time still takes min-of-reps.
+    val listener = ShuffleMetrics.install(spark)
+
+    def measure(dir: String,
+        scale: Int): (Map[String, Double], Map[String, IoSnapshot]) = {
+      val io = scala.collection.mutable.HashMap.empty[String, IoSnapshot]
+      val t = ops.map { case (name, fn) =>
+        val times = (1 to reps).map { rep =>
           Dedup.invalidateCandidates(spark)
           Similarity.invalidateMemos(spark)
           TextAnalysis.invalidateBpe(spark)
           spark.catalog.clearCache()
+          val pre = if (rep == 1) Some(listener.snapshot(spark.sparkContext))
+            else None
           val t0 = System.nanoTime()
           fn(spark, dir, scale).count()
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          pre.foreach { p =>
+            io(name) =
+              listener.snapshot(spark.sparkContext, resetPeak = false) - p
+          }
+          dt
         }
         name -> times.min
       }.toMap
+      (t, io.toMap)
+    }
 
-    val t1 = measure(x1Dir, 1)
-    val tk = measure(xkDir, k)
+    val (t1, io1) = measure(x1Dir, 1)
+    val (tk, iok) = measure(xkDir, k)
     def fmt(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
       .map { case (n, v) => f""""$n":$v%.2f""" }.mkString("{", ",", "}")
     val ratios = t1.keys.toSeq.sorted
       .map(n => f""""$n":${tk(n) / t1(n)}%.1f""").mkString("{", ",", "}")
-    println(s"""{"scale":$k,"x1_sec":${fmt(t1)},"x${k}_sec":${fmt(tk)},"ratio":$ratios}""")
+    def fmtIo(m: Map[String, IoSnapshot]) = m.toSeq.sortBy(_._1)
+      .map { case (n, s) =>
+        s""""$n":{"sr":${s.shuffleReadB},"sw":${s.shuffleWriteB},"spill":${s.spillB},"peak":${s.peakExecMemB}}"""
+      }.mkString("{", ",", "}")
+    val shuffleRatios = t1.keys.toSeq.sorted.map { n =>
+      val b1 = math.max(io1.get(n).map(s => s.shuffleReadB + s.shuffleWriteB)
+        .getOrElse(0L), 1L)
+      val bk = iok.get(n).map(s => s.shuffleReadB + s.shuffleWriteB)
+        .getOrElse(0L)
+      f""""$n":${bk.toDouble / b1}%.1f"""
+    }.mkString("{", ",", "}")
+    // The gate: ops whose 100 TB design claims a BOUNDED shuffle
+    // (combinable aggregation to a fixed group count — sketches,
+    // ledgers, reports; §5 calls these the scan-speed band) must show
+    // sub-linear shuffle-byte growth. Everything else is reported but
+    // not gated (their shuffles legitimately carry ~K× rows).
+    val boundedShuffle = Set("ts_trend", "q_robust_stats", "q_countmin_err",
+      "sample_epochs", "sample_curriculum", "layout_prune_compare")
+    val violations = ShuffleMetrics.subLinearViolations(
+      io1, iok, k, boundedShuffle.intersect(t1.keySet))
+    violations.foreach { case (n, r) =>
+      System.err.println(f"[scalecheck] SHUFFLE GATE FAIL $n: " +
+        f"bytes grew $r%.1fx at ${k}x data (bounded-shuffle op; " +
+        "a corpus-sized exchange shipped)")
+    }
+    println(s"""{"scale":$k,"x1_sec":${fmt(t1)},"x${k}_sec":${fmt(tk)},"ratio":$ratios,"x1_io":${fmtIo(io1)},"x${k}_io":${fmtIo(iok)},"shuffle_ratio":$shuffleRatios,"shuffle_gate_fail":${violations.size}}""")
     spark.stop()
+    if (violations.nonEmpty) sys.exit(1)
   }
 
   /** Union of `copies` token-perturbed copies of documents.parquet.

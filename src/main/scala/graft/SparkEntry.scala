@@ -2613,7 +2613,8 @@ FROM d JOIN v USING (tok) GROUP BY 1 ORDER BY d.doc_id""",
         |  (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
         |   FROM documents) GROUP BY 1, 2),
         |r AS (SELECT source,
-        |  length(bin(r * r)) - 1 AS x, length(bin(f * f)) - 1 AS y
+        |  length(bin(r * r)) - 1 AS x,
+        |  length(bin(least(f, 2147483647) * least(f, 2147483647))) - 1 AS y
         |  FROM (SELECT source, f,
         |    row_number() OVER (PARTITION BY source ORDER BY f DESC, tok) AS r
         |    FROM f)

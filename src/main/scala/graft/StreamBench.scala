@@ -29,7 +29,9 @@ case class StreamBenchEv(event_id: Long, ts: java.sql.Timestamp,
   * fresh-checkpoint passes, same min-of-n estimator as Bench.
   *
   * Reported per op: rows, batches, wall sec, rows/sec, and the state
-  * operators' final numRowsTotal (the state-size story — bounded
+  * operators' final numRowsTotal PLUS byte footprints (provider
+  * memoryUsedBytes and RocksDB SST file bytes — see [[OpRun]]; the
+  * state-size story in the unit capacity planning uses: bounded
   * summaries should sit at O(groups·capacity), not O(rows)). One JSON
   * line on stdout; appended to bench_history.jsonl with
   * `"sf":"stream"` so batch baseline selection (which filters on its
@@ -37,14 +39,24 @@ case class StreamBenchEv(event_id: Long, ts: java.sql.Timestamp,
 object StreamBench {
   private var streamId = 1000 // MemoryStream ids, unique per query
 
+  /** One operator's measured rep: wall sec, final state rows, rows
+    * emitted, and the state-size story in BYTES — `stateBytes` is the
+    * provider-reported in-memory footprint (StateOperatorProgress
+    * .memoryUsedBytes: RocksDB total memory usage under the RocksDB
+    * provider) and `sstBytes` the on-disk SST footprint
+    * (customMetrics rocksdbSstFileSize), the two numbers production
+    * capacity planning actually sizes against (numRowsTotal is a
+    * proxy — a bounded ROW count with an unbounded per-row payload
+    * would still pass it). */
+  case class OpRun(sec: Double, stateRows: Long, emitted: Long,
+      stateBytes: Long, sstBytes: Long)
+
   private[graft] def drive[I: Encoder, O](spark: SparkSession, name: String,
       rows: Int, batches: Int, reps: Int,
       gen: Int => I, outputMode: String,
-      pipe: Dataset[I] => Dataset[O]): (Double, Long, Long) = {
+      pipe: Dataset[I] => Dataset[O]): OpRun = {
     val perBatch = rows / batches
-    var best = Double.MaxValue
-    var stateRows = 0L
-    var emitted = 0L
+    var best = OpRun(Double.MaxValue, 0L, 0L, 0L, 0L)
     (1 to reps).foreach { _ =>
       streamId += 1
       val in = MemoryStream[I](streamId, spark, None)(implicitly[Encoder[I]])
@@ -65,15 +77,19 @@ object StreamBench {
         i += 1
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      if (dt < best) {
-        best = dt
+      if (dt < best.sec) {
         val p = q.lastProgress
-        stateRows = p.stateOperators.map(_.numRowsTotal).sum
-        emitted = q.recentProgress.map(_.sink.numOutputRows).sum
+        best = OpRun(dt,
+          p.stateOperators.map(_.numRowsTotal).sum,
+          q.recentProgress.map(_.sink.numOutputRows).sum,
+          p.stateOperators.map(_.memoryUsedBytes).sum,
+          p.stateOperators.map(op => Option(op.customMetrics)
+            .map(_.getOrDefault("rocksdbSstFileSize", 0L).longValue())
+            .getOrElse(0L)).sum)
       }
       q.stop()
     }
-    (best, stateRows, emitted)
+    best
   }
 
   def main(args: Array[String]): Unit = {
@@ -99,7 +115,7 @@ object StreamBench {
     // numbers, no RNG state. Skews chosen to exercise each operator's
     // state regime (eviction pressure, bounded bitmaps, band
     // collisions, cross-batch updates), not best-case uniformity.
-    val ops = Seq[(String, () => (Double, Long, Long))](
+    val ops = Seq[(String, () => OpRun)](
       // 8 groups; 80% of traffic on 16 hot items, tail over 4096 —
       // SpaceSaving runs under real eviction pressure (capacity 64)
       ("stream_topk", () => drive[ItemEvent, TopItem](spark, "topk",
@@ -149,13 +165,18 @@ object StreamBench {
         i => RateEvent(s"k${i % 1000}", i.toLong,
           new java.sql.Timestamp(1700000000000L + i.toLong)),
         "append", ds => StreamRateLimit.admissions(ds))),
-      // 500 keys, 1 reference per 8 probes, ±4 ms timestamp jitter so
-      // probes land out of order around their references — the floor
-      // search and history merge both stay hot; state = 500·history
+      // 500 keys, 1 reference per 8 probes; same-key rows sit on a
+      // 500 ms event-time grid, and every 16th row is a LATE probe
+      // thrown 9000 ms back — 18 same-key steps into the retained
+      // 64-entry history, far past the newest reference — so genuine
+      // cross-batch event-time disorder drives the floor-into-history
+      // search, not just same-batch merging (r13 advice: ±4 ms jitter
+      // on a 500 ms grid could never reorder a key's rows)
       ("stream_asof", () => drive[AsofInput, AsofMatch](spark, "asof",
         rows, batches, reps,
         i => AsofInput(s"k${i % 500}", i.toLong,
-          new java.sql.Timestamp(1700000000000L + i.toLong + (i % 9) - 4),
+          new java.sql.Timestamp(1700000000000L + i.toLong
+            + (if (i % 16 == 1) -9000L else 0L)),
           i % 8 == 0, (i % 1000).toLong),
         "append", ds => StreamAsofJoin.enrich(ds))),
       // 200 keys × k=10 reservoirs over a 1M id space: early batches
@@ -165,24 +186,29 @@ object StreamBench {
         spark, "reservoir", rows, batches, reps,
         i => ReservoirOffer(s"k${i % 200}", ((i.toLong * 48271) % 1000000L)),
         "append", ds => StreamReservoir.changes(ds))),
-      // 1000 keys, ~3% event-time regressions (every 31st change
-      // steps back 7 ms) — both the in-order and inversion paths hot
+      // 1000 keys on a 1000 ms same-key event-time grid; every 31st
+      // change steps back 1500 ms — PAST the per-key gap, so ~3% of
+      // same-key consecutive deltas genuinely regress (−500 ms) and
+      // the inversion branch (inv count, worst-regression update) is
+      // actually hot (r13 advice: the old −7 ms step-back on a
+      // 1000 ms grid produced deltas of 993/1000/1007 — all positive)
       ("stream_order_audit", () => drive[AuditChange, AuditRow](spark,
         "orderaudit", rows, batches, reps,
         i => AuditChange(s"k${i % 1000}", i.toLong,
           new java.sql.Timestamp(
-            1700000000000L + i.toLong + (if (i % 31 == 0) -7L else 0L))),
+            1700000000000L + i.toLong + (if (i % 31 == 0) -1500L else 0L))),
         "update", ds => StreamOrderAudit.audit(ds))))
 
     val results = ops.map { case (name, f) =>
-      val (sec, stateRows, emitted) = f()
-      System.err.println(f"[streambench] $name: $rows rows / $sec%.2f s = " +
-        f"${rows / sec}%.0f rows/s, state $stateRows, emitted $emitted")
-      name -> (sec, stateRows, emitted)
+      val r = f()
+      System.err.println(f"[streambench] $name: $rows rows / ${r.sec}%.2f s = " +
+        f"${rows / r.sec}%.0f rows/s, state ${r.stateRows} rows / " +
+        f"${r.stateBytes} B mem / ${r.sstBytes} B sst, emitted ${r.emitted}")
+      name -> r
     }
-    val total = results.map(_._2._1).sum
-    val opsJson = results.map { case (n, (sec, st, em)) =>
-      f""""$n":{"sec":$sec%.3f,"rows_per_sec":${(rows / sec).toLong},"state_rows":$st,"emitted":$em}"""
+    val total = results.map(_._2.sec).sum
+    val opsJson = results.map { case (n, r) =>
+      f""""$n":{"sec":${r.sec}%.3f,"rows_per_sec":${(rows / r.sec).toLong},"state_rows":${r.stateRows},"state_bytes":${r.stateBytes},"sst_bytes":${r.sstBytes},"emitted":${r.emitted}}"""
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"stream_total","value":$total,"unit":"sec","rows_per_op":$rows,"batches":$batches,"ops":$opsJson,"sf":"stream","epoch_ms":${System.currentTimeMillis()}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.jsonl"),

@@ -1105,7 +1105,16 @@ object TextAnalysis {
     * safety bound: with n ≤ 2¹⁸ and half-bit logs ≤ 124, the worst
     * regression cross-term 1000·sx·sy stays ≲ 3·10¹⁷ ≪ 2⁶³, where an
     * uncapped 10⁷-type web source would overflow `1000·(sx·sy −
-    * n·sxy)` under ANSI.
+    * n·sxy)` under ANSI. The head cap bounds the RANK axis but not
+    * the FREQUENCY axis — the kept rows are exactly the
+    * highest-frequency tokens, and a single token with f > √2⁶³ ≈
+    * 3.04·10⁹ occurrences in one source (routine at 100 TB) would
+    * overflow the f² inside the half-bit log — so f is saturated at
+    * 2³¹−1 before squaring (Spark and oracle identically, the #232
+    * perplexity construct). The saturation point (half-bit log 62)
+    * is ~15 half-bits above any slope-relevant resolution: a token
+    * would need >2³¹ occurrences for the cap to shave its log, and a
+    * source that hot is flagged flat by every earlier rank anyway.
     *
     * Shape: one combinable (source, token) count; ranking windows
     * run per source over VOCAB-sized partitions (Heaps' law keeps
@@ -1129,7 +1138,8 @@ object TextAnalysis {
       .where(col("r") <= zipfRankCap)
       .select(col("source"),
         (length(expr("bin(r * r)")) - 1).cast("long").as("x"),
-        (length(expr("bin(f * f)")) - 1).cast("long").as("y"))
+        (length(expr("bin(least(f, 2147483647L) * least(f, 2147483647L))"))
+          - 1).cast("long").as("y"))
     ranked.groupBy(col("source"))
       .agg(count(lit(1)).as("n_types"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),

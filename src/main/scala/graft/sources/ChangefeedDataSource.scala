@@ -124,7 +124,8 @@ class ChangefeedScan(dir: String, startCursorUs: Option[Long],
     with SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   import org.apache.spark.sql.sources._
 
   private var prunedSchema: StructType = ChangefeedDataSource.schema
@@ -319,6 +320,58 @@ class ChangefeedScan(dir: String, startCursorUs: Option[Long],
       override def numRows(): java.util.OptionalLong = rows
     }
 
+  // Partitioning REPORT (SupportsReportPartitioning — the last standard
+  // scan mixin): when the log was written TABLE-ROUTED (every segment
+  // name carries a -t tag asserting "one table per segment", the
+  // Spark-native twin of the reference's one-queue-per-table fan-out,
+  // src/queues.rs), one input partition = one single-table segment, so
+  // the scan's output is ALREADY clustered by the routing key and says
+  // so: KeyGroupedPartitioning(identity(tbl)) with each partition
+  // exposing its table as the partition key (HasPartitionKey). Under
+  // spark.sql.sources.v2.bucketing.enabled, Spark groups same-table
+  // segments into one task and a groupBy/aggregate on tbl (the
+  // per-table relay accounting query) runs with NO exchange — the
+  // shuffle the segment layout already paid for at write time is not
+  // paid again at read time. Withdrawn (UnknownPartitioning) when any
+  // segment is untagged (mixed layout proves nothing), when tbl is
+  // pruned from the output (nothing to cluster on), or when the scan
+  // collapsed to the metadata aggregate row. Row-dropping pushdowns
+  // (range/runtime filters, limit/topN admission) never MIX tables
+  // into a partition, so the claim survives all of them.
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
+    val planned = rowScanPartitions
+    val routed = planned.nonEmpty && planned.forall(_.tblKey.isDefined)
+    if (pushedAggs.isEmpty && routed && prunedSchema.fieldNames.contains("tbl"))
+      new KeyGroupedPartitioning(
+        Array(Expressions.identity("tbl")), planned.length)
+    else new UnknownPartitioning(if (pushedAggs.nonEmpty) 1 else planned.length)
+  }
+
+  /** The row-scan partition list — ONE computation shared by the batch
+    * planner and the partitioning report so the two can never disagree
+    * on count or keys. */
+  private def rowScanPartitions: Array[ChangefeedPartition] = {
+    val surviving = ChangefeedLog.listSegments(dir)
+      .filter(s => s.lastUs > minExclusiveUs && s.firstUs <= maxInclusiveUs)
+      .filter(s => runtimeSortUs.forall(_.exists(v =>
+        v >= s.firstUs && v <= s.lastUs)))
+    val admitted = (topN, pushedLimit) match {
+      // listSegments returns firstUs-ascending order; descending
+      // top-n takes the n largest lastUs instead
+      case (Some((false, n)), _) if limitShortcutSound =>
+        surviving.take(math.max(n, 1))
+      case (Some((true, n)), _) if limitShortcutSound =>
+        surviving.sortBy(s => (-s.lastUs, -s.firstUs)).take(math.max(n, 1))
+      case (None, Some(n)) if limitShortcutSound =>
+        surviving.take(math.max(n, 1))
+      case _ => surviving
+    }
+    admitted.map(s => ChangefeedPartition(s.path.toString,
+      minExclusiveUs, maxInclusiveUs, s.tblTag)).toArray
+  }
+
   override def build(): Scan = this
   override def readSchema(): StructType =
     if (pushedAggs.isEmpty) prunedSchema
@@ -354,26 +407,8 @@ class ChangefeedScan(dir: String, startCursorUs: Option[Long],
       // pushed sort_us range (metadata-only pruning, no segment opened);
       // a runtime join-key filter additionally drops segments whose
       // range contains none of the joined values
-      override def planInputPartitions(): Array[InputPartition] = {
-        val surviving = ChangefeedLog.listSegments(dir)
-          .filter(s => s.lastUs > minExclusiveUs && s.firstUs <= maxInclusiveUs)
-          .filter(s => runtimeSortUs.forall(_.exists(v =>
-            v >= s.firstUs && v <= s.lastUs)))
-        val admitted = (topN, pushedLimit) match {
-          // listSegments returns firstUs-ascending order; descending
-          // top-n takes the n largest lastUs instead
-          case (Some((false, n)), _) if limitShortcutSound =>
-            surviving.take(math.max(n, 1))
-          case (Some((true, n)), _) if limitShortcutSound =>
-            surviving.sortBy(s => (-s.lastUs, -s.firstUs)).take(math.max(n, 1))
-          case (None, Some(n)) if limitShortcutSound =>
-            surviving.take(math.max(n, 1))
-          case _ => surviving
-        }
-        admitted
-          .map(s => ChangefeedPartition(s.path.toString, minExclusiveUs, maxInclusiveUs)
-            : InputPartition).toArray
-      }
+      override def planInputPartitions(): Array[InputPartition] =
+        rowScanPartitions.map(p => p: InputPartition)
       override def createReaderFactory(): PartitionReaderFactory =
         ChangefeedReaderFactory(prunedSchema.fieldNames)
     }
@@ -511,40 +546,52 @@ class ChangefeedWriteBuilder(dir: String, info: LogicalWriteInfo) extends WriteB
     // write reuses the query id, which repeats across foreachBatch
     // invocations of the same query)
     val epoch = Option(info.options.get("epochId"))
+    // routeByTable=true → TABLE-ROUTED segments: each task splits its
+    // rows one-segment-per-table and stamps the -t tag, giving the log
+    // the layout whose partitioning report makes downstream
+    // per-table reads exchange-free (pair with an upstream
+    // repartition(col("tbl")) so each task holds few tables — the
+    // same write-side shuffle a bucketed table pays once)
+    val routed = Option(info.options.get("routeByTable")).exists(_.toBoolean)
     new ChangefeedWrite(dir,
-      epoch.map(e => s"e$e").getOrElse(s"b${info.queryId().replaceAll("[^0-9a-zA-Z]", "")}"))
+      epoch.map(e => s"e$e").getOrElse(s"b${info.queryId().replaceAll("[^0-9a-zA-Z]", "")}"),
+      routed)
   }
 }
 
-class ChangefeedWrite(dir: String, idPrefix: String) extends Write {
+class ChangefeedWrite(dir: String, idPrefix: String,
+    routeByTable: Boolean = false) extends Write {
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
-      ChangefeedBatchWriterFactory(dir, idPrefix)
+      ChangefeedBatchWriterFactory(dir, idPrefix, routeByTable)
     override def commit(messages: Array[WriterCommitMessage]): Unit = ()
     override def abort(messages: Array[WriterCommitMessage]): Unit = ()
   }
   override def toStreaming: StreamingWrite = new StreamingWrite {
     override def createStreamingWriterFactory(p: PhysicalWriteInfo): StreamingDataWriterFactory =
-      ChangefeedStreamingWriterFactory(dir)
+      ChangefeedStreamingWriterFactory(dir, routeByTable)
     override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   }
 }
 
-case class ChangefeedBatchWriterFactory(dir: String, idPrefix: String)
+case class ChangefeedBatchWriterFactory(dir: String, idPrefix: String,
+    routeByTable: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ChangefeedSegmentWriter(dir, s"${idPrefix}p$partitionId")
+    new ChangefeedSegmentWriter(dir, s"${idPrefix}p$partitionId", routeByTable)
 }
 
-case class ChangefeedStreamingWriterFactory(dir: String)
+case class ChangefeedStreamingWriterFactory(dir: String,
+    routeByTable: Boolean = false)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new ChangefeedSegmentWriter(dir, s"e${epochId}p$partitionId")
+    new ChangefeedSegmentWriter(dir, s"e${epochId}p$partitionId", routeByTable)
 }
 
-class ChangefeedSegmentWriter(dir: String, segmentId: String)
+class ChangefeedSegmentWriter(dir: String, segmentId: String,
+    routeByTable: Boolean = false)
     extends DataWriter[InternalRow] {
   private val buf = scala.collection.mutable.ArrayBuffer.empty[ChangefeedLog.Record]
   override def write(row: InternalRow): Unit = {
@@ -556,7 +603,16 @@ class ChangefeedSegmentWriter(dir: String, segmentId: String)
     ()
   }
   override def commit(): WriterCommitMessage = {
-    if (buf.nonEmpty) ChangefeedLog.writeSegmentAs(dir, buf.toSeq, segmentId)
+    if (buf.nonEmpty) {
+      if (routeByTable)
+        // one tagged segment per table in this task's slice; the
+        // deterministic (segmentId, tag) pair keeps retries idempotent
+        // per table exactly like the mixed path's single segment
+        buf.toSeq.groupBy(_.tbl).foreach { case (_, rs) =>
+          ChangefeedLog.writeSegmentAs(dir, rs, segmentId, tagTbl = true)
+        }
+      else ChangefeedLog.writeSegmentAs(dir, buf.toSeq, segmentId)
+    }
     ChangefeedCommitMessage(buf.size.toLong)
   }
   override def abort(): Unit = ()
@@ -565,9 +621,18 @@ class ChangefeedSegmentWriter(dir: String, segmentId: String)
 
 case class ChangefeedCommitMessage(rows: Long) extends WriterCommitMessage
 
-/** One retained segment file, filtered to (startUs, endUs]. */
-case class ChangefeedPartition(file: String, startUs: Long, endUs: Long)
-  extends InputPartition
+/** One retained segment file, filtered to (startUs, endUs].
+  * `tblKey` carries a table-routed segment's tag so the partition can
+  * answer HasPartitionKey when the scan reports KeyGroupedPartitioning
+  * over tbl (ignored — Unknown report — for untagged layouts). */
+case class ChangefeedPartition(file: String, startUs: Long, endUs: Long,
+    tblKey: Option[Option[String]] = None)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](
+      tblKey.flatten.map(UTF8String.fromString).orNull))
+}
 
 /** Complete-pushdown aggregate result, precomputed at PLANNING time
   * from the segment listing (None = NULL on an empty log). */

@@ -18,14 +18,36 @@ import scala.jdk.CollectionConverters._
   */
 object ChangefeedLog {
 
-  final case class Segment(path: Path, firstUs: Long, lastUs: Long)
+  /** `tblTag`: the TABLE-ROUTED layout marker. `None` = classic mixed
+    * segment; `Some(t)` = every record in this segment has tbl == t
+    * (`Some(None)` = all resolved rows, whose tbl is SQL NULL). When
+    * EVERY segment of a log carries a tag, the DSv2 scan reports
+    * KeyGroupedPartitioning over `tbl` and a groupBy/join on the
+    * routing key runs exchange-free (SupportsReportPartitioning). */
+  final case class Segment(path: Path, firstUs: Long, lastUs: Long,
+      tblTag: Option[Option[String]] = None)
 
   /** One changefeed record — matches the (table, key, value) triple the
     * reference reads off the feed, plus its HLC-ish sort timestamp. */
   final case class Record(sortUs: Long, tbl: Option[String],
       key: Option[String], value: String)
 
-  private val SegmentName = raw"seg-(\d+)-(\d+)-([0-9a-zA-Z]+)\.log".r
+  // optional -t<tag> = table-routed segment: tn (resolved/NULL tbl) or
+  // tx<hex-utf8-of-table-name> (hex keeps arbitrary table names inside
+  // the filename grammar)
+  private val SegmentName =
+    raw"seg-(\d+)-(\d+)-([0-9a-zA-Z]+)(?:-t(n|x[0-9a-f]*))?\.log".r
+
+  private[sources] def encodeTblTag(tbl: Option[String]): String = tbl match {
+    case None => "n"
+    case Some(t) =>
+      "x" + t.getBytes(StandardCharsets.UTF_8).map("%02x".format(_)).mkString
+  }
+
+  private[sources] def decodeTblTag(tag: String): Option[String] =
+    if (tag == "n") None
+    else Some(new String(tag.drop(1).grouped(2)
+      .map(h => Integer.parseInt(h, 16).toByte).toArray, StandardCharsets.UTF_8))
   private val GcFloorFile = "_gc_floor"
   private val Null = "\\N"
 
@@ -77,7 +99,15 @@ object ChangefeedLog {
     * epoch+partition from a streaming writer) makes re-executed writes
     * idempotent — the retry atomically replaces the identical segment
     * instead of appending a duplicate. */
-  def writeSegmentAs(dir: String, records: Seq[Record], id: String): Path = {
+  def writeSegmentAs(dir: String, records: Seq[Record], id: String): Path =
+    writeSegmentAs(dir, records, id, tagTbl = false)
+
+  /** Same, optionally stamping the table-routed tag: with `tagTbl` the
+    * segment name asserts "every record's tbl equals this one value" —
+    * enforced here, because the DSv2 partitioning report derives an
+    * exchange-elimination guarantee from it. */
+  def writeSegmentAs(dir: String, records: Seq[Record], id: String,
+      tagTbl: Boolean): Path = {
     require(records.nonEmpty, "empty changefeed segment")
     require(id.matches("[0-9a-zA-Z]+"), s"bad segment id '$id'")
     // segment NAMES carry the range and the name grammar is \d+ — a
@@ -85,10 +115,16 @@ object ChangefeedLog {
     // (silent data loss); HLC-ish timestamps are non-negative, enforce it
     require(records.forall(_.sortUs >= 0),
       s"negative sort_us in segment (first: ${records.find(_.sortUs < 0).get.sortUs})")
+    val tagSuffix = if (!tagTbl) "" else {
+      val tbls = records.map(_.tbl).distinct
+      require(tbls.size == 1,
+        s"table-routed segment must hold ONE table, got ${tbls.take(5)}")
+      s"-t${encodeTblTag(tbls.head)}"
+    }
     val d = Paths.get(dir)
     Files.createDirectories(d)
     val sorted = records.sortBy(r => (r.sortUs, r.key.getOrElse("")))
-    val name = s"seg-${sorted.head.sortUs}-${sorted.last.sortUs}-$id.log"
+    val name = s"seg-${sorted.head.sortUs}-${sorted.last.sortUs}-$id$tagSuffix.log"
     // per-attempt tmp name: concurrent attempts (speculation) must not
     // share a scratch file; the atomic move arbitrates the final name
     val tmp = d.resolve(
@@ -110,7 +146,9 @@ object ChangefeedLog {
       try {
         st.iterator.asScala.flatMap { p =>
           p.getFileName.toString match {
-            case SegmentName(first, last, _) => Some(Segment(p, first.toLong, last.toLong))
+            case SegmentName(first, last, _, tag) =>
+              Some(Segment(p, first.toLong, last.toLong,
+                Option(tag).map(decodeTblTag)))
             case _ => None
           }
         }.toList

@@ -21,8 +21,12 @@ case class AsofMatch(key: String, event_id: Long, ts: Timestamp,
 
 /** Bounded per-key reference history, ascending by timestamp —
   * parallel arrays keep the state row one codec hop (no nested
-  * collection-of-tuples encoding). */
-case class RefHist(tsMs: Array[Long], v: Array[Long])
+  * collection-of-tuples encoding). `eid` carries each retained
+  * timestamp's WINNING writer, so the last-writer-wins-by-event_id
+  * contract holds across batches, not just within one (without it, a
+  * replayed/re-delivered old reference in a later batch would
+  * silently overwrite a larger-event_id retained value). */
+case class RefHist(tsMs: Array[Long], v: Array[Long], eid: Array[Long])
 
 /** §2#235 STREAMING AS-OF JOIN — the streaming twin of the batch
   * as-of family (#38/#132/#162/#181): enrich every probe event with
@@ -45,11 +49,15 @@ case class RefHist(tsMs: Array[Long], v: Array[Long])
   * AFTER a probe was already emitted does not retro-correct it —
   * append mode, the same contract as Spark's stream-stream interval
   * join. Equal-timestamp references resolve LAST-WRITER-WINS by
-  * event_id (history is ts-unique — shuffle arrival order never
-  * leaks into a verdict), and probes match the batch's FULL merged
-  * reference view: `maxHistory` truncates only what is RETAINED for
-  * later batches, so a same-batch reference is never invisible to a
-  * same-batch probe.
+  * event_id — ACROSS batches too: the retained history stores each
+  * timestamp's winning event_id, and an incoming reference replaces
+  * the retained value only when its event_id is ≥ the retained
+  * writer's (history is ts-unique — neither shuffle arrival order
+  * nor re-delivery of an old reference can leak into a verdict) —
+  * and probes match the batch's FULL merged reference view:
+  * `maxHistory` truncates only what is RETAINED for later batches,
+  * so a same-batch reference is never invisible to a same-batch
+  * probe.
   *
   * State per key: 2·`maxHistory` longs — O(keys), never O(rows); the
   * shuffle key is the join key, single-writer per key. */
@@ -76,25 +84,33 @@ class AsofJoinProcessor(maxHistory: Int)
   override def handleInputRows(key: String, rows: Iterator[AsofInput],
       timerValues: TimerValues): Iterator[AsofMatch] = {
     val batch = rows.toArray
-    val prior = if (hist.exists()) hist.get() else RefHist(Array(), Array())
+    val prior =
+      if (hist.exists()) hist.get() else RefHist(Array(), Array(), Array())
     // merge this batch's references into the retained history first:
     // "latest known at processing" — a batch's own references are
     // known to its probes (ts order still gates the ≤ contract
     // below). Equal-timestamp references resolve LAST-WRITER-WINS by
-    // event_id (and a batch's writer replaces a retained value at
-    // the same ts) — group-iterator arrival order is shuffle-
-    // dependent, the (ts, event_id) sort is not, so replays
-    // reproduce the same retained value. The history is therefore
+    // event_id, against the RETAINED writer too: a value is replaced
+    // only by an equal-or-larger event_id, so neither shuffle
+    // arrival order within the batch nor a re-delivered/replayed old
+    // reference in a later batch can flip a verdict. The history is
     // ts-UNIQUE, which also makes the floor lookup unambiguous.
     val incoming = batch.filter(_.is_right)
       .sortBy(r => (r.ts.getTime, r.event_id))
     val full =
       if (incoming.isEmpty) prior
       else {
-        val m = scala.collection.mutable.TreeMap.empty[Long, Long]
-        prior.tsMs.indices.foreach(i => m(prior.tsMs(i)) = prior.v(i))
-        incoming.foreach(r => m(r.ts.getTime) = r.value)
-        RefHist(m.keysIterator.toArray, m.valuesIterator.toArray)
+        // ts → (winning event_id, its value)
+        val m = scala.collection.mutable.TreeMap.empty[Long, (Long, Long)]
+        prior.tsMs.indices.foreach(i =>
+          m(prior.tsMs(i)) = (prior.eid(i), prior.v(i)))
+        incoming.foreach { r =>
+          val t = r.ts.getTime
+          if (!m.contains(t) || r.event_id >= m(t)._1)
+            m(t) = (r.event_id, r.value)
+        }
+        RefHist(m.keysIterator.toArray, m.valuesIterator.map(_._2).toArray,
+          m.valuesIterator.map(_._1).toArray)
       }
     // probes match against the FULL merged view — a same-batch
     // reference must be visible to a same-batch probe even when the
@@ -102,7 +118,8 @@ class AsofJoinProcessor(maxHistory: Int)
     // stored state is truncated
     if (incoming.nonEmpty) {
       val keepFrom = math.max(0, full.tsMs.length - maxHistory)
-      hist.update(RefHist(full.tsMs.drop(keepFrom), full.v.drop(keepFrom)))
+      hist.update(RefHist(full.tsMs.drop(keepFrom), full.v.drop(keepFrom),
+        full.eid.drop(keepFrom)))
     }
     val out = batch.filter(!_.is_right)
       .sortBy(p => (p.ts.getTime, p.event_id))

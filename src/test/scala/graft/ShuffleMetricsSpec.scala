@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** The shuffle-byte instrument + sub-linear gate (r13 verdict #1):
+  * §5's scale claims are now MEASURED bytes, and the gate must catch
+  * the failure it exists for — a join whose small side silently
+  * stopped broadcasting, turning a bounded exchange corpus-sized. */
+class ShuffleMetricsSpec extends SparkSuite {
+
+  private def fact(n: Int): DataFrame =
+    spark.range(n.toLong).select(
+      (col("id") % 97).as("k"),
+      // ~64B payload so shuffle volume is dominated by data, not
+      // per-row framing — the ratio reads like a real table's would
+      concat_ws("", (0 until 8).map(_ => md5(col("id").cast("string"))): _*)
+        .as("payload"))
+
+  private def dim: DataFrame =
+    spark.range(97L).select(col("id").as("k"),
+      concat(lit("name_"), col("id")).as("name"))
+
+  test("listener measures a real shuffle; deltas isolate queries") {
+    val l = ShuffleMetrics.install(spark)
+    try {
+      val base = l.snapshot(spark.sparkContext)
+      fact(20000).groupBy("k").agg(count(lit(1))).count()
+      val afterAgg = l.snapshot(spark.sparkContext, resetPeak = false) - base
+      assert(afterAgg.shuffleWriteB > 0L,
+        s"a groupBy must write shuffle bytes, got ${afterAgg.shuffleWriteB}")
+      assert(afterAgg.shuffleReadB > 0L)
+      // a bare count between snapshots moves only per-partition partial
+      // counts (a few hundred bytes of framing), nothing data-sized —
+      // deltas really do isolate the query that moved the data
+      val pre = l.snapshot(spark.sparkContext)
+      fact(20000).count()
+      val scanOnly = l.snapshot(spark.sparkContext, resetPeak = false) - pre
+      assert(scanOnly.shuffleWriteB < 10000L
+        && scanOnly.shuffleWriteB < afterAgg.shuffleWriteB,
+        s"count() moved data-sized bytes: ${scanOnly.shuffleWriteB} " +
+          s"vs agg ${afterAgg.shuffleWriteB}")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  /** One join's (shuffleRead+shuffleWrite) bytes via snapshot delta.
+    * The aggregate consumes BOTH sides' wide columns so column pruning
+    * can't drop the payload before the exchange — a bare count() would
+    * shuffle only join keys and hide the data volume. */
+  private def joinBytes(l: ShuffleMetricsListener, n: Int,
+      broadcastDim: Boolean): IoSnapshot = {
+    val d = if (broadcastDim) broadcast(dim) else dim
+    val pre = l.snapshot(spark.sparkContext)
+    fact(n).join(d, "k")
+      .agg(sum(length(col("payload"))), sum(length(col("name")))).collect()
+    l.snapshot(spark.sparkContext, resetPeak = false) - pre
+  }
+
+  test("gate catches an artificially un-broadcast join; broadcast passes") {
+    val l = ShuffleMetrics.install(spark)
+    val conf = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(conf)
+    spark.conf.set(conf, "-1") // no silent rescue of the no-hint path
+    try {
+      val k = 10
+      // broadcast join: the exchange the plan pays is ~independent of
+      // the fact side at any scale → sub-linear, gate passes
+      val b1 = Map("op" -> joinBytes(l, 10000, broadcastDim = true))
+      val bk = Map("op" -> joinBytes(l, 10000 * k, broadcastDim = true))
+      assert(ShuffleMetrics.subLinearViolations(b1, bk, k, Set("op")).isEmpty,
+        s"broadcast join flagged: x1=${b1("op")} xk=${bk("op")}")
+      // the SAME join un-broadcast (sort-merge): both sides shuffle,
+      // bytes grow ~Kx with the fact side → the gate must fire
+      val s1 = Map("op" -> joinBytes(l, 10000, broadcastDim = false))
+      val sk = Map("op" -> joinBytes(l, 10000 * k, broadcastDim = false))
+      assert(s1("op").shuffleWriteB > 0L, "sort-merge join must shuffle")
+      val viol = ShuffleMetrics.subLinearViolations(s1, sk, k, Set("op"))
+      assert(viol.nonEmpty,
+        s"un-broadcast join NOT flagged: x1=${s1("op")} xk=${sk("op")}")
+      assert(viol.head._2 >= k / 2.0)
+    } finally {
+      spark.conf.set(conf, saved)
+      spark.sparkContext.removeSparkListener(l)
+    }
+  }
+}

@@ -99,10 +99,17 @@ class StreamAsofJoinSpec extends SparkSuite {
       in.addData(ref("k", 1000L, 50L, id = 5), ref("k", 1000L, 20L, id = 2),
         probe("k", 1, 1500L))
       assert(emitted().head.ref_value === 50L)
-      // a later batch's writer at the same ts replaces the retained one
+      // a later batch's LARGER-event_id writer at the same ts replaces
+      // the retained one
       in.addData(ref("k", 1000L, 70L, id = 7), probe("k", 2, 1500L))
       val m = emitted().find(_.event_id == 2L).get
       assert(m.ref_value === 70L)
+      // but a re-delivered/replayed OLD reference (smaller event_id)
+      // in a later batch must NOT overwrite the retained winner —
+      // last-writer-wins holds across batches, not just within one
+      in.addData(ref("k", 1000L, 30L, id = 3), probe("k", 3, 1500L))
+      val m3 = emitted().find(_.event_id == 3L).get
+      assert(m3.ref_value === 70L, "stale re-delivery flipped the verdict")
     }
   }
 

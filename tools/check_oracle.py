@@ -144,11 +144,13 @@ def main(sf_dir, out_dir, json_out=None):
     def entry_passed(v):
         if v.get("hash_match") is True:
             return True
-        # rows-kind: shape_ok = shape-gated pass; legacy records used
-        # no_oracle for both gated and ungated non-empty — treat a
-        # non-empty legacy entry as clean, matching its original run
-        return v.get("err") in ("shape_ok", "no_oracle") \
-            and (v.get("spark_rows") or 0) > 0
+        # rows-kind: only an explicit shape-gated pass counts. A bare
+        # "no_oracle" (non-empty but never shape-checked) is NOT a
+        # pass: it re-runs on resume and keeps the gate red until a
+        # shape gate exists for it (r13 verdict #4 — zero legacy
+        # records remain, so the old treat-as-clean grandfathering is
+        # retired).
+        return v.get("err") == "shape_ok" and (v.get("spark_rows") or 0) > 0
     if json_out and os.environ.get("CHECK_RESUME") == "1" \
             and os.path.exists(json_out):
         record = json.load(open(json_out))
@@ -283,8 +285,14 @@ def main(sf_dir, out_dir, json_out=None):
                 n_fail += 1
                 continue
             if name not in checks:
-                print(f"ROWS {name}: {n} rows (no oracle, no shape check)")
+                # every rows-kind query must carry a structural gate —
+                # a non-empty dump nobody checked is a red entry, not a
+                # weaker pass (the driver's own gate may grade it
+                # rows-only; this tool holds the stricter line)
+                print(f"FAIL {name}: {n} rows but NO shape check registered "
+                      "in SparkEntry.rowsChecks")
                 rec(name, None, None, None, n, None, "no_oracle")
+                n_fail += 1
                 continue
             con.execute("DROP VIEW IF EXISTS result")
             con.execute(f"CREATE VIEW result AS SELECT * FROM '{path}/*.parquet'")
