@@ -220,7 +220,16 @@ object SparkEntry {
     "mm_audio_features" -> (Multimodal.audioFeatures _),
     "mm_audio_segments" -> (Multimodal.audioSegments _),
     "mm_audio_resample" -> ((s: SparkSession, d: String) => Multimodal.audioResample(s, d)),
-    "mm_audio_snr" -> (Multimodal.audioSnr _)
+    "mm_audio_snr" -> (Multimodal.audioSnr _),
+    // r14 additions
+    "text_kn_stats" -> (TextAnalysis.knStats _),
+    "text_syndication_matrix" -> (TextAnalysis.syndicationMatrix _),
+    "graph_neighbor_jaccard" -> (Graph.neighborJaccard _),
+    "q_rfm_segments" -> (Analytics.qRfmSegments _),
+    "q_attribution" -> ((s: SparkSession, d: String) => Analytics.qAttribution(s, d)),
+    "q_join_skew_report" -> (Analytics.qJoinSkewReport _),
+    "cdc_txn_stats" -> (Changefeed.txnStats _),
+    "q_scd2_lookup" -> (Temporal.scd2Lookup _)
   )
 
   // ---- shared oracle SQL fragments -------------------------------------
@@ -2868,7 +2877,149 @@ FROM d JOIN v USING (tok) GROUP BY 1 ORDER BY d.doc_id""",
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  md5(text) AS md5_hex,
         |  base64(CAST(substr(text,1,6) AS BLOB)) AS header_b64
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_kn_stats" ->
+      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |p AS (SELECT DISTINCT toks[i] AS w1, toks[i+1] AS w2
+        |  FROM (SELECT toks, unnest(generate_series(1, len(toks)-1)) AS i
+        |        FROM t WHERE len(toks) >= 2)),
+        |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS f
+        |  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+        |l AS (SELECT w2 AS tok, CAST(count(*) AS BIGINT) AS lt FROM p GROUP BY 1),
+        |r AS (SELECT w1 AS tok, CAST(count(*) AS BIGINT) AS rt FROM p GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM p)
+        |SELECT tok, f, CAST(coalesce(lt, 0) AS BIGINT) AS left_types,
+        |  CAST(coalesce(rt, 0) AS BIGINT) AS right_types,
+        |  CAST(1000000 * coalesce(lt, 0) // nt AS BIGINT) AS cont_ppm
+        |FROM uni LEFT JOIN l USING (tok) LEFT JOIN r USING (tok) CROSS JOIN n
+        |WHERE f >= 50 ORDER BY tok""".stripMargin,
+
+    "text_syndication_matrix" ->
+      """WITH d AS (SELECT source, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c0 AS (SELECT source, list_transform(
+        |  generate_series(1, greatest(len(toks)//20, 1)),
+        |  i -> md5(array_to_string(toks[((i-1)*20+1):((i-1)*20+20)], ' '))) AS hs FROM d),
+        |s1 AS (SELECT DISTINCT source, unnest(hs) AS h FROM c0),
+        |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM s1 GROUP BY 1),
+        |sh AS (SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS ns
+        |  FROM s1 a JOIN s1 b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2)
+        |SELECT sa AS source_a, sb AS source_b, ns AS n_shared,
+        |  pa.n AS types_a, pb.n AS types_b,
+        |  CAST(1000 * ns // (pa.n + pb.n - ns) AS BIGINT) AS jaccard_pm
+        |FROM sh JOIN ps pa ON pa.source = sa JOIN ps pb ON pb.source = sb
+        |ORDER BY 1, 2""".stripMargin,
+
+    "graph_neighbor_jaccard" ->
+      s"""WITH $shCte,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+         |adj AS (SELECT doc_a AS u, doc_b AS v FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+         |com AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS c
+         |  FROM p JOIN adj x ON x.u = p.doc_a
+         |  JOIN adj y ON y.u = p.doc_b AND y.v = x.v
+         |  GROUP BY 1, 2)
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST(coalesce(c, 0) AS BIGINT) AS common_nbrs,
+         |  CAST(da.deg + db.deg - coalesce(c, 0) AS BIGINT) AS union_nbrs,
+         |  CAST(1000 * coalesce(c, 0) // (da.deg + db.deg - coalesce(c, 0)) AS BIGINT) AS jaccard_pm
+         |FROM p LEFT JOIN com USING (doc_a, doc_b)
+         |JOIN deg da ON da.u = p.doc_a JOIN deg db ON db.u = p.doc_b
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q_rfm_segments" ->
+      s"""WITH u AS (SELECT user_id, max(epoch_us(ts)) AS r_us,
+         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS f_n,
+         |  CAST(sum(${cents("value")}) AS BIGINT) AS m_c
+         |  FROM events GROUP BY 1),
+         |rq AS (SELECT r_us, count(*) AS cnt FROM u GROUP BY 1),
+         |rs AS (SELECT r_us, CAST(1 + (5 * (CAST(sum(cnt) OVER (ORDER BY r_us) AS BIGINT) - cnt))
+         |  // CAST(sum(cnt) OVER () AS BIGINT) AS BIGINT) AS r_score FROM rq),
+         |fq AS (SELECT f_n, count(*) AS cnt FROM u GROUP BY 1),
+         |fs AS (SELECT f_n, CAST(1 + (5 * (CAST(sum(cnt) OVER (ORDER BY f_n) AS BIGINT) - cnt))
+         |  // CAST(sum(cnt) OVER () AS BIGINT) AS BIGINT) AS f_score FROM fq),
+         |mq AS (SELECT m_c, count(*) AS cnt FROM u GROUP BY 1),
+         |ms AS (SELECT m_c, CAST(1 + (5 * (CAST(sum(cnt) OVER (ORDER BY m_c) AS BIGINT) - cnt))
+         |  // CAST(sum(cnt) OVER () AS BIGINT) AS BIGINT) AS m_score FROM mq)
+         |SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_users,
+         |  CAST(sum(m_c) AS BIGINT) AS segment_spend_c
+         |FROM u JOIN rs USING (r_us) JOIN fs USING (f_n) JOIN ms USING (m_c)
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_attribution" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         |  ${cents("value")} AS value_c FROM events),
+         |p AS (SELECT user_id, event_id AS p_eid, us AS p_us, value_c FROM e
+         |  WHERE event_type = 'purchase'),
+         |t AS (SELECT user_id, event_id AS t_eid, us AS t_us,
+         |  event_type AS channel FROM e WHERE event_type <> 'purchase'),
+         |c AS (SELECT p.user_id, p.p_eid, t.t_eid, t.t_us, t.channel
+         |  FROM p JOIN t USING (user_id)
+         |  WHERE t.t_us < p.p_us AND t.t_us > p.p_us - 604800000000),
+         |k AS (SELECT *,
+         |  row_number() OVER (PARTITION BY user_id, p_eid ORDER BY t_us, t_eid) AS rk_first,
+         |  row_number() OVER (PARTITION BY user_id, p_eid ORDER BY t_us DESC, t_eid DESC) AS rk_last
+         |  FROM c),
+         |fi AS (SELECT p_eid, channel AS first_ch FROM k WHERE rk_first = 1),
+         |la AS (SELECT p_eid, channel AS last_ch FROM k WHERE rk_last = 1),
+         |a AS (SELECT coalesce(first_ch, 'direct') AS first_ch,
+         |  coalesce(last_ch, 'direct') AS last_ch, value_c
+         |  FROM p LEFT JOIN fi USING (p_eid) LEFT JOIN la USING (p_eid)),
+         |bf AS (SELECT first_ch AS channel, CAST(count(*) AS BIGINT) AS nf FROM a GROUP BY 1),
+         |bl AS (SELECT last_ch AS channel, CAST(count(*) AS BIGINT) AS nl,
+         |  CAST(sum(value_c) AS BIGINT) AS rev FROM a GROUP BY 1)
+         |SELECT channel, CAST(coalesce(nf, 0) AS BIGINT) AS n_first_touch,
+         |  CAST(coalesce(nl, 0) AS BIGINT) AS n_last_touch,
+         |  CAST(coalesce(rev, 0) AS BIGINT) AS last_touch_rev_c
+         |FROM bf FULL OUTER JOIN bl USING (channel) ORDER BY channel""".stripMargin,
+
+    "q_join_skew_report" ->
+      """WITH m AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS m
+        |  FROM lineitem GROUP BY 1),
+        |b AS (SELECT CAST(length(bin(m)) - 1 AS BIGINT) AS log2_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(m) AS BIGINT) AS n_rows,
+        |  CAST(max(m) AS BIGINT) AS max_mult FROM m GROUP BY 1),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS t_keys,
+        |  CAST(sum(m) AS BIGINT) AS t_rows, CAST(max(m) AS BIGINT) AS t_max FROM m)
+        |SELECT log2_bucket, n_keys, n_rows, max_mult,
+        |  CAST(1000 * CAST(sum(n_rows) OVER (ORDER BY log2_bucket) AS BIGINT) // t_rows AS BIGINT) AS cum_rows_pm,
+        |  CAST(1000 * t_max * t_keys // t_rows AS BIGINT) AS skew_factor_pm
+        |FROM b CROSS JOIN tt ORDER BY 1""".stripMargin,
+
+    "cdc_txn_stats" ->
+      """WITH u AS (
+        |  SELECT 'events' AS tbl, epoch_us(ts) AS sort_us FROM events
+        |  UNION ALL
+        |  SELECT 'orders', epoch_us(o_orderdate) FROM orders),
+        |t AS (SELECT tbl, sort_us, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1, 2)
+        |SELECT tbl, CAST(count(*) AS BIGINT) AS n_txns,
+        |  CAST(sum(n) AS BIGINT) AS n_changes,
+        |  CAST(max(n) AS BIGINT) AS max_txn_rows,
+        |  CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS multi_row_txns,
+        |  CAST(1000 * (count(*) - sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS singleton_pm
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_scd2_lookup" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         |  ${cents("value")} AS value_c FROM events),
+         |d AS (SELECT user_id, event_id AS dim_eid, us AS valid_from_us,
+         |  value_c AS dim_value_c,
+         |  coalesce(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id),
+         |    9223372036854775807) AS valid_to_us,
+         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS dim_version_n
+         |  FROM e WHERE event_type = 'click'),
+         |f AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase')
+         |SELECT f.user_id, f.event_id, f.us,
+         |  CAST(coalesce(dim_version_n, -1) AS BIGINT) AS dim_version_n,
+         |  CAST(coalesce(dim_value_c, -1) AS BIGINT) AS dim_value_c,
+         |  CAST(CASE WHEN dim_eid IS NULL THEN 0 ELSE 1 END AS BIGINT) AS matched
+         |FROM f LEFT JOIN d ON d.user_id = f.user_id
+         |  AND d.valid_from_us <= f.us AND f.us < d.valid_to_us
+         |ORDER BY f.event_id""".stripMargin
   )
 
   /** Shared structural gate for the ANN top-k rungs: every query holds

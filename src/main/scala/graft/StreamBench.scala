@@ -197,7 +197,18 @@ object StreamBench {
         i => AuditChange(s"k${i % 1000}", i.toLong,
           new java.sql.Timestamp(
             1700000000000L + i.toLong + (if (i % 31 == 0) -1500L else 0L))),
-        "update", ds => StreamOrderAudit.audit(ds))))
+        "update", ds => StreamOrderAudit.audit(ds))),
+      // 5000 dimension keys, monotone commit time, 97 distinct values;
+      // every key revisits ~rows/5000 times, so nearly every change
+      // closes a version — the emit-heavy regime; ~3% stale arrivals
+      // (every 37th row steps back 6000 ms, behind its key's open
+      // version) keep the drop path hot; state = 1 OpenVersion per key
+      ("stream_scd2", () => drive[ChangeRow, Scd2Version](spark, "scd2",
+        rows, batches, reps,
+        i => ChangeRow(s"k${i % 5000}",
+          1700000000000L + i.toLong + (if (i % 37 == 0) -6000L else 0L),
+          s"v${i % 97}"),
+        "append", ds => StreamScd2.versions(ds))))
 
     val results = ops.map { case (name, f) =>
       val r = f()

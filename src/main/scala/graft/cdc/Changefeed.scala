@@ -725,4 +725,34 @@ object Changefeed {
         expr("1000 * (n_changes - n_inversions) div n_changes"))
       .orderBy(col("part_id"))
   }
+
+  /** §2#251 TRANSACTION STATS — commit-group shape of the multi-table
+    * feed: CockroachDB changefeed rows from one transaction share one
+    * commit HLC timestamp (the reference orders and de-dups on exactly
+    * that instant, model.rs:74-91), so grouping by (tbl, sort_us)
+    * recovers transaction boundaries without any txn-id on the wire.
+    * Per table: transaction count, row count, the largest transaction,
+    * multi-row transaction count and the singleton share in per-mille
+    * — the report that decides whether a downstream applier needs
+    * batch-atomic writes (multi-row txns present) or can stream row
+    *-at-a-time (all singletons).
+    *
+    * Shape: one combinable (tbl, sort_us) count (map-side partials →
+    * |commit instants| rows), one |tables|-row aggregate. */
+  def txnStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = changeRows(spark, sfDir).select(col("tbl"), col("sort_us"))
+    val ord = Tables.load(spark, sfDir, "orders")
+      .select(lit("orders").as("tbl"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("sort_us"))
+    val txns = ev.unionByName(ord)
+      .groupBy(col("tbl"), col("sort_us")).agg(count(lit(1)).as("n"))
+    txns.groupBy(col("tbl"))
+      .agg(count(lit(1)).as("n_txns"), sum(col("n")).as("n_changes"),
+        max(col("n")).as("max_txn_rows"),
+        sum(when(col("n") >= 2, 1L).otherwise(0L)).as("multi_row_txns"))
+      .select(col("tbl"), col("n_txns"), col("n_changes"),
+        col("max_txn_rows"), col("multi_row_txns"),
+        expr("1000 * (n_txns - multi_row_txns) div n_txns").as("singleton_pm"))
+      .orderBy(col("tbl"))
+  }
 }

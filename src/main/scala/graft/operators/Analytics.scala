@@ -1144,4 +1144,129 @@ object Analytics {
         expr("((k_used - 1) * 2147483648L) div greatest(hk, 1)").as("union_est"))
       .orderBy(col("src_a"), col("src_b"))
   }
+
+  /** §2#248 RFM SEGMENTATION — the classic recency/frequency/monetary
+    * customer cube (Hughes 1994; the standard warehouse segmentation
+    * query): per user, recency = last event instant, frequency =
+    * purchase count, monetary = integer-cents spend; each dimension
+    * scored into quintiles 1–5 with the VALUE-GRANULAR cumsum idiom
+    * (the #95/#198 construct — windows run over per-VALUE count
+    * tables, never per-row ntile over the corpus), then one combinable
+    * aggregate per (r, f, m) cell: ≤125 output rows at any scale.
+    *
+    * Shape: one user-grain aggregate over events (the only
+    * corpus-sized shuffle), three value-count tables ≤ |users| rows
+    * each (users ≪ events — the qDecileLift scale argument; for an
+    * unbounded id universe the curriculum-style fixed value bands are
+    * the documented fallback), one 125-cell aggregate. */
+  def qRfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("r_us"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("f_n"),
+        sum(cents(col("value"))).as("m_c"))
+    // quintile score of one metric via its value-count table: score =
+    // 1 + 5·(rows strictly below this value) div total — identical
+    // tie handling in both engines because ties share one table row
+    def quintile(metric: String): DataFrame = {
+      val w = Window.orderBy(col(metric))
+      u.groupBy(col(metric)).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("tot", sum(col("cnt")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col(metric),
+          expr("1 + (5 * (cum - cnt)) div tot").as(s"${metric.take(1)}_score"))
+    }
+    u.join(quintile("r_us"), "r_us")
+      .join(quintile("f_n"), "f_n")
+      .join(quintile("m_c"), "m_c")
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"), sum(col("m_c")).as("segment_spend_c"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  /** §2#249 TOUCH ATTRIBUTION — first- and last-touch marketing
+    * attribution inside a 7-day lookback (the two standard single-touch
+    * models): for every purchase, the earliest and the latest
+    * non-purchase event of the same user in (purchase−7d, purchase),
+    * ties broken by event_id; purchases with no touch in the window
+    * attribute to 'direct'. Output per touch channel (event_type):
+    * purchases first-/last-attributed and last-touch revenue cents —
+    * the report every growth team joins against ad spend.
+    *
+    * Shape: the purchase×touch candidate join is per-user and
+    * 7-day-bounded (the q_funnel_windowed fanout argument: per-user
+    * week volume, never corpus²); one row_number window per purchase
+    * over those bounded candidates; two ≤|channels| aggregates. */
+  def qAttribution(spark: SparkSession, sfDir: String,
+      windowUs: Long = 604800000000L): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), cents(col("value")).as("value_c"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_eid"),
+        col("us").as("p_us"), col("value_c"))
+    val touches = e.where(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("t_eid"),
+        col("us").as("t_us"), col("event_type").as("channel"))
+    val cand = purchases.join(touches, Seq("user_id"))
+      .where(col("t_us") < col("p_us") && col("t_us") > col("p_us") - windowUs)
+    val byPurchase = Window.partitionBy(col("user_id"), col("p_eid"))
+    val picked = cand
+      .withColumn("rk_first", row_number().over(
+        byPurchase.orderBy(col("t_us"), col("t_eid"))))
+      .withColumn("rk_last", row_number().over(
+        byPurchase.orderBy(col("t_us").desc, col("t_eid").desc)))
+    val first = picked.where(col("rk_first") === 1)
+      .select(col("p_eid"), col("channel").as("first_ch"))
+    val last = picked.where(col("rk_last") === 1)
+      .select(col("p_eid"), col("channel").as("last_ch"))
+    val attributed = purchases
+      .join(first, Seq("p_eid"), "left").join(last, Seq("p_eid"), "left")
+      .select(coalesce(col("first_ch"), lit("direct")).as("first_ch"),
+        coalesce(col("last_ch"), lit("direct")).as("last_ch"), col("value_c"))
+    val byFirst = attributed.groupBy(col("first_ch").as("channel"))
+      .agg(count(lit(1)).as("n_first_touch"))
+    val byLast = attributed.groupBy(col("last_ch").as("channel"))
+      .agg(count(lit(1)).as("n_last_touch"),
+        sum(col("value_c")).as("last_touch_rev_c"))
+    byFirst.join(byLast, Seq("channel"), "full_outer")
+      .na.fill(0L, Seq("n_first_touch", "n_last_touch", "last_touch_rev_c"))
+      .orderBy(col("channel"))
+  }
+
+  /** §2#250 JOIN-SKEW REPORT — the diagnostic run BEFORE picking a
+    * skew mitigation (salting factor, AQE thresholds — the #50/#76
+    * knobs): the multiplicity distribution of a join key, here
+    * lineitem.l_orderkey (the fact side of the canonical
+    * lineitem⋈orders join), as a log₂ histogram of per-key row counts
+    * with each bucket's cumulative row share and the global
+    * max-over-average skew factor (1000 = perfectly uniform). A key
+    * whose max multiplicity sits orders of magnitude above average is
+    * the key you salt; this report is how you know.
+    *
+    * Shape: one combinable per-key count (the only corpus-sized
+    * shuffle — map-side partials make it |keys|-bounded), a ≤64-row
+    * log₂ histogram, one window over those ≤64 rows, one broadcast
+    * scalar. */
+  def qJoinSkewReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val mult = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("m"))
+    val buckets = mult
+      .select((length(bin(col("m"))) - 1).cast("long").as("log2_bucket"),
+        col("m"))
+      .groupBy(col("log2_bucket"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("m")).as("n_rows"),
+        max(col("m")).as("max_mult"))
+    val w = Window.orderBy(col("log2_bucket"))
+    val totals = mult.agg(count(lit(1)).as("t_keys"), sum(col("m")).as("t_rows"),
+      max(col("m")).as("t_max"))
+    buckets
+      .withColumn("cum_rows", sum(col("n_rows")).over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("log2_bucket"), col("n_keys"), col("n_rows"), col("max_mult"),
+        expr("1000 * cum_rows div t_rows").as("cum_rows_pm"),
+        expr("1000 * t_max * t_keys div t_rows").as("skew_factor_pm"))
+      .orderBy(col("log2_bucket"))
+  }
 }

@@ -357,4 +357,48 @@ object Graph {
         col("e_in"), col("q_num"))
     per.unionByName(total).orderBy(col("lang"))
   }
+
+  /** §2#247 NEIGHBOR-SET JACCARD — structural similarity of candidate
+    * PAIRS: for each edge (a,b), the Jaccard of the two endpoints'
+    * neighbor SETS in per-mille (|N(a)∩N(b)| / |N(a)∪N(b)| — the
+    * classic link-prediction / role-similarity score, e.g. SimRank's
+    * first iteration; Leskovec et al., MMDS ch.10). High doc-text
+    * similarity with LOW structural similarity flags bridge documents
+    * between dup clusters; high-high pairs sit inside a clique and are
+    * safe to collapse. Complements dedup_cluster (which only labels
+    * membership) with an edge-strength readout.
+    *
+    * Shape: the wedge join counts common neighbors per EDGE — fanout
+    * bounded by degree (arboricity-bounded on the banded candidate
+    * graph, the graph_triangles argument), never doc×doc; degrees are
+    * one combinable count; all-integer output. Zero-common edges are
+    * kept via left join so the row count is exactly |candidate pairs|. */
+  def neighborJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    neighborJaccardFrom(Dedup.candidatePairs(spark, sfDir))
+
+  /** [[neighborJaccard]] over any (doc_a < doc_b) edge list. */
+  def neighborJaccardFrom(e: DataFrame): DataFrame = {
+    // symmetric adjacency: u's neighbor list with u as the key
+    val adj = e.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(e.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    // common neighbors per edge: wedges closing both endpoints share
+    // the middle vertex v; v can never be a or b (no self-loops), so
+    // the count is exactly |N(a)∩N(b)\{a,b}| = |N(a)∩N(b)|
+    val common = e.as("p")
+      .join(adj.as("x"), col("p.doc_a") === col("x.u"))
+      .join(adj.as("y"),
+        col("p.doc_b") === col("y.u") && col("x.v") === col("y.v"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("common_nbrs"))
+    e.join(common, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("common_nbrs"))
+      .join(deg.select(col("u").as("doc_a"), col("deg").as("deg_a")), "doc_a")
+      .join(deg.select(col("u").as("doc_b"), col("deg").as("deg_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("common_nbrs"),
+        (col("deg_a") + col("deg_b") - col("common_nbrs")).as("union_nbrs"),
+        expr("1000 * common_nbrs div (deg_a + deg_b - common_nbrs)")
+          .as("jaccard_pm"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

@@ -157,4 +157,46 @@ object Temporal {
         abs(col("us_b") - col("us_a")).as("gap_us"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** §2#252 SCD2 LOOKUP — the temporal-join half of slowly-changing
+    * dimensions (Kimball DWH toolkit ch.5; cdc_scd2 #72 BUILDS the
+    * versions, this op READS them the way every fact load does): each
+    * purchase event is enriched with the version of the user's click
+    * dimension valid AT the purchase instant (valid_from ≤ ts <
+    * valid_to). Versions partition each user's timeline, so the range
+    * join matches at most one version per fact — row count is exactly
+    * |purchases|, misses (no click yet / never) carry version −1.
+    *
+    * Shape: versions derive from one per-user window over click
+    * events (user-bounded partitions); the fact⋈version range join is
+    * an equi-join on user_id with the range in the residual — per-user
+    * fanout = that user's versions, never corpus². At warehouse scale
+    * the dimension side is the small one: broadcast when it fits,
+    * co-bucket on user_id when not (the §5 bucketed-join recipe). */
+  def scd2Lookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        graft.functions.Fns.cents(col("value")).as("value_c"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from_us"), col("dim_eid"))
+    val dim = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("dim_eid"),
+        col("us").as("valid_from_us"), col("value_c").as("dim_value_c"))
+      .withColumn("valid_to_us",
+        coalesce(lead(col("valid_from_us"), 1).over(byUser),
+          lit(Long.MaxValue)))
+      .withColumn("dim_version_n", row_number().over(byUser).cast("long"))
+    val facts = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("us"))
+    facts.join(dim,
+        facts("user_id") === dim("user_id") &&
+          col("valid_from_us") <= col("us") && col("us") < col("valid_to_us"),
+        "left")
+      .select(facts("user_id"), col("event_id"), col("us"),
+        coalesce(col("dim_version_n"), lit(-1L)).as("dim_version_n"),
+        coalesce(col("dim_value_c"), lit(-1L)).as("dim_value_c"),
+        when(col("dim_eid").isNull, 0L).otherwise(1L).as("matched"))
+      .orderBy(col("event_id"))
+  }
 }

@@ -1150,4 +1150,95 @@ object TextAnalysis {
           .stripMargin).as("zipf_neg_slope_pm"))
       .orderBy(col("source"))
   }
+
+  /** §2#245 KNESER–NEY continuation statistics — the count tables KN
+    * smoothing (Kneser & Ney 1995; Chen & Goodman 1998 §2.7) is built
+    * from, for the corpus bigram LM (#128): per frequent token, its
+    * raw frequency f, LEFT type diversity N1+(·w) = |distinct
+    * predecessors| (how many contexts the word completes — the KN
+    * continuation numerator; "Francisco" is frequent but
+    * low-diversity, which is exactly why KN discounts it), RIGHT
+    * diversity N1+(w·), and the continuation probability in ppm
+    * (1e6 · N1+(·w) / |distinct bigram types|). A pipeline reads this
+    * next to text_rarity when choosing LM-based quality filters: high
+    * f with low left diversity flags boilerplate collocations.
+    *
+    * Shape: one distinct over bigram TYPES (Heaps-bounded ≪ corpus),
+    * two type-table groupBys keyed on the token (vocab-sized), one
+    * combinable unigram count, vocab-sized joins, and a broadcast
+    * one-row type-count — no corpus-sized shuffle after the first
+    * (map-side-combined) counts. The f ≥ 50 floor keeps the report
+    * the head of the vocab, same rationale as text_rarity's df floor. */
+  def knStats(spark: SparkSession, sfDir: String): DataFrame =
+    knStatsOf(Tables.documentsPar(spark, sfDir))
+
+  /** [[knStats]] over any (text) frame. */
+  def knStatsOf(docs: DataFrame): DataFrame = {
+    val base = docs.select(tokens(col("text")).as("toks"))
+    val types = base.where(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(toks, 1, size(toks)-1), slice(toks, 2, size(toks)-1)," +
+          " (x, y) -> struct(x AS w1, y AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .distinct()
+    val left = types.groupBy(col("w2").as("tok"))
+      .agg(count(lit(1)).as("left_types"))
+    val right = types.groupBy(col("w1").as("tok"))
+      .agg(count(lit(1)).as("right_types"))
+    val uni = base.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    uni.where(col("f") >= 50)
+      .join(left, Seq("tok"), "left").join(right, Seq("tok"), "left")
+      .na.fill(0L, Seq("left_types", "right_types"))
+      .crossJoin(broadcast(types.agg(count(lit(1)).as("n_bigram_types"))))
+      .select(col("tok"), col("f"), col("left_types"), col("right_types"),
+        expr("1000000 * left_types div n_bigram_types").as("cont_ppm"))
+      .orderBy(col("tok"))
+  }
+
+  /** §2#246 SYNDICATION MATRIX — cross-SOURCE passage-level overlap:
+    * which feeds republish each other's content (wire-service
+    * syndication, mirror crawls), the between-sources companion of the
+    * within-corpus dedup family. Passages are the 20-token chunks of
+    * [[chunkDedup]] (ONE shared granularity, so "this chunk is
+    * duplicated" and "these sources syndicate" read off the same
+    * unit); for every source pair sharing at least one passage hash:
+    * the shared-type count and the Jaccard of their passage-type sets
+    * in per-mille. A training-data pipeline reads this before setting
+    * per-source mixture weights — two 40%-overlapping crawls are NOT
+    * two independent sources.
+    *
+    * Shape: explode to (source, passage-hash) distinct (combinable),
+    * per-source type counts (|sources| rows), and the pair join runs
+    * hash-to-hash over passage types shared by ≥2 sources — output
+    * and join fanout bounded by |sources|² (≈ dozens), never doc×doc. */
+  def syndicationMatrix(spark: SparkSession, sfDir: String): DataFrame =
+    syndicationMatrixOf(Tables.documentsPar(spark, sfDir), 20)
+
+  /** [[syndicationMatrix]] over any (source, text) frame. */
+  def syndicationMatrixOf(docs: DataFrame, chunkTokens: Int): DataFrame = {
+    val sents = docs
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .select(col("source"), explode(expr(
+        s"""transform(sequence(1L, greatest(size(toks) div $chunkTokens, 1L)),
+           |  i -> md5(array_join(slice(toks, CAST((i-1)*$chunkTokens+1 AS INT), $chunkTokens), ' ')))"""
+          .stripMargin)).as("h"))
+      .distinct()
+    val perSource = sents.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"))
+    val shared = sents.as("a").join(sents.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(perSource.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n_types", "types_a")), "source_a")
+      .join(broadcast(perSource.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n_types", "types_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("types_a"), col("types_b"),
+        expr("1000 * n_shared div (types_a + types_b - n_shared)")
+          .as("jaccard_pm"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }

@@ -35,6 +35,60 @@ class RepoHygieneSpec extends AnyFunSuite {
         " — use the \\u0000 escape instead of a literal byte")
   }
 
+  test("integer division in a hash-gated oracle requires sign-safety review") {
+    // THE negative-division seam (r13 verdict #7): BIGINT division
+    // truncates toward zero in Spark (`div`) but floors in DuckDB
+    // (`//`) — a possibly-negative numerator is the ONE construct
+    // where the two engines disagree on identical integer inputs
+    // (text_zipf_check documents the rule and the greatest(...)
+    // negate-before-divide fix). A full mechanical sign analysis of
+    // arbitrary SQL is not feasible, so the enforceable seam is the
+    // allowlist below: every oracle using `//` was reviewed for a
+    // provably non-negative numerator (counts, lengths, greatest(x,0)
+    // clamps, products of non-negatives) AND is hash-exact at two
+    // scale factors. A NEW op introducing `//` fails here until its
+    // numerator signs are reviewed and the name is added — the seam
+    // cannot be re-hit silently.
+    val signSafeDiv = Set(
+      // r14 additions, reviewed at introduction: kn_stats/syndication/
+      // neighbor_jaccard/skew divide count products; rfm divides
+      // 5·(cum−cnt) where cum ≥ cnt by window construction; txn_stats
+      // divides 1000·(n_txns − multi_row_txns) where multi ≤ n_txns
+      "text_kn_stats", "text_syndication_matrix", "graph_neighbor_jaccard",
+      "q_rfm_segments", "q_join_skew_report", "cdc_txn_stats",
+      "cdc_order_audit", "cdc_resolved_gaps", "cdc_snapshot_diff",
+      "dedup_incremental_minhash", "dedup_lsh_tuning", "dedup_minhash_lsh",
+      "dedup_report", "graph_pagerank", "layout_hilbert",
+      "layout_prune_compare", "layout_zorder", "pack_efficiency",
+      "pack_sequences", "pack_shelves", "pipeline_train_data",
+      "q_corr_moments", "q_decile_lift", "q_funnel_conversion",
+      "q_funnel_windowed", "q_kmv_jaccard", "q_ntile_decile",
+      "sample_curriculum", "sample_dsir", "sample_epochs",
+      "sample_temperature", "sample_weighted", "text_bigram_lm",
+      "text_bpe_encode", "text_chunk_dedup", "text_classifier_score",
+      "text_contamination_rate", "text_decontaminate_fuzzy",
+      "text_lang_confusion", "text_langid", "text_ngram_novelty",
+      "text_perplexity", "text_ppl_buckets", "text_rarity",
+      "text_salient_terms", "text_substring_dedup", "text_token_entropy",
+      "text_zipf_check", "ts_autocorr", "ts_changepoint",
+      "ts_cohort_matrix", "ts_dau_wau", "ts_dispersion", "ts_downsample",
+      "ts_ewma", "ts_interpolate", "ts_retention", "ts_seasonal",
+      "ts_sliding_distinct", "ts_trend", "ts_xcorr")
+    val unreviewed = SparkEntry.oracleSql.collect {
+      case (name, sql) if sql.contains("//") && !signSafeDiv(name) => name
+    }
+    assert(unreviewed.isEmpty,
+      s"oracle SQL with UNREVIEWED integer division: ${unreviewed.toSeq.sorted}" +
+        " — verify every // numerator is provably non-negative (Spark" +
+        " div truncates, DuckDB // floors; they disagree below zero)," +
+        " then add the op to signSafeDiv")
+    // and the allowlist must not rot: names that stop using // (or
+    // stop existing) get pruned so the review list stays honest
+    val stale = signSafeDiv.filter(n =>
+      !SparkEntry.oracleSql.get(n).exists(_.contains("//")))
+    assert(stale.isEmpty, s"signSafeDiv entries no longer using //: $stale")
+  }
+
   test("no direct localCheckpoint outside Checkpoints.scala (src/main)") {
     // every lineage cut and memo materialization must ride the
     // Checkpoints.cut seam so the reliable-checkpoint conf governs
