@@ -324,7 +324,42 @@ object ScaleCheck {
       // r13d: zipf — one (source, token) count + vocab-sized rank
       // windows; scan-speed band (vocab grows Heaps-slowly)
       "text_zipf_check" -> ((s: SparkSession, d: String, _: Int) =>
-        TextAnalysis.zipfCheck(s, d)))
+        TextAnalysis.zipfCheck(s, d)),
+      // r14: KN stats — bigram-TYPE distinct + vocab-sized joins; the
+      // per-copy suffixes grow bigram types ~K×, so this measures the
+      // type-table band (the bpe_train vocab-growth axis)
+      "text_kn_stats" -> ((s: SparkSession, d: String, _: Int) =>
+        TextAnalysis.knStats(s, d)),
+      // r14: syndication — (source, chunk-hash) distinct + a hash join
+      // whose fanout is |sources|² per shared hash; chunk-explode band
+      "text_syndication_matrix" -> ((s: SparkSession, d: String, _: Int) =>
+        TextAnalysis.syndicationMatrix(s, d)),
+      // r14: neighbor jaccard — rides the memoized candidate pairs +
+      // one wedge join (degree-bounded); candidate-generation band
+      "graph_neighbor_jaccard" -> ((s: SparkSession, d: String, _: Int) =>
+        Graph.neighborJaccard(s, d)),
+      // r14: RFM — one user-grain agg + three ≤|users| value tables +
+      // a 125-cell agg; user universe grows K× (shifted ids) so the
+      // value-table windows grow ~K× at constant output
+      "q_rfm_segments" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.qRfmSegments(s, d)),
+      // r14: attribution — per-user 7-day-bounded purchase×touch join
+      // + per-purchase windows; the funnel-family band
+      "q_attribution" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.qAttribution(s, d)),
+      // r14: skew report — one combinable per-key count + ≤64-row
+      // histogram; scan-speed band
+      "q_join_skew_report" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.qJoinSkewReport(s, d)),
+      // r14: txn stats — one combinable (tbl, sort_us) count; the
+      // shared time span keeps |commit instants| constant while
+      // per-instant counts grow K× — scan-speed band
+      "cdc_txn_stats" -> ((s: SparkSession, d: String, _: Int) =>
+        Changefeed.txnStats(s, d)),
+      // r14: scd2 lookup — per-user window over clicks + a per-user
+      // range join; K× users at constant per-user history → ~K×
+      "q_scd2_lookup" -> ((s: SparkSession, d: String, _: Int) =>
+        graft.operators.Temporal.scd2Lookup(s, d)))
 
     // SPARK_GRAFT_OPS=a,b,c restricts the run (default: everything) —
     // lets a round re-measure just its new ops without paying for the
