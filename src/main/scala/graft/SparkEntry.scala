@@ -229,7 +229,12 @@ object SparkEntry {
     "q_attribution" -> ((s: SparkSession, d: String) => Analytics.qAttribution(s, d)),
     "q_join_skew_report" -> (Analytics.qJoinSkewReport _),
     "cdc_txn_stats" -> (Changefeed.txnStats _),
-    "q_scd2_lookup" -> (Temporal.scd2Lookup _)
+    "q_scd2_lookup" -> (Temporal.scd2Lookup _),
+    "q_markov_transitions" -> (Analytics.qMarkovTransitions _),
+    "q_funnel_paths" -> (Analytics.qFunnelPaths _),
+    "graph_clustering_coeff" -> (Graph.clusteringCoeff _),
+    "text_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
+    "dedup_minhash_calibration" -> (Dedup.minhashCalibration _)
   )
 
   // ---- shared oracle SQL fragments -------------------------------------
@@ -3002,6 +3007,99 @@ FROM d JOIN v USING (tok) GROUP BY 1 ORDER BY d.doc_id""",
         |  CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS multi_row_txns,
         |  CAST(1000 * (count(*) - sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS singleton_pm
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_markov_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |p AS (SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_type
+        |  FROM e),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+        |SELECT from_type, to_type, n, n_from,
+        |  CAST(1000 * n // n_from AS BIGINT) AS p_pm
+        |FROM c JOIN f USING (from_type) ORDER BY 1, 2""".stripMargin,
+
+    "q_funnel_paths" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |u AS (SELECT user_id,
+        |  max(CASE WHEN rn = 1 THEN event_type END) AS e1,
+        |  max(CASE WHEN rn = 2 THEN event_type END) AS e2,
+        |  max(CASE WHEN rn = 3 THEN event_type END) AS e3
+        |  FROM e WHERE rn <= 3 GROUP BY 1)
+        |SELECT coalesce(e1, '-') || '>' || coalesce(e2, '-') || '>' || coalesce(e3, '-') AS path,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "graph_clustering_coeff" ->
+      s"""WITH $shCte,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS degree FROM
+         |  (SELECT doc_a AS u FROM p UNION ALL SELECT doc_b FROM p) GROUP BY 1),
+         |ed AS (SELECT CASE WHEN da.degree <= db.degree THEN p.doc_a ELSE p.doc_b END AS lo,
+         |  CASE WHEN da.degree <= db.degree THEN p.doc_b ELSE p.doc_a END AS hi
+         |  FROM p JOIN deg da ON da.u = p.doc_a JOIN deg db ON db.u = p.doc_b),
+         |t AS (SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+         |  FROM ed e1 JOIN ed e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+         |  JOIN p ON p.doc_a = e1.hi AND p.doc_b = e2.hi),
+         |tc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri FROM
+         |  (SELECT unnest([x, y, z]) AS doc_id FROM t) GROUP BY 1)
+         |SELECT dd.doc_id, CAST(coalesce(degree, 0) AS BIGINT) AS degree,
+         |  CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri,
+         |  CAST(2000 * coalesce(n_tri, 0)
+         |    // greatest(coalesce(degree, 0) * (coalesce(degree, 0) - 1), 1) AS BIGINT) AS coeff_pm
+         |FROM (SELECT doc_id FROM documents) dd
+         |LEFT JOIN deg ON deg.u = dd.doc_id LEFT JOIN tc USING (doc_id)
+         |ORDER BY dd.doc_id""".stripMargin,
+
+    "text_pmi_collocations" ->
+      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |p AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+        |  FROM (SELECT toks, unnest(generate_series(1, len(toks)-1)) AS i
+        |        FROM t WHERE len(toks) >= 2)),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy FROM p
+        |  GROUP BY 1, 2 HAVING count(*) >= 20),
+        |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM (SELECT unnest(toks) AS tok FROM t))
+        |SELECT w1, w2, c_xy, ua.c AS c_x, ub.c AS c_y,
+        |  CAST((length(bin(least(c_xy, 2147483647) * least(c_xy, 2147483647))) - 1)
+        |    + (length(bin(least(n_tokens, 2147483647) * least(n_tokens, 2147483647))) - 1)
+        |    - (length(bin(least(ua.c, 2147483647) * least(ua.c, 2147483647))) - 1)
+        |    - (length(bin(least(ub.c, 2147483647) * least(ub.c, 2147483647))) - 1) AS BIGINT) AS pmi_hb
+        |FROM bc JOIN uni ua ON ua.tok = bc.w1 JOIN uni ub ON ub.tok = bc.w2
+        |CROSS JOIN nt ORDER BY 1, 2""".stripMargin,
+
+    "dedup_minhash_calibration" ->
+      s"""WITH $plantedCorpusSql,
+         |${shingleHashCte("c")},
+         |perm AS (SELECT * FROM (VALUES $minhashPermSql) p(i, a, b)),
+         |$minhashSigCtes,
+         |pr AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bnd x JOIN bnd y
+         |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |eq AS (SELECT pr.doc_a, pr.doc_b, count(*) FILTER (WHERE sa.m = sb.m) AS neq
+         |  FROM pr JOIN s sa ON sa.doc_id = pr.doc_a
+         |  JOIN s sb ON sb.doc_id = pr.doc_b AND sb.i = sa.i GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+         |iv AS (SELECT pr.doc_a, pr.doc_b, CAST(count(*) AS BIGINT) AS inter_n
+         |  FROM pr JOIN sh a ON a.doc_id = pr.doc_a
+         |  JOIN sh b ON b.doc_id = pr.doc_b AND b.h = a.h GROUP BY 1, 2),
+         |pe AS (SELECT CAST(neq * 1000 // 96 AS BIGINT) AS est_pm,
+         |  CAST(1000 * coalesce(inter_n, 0)
+         |    // greatest(sa.n_sh + sb.n_sh - coalesce(inter_n, 0), 1) AS BIGINT) AS exact_pm
+         |  FROM eq LEFT JOIN iv USING (doc_a, doc_b)
+         |  JOIN sz sa ON sa.doc_id = eq.doc_a JOIN sz sb ON sb.doc_id = eq.doc_b)
+         |SELECT CAST((est_pm - exact_pm + 1000) // 100 AS BIGINT) AS err_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(est_pm) // count(*) AS BIGINT) AS avg_est_pm,
+         |  CAST(sum(exact_pm) // count(*) AS BIGINT) AS avg_exact_pm
+         |FROM pe GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_scd2_lookup" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,

@@ -1235,6 +1235,64 @@ object Analytics {
       .orderBy(col("channel"))
   }
 
+  /** §2#256 MARKOV TRANSITIONS — the first-order behavior model over
+    * event streams (the session-analysis classic; PageRank's row view):
+    * per (from, to) event-type pair, how often a user's next event is
+    * `to` given `from` (consecutive by (ts, event_id) per user), with
+    * the row-conditional probability in per-mille. Product teams read
+    * it as the navigation graph; anomaly detection reads drift in it.
+    *
+    * Shape: one per-user lead() window (the sessionize exchange), one
+    * combinable (from, to) count — output |event_types|² rows. */
+  def qMarkovTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(broadcast(fromTotals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        expr("1000 * n div n_from").as("p_pm"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** §2#257 FUNNEL PATHS — the top-of-journey report ("what do users
+    * actually do first?"): each user's first three events by
+    * (ts, event_id) folded into a path string `a>b>c` (shorter
+    * journeys pad with `-`), counted per distinct path — the
+    * empirical funnel the designed funnel (#56) is compared against.
+    *
+    * Shape: one per-user row_number window, a 3-row-per-user
+    * conditional-max fold (no collect_list — order is pinned by the
+    * rank, not array aggregation order), one combinable count over
+    * ≤ |types|³ paths. */
+  def qFunnelPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val ranked = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+    ranked.groupBy(col("user_id"))
+      .agg(
+        max(when(col("rn") === 1, col("event_type"))).as("e1"),
+        max(when(col("rn") === 2, col("event_type"))).as("e2"),
+        max(when(col("rn") === 3, col("event_type"))).as("e3"))
+      .select(concat_ws(">", coalesce(col("e1"), lit("-")),
+        coalesce(col("e2"), lit("-")), coalesce(col("e3"), lit("-")))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("path"))
+  }
+
   /** §2#250 JOIN-SKEW REPORT — the diagnostic run BEFORE picking a
     * skew mitigation (salting factor, AQE thresholds — the #50/#76
     * knobs): the multiplicity distribution of a join key, here

@@ -920,6 +920,69 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** §2#260 MINHASH CALIBRATION — estimator-vs-truth for the
+    * production (32 bands × 3 rows) pipeline, the fourth sketch-error
+    * report next to #241 Count-Min, #113 HLL and #240's S-curve: for
+    * every banded candidate pair, the 96-signature Jaccard ESTIMATE
+    * against the EXACT shingle-set Jaccard over the same universe
+    * (distinct md5 3-shingles of the planted corpus — plants provide
+    * graded near-dups so the error is measured where decisions
+    * happen, not only at trivial 1000‰ exact dups), histogrammed by
+    * signed error bucket (100‰ bins, bucket 10 = unbiased). The table
+    * answers "is 96 permutations enough at our 500‰ threshold" with
+    * data — MinHash's ±1/√k standard error (Broder 1997) made
+    * visible — before anyone re-shingles 100 TB with k=256.
+    *
+    * Shape: ONE signature build feeds banding, estimation AND the
+    * exact side; exact Jaccard is computed ONLY for banded candidates
+    * (per-pair shared-shingle join — work ∝ candidate overlap, never
+    * doc×doc); output ≤21 buckets. No signed division: the bucket
+    * shifts by +1000 before `div` (the #243 truncate-vs-floor seam). */
+  def minhashCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 96
+    val sigs = minhashSignatures(spark, sfDir, k)
+    val banded = sigs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(31)),
+          bb => concat_ws(",", slice(col("sig"), bb * lit(3) + 1, lit(3))))))
+      .toDF("doc_id", "band", "bkey")
+    val pairs = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val est = pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))" +
+          s" * 1000 div $k").cast("long").as("est_pm"))
+    val ex = corpusWithPlants(spark, sfDir)
+      .select(col("doc_id"), explode(shingleMd5Hashes(col("toks"), 3)).as("h0"))
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(ex.select(col("doc_id").as("doc_a"), col("h0")), "doc_a")
+      .join(ex.select(col("doc_id").as("doc_b"), col("h0")), Seq("doc_b", "h0"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter_n"))
+    est
+      // left join: a band key can theoretically collide across the
+      // h=0 / h=2³¹−1 seam of the affine family with NO shared
+      // shingle — exact_pm reads 0 there instead of dropping the pair
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("inter_n"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .select(col("est_pm"),
+        expr("1000 * inter_n div greatest(n_a + n_b - inter_n, 1)")
+          .as("exact_pm"))
+      .select(expr("(est_pm - exact_pm + 1000) div 100").as("err_bucket"),
+        col("est_pm"), col("exact_pm"))
+      .groupBy(col("err_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(est_pm) div count(1)").as("avg_est_pm"),
+        expr("sum(exact_pm) div count(1)").as("avg_exact_pm"))
+      .orderBy(col("err_bucket"))
+  }
+
   /** The banding sweep of [[lshTuning]]: (bands, rows) with
     * bands·rows = 96, r ≥ 3 — r = 2 is excluded on purpose: its
     * collision rate on UNRELATED pairs (1−(1−j²)ᵇ ≈ 11% at j≈0.05)

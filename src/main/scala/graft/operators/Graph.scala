@@ -358,6 +358,35 @@ object Graph {
     per.unionByName(total).orderBy(col("lang"))
   }
 
+  /** §2#258 LOCAL CLUSTERING COEFFICIENT — per node, how close its
+    * neighborhood is to a clique (Watts & Strogatz 1998):
+    * 2·triangles(v) / (deg(v)·(deg(v)−1)) in per-mille. On the
+    * candidate graph it separates CLIQUE members (tight dup clusters,
+    * coeff → 1000) from HUB documents (boilerplate matching many
+    * unrelated docs, coeff → 0) — the per-node refinement of what
+    * #247 scores per edge, and the standard screen before collapsing
+    * a cluster to its canonical.
+    *
+    * Shape: composes the wedge-join triangle count (#122, degree-
+    * bounded) with the combinable degree count; one doc-spine left
+    * join keeps isolated docs at coeff 0. */
+  def clusteringCoeff(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Dedup.candidatePairs(spark, sfDir)
+    val deg = e.select(col("doc_a").as("doc_id"))
+      .unionAll(e.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    val tri = trianglesFrom(e)
+    Tables.documentsPar(spark, sfDir).select(col("doc_id"))
+      .join(deg, Seq("doc_id"), "left")
+      .join(tri, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("coeff_pm",
+        expr("2000 * n_tri div greatest(degree * (degree - 1), 1)"))
+      .orderBy(col("doc_id"))
+  }
+
   /** §2#247 NEIGHBOR-SET JACCARD — structural similarity of candidate
     * PAIRS: for each edge (a,b), the Jaccard of the two endpoints'
     * neighbor SETS in per-mille (|N(a)∩N(b)| / |N(a)∪N(b)| — the

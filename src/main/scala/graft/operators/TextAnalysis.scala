@@ -1196,6 +1196,53 @@ object TextAnalysis {
       .orderBy(col("tok"))
   }
 
+  /** §2#259 PMI COLLOCATIONS — pointwise mutual information of
+    * adjacent token pairs (Church & Hanks 1990, the standard
+    * collocation score): PMI = log₂(c(xy)·N / (c(x)·c(y))), reported
+    * in exact integer HALF-bits as hb(c_xy) + hb(N) − hb(c_x) −
+    * hb(c_y) with hb(v) = length(bin(least(v, 2³¹−1)²)) − 1 — each
+    * log taken SEPARATELY (the #221 construct with the #243
+    * saturation cap), so no product can overflow even at 10¹³-token
+    * corpora where c(xy)·N would. High-PMI pairs are phrases a BPE
+    * vocabulary (#216) should keep whole; a tokenizer team reads this
+    * next to text_bpe_pairs (raw frequency ranks "of the" first; PMI
+    * ranks real collocations). No division anywhere — PMI is signed
+    * and subtraction is seam-free where `div` is not.
+    *
+    * Shape: one combinable bigram count (pair-key shuffle, vocab²-
+    * bounded by Heaps), one combinable unigram count, a vocab-sized
+    * hash join per side, one broadcast token-total scalar. */
+  def pmiCollocations(spark: SparkSession, sfDir: String,
+      minPair: Long = 20L): DataFrame =
+    pmiCollocationsOf(Tables.documentsPar(spark, sfDir), minPair)
+
+  /** [[pmiCollocations]] over any (text) frame. */
+  def pmiCollocationsOf(docs: DataFrame, minPair: Long): DataFrame = {
+    val base = docs.select(tokens(col("text")).as("toks"))
+    def hb(c: Column): Column =
+      (length(bin(least(c, lit(2147483647L)) * least(c, lit(2147483647L))))
+        - 1).cast("long")
+    val pairs = base.where(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(toks, 1, size(toks)-1), slice(toks, 2, size(toks)-1)," +
+          " (x, y) -> struct(x AS w1, y AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= minPair)
+    val uni = base.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = base.select(explode(col("toks")).as("tok"))
+      .agg(count(lit(1)).as("n_tokens"))
+    pairs
+      .join(uni.select(col("tok").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("c_y")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        (hb(col("c_xy")) + hb(col("n_tokens"))
+          - hb(col("c_x")) - hb(col("c_y"))).as("pmi_hb"))
+      .orderBy(col("w1"), col("w2"))
+  }
+
   /** §2#246 SYNDICATION MATRIX — cross-SOURCE passage-level overlap:
     * which feeds republish each other's content (wire-service
     * syndication, mirror crawls), the between-sources companion of the

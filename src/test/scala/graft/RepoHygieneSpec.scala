@@ -56,6 +56,11 @@ class RepoHygieneSpec extends AnyFunSuite {
       // divides 1000·(n_txns − multi_row_txns) where multi ≤ n_txns
       "text_kn_stats", "text_syndication_matrix", "graph_neighbor_jaccard",
       "q_rfm_segments", "q_join_skew_report", "cdc_txn_stats",
+      // wave 3: markov/coeff divide count products; calibration's
+      // bucket shifts +1000 before div (est,exact ∈ [0,1000]) and its
+      // averages divide non-negative sums
+      "q_markov_transitions", "graph_clustering_coeff",
+      "dedup_minhash_calibration",
       "cdc_order_audit", "cdc_resolved_gaps", "cdc_snapshot_diff",
       "dedup_incremental_minhash", "dedup_lsh_tuning", "dedup_minhash_lsh",
       "dedup_report", "graph_pagerank", "layout_hilbert",
