@@ -156,7 +156,7 @@ object Bench {
     // 100x scale-up is predicted from (plan shape says a shuffle
     // exists; these say how many bytes it moves).
     val ioJson = io.map { case (k, s) =>
-      s""""${esc(k)}":{"shuffle_read_b":${s.shuffleReadB},"shuffle_write_b":${s.shuffleWriteB},"spill_b":${s.spillB},"peak_exec_mem_b":${s.peakExecMemB}}"""
+      s""""${esc(k)}":{"shuffle_read_b":${s.shuffleReadB},"shuffle_write_b":${s.shuffleWriteB},"spill_b":${s.spillB},"peak_exec_mem_b":${s.peakExecMemB},"input_read_b":${s.inputReadB}}"""
     }.mkString("{", ",", "}")
     val total = (results ++ candEntry ++ truthEntry).values.filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"gc_ms":$gcTotalMs,"io":$ioJson,"sf":"$sfDir","epoch_ms":${System.currentTimeMillis()}}"""

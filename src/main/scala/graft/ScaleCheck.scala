@@ -359,7 +359,22 @@ object ScaleCheck {
       // r14: scd2 lookup — per-user window over clicks + a per-user
       // range join; K× users at constant per-user history → ~K×
       "q_scd2_lookup" -> ((s: SparkSession, d: String, _: Int) =>
-        graft.operators.Temporal.scd2Lookup(s, d)))
+        graft.operators.Temporal.scd2Lookup(s, d)),
+      // r14 wave 3. transitions/paths: one per-user window + bounded
+      // aggregate — scan-speed band; coeff rides the memoized
+      // candidate graph (wedge join, arboricity-bounded); pmi is the
+      // kn_stats type-table band; calibration rebuilds sigs (96
+      // min-aggs ∝ corpus) + candidate-bounded exact joins
+      "q_markov_transitions" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.qMarkovTransitions(s, d)),
+      "q_funnel_paths" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.qFunnelPaths(s, d)),
+      "graph_clustering_coeff" -> ((s: SparkSession, d: String, _: Int) =>
+        Graph.clusteringCoeff(s, d)),
+      "text_pmi_collocations" -> ((s: SparkSession, d: String, _: Int) =>
+        TextAnalysis.pmiCollocations(s, d)),
+      "dedup_minhash_calibration" -> ((s: SparkSession, d: String, _: Int) =>
+        Dedup.minhashCalibration(s, d)))
 
     // SPARK_GRAFT_OPS=a,b,c restricts the run (default: everything) —
     // lets a round re-measure just its new ops without paying for the

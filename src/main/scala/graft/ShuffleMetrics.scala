@@ -20,12 +20,17 @@ import org.apache.spark.sql.SparkSession
   *   when partition sizing is misjudged at scale)
   * - `peakExecMemB`: max single-task peak execution memory (the
   *   per-slot memory the same plan would demand of a cluster
-  *   executor). */
+  *   executor)
+  * - `inputReadB`: bytes read from storage (task inputMetrics) — the
+  *   pushdown story in numbers: a projection that should prune
+  *   columns, or a filter that should prune partitions/row groups,
+  *   shows up here as bytes that were or weren't read. */
 case class IoSnapshot(shuffleReadB: Long, shuffleWriteB: Long,
-    spillB: Long, peakExecMemB: Long) {
+    spillB: Long, peakExecMemB: Long, inputReadB: Long = 0L) {
   def -(o: IoSnapshot): IoSnapshot =
     IoSnapshot(shuffleReadB - o.shuffleReadB, shuffleWriteB - o.shuffleWriteB,
-      spillB - o.spillB, math.max(peakExecMemB, o.peakExecMemB))
+      spillB - o.spillB, math.max(peakExecMemB, o.peakExecMemB),
+      inputReadB - o.inputReadB)
 }
 
 /** SparkListener accumulating task-level I/O metrics. One instance is
@@ -39,6 +44,7 @@ class ShuffleMetricsListener extends SparkListener {
   private val read = new LongAdder
   private val write = new LongAdder
   private val spill = new LongAdder
+  private val input = new LongAdder
   @volatile private var peak = 0L
 
   override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
@@ -47,6 +53,7 @@ class ShuffleMetricsListener extends SparkListener {
       read.add(m.shuffleReadMetrics.totalBytesRead)
       write.add(m.shuffleWriteMetrics.bytesWritten)
       spill.add(m.memoryBytesSpilled + m.diskBytesSpilled)
+      input.add(m.inputMetrics.bytesRead)
       if (m.peakExecutionMemory > peak) peak = m.peakExecutionMemory
     }
   }
@@ -56,7 +63,7 @@ class ShuffleMetricsListener extends SparkListener {
     * work; a max is not delta-able and must be reset). */
   def snapshot(sc: SparkContext, resetPeak: Boolean = true): IoSnapshot = {
     GraftListenerShim.drainListenerBus(sc)
-    val s = IoSnapshot(read.sum(), write.sum(), spill.sum(), peak)
+    val s = IoSnapshot(read.sum(), write.sum(), spill.sum(), peak, input.sum())
     if (resetPeak) peak = 0L
     s
   }

@@ -56,6 +56,24 @@ class ShuffleMetricsSpec extends SparkSuite {
     l.snapshot(spark.sparkContext, resetPeak = false) - pre
   }
 
+  test("input bytes are recorded for parquet scans") {
+    // NOTE the metric's honest granularity: on local file:// scans the
+    // task inputMetrics come from filesystem statistics, which do not
+    // shrink with COLUMN pruning (the footer/row-group read pattern
+    // dominates tiny files) — ReadSchema plan pins (PlanQualitySpec)
+    // remain the column-pruning gate; input_read_b is the VOLUME
+    // story: which queries rescan the corpus and how often.
+    val dir = java.nio.file.Files.createTempDirectory("graft-iospec").toString
+    fact(20000).write.mode("overwrite").parquet(dir)
+    val l = ShuffleMetrics.install(spark)
+    try {
+      val pre = l.snapshot(spark.sparkContext)
+      spark.read.parquet(dir).select(sum(length(col("payload")))).collect()
+      val s = l.snapshot(spark.sparkContext, resetPeak = false) - pre
+      assert(s.inputReadB > 0L, "parquet scan must report input bytes")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("gate catches an artificially un-broadcast join; broadcast passes") {
     val l = ShuffleMetrics.install(spark)
     val conf = "spark.sql.autoBroadcastJoinThreshold"

@@ -54,9 +54,11 @@ SAMPLE_SPECS = {
     "dedup_cluster_star": ("source", ["doc_id"]),
     "graph_bfs_dist": ("source", ["doc_id"]),
     "graph_degree_dist": ("source", ["doc_id"]),
-    # r14: neighbor-set jaccard is graph-closed (candidates never span
-    # sources), so whole-source strata restrict it exactly
+    # r14: neighbor-set jaccard and clustering coefficient are
+    # graph-closed (candidates never span sources), so whole-source
+    # strata restrict them exactly
     "graph_neighbor_jaccard": ("source", ["doc_a", "doc_b"]),
+    "graph_clustering_coeff": ("source", ["doc_id"]),
 }
 
 def sample_preds(unit, cols, seed, permille):
