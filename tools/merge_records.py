@@ -21,8 +21,9 @@ import json, os, sys
 def entry_passed(v):
     if v.get("hash_match") is True:
         return True
-    return v.get("err") in ("shape_ok", "no_oracle") \
-        and (v.get("spark_rows") or 0) > 0
+    # matches check_oracle.entry_passed since r14: only an explicit
+    # shape-gated pass counts — bare no_oracle is not a pass anywhere
+    return v.get("err") == "shape_ok" and (v.get("spark_rows") or 0) > 0
 
 
 def main(argv):
