@@ -441,8 +441,25 @@ object ScaleCheck {
     // ledgers, reports; §5 calls these the scan-speed band) must show
     // sub-linear shuffle-byte growth. Everything else is reported but
     // not gated (their shuffles legitimately carry ~K× rows).
-    val boundedShuffle = Set("ts_trend", "q_robust_stats", "q_countmin_err",
-      "sample_epochs", "sample_curriculum", "layout_prune_compare")
+    // Membership is MEASURED, not assumed — the gate's first run (r14)
+    // fired three times and each firing taught something:
+    // q_robust_stats (5.6×) and q_countmin_err (6.9×) reclassified
+    // OUT — their shuffles are value-/key-granular BY CONTRACT (exact
+    // medians ship per-value count tables; the sketch-error report
+    // ships exact per-key counts to compare the 1 KiB sketch
+    // against), so bytes grow with distinct values: sub-linear in
+    // TIME, linear in bytes, claim corrected at each op.
+    // sample_curriculum (9.4×) exposed that its ONLY shuffle is
+    // Tables.documentsPar's deliberate spread of the single-file test
+    // corpus (parallelizing the quality regexes; a no-op choice on a
+    // real multi-split table) — measured bytes = the documents table,
+    // before AND after removing text_quality's output orderBy from
+    // the consumer path (Catalyst had already eliminated that sort
+    // under the aggregate; the qualityUnsorted seam stays because
+    // join/TopK consumers don't get that rescue). Ops reading through
+    // the spread are therefore gate-exempt on this corpus.
+    val boundedShuffle = Set("ts_trend", "cdc_txn_stats",
+      "sample_epochs", "layout_prune_compare")
     val violations = ShuffleMetrics.subLinearViolations(
       io1, iok, k, boundedShuffle.intersect(t1.keySet))
     violations.foreach { case (n, r) =>

@@ -387,7 +387,7 @@ object Dedup {
     * the agg ships one struct per (partition, cluster). */
   def canonical(spark: SparkSession, sfDir: String): DataFrame = {
     val clusters = cluster(spark, sfDir) // (doc_id, cluster_id)
-    val quality = TextAnalysis.quality(spark, sfDir)
+    val quality = TextAnalysis.qualityUnsorted(spark, sfDir)
       .select(col("doc_id"), col("quality_pm"))
     clusters.join(quality, "doc_id")
       // argmax by (quality desc, doc_id asc) — min over (−q, doc) structs

@@ -225,7 +225,7 @@ object Sampling {
     * rows per map partition. Per-key state is cap rows and |sources|
     * is bounded — exactly TopKPerKey's memory contract. */
   def capPerSource(spark: SparkSession, sfDir: String, cap: Int = 20): DataFrame = {
-    val q = TextAnalysis.quality(spark, sfDir)
+    val q = TextAnalysis.qualityUnsorted(spark, sfDir)
       .select(col("doc_id"), col("quality_pm"))
     val scored = Tables.documentsPar(spark, sfDir)
       .select(col("doc_id"), col("source"))
@@ -316,7 +316,7 @@ object Sampling {
     * to ≤11 rows; the cumulative window runs over those ≤11 rows, not
     * the corpus. */
   def sampleCurriculum(spark: SparkSession, sfDir: String): DataFrame = {
-    TextAnalysis.quality(spark, sfDir)
+    TextAnalysis.qualityUnsorted(spark, sfDir)
       .select(col("doc_id"), col("n_tokens"), col("quality_pm"))
       .withColumn("bucket", least(expr("quality_pm div 100"), lit(9L)))
       .groupBy(col("bucket"))

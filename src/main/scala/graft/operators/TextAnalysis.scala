@@ -39,7 +39,18 @@ object TextAnalysis {
   /** §2#33 quality scoring: length, punctuation ratio, stopword ratio,
     * unique-token ratio, and a composite quality score — all per-mille
     * BIGINTs. */
-  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+  def quality(spark: SparkSession, sfDir: String): DataFrame =
+    // the total order is THIS query's output contract only — internal
+    // consumers take qualityUnsorted, because the orderBy plans a
+    // corpus-sized range exchange that an aggregate/join consumer
+    // pays for nothing (the r14 shuffle-byte gate caught
+    // sample_curriculum moving 9.4x bytes at 10x through exactly
+    // this sort; EliminateSorts does not fire under the agg)
+    qualityUnsorted(spark, sfDir).orderBy(col("doc_id"))
+
+  /** [[quality]] without the output ordering — the form every
+    * downstream aggregate/join consumes. */
+  def qualityUnsorted(spark: SparkSession, sfDir: String): DataFrame = {
     val stopArr = array(stopwords.map(lit): _*)
     Tables.documentsPar(spark, sfDir)
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
@@ -55,7 +66,6 @@ object TextAnalysis {
       .withColumn("quality_pm",
         greatest(least(
           col("stopword_pm") + col("uniq_pm") - col("punct_pm"), lit(1000L)), lit(0L)))
-      .orderBy(col("doc_id"))
   }
 
   /** §2#34 language ID: stopword-overlap score against 5 tiny lexicons,
