@@ -195,8 +195,24 @@ object Bench {
       def field(l: String, k: String): Option[Double] =
         (s""""$k":(-?[0-9][0-9.eE+-]*)""").r.findFirstMatchIn(l).map(_.group(1).toDouble)
       val noisy = only.isEmpty && prevLine.exists { l =>
-        val overTotal = field(l, "value").exists(p => p > 0 && total > 1.3 * p)
-        val overGc = field(l, "gc_ms").exists(p => p >= 500 && gcTotalMs > 1.3 * p)
+        // compare the COMMON query subset, not raw totals: a round
+        // that ADDS queries would otherwise read as noise against the
+        // smaller baseline suite (r14: +13 ops ≈ +10 s legitimate)
+        val prevQ = parseQueries(l)
+        val curQ = results ++ candEntry ++ truthEntry
+        val shared = prevQ.keySet.intersect(curQ.keySet)
+          .filter(k => prevQ(k) > 0 && curQ(k) > 0)
+        val overTotal =
+          if (shared.nonEmpty) {
+            val p = shared.toSeq.map(prevQ).sum
+            val c = shared.toSeq.map(curQ).sum
+            c > 1.3 * p
+          } else field(l, "value").exists(p => p > 0 && total > 1.3 * p)
+        // gc budget scales with suite growth for the same reason
+        val growth =
+          if (prevQ.nonEmpty) curQ.size.toDouble / prevQ.size else 1.0
+        val overGc = field(l, "gc_ms")
+          .exists(p => p >= 500 && gcTotalMs > 1.3 * p * math.max(growth, 1.0))
         overTotal || overGc
       }
       if (noisy) System.err.println(
