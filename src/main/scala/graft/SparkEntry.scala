@@ -234,7 +234,13 @@ object SparkEntry {
     "q_funnel_paths" -> (Analytics.qFunnelPaths _),
     "graph_clustering_coeff" -> (Graph.clusteringCoeff _),
     "text_pmi_collocations" -> ((s: SparkSession, d: String) => TextAnalysis.pmiCollocations(s, d)),
-    "dedup_minhash_calibration" -> (Dedup.minhashCalibration _)
+    "dedup_minhash_calibration" -> (Dedup.minhashCalibration _),
+    // r14 wave 4
+    "q_basket_rules" -> ((s: SparkSession, d: String) => Analytics.qBasketRules(s, d)),
+    "q_benford" -> (Analytics.qBenford _),
+    "q6_forgone_revenue" -> (Analytics.q6ForgoneRevenue _),
+    "graph_adamic_adar" -> (Graph.adamicAdar _),
+    "graph_assortativity" -> (Graph.assortativity _)
   )
 
   // ---- shared oracle SQL fragments -------------------------------------
@@ -3117,7 +3123,90 @@ FROM d JOIN v USING (tok) GROUP BY 1 ORDER BY d.doc_id""",
          |  CAST(CASE WHEN dim_eid IS NULL THEN 0 ELSE 1 END AS BIGINT) AS matched
          |FROM f LEFT JOIN d ON d.user_id = f.user_id
          |  AND d.valid_from_us <= f.us AND f.us < d.valid_to_us
-         |ORDER BY f.event_id""".stripMargin
+         |ORDER BY f.event_id""".stripMargin,
+
+    "q_basket_rules" ->
+      """WITH ob AS (SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |tt AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM ob),
+        |pb AS (SELECT brand, CAST(count(*) AS BIGINT) AS c FROM ob GROUP BY 1),
+        |pr AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+        |  CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+        |  GROUP BY 1, 2 HAVING count(*) >= 10)
+        |SELECT brand_a, brand_b, c_ab, ca.c AS c_a, cb.c AS c_b,
+        |  CAST(1000 * c_ab // n_orders AS BIGINT) AS support_pm,
+        |  CAST(1000 * c_ab // ca.c AS BIGINT) AS conf_pm,
+        |  CAST(((1000 * c_ab // ca.c) * n_orders) // cb.c AS BIGINT) AS lift_pm
+        |FROM pr JOIN pb ca ON ca.brand = brand_a JOIN pb cb ON cb.brand = brand_b
+        |CROSS JOIN tt ORDER BY 1, 2""".stripMargin,
+
+    "q_benford" ->
+      s"""WITH c AS (SELECT ${cents("o_totalprice")} AS c FROM orders
+         |  WHERE ${cents("o_totalprice")} > 0),
+         |dg AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         |  CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1),
+         |tt AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM dg),
+         |bf AS (SELECT * FROM (VALUES (1, 301), (2, 176), (3, 125), (4, 97),
+         |  (5, 79), (6, 67), (7, 58), (8, 51), (9, 46)) b(digit, exp_pm))
+         |SELECT CAST(bf.digit AS BIGINT) AS digit,
+         |  CAST(coalesce(n, 0) AS BIGINT) AS n,
+         |  CAST(1000 * coalesce(n, 0) // t AS BIGINT) AS obs_pm,
+         |  CAST(exp_pm AS BIGINT) AS exp_pm,
+         |  CAST(abs(1000 * coalesce(n, 0) // t - exp_pm) AS BIGINT) AS dev_pm
+         |FROM bf LEFT JOIN dg ON dg.digit = bf.digit CROSS JOIN tt
+         |ORDER BY 1""".stripMargin,
+
+    "q6_forgone_revenue" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(coalesce(sum(${cents("l_extendedprice * l_discount")}), 0) AS BIGINT) AS forgone_revenue_c,
+         |  CAST(coalesce(sum(${cents("l_quantity")}), 0) AS BIGINT) AS sum_qty_c
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07
+         |  AND l_quantity < 24.0""".stripMargin,
+
+    "graph_adamic_adar" ->
+      s"""WITH $shCte,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+         |adj AS (SELECT doc_a AS u, doc_b AS v FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+         |aw AS (SELECT adj.u, adj.v,
+         |  CAST(1000 // greatest(length(bin(dg.deg)) - 1, 1) AS BIGINT) AS w
+         |  FROM adj JOIN deg dg ON dg.u = adj.v),
+         |sc AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS c,
+         |  CAST(sum(x.w) AS BIGINT) AS aa
+         |  FROM p JOIN aw x ON x.u = p.doc_a
+         |  JOIN adj y ON y.u = p.doc_b AND y.v = x.v
+         |  GROUP BY 1, 2)
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST(coalesce(c, 0) AS BIGINT) AS common_nbrs,
+         |  CAST(coalesce(aa, 0) AS BIGINT) AS aa_milli
+         |FROM p LEFT JOIN sc USING (doc_a, doc_b)
+         |ORDER BY 1, 2""".stripMargin,
+
+    "graph_assortativity" ->
+      s"""WITH $shCte,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+         |adj AS (SELECT doc_a AS u, doc_b AS v FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+         |ed AS (SELECT ds.deg AS deg_src, dd.deg AS deg_dst FROM adj
+         |  JOIN deg ds ON ds.u = adj.u JOIN deg dd ON dd.u = adj.v),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_dir_edges,
+         |  CAST(sum(deg_src) // count(*) AS BIGINT) AS mean_src_deg,
+         |  CAST(sum(deg_dst) // count(*) AS BIGINT) AS mean_dst_deg FROM ed)
+         |SELECT n_dir_edges, mean_src_deg, mean_dst_deg,
+         |  CAST(sum((deg_src - mean_src_deg) * (deg_src - mean_src_deg)) AS BIGINT) AS m2x,
+         |  CAST(sum((deg_dst - mean_dst_deg) * (deg_dst - mean_dst_deg)) AS BIGINT) AS m2y,
+         |  CAST(sum((deg_src - mean_src_deg) * (deg_dst - mean_dst_deg)) AS BIGINT) AS mxy
+         |FROM ed CROSS JOIN m GROUP BY 1, 2, 3""".stripMargin
   )
 
   /** Shared structural gate for the ANN top-k rungs: every query holds

@@ -1327,4 +1327,121 @@ object Analytics {
         expr("1000 * t_max * t_keys div t_rows").as("skew_factor_pm"))
       .orderBy(col("log2_bucket"))
   }
+
+  /** §2#261 MARKET-BASKET ASSOCIATION RULES — support / confidence /
+    * lift for brand pairs co-purchased in one order (Agrawal & Srikant
+    * 1994's A-priori output at the 2-itemset level, the only level a
+    * warehouse usually ships): for brands a<b,
+    * support‰ = orders(a,b)/orders, conf‰ = orders(a,b)/orders(a),
+    * lift‰ = P(ab)/(P(a)P(b)) — lift > 1000 ⇔ genuinely associated.
+    * Pairs below `minSupport` co-orders are pruned (the a-priori
+    * frequency floor).
+    *
+    * Exact-integer lift is computed as ((1000·c_ab div c_a) · N)
+    * div c_b — the first factor is ≤1000 (c_ab ≤ c_a), so the product
+    * stays ≤ 1000·N and never overflows at ANY order count, where the
+    * naive 1000·c_ab·N breaks past N ≈ 3·10⁹ orders; the two-stage
+    * floor is applied identically in the oracle.
+    *
+    * Shape: lineitem ⋈ part on partkey (both corpus-proportional →
+    * shuffle join, AQE may still broadcast the dim at small SF), one
+    * DISTINCT to order×brand grain (per-order brand sets are bounded
+    * by the lines-per-order contract, ≤ |brands|), a self-join per
+    * order whose fanout is C(brands-in-order, 2) ≤ C(25,2), then
+    * combinable counts; the per-brand table (≤|brands| rows) and the
+    * scalar total broadcast back. Never orders². */
+  def qBasketRules(spark: SparkSession, sfDir: String,
+      minSupport: Long = 10L): DataFrame = {
+    val ob = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey"))
+      .join(Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("okey"), col("p_brand").as("brand"))
+      .distinct()
+    val total = ob.select(col("okey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val perBrand = ob.groupBy(col("brand")).agg(count(lit(1)).as("c"))
+    val pairs = ob.as("a")
+      .join(ob.as("b"),
+        col("a.okey") === col("b.okey") && col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= lit(minSupport))
+    pairs
+      .join(broadcast(perBrand.select(col("brand").as("brand_a"),
+        col("c").as("c_a"))), "brand_a")
+      .join(broadcast(perBrand.select(col("brand").as("brand_b"),
+        col("c").as("c_b"))), "brand_b")
+      .crossJoin(broadcast(total))
+      .select(col("brand_a"), col("brand_b"), col("c_ab"), col("c_a"),
+        col("c_b"),
+        expr("1000 * c_ab div n_orders").as("support_pm"),
+        expr("1000 * c_ab div c_a").as("conf_pm"),
+        expr("((1000 * c_ab div c_a) * n_orders) div c_b").as("lift_pm"))
+      .orderBy(col("brand_a"), col("brand_b"))
+  }
+
+  /** §2#262 BENFORD FIRST-DIGIT SCREEN — the classic forensic test on
+    * monetary amounts (Benford 1938; Nigrini 1996 made it the audit
+    * standard): the distribution of the leading digit of order totals
+    * vs the Benford expectation log₁₀(1+1/d), deviation per digit in
+    * ‰. Fabricated or systematically-priced data jumps out as a fat
+    * |dev| on one digit; organic totals track the curve.
+    *
+    * The expectation is a 9-row literal table (rounded ‰ —
+    * 301/176/125/97/79/67/58/51/46), identical constants in the
+    * oracle; the leading digit is taken from the decimal string of
+    * the integer cents value — the same digit both engines print.
+    *
+    * Shape: one narrow projection + a 9-group combinable count, one
+    * broadcast scalar, one broadcast 9-row literal join. Scan-bound at
+    * any scale. */
+  def qBenford(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val benford = Seq(1L -> 301L, 2L -> 176L, 3L -> 125L, 4L -> 97L,
+      5L -> 79L, 6L -> 67L, 7L -> 58L, 8L -> 51L, 9L -> 46L)
+      .toDF("digit", "exp_pm")
+    val digits = Tables.orders(spark, sfDir)
+      .select(cents(col("o_totalprice")).as("c"))
+      .where(col("c") > 0)
+      .select(substring(col("c").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("t"))
+    // right-join the literal spine FIRST, then the scalar total — the
+    // other order leaves t NULL on digits absent from the data
+    digits.join(broadcast(benford), Seq("digit"), "right")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        expr("1000 * n div t").as("obs_pm"), col("exp_pm"),
+        expr("abs(1000 * n div t - exp_pm)").as("dev_pm"))
+      .orderBy(col("digit"))
+  }
+
+  /** §2#263 TPC-H Q6-style FORGONE-REVENUE scan — the canonical
+    * pushed-predicate aggregate (date window × discount band ×
+    * quantity cap → one row): revenue the discounts gave away, plus
+    * the qualifying row count and quantity. Its entire cost is the
+    * scan, which is the point: all three predicates reach the parquet
+    * reader as PushedFilters (min/max row-group pruning does the rest
+    * at 100 TB), and the aggregate is one map-side-combined partial —
+    * the plan-audit spec family pins exactly this shape. Per-row
+    * integer cents of extendedprice·discount keep the sum exact and
+    * associative. */
+  def q6ForgoneRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1994-01-01 00:00:00"))
+        && col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
+        && col("l_discount") >= lit(0.05) && col("l_discount") <= lit(0.07)
+        && col("l_quantity") < lit(24.0))
+      .select(cents(col("l_extendedprice") * col("l_discount")).as("rev_c"),
+        cents(col("l_quantity")).as("qty_c"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("rev_c")).as("forgone_revenue_c"),
+        sum(col("qty_c")).as("sum_qty_c"))
+      .select(col("n_rows"),
+        coalesce(col("forgone_revenue_c"), lit(0L)).as("forgone_revenue_c"),
+        coalesce(col("sum_qty_c"), lit(0L)).as("sum_qty_c"))
+  }
 }

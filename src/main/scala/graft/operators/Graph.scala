@@ -430,4 +430,87 @@ object Graph {
           .as("jaccard_pm"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** §2#264 ADAMIC–ADAR LINK SCORE — the degree-weighted refinement of
+    * #247 (Adamic & Adar 2003, the strongest classical link-prediction
+    * baseline; Liben-Nowell & Kleinberg 2007): per candidate edge,
+    * Σ_{z ∈ N(a)∩N(b)} 1/log₂(deg z) — a common neighbor that is
+    * itself a hub (boilerplate matching everything) contributes almost
+    * nothing, while a rare shared neighbor is strong evidence the pair
+    * belongs to one dup cluster. In exact integers: each middle vertex
+    * contributes 1000 div ⌊log₂ deg(z)⌋ milli-units (the #221 half-bit
+    * log, length(bin(deg))−1; a common neighbor has deg ≥ 2 by
+    * construction so the floor-log is ≥ 1 — no zero division).
+    *
+    * Shape: identical to #247's wedge join — the middle vertex carries
+    * its precomputed weight into the join, so the score is one
+    * combinable sum per edge (fanout degree-bounded, never doc²); the
+    * doc-pair spine is kept via left join (zero-common edges score 0). */
+  def adamicAdar(spark: SparkSession, sfDir: String): DataFrame =
+    adamicAdarFrom(Dedup.candidatePairs(spark, sfDir))
+
+  /** [[adamicAdar]] over any (doc_a < doc_b) edge list. */
+  def adamicAdarFrom(e: DataFrame): DataFrame = {
+    val adj = e.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(e.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    // middle-vertex weight rides the adjacency row into the wedge join
+    val adjW = adj.join(deg.select(col("u").as("v"), col("deg")), "v")
+      .select(col("u"), col("v"),
+        expr("1000 div greatest(length(bin(deg)) - 1, 1)").as("w"))
+    val scored = e.as("p")
+      .join(adjW.as("x"), col("p.doc_a") === col("x.u"))
+      .join(adj.as("y"),
+        col("p.doc_b") === col("y.u") && col("x.v") === col("y.v"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("common_nbrs"), sum(col("x.w")).as("aa_milli"))
+    e.join(scored, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("common_nbrs", "aa_milli"))
+      .select(col("doc_a"), col("doc_b"), col("common_nbrs"), col("aa_milli"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** §2#265 DEGREE ASSORTATIVITY MOMENTS — does the candidate graph
+    * wire hubs to hubs (assortative, Newman 2002) or hubs to leaves
+    * (disassortative — the boilerplate-hub signature)? The statistic
+    * is the Pearson correlation of endpoint degrees over the
+    * DIRECTED edge list; following #96's convention this ships the
+    * exact centered integer moments (n, means, Σdx², Σdy², Σdx·dy) —
+    * the sufficient statistics, from which r = mxy/√(m2x·m2y); the
+    * symmetric edge list makes the two marginals identical, which the
+    * equal m2x/m2y columns prove in-band. Centering around the
+    * integer mean keeps every sum within int64 at any realistic edge
+    * count (the #96 overflow argument: deviations are bounded by the
+    * degree range, not the corpus magnitude), and Σdx·dy may be
+    * NEGATIVE — no division touches it (the #243 seam rule).
+    *
+    * Shape: one combinable degree count, two joins to annotate edge
+    * endpoints (each |edges| ⋈ |nodes| on a key), a 1-row mean agg
+    * broadcast back, one combinable moment sum. One output row. */
+  def assortativity(spark: SparkSession, sfDir: String): DataFrame =
+    assortativityFrom(Dedup.candidatePairs(spark, sfDir))
+
+  /** [[assortativity]] over any (doc_a < doc_b) edge list. */
+  def assortativityFrom(e: DataFrame): DataFrame = {
+    val adj = e.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(e.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val ed = adj
+      .join(deg.select(col("u"), col("deg").as("deg_src")), "u")
+      .join(deg.select(col("u").as("v"), col("deg").as("deg_dst")), "v")
+      .select(col("deg_src"), col("deg_dst"))
+    val means = ed.agg(count(lit(1)).as("n_dir_edges"),
+        sum(col("deg_src")).as("sx"), sum(col("deg_dst")).as("sy"))
+      .select(col("n_dir_edges"),
+        expr("sx div n_dir_edges").as("mean_src_deg"),
+        expr("sy div n_dir_edges").as("mean_dst_deg"))
+    ed.crossJoin(broadcast(means))
+      .select(col("n_dir_edges"), col("mean_src_deg"), col("mean_dst_deg"),
+        (col("deg_src") - col("mean_src_deg")).as("dx"),
+        (col("deg_dst") - col("mean_dst_deg")).as("dy"))
+      .groupBy(col("n_dir_edges"), col("mean_src_deg"), col("mean_dst_deg"))
+      .agg(sum(col("dx") * col("dx")).as("m2x"),
+        sum(col("dy") * col("dy")).as("m2y"),
+        sum(col("dx") * col("dy")).as("mxy"))
+  }
 }

@@ -61,6 +61,14 @@ class RepoHygieneSpec extends AnyFunSuite {
       // averages divide non-negative sums
       "q_markov_transitions", "graph_clustering_coeff",
       "dedup_minhash_calibration",
+      // wave 4: basket divides count products (c_ab ≤ c_a ≤ n_orders,
+      // all ≥ 0); benford divides 1000·n with n ≥ 0 (the dev_pm
+      // subtraction sits INSIDE abs(), never under //); adamic_adar
+      // divides the literal 1000 by a ≥1 floor-log; assortativity's
+      // // feeds only the non-negative degree-sum means (the signed
+      // moment mxy is never divided)
+      "q_basket_rules", "q_benford", "graph_adamic_adar",
+      "graph_assortativity",
       "cdc_order_audit", "cdc_resolved_gaps", "cdc_snapshot_diff",
       "dedup_incremental_minhash", "dedup_lsh_tuning", "dedup_minhash_lsh",
       "dedup_report", "graph_pagerank", "layout_hilbert",
