@@ -240,7 +240,12 @@ object SparkEntry {
     "q_benford" -> (Analytics.qBenford _),
     "q6_forgone_revenue" -> (Analytics.q6ForgoneRevenue _),
     "graph_adamic_adar" -> (Graph.adamicAdar _),
-    "graph_assortativity" -> (Graph.assortativity _)
+    "graph_assortativity" -> (Graph.assortativity _),
+    "text_source_tvd" -> (TextAnalysis.sourceTvd _),
+    "text_length_gini" -> (TextAnalysis.lengthGini _),
+    "cdc_hot_keys" -> ((s: SparkSession, d: String) => Changefeed.hotKeys(s, d)),
+    "ts_calendar_profile" -> (TimeSeries.calendarProfile _),
+    "ts_growth_accounting" -> (TimeSeries.growthAccounting _)
   )
 
   // ---- shared oracle SQL fragments -------------------------------------
@@ -3206,7 +3211,80 @@ FROM d JOIN v USING (tok) GROUP BY 1 ORDER BY d.doc_id""",
          |  CAST(sum((deg_src - mean_src_deg) * (deg_src - mean_src_deg)) AS BIGINT) AS m2x,
          |  CAST(sum((deg_dst - mean_dst_deg) * (deg_dst - mean_dst_deg)) AS BIGINT) AS m2y,
          |  CAST(sum((deg_src - mean_src_deg) * (deg_dst - mean_dst_deg)) AS BIGINT) AS mxy
-         |FROM ed CROSS JOIN m GROUP BY 1, 2, 3""".stripMargin
+         |FROM ed CROSS JOIN m GROUP BY 1, 2, 3""".stripMargin,
+
+    "text_source_tvd" -> {
+      val b = graft.operators.Sampling.dsirBuckets
+      s"""WITH t AS (SELECT source,
+         |  unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+         |c AS (SELECT source, ('0x' || substr(md5(tok), 1, 15))::BIGINT % $b AS b,
+         |  CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+         |d AS (SELECT source, b, CAST(1000000 * c
+         |  // CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS BIGINT) AS p_ppm FROM c),
+         |mg AS (SELECT source, CAST(sum(p_ppm) AS BIGINT) AS sp FROM d GROUP BY 1),
+         |sp AS (SELECT a.source AS source_a, b.source AS source_b,
+         |  a.sp AS sp_a, b.sp AS sp_b FROM mg a JOIN mg b ON a.source < b.source),
+         |ov AS (SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(sum(least(a.p_ppm, b.p_ppm)) AS BIGINT) AS s_min,
+         |  CAST(count(*) AS BIGINT) AS cb
+         |  FROM d a JOIN d b ON a.b = b.b AND a.source < b.source GROUP BY 1, 2)
+         |SELECT source_a, source_b,
+         |  CAST(coalesce(cb, 0) AS BIGINT) AS common_buckets,
+         |  CAST((sp_a + sp_b - 2 * coalesce(s_min, 0)) // 2 AS BIGINT) AS tvd_ppm
+         |FROM sp LEFT JOIN ov USING (source_a, source_b)
+         |ORDER BY 1, 2""".stripMargin
+    },
+
+    "text_length_gini" ->
+      """WITH h AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |k AS (SELECT source, v, c,
+        |  CAST(sum(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum FROM h)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |  CAST(sum(v * c) AS BIGINT) AS sum_chars,
+        |  CAST(1000 * (sum(v * c * (2 * cum - c + 1)) - (sum(c) + 1) * sum(v * c))
+        |    // greatest(sum(c) * sum(v * c), 1) AS BIGINT) AS gini_pm
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "cdc_hot_keys" ->
+      """WITH u AS (SELECT 'events' AS tbl, user_id AS entity FROM events
+        |  UNION ALL SELECT 'orders', o_custkey FROM orders),
+        |c AS (SELECT tbl, entity, CAST(count(*) AS BIGINT) AS n_changes
+        |  FROM u GROUP BY 1, 2),
+        |tt AS (SELECT tbl, CAST(sum(n_changes) AS BIGINT) AS t FROM c GROUP BY 1),
+        |r AS (SELECT tbl, entity, n_changes,
+        |  CAST(row_number() OVER (PARTITION BY tbl ORDER BY n_changes DESC, entity) AS BIGINT) AS rank
+        |  FROM c)
+        |SELECT r.tbl, rank, CAST(entity AS BIGINT) AS entity, n_changes,
+        |  CAST(1000 * n_changes // tt.t AS BIGINT) AS share_pm
+        |FROM r JOIN tt ON tt.tbl = r.tbl WHERE rank <= 10
+        |ORDER BY 1, 2""".stripMargin,
+
+    "ts_calendar_profile" ->
+      s"""WITH e AS (SELECT epoch_us(ts) AS us, ${cents("value")} AS v_c FROM events),
+         |c AS (SELECT (us // 86400000000 + 4) % 7 AS dow,
+         |  (us // 3600000000) % 24 AS hour,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(v_c) AS BIGINT) AS value_c FROM e GROUP BY 1, 2),
+         |tt AS (SELECT CAST(sum(n_events) AS BIGINT) AS t FROM c)
+         |SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+         |  n_events, value_c,
+         |  CAST(1000 * n_events // t AS BIGINT) AS share_pm
+         |FROM c CROSS JOIN tt ORDER BY 1, 2""".stripMargin,
+
+    "ts_growth_accounting" ->
+      """WITH du AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id,
+        |  CAST(count(*) AS BIGINT) AS n_ev FROM events GROUP BY 1, 2),
+        |d AS (SELECT day, CAST(count(*) AS BIGINT) AS dau,
+        |  CAST(sum(n_ev) AS BIGINT) AS n_events FROM du GROUP BY 1),
+        |f AS (SELECT min_day AS day, CAST(count(*) AS BIGINT) AS new_users FROM (
+        |  SELECT user_id, min(day) AS min_day FROM du GROUP BY 1) GROUP BY 1)
+        |SELECT CAST(d.day AS BIGINT) AS day, dau,
+        |  CAST(coalesce(new_users, 0) AS BIGINT) AS new_users,
+        |  CAST(dau - coalesce(new_users, 0) AS BIGINT) AS returning_users,
+        |  CAST(sum(coalesce(new_users, 0)) OVER (ORDER BY d.day) AS BIGINT) AS cum_users,
+        |  n_events
+        |FROM d LEFT JOIN f ON f.day = d.day ORDER BY d.day""".stripMargin
   )
 
   /** Shared structural gate for the ANN top-k rungs: every query holds

@@ -755,4 +755,36 @@ object Changefeed {
         expr("1000 * (n_txns - multi_row_txns) div n_txns").as("singleton_pm"))
       .orderBy(col("tbl"))
   }
+
+  /** §2#270 HOT-KEY REPORT — the per-table top-10 hottest change
+    * entities (events keyed by user, orders by customer): change
+    * count, per-mille share of the table's feed, and rank. The
+    * operational twin of cdc_queue_partition: partition counts say A
+    * partition is hot, this says WHICH key — the input to key-split /
+    * salting decisions on the publish side (the reference publishes
+    * per-key FIFO, so one hot key serializes one queue partition;
+    * main.rs:110-126's ordered feed is per-key ordered).
+    *
+    * Shape: one combinable (tbl, entity) count — the corpus shuffle;
+    * the rank window runs per table over the compacted |entities|
+    * count table (the #20 window-topk shape; the TopKWindowRewrite
+    * rule turns it into O(k) per-partition buffers when enabled);
+    * table totals broadcast back. Output ≤ 10·|tables| rows. */
+  def hotKeys(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(lit("events").as("tbl"), col("user_id").as("entity"))
+    val ord = Tables.load(spark, sfDir, "orders")
+      .select(lit("orders").as("tbl"), col("o_custkey").as("entity"))
+    val counts = ev.unionByName(ord)
+      .groupBy(col("tbl"), col("entity")).agg(count(lit(1)).as("n_changes"))
+    val totals = counts.groupBy(col("tbl")).agg(sum(col("n_changes")).as("t"))
+    val w = Window.partitionBy(col("tbl"))
+      .orderBy(col("n_changes").desc, col("entity"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .join(broadcast(totals), "tbl")
+      .select(col("tbl"), col("rank"), col("entity"), col("n_changes"),
+        expr("1000 * n_changes div t").as("share_pm"))
+      .orderBy(col("tbl"), col("rank"))
+  }
 }

@@ -1298,4 +1298,94 @@ object TextAnalysis {
           .as("jaccard_pm"))
       .orderBy(col("source_a"), col("source_b"))
   }
+
+  /** §2#266 SOURCE DISTRIBUTION DISTANCE (total variation) — the
+    * corpus-mixing diagnostic: for every source pair, the total
+    * variation distance ½·Σ|p−q| between their unigram distributions
+    * over [[Sampling.dsirBuckets]] hashed feature buckets (the DSIR
+    * model table reused as a distribution fingerprint). TVD ∈ [0, 1e6]
+    * ppm: ~0 = statistically interchangeable sources (merge their
+    * mixture weights), → 1e6 = disjoint vocabularies (distinct domains
+    * — the #83 mixture needs both). TVD instead of KL/JSD because it
+    * is EXACT in integer arithmetic — no logs, no seam (#243).
+    *
+    * Identity used: Σ_buckets |p−q| = Σp + Σq − 2·Σ min(p,q), so only
+    * the INNER bucket join is needed — buckets missing from one source
+    * contribute through the marginal sums. ppm units: p_ppm =
+    * 10⁶·c div T is BIGINT-safe to T ≤ 9.2·10¹² tokens per source
+    * (≈ 46 TB of text per source — above the whole-corpus brief).
+    *
+    * Shape: one combinable (source, bucket) count — the only
+    * corpus-sized shuffle; everything after runs on ≤ |sources|·4096
+    * rows (distribution table self-join on bucket, ≤ |sources|²/2
+    * pair aggregate, broadcast marginals). */
+  def sourceTvd(spark: SparkSession, sfDir: String): DataFrame =
+    sourceTvdOf(Tables.documentsPar(spark, sfDir))
+
+  /** [[sourceTvd]] over any (source, text) frame. */
+  def sourceTvdOf(docs: DataFrame): DataFrame = {
+    val b = Sampling.dsirBuckets
+    val compact = docs
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .select(col("source"), pmod(md5Hash60(col("tok")), lit(b)).as("b"))
+      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
+    val dist = compact
+      .withColumn("t", sum(col("c")).over(Window.partitionBy(col("source"))))
+      .select(col("source"), col("b"), expr("1000000 * c div t").as("p_ppm"))
+    val marg = dist.groupBy(col("source")).agg(sum(col("p_ppm")).as("sp"))
+    // pair spine from the |sources|-row marginal table, so pairs with
+    // zero common buckets still emit (tvd = full mass)
+    val spine = marg.as("ma")
+      .join(marg.as("mb"), col("ma.source") < col("mb.source"))
+      .select(col("ma.source").as("source_a"), col("mb.source").as("source_b"),
+        col("ma.sp").as("sp_a"), col("mb.sp").as("sp_b"))
+    val overlap = dist.as("a")
+      .join(dist.as("b"),
+        col("a.b") === col("b.b") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(sum(least(col("a.p_ppm"), col("b.p_ppm"))).as("s_min"),
+        count(lit(1)).as("common_buckets"))
+    spine.join(overlap, Seq("source_a", "source_b"), "left")
+      .na.fill(0L, Seq("s_min", "common_buckets"))
+      .select(col("source_a"), col("source_b"), col("common_buckets"),
+        expr("(sp_a + sp_b - 2 * s_min) div 2").as("tvd_ppm"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** §2#267 LENGTH GINI — per-source concentration of text volume
+    * (Gini coefficient of doc char counts, the Lorenz-curve statistic;
+    * grouped-data form after Gastwirth 1972): gini_pm → 0 when every
+    * doc is the same size, → 1000 when a few giants carry the source
+    * (the "one 500 MB crawl dump + a million stubs" smell that breaks
+    * pack_sequences efficiency and skews per-doc quality stats).
+    *
+    * Exact integers via the VALUE-GRANULAR cumsum idiom (#95/#198):
+    * with per-value counts c and inclusive cumulative counts cum,
+    * 2·Σ rank·x = Σ v·c·(2·cum − c + 1) =: S (ties share one row, so
+    * both engines rank identically), and
+    * gini_pm = 1000·(S − (n+1)·T) div (n·T), T = Σ v·c. S − (n+1)·T
+    * ≥ 0 by the rearrangement bound on ascending sorts (#243-safe).
+    * BIGINT-safe while n·T ≲ 4.6·10¹⁸ per source (≈ 2·10⁷ docs of
+    * 10⁴ chars — tens of TB of text per source); beyond that, band
+    * values first (the #226 value-band fallback — same estimator on
+    * coarser support).
+    *
+    * Shape: one combinable (source, n_chars) count, per-source windows
+    * over the ≤|distinct lengths| value table, one |sources|-row agg. */
+  def lengthGini(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars").as("v"))
+      .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("v"))
+    hist.withColumn("cum", sum(col("c")).over(w))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"),
+        sum(col("v") * col("c")).as("sum_chars"),
+        sum(col("v") * col("c") * (lit(2) * col("cum") - col("c") + lit(1)))
+          .as("s2"))
+      .select(col("source"), col("n_docs"), col("sum_chars"),
+        expr("1000 * (s2 - (n_docs + 1) * sum_chars) " +
+          "div greatest(n_docs * sum_chars, 1)").as("gini_pm"))
+      .orderBy(col("source"))
+  }
 }

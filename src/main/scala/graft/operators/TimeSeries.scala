@@ -719,4 +719,62 @@ object TimeSeries {
           .as("dispersion_pm"))
       .orderBy(col("user_id"))
   }
+
+  /** §2#268 CALENDAR PROFILE — the day-of-week × hour-of-day activity
+    * matrix (the ops heatmap behind capacity planning and anomaly
+    * baselines: "is Tuesday 14:00 normally this quiet?"): per cell,
+    * event count, integer-cents value, and the cell's share of total
+    * traffic in ‰. Calendar fields derive from epoch µs by pure
+    * integer arithmetic — dow = (days since epoch + 4) mod 7
+    * (1970-01-01 was a Thursday; 0 = Sunday), hour = hours mod 24 —
+    * so both engines compute the identical UTC cell with no locale /
+    * week-origin seam (Spark dayofweek and DuckDB dayofweek disagree
+    * on numbering; arithmetic doesn't).
+    *
+    * Shape: one ≤168-group map-side-combined aggregate + a broadcast
+    * scalar. Scan-bound at any scale. */
+  def calendarProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.events(spark, sfDir)
+      .select(unix_micros(col("ts")).as("us"), cents(col("value")).as("v_c"))
+      .select(expr("(us div 86400000000 + 4) % 7").as("dow"),
+        expr("(us div 3600000000) % 24").as("hour"), col("v_c"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_events"), sum(col("v_c")).as("value_c"))
+    val total = cells.agg(sum(col("n_events")).as("t"))
+    cells.crossJoin(broadcast(total))
+      .select(col("dow"), col("hour"), col("n_events"), col("value_c"),
+        expr("1000 * n_events div t").as("share_pm"))
+      .orderBy(col("dow"), col("hour"))
+  }
+
+  /** §2#269 GROWTH ACCOUNTING — the daily new/returning/cumulative
+    * user ledger (the startup-metrics standard, e.g. the Social
+    * Capital framework): per epoch day, distinct active users, users
+    * seen for the FIRST time ever, returning = active − new, the
+    * running total of distinct users ever seen, and the raw event
+    * count. First-seen is a per-user min — one user-grain aggregate,
+    * no day² self-join; the cumulative sum runs over the ≤|days|
+    * ledger, never the corpus.
+    *
+    * Shape: one (day, user) combinable dedup count (the corpus
+    * shuffle), one user-grain min, two ≤|days| aggregates + one
+    * window over the ledger. */
+  def growthAccounting(spark: SparkSession, sfDir: String): DataFrame = {
+    val du = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        col("user_id"))
+      .groupBy(col("day"), col("user_id")).agg(count(lit(1)).as("n_ev"))
+    val daily = du.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"), sum(col("n_ev")).as("n_events"))
+    val firstSeen = du.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    daily.join(firstSeen, Seq("day"), "left")
+      .na.fill(0L, Seq("new_users"))
+      .withColumn("cum_users",
+        sum(col("new_users")).over(Window.orderBy(col("day"))))
+      .select(col("day"), col("dau"), col("new_users"),
+        (col("dau") - col("new_users")).as("returning_users"),
+        col("cum_users"), col("n_events"))
+      .orderBy(col("day"))
+  }
 }

@@ -69,6 +69,14 @@ class RepoHygieneSpec extends AnyFunSuite {
       // moment mxy is never divided)
       "q_basket_rules", "q_benford", "graph_adamic_adar",
       "graph_assortativity",
+      // wave 4b: tvd divides 10⁶·c (c ≥ 0) and the marginal identity
+      // sp_a + sp_b − 2·min where min ≤ min(sp_a, sp_b); gini's
+      // numerator S − (n+1)·T ≥ 0 by the rearrangement bound on
+      // ascending sorts (docstring proof); hot_keys/calendar divide
+      // 1000·counts; growth's // is epoch-day bucketing of epoch
+      // micros ≥ 0
+      "text_source_tvd", "text_length_gini", "cdc_hot_keys",
+      "ts_calendar_profile", "ts_growth_accounting",
       "cdc_order_audit", "cdc_resolved_gaps", "cdc_snapshot_diff",
       "dedup_incremental_minhash", "dedup_lsh_tuning", "dedup_minhash_lsh",
       "dedup_report", "graph_pagerank", "layout_hilbert",
