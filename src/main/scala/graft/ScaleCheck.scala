@@ -374,7 +374,36 @@ object ScaleCheck {
       "text_pmi_collocations" -> ((s: SparkSession, d: String, _: Int) =>
         TextAnalysis.pmiCollocations(s, d)),
       "dedup_minhash_calibration" -> ((s: SparkSession, d: String, _: Int) =>
-        Dedup.minhashCalibration(s, d)))
+        Dedup.minhashCalibration(s, d)),
+      // r14 wave 4. basket: lineitem⋈part + per-order bounded pair
+      // fanout — join-family band; benford/q6/calendar/growth: one
+      // combinable agg over the scan (scan-speed band; growth adds a
+      // (day,user) dedup shuffle ∝ corpus); adamic/assort ride the
+      // memoized candidate pairs (wedge-join / moment bands); tvd is
+      // the token-hash band (combinable (source,bucket) count, then
+      // constant-size tables); gini is the value-table band (distinct
+      // lengths grow Heaps-slowly); hot_keys is one combinable
+      // (tbl,entity) count + |entities| rank window
+      "q_basket_rules" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.qBasketRules(s, d)),
+      "q_benford" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.qBenford(s, d)),
+      "q6_forgone_revenue" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.q6ForgoneRevenue(s, d)),
+      "graph_adamic_adar" -> ((s: SparkSession, d: String, _: Int) =>
+        Graph.adamicAdar(s, d)),
+      "graph_assortativity" -> ((s: SparkSession, d: String, _: Int) =>
+        Graph.assortativity(s, d)),
+      "text_source_tvd" -> ((s: SparkSession, d: String, _: Int) =>
+        TextAnalysis.sourceTvd(s, d)),
+      "text_length_gini" -> ((s: SparkSession, d: String, _: Int) =>
+        TextAnalysis.lengthGini(s, d)),
+      "cdc_hot_keys" -> ((s: SparkSession, d: String, _: Int) =>
+        Changefeed.hotKeys(s, d)),
+      "ts_calendar_profile" -> ((s: SparkSession, d: String, _: Int) =>
+        TimeSeries.calendarProfile(s, d)),
+      "ts_growth_accounting" -> ((s: SparkSession, d: String, _: Int) =>
+        TimeSeries.growthAccounting(s, d)))
 
     // SPARK_GRAFT_OPS=a,b,c restricts the run (default: everything) —
     // lets a round re-measure just its new ops without paying for the
@@ -459,7 +488,12 @@ object ScaleCheck {
     // join/TopK consumers don't get that rescue). Ops reading through
     // the spread are therefore gate-exempt on this corpus.
     val boundedShuffle = Set("ts_trend", "cdc_txn_stats",
-      "sample_epochs", "layout_prune_compare")
+      "sample_epochs", "layout_prune_compare",
+      // r14 wave 4: fixed-group combinable aggs — 9 digits, 1 row,
+      // ≤168 calendar cells; their shuffles are group-count-bounded
+      // by contract (growth_accounting is NOT here: its (day, user)
+      // dedup legitimately ships ~K× rows)
+      "q_benford", "q6_forgone_revenue", "ts_calendar_profile")
     val violations = ShuffleMetrics.subLinearViolations(
       io1, iok, k, boundedShuffle.intersect(t1.keySet))
     violations.foreach { case (n, r) =>
@@ -539,6 +573,12 @@ object ScaleCheck {
     }.reduce(_ unionAll _)
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    // part (r14, for q_basket_rules): a DIMENSION — verbatim, never
+    // copied (facts grow K×, dims stay; the K× lineitem keys its
+    // UNSHIFTED l_partkey into the same part universe, so per-part
+    // fact multiplicity grows K× — the real warehouse growth shape)
+    spark.read.parquet(s"$sfDir/part.parquet")
+      .write.mode("overwrite").parquet(s"$outDir/part.parquet")
   }
 }
 

@@ -208,7 +208,19 @@ object StreamBench {
         i => ChangeRow(s"k${i % 5000}",
           1700000000000L + i.toLong + (if (i % 37 == 0) -6000L else 0L),
           s"v${i % 97}"),
-        "append", ds => StreamScd2.versions(ds))))
+        "append", ds => StreamScd2.versions(ds))),
+      // 500 keys on a 500 ms same-key event-time grid; every 16th row
+      // thrown 9000 ms back (late 8500 vs the key's running max →
+      // bucket 14) and every 11th 1200 ms back (late 700 → bucket 10),
+      // so three histogram regimes (on-time, sub-second, ~10 s) stay
+      // hot; state = keys × (2 scalars + touched buckets), never
+      // O(rows); delta emission ≤ touched cells per key-batch
+      ("stream_lateness", () => drive[LateEvent, LatenessCell](spark,
+        "lateness", rows, batches, reps,
+        i => LateEvent(s"k${i % 500}", i.toLong,
+          new java.sql.Timestamp(1700000000000L + i.toLong
+            + (if (i % 16 == 1) -9000L else if (i % 11 == 2) -1200L else 0L))),
+        "update", ds => StreamLateness.cells(ds))))
 
     val results = ops.map { case (name, f) =>
       val r = f()
