@@ -403,7 +403,22 @@ object ScaleCheck {
       "ts_calendar_profile" -> ((s: SparkSession, d: String, _: Int) =>
         TimeSeries.calendarProfile(s, d)),
       "ts_growth_accounting" -> ((s: SparkSession, d: String, _: Int) =>
-        TimeSeries.growthAccounting(s, d)))
+        TimeSeries.growthAccounting(s, d)),
+      // r14 wave 5. q13: shuffle left join + per-customer count (dims
+      // stay, facts grow → per-customer counts grow K× at constant
+      // customer universe); q4: fact⋈fact semi join band; ri_audit:
+      // three anti joins; wow: ledger band (|weeks| constant, per-cell
+      // counts grow); concurrency: sessionize window + per-day sweep
+      "q13_custdist" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.q13CustDist(s, d)),
+      "q4_order_priority" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.q4OrderPriority(s, d)),
+      "q_ri_audit" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.qRiAudit(s, d)),
+      "ts_wow_change" -> ((s: SparkSession, d: String, _: Int) =>
+        TimeSeries.wowChange(s, d)),
+      "ts_session_concurrency" -> ((s: SparkSession, d: String, _: Int) =>
+        TimeSeries.sessionConcurrency(s, d)))
 
     // SPARK_GRAFT_OPS=a,b,c restricts the run (default: everything) —
     // lets a round re-measure just its new ops without paying for the
@@ -573,12 +588,15 @@ object ScaleCheck {
     }.reduce(_ unionAll _)
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
-    // part (r14, for q_basket_rules): a DIMENSION — verbatim, never
-    // copied (facts grow K×, dims stay; the K× lineitem keys its
-    // UNSHIFTED l_partkey into the same part universe, so per-part
-    // fact multiplicity grows K× — the real warehouse growth shape)
-    spark.read.parquet(s"$sfDir/part.parquet")
-      .write.mode("overwrite").parquet(s"$outDir/part.parquet")
+    // part + customer (r14, for q_basket_rules / q13 / ri_audit):
+    // DIMENSIONS — verbatim, never copied (facts grow K×, dims stay;
+    // the K× facts key their UNSHIFTED part/cust keys into the same
+    // dim universe, so per-dim fact multiplicity grows K× — the real
+    // warehouse growth shape)
+    Seq("part", "customer").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
   }
 }
 

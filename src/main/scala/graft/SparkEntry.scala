@@ -245,7 +245,13 @@ object SparkEntry {
     "text_length_gini" -> (TextAnalysis.lengthGini _),
     "cdc_hot_keys" -> ((s: SparkSession, d: String) => Changefeed.hotKeys(s, d)),
     "ts_calendar_profile" -> (TimeSeries.calendarProfile _),
-    "ts_growth_accounting" -> (TimeSeries.growthAccounting _)
+    "ts_growth_accounting" -> (TimeSeries.growthAccounting _),
+    // r14 wave 5
+    "q13_custdist" -> (Analytics.q13CustDist _),
+    "q4_order_priority" -> ((s: SparkSession, d: String) => Analytics.q4OrderPriority(s, d)),
+    "q_ri_audit" -> (Analytics.qRiAudit _),
+    "ts_wow_change" -> (TimeSeries.wowChange _),
+    "ts_session_concurrency" -> (TimeSeries.sessionConcurrency _)
   )
 
   // ---- shared oracle SQL fragments -------------------------------------
@@ -3167,8 +3173,8 @@ FROM d JOIN v USING (tok) GROUP BY 1 ORDER BY d.doc_id""",
          |  CAST(coalesce(sum(${cents("l_extendedprice * l_discount")}), 0) AS BIGINT) AS forgone_revenue_c,
          |  CAST(coalesce(sum(${cents("l_quantity")}), 0) AS BIGINT) AS sum_qty_c
          |FROM lineitem
-         |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-         |  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+         |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
          |  AND l_discount >= 0.05 AND l_discount <= 0.07
          |  AND l_quantity < 24.0""".stripMargin,
 
@@ -3284,7 +3290,77 @@ FROM d JOIN v USING (tok) GROUP BY 1 ORDER BY d.doc_id""",
         |  CAST(dau - coalesce(new_users, 0) AS BIGINT) AS returning_users,
         |  CAST(sum(coalesce(new_users, 0)) OVER (ORDER BY d.day) AS BIGINT) AS cum_users,
         |  n_events
-        |FROM d LEFT JOIN f ON f.day = d.day ORDER BY d.day""".stripMargin
+        |FROM d LEFT JOIN f ON f.day = d.day ORDER BY d.day""".stripMargin,
+
+    "q13_custdist" ->
+      """WITH pc AS (SELECT c_custkey, CAST(count(o_custkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey GROUP BY 1)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM pc GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |    AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) + 7776000000000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ri_audit" ->
+      """WITH e1 AS (SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+        |  CAST(count(*) AS BIGINT) AS n_child,
+        |  CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS n_orphans
+        |  FROM lineitem LEFT JOIN orders ON o_orderkey = l_orderkey),
+        |e2 AS (SELECT 'lineitem.l_partkey->part',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(count(*) FILTER (WHERE p_partkey IS NULL) AS BIGINT)
+        |  FROM lineitem LEFT JOIN part ON p_partkey = l_partkey),
+        |e3 AS (SELECT 'orders.o_custkey->customer',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(count(*) FILTER (WHERE c_custkey IS NULL) AS BIGINT)
+        |  FROM orders LEFT JOIN customer ON c_custkey = o_custkey)
+        |SELECT fk_edge, n_child, n_orphans,
+        |  CAST(1000 * n_orphans // greatest(n_child, 1) AS BIGINT) AS orphan_pm
+        |FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3)
+        |ORDER BY fk_edge""".stripMargin,
+
+    "ts_wow_change" ->
+      s"""WITH wk AS (SELECT event_type, epoch_us(ts) // 604800000000 AS week,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(${cents("value")}) AS BIGINT) AS value_c
+         |  FROM events GROUP BY 1, 2),
+         |lg AS (SELECT *, lag(n) OVER (PARTITION BY event_type ORDER BY week) AS np
+         |  FROM wk)
+         |SELECT event_type, CAST(week AS BIGINT) AS week, n, value_c,
+         |  CAST(coalesce(np, 0) AS BIGINT) AS n_prev,
+         |  CAST(CASE WHEN np IS NULL THEN -1
+         |    WHEN n >= np THEN 1000 * (n - np) // greatest(np, 1)
+         |    ELSE -(1000 * (np - n) // np) END AS BIGINT) AS wow_pm
+         |FROM lg ORDER BY 1, 2""".stripMargin,
+
+    "ts_session_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |d AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+        |s AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session FROM d),
+        |g AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM s),
+        |sess AS (SELECT min(us) AS start_us, max(us) AS end_us FROM g
+        |  GROUP BY user_id, session_id),
+        |seg0 AS (SELECT start_us, end_us,
+        |  unnest(generate_series(start_us // 86400000000, end_us // 86400000000)) AS day
+        |  FROM sess),
+        |seg AS (SELECT day, greatest(start_us, day * 86400000000) AS ss,
+        |  least(end_us, (day + 1) * 86400000000 - 1) AS se FROM seg0),
+        |pts AS (SELECT day, ss AS us, 1 AS delta FROM seg
+        |  UNION ALL SELECT day, se, -1 FROM seg),
+        |run AS (SELECT day, CAST(sum(delta) OVER (PARTITION BY day ORDER BY us, delta DESC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run FROM pts)
+        |SELECT CAST(day AS BIGINT) AS day,
+        |  CAST(count(*) // 2 AS BIGINT) AS n_segments,
+        |  CAST(max(run) AS BIGINT) AS peak_concurrency
+        |FROM run GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Shared structural gate for the ANN top-k rungs: every query holds

@@ -1419,6 +1419,94 @@ object Analytics {
       .orderBy(col("digit"))
   }
 
+  /** §2#272 TPC-H Q13-style CUSTOMER DISTRIBUTION — the canonical
+    * outer-join + double-aggregation: how many customers placed
+    * exactly k orders, INCLUDING k = 0 (the left join is the point —
+    * an inner join silently drops the inactive customers, the segment
+    * a retention team most wants counted). Output: (c_count,
+    * custdist), the order-count histogram of the customer base.
+    *
+    * Shape: one left join customer ⋈ orders on custkey (both
+    * corpus-proportional → shuffle join), one per-customer count
+    * (combinable), one ≤|distinct order counts| histogram aggregate.
+    * The classic TPC-H ordering (custdist DESC, c_count DESC) is a
+    * total order — (c_count) is unique per row. */
+  def q13CustDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"))
+      .join(Tables.orders(spark, sfDir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("c_count")) // count(col) skips nulls
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** §2#273 TPC-H Q4-style ORDER-PRIORITY check — orders from one
+    * quarter with at least one LATE line (shipped > `lateDays` days
+    * after the order date; the schema has no commit/receipt dates, so
+    * ship-lag stands in for Q4's commit<receipt predicate), counted
+    * per priority: the SLA report read against the priority ladder.
+    * EXISTS-semantics via left_semi join — one probe row per order no
+    * matter how many lines are late (the Q4 trap: an inner join would
+    * double-count multi-line orders).
+    *
+    * Shape: date predicates push to both scans; the semi join shuffles
+    * on orderkey (fact ⋈ fact); one ≤|priorities| combinable count. */
+  def q4OrderPriority(spark: SparkSession, sfDir: String,
+      lateDays: Int = 90): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
+        && col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1995-07-01 00:00:00")))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        // driver-era NTZ files; the UTC session pin makes the cast exact
+        unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
+    val late = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+    o.join(late,
+        col("o_orderkey") === col("l_orderkey")
+          && col("ship_us") > col("od_us") + lit(lateDays.toLong * 86400000000L),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** §2#274 REFERENTIAL-INTEGRITY AUDIT — orphan counts for the three
+    * FK edges of the star (lineitem→orders, lineitem→part,
+    * orders→customer): per edge, child rows, orphans (children whose
+    * parent key resolves nowhere — left_anti), and orphan ‰. The
+    * report a warehouse runs after every load; a nonzero row is a
+    * broken ETL step (and in a CDC-fed copy, a lost parent change —
+    * the #131 snapshot-diff's cross-table cousin).
+    *
+    * Shape: three anti joins, each shuffling on its own key (dim
+    * parents broadcast when small; AQE decides), three 1-row
+    * combinable aggregates unioned. */
+  def qRiAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame =
+      child.join(parent, col(key) === col(pkey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .crossJoin(broadcast(child.agg(count(lit(1)).as("n_child"))))
+        .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphans"),
+          expr("1000 * n_orphans div greatest(n_child, 1)").as("orphan_pm"))
+    val li = Tables.lineitem(spark, sfDir)
+    edge("lineitem.l_orderkey->orders",
+        li.select(col("l_orderkey")),
+        "l_orderkey",
+        Tables.orders(spark, sfDir).select(col("o_orderkey")), "o_orderkey")
+      .unionByName(edge("lineitem.l_partkey->part",
+        li.select(col("l_partkey")), "l_partkey",
+        Tables.part(spark, sfDir).select(col("p_partkey")), "p_partkey"))
+      .unionByName(edge("orders.o_custkey->customer",
+        Tables.orders(spark, sfDir).select(col("o_custkey")), "o_custkey",
+        Tables.customer(spark, sfDir).select(col("c_custkey")), "c_custkey"))
+      .orderBy(col("fk_edge"))
+  }
+
   /** §2#263 TPC-H Q6-style FORGONE-REVENUE scan — the canonical
     * pushed-predicate aggregate (date window × discount band ×
     * quantity cap → one row): revenue the discounts gave away, plus
@@ -1431,8 +1519,8 @@ object Analytics {
     * associative. */
   def q6ForgoneRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.lineitem(spark, sfDir)
-      .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1994-01-01 00:00:00"))
-        && col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
+      .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
+        && col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
         && col("l_discount") >= lit(0.05) && col("l_discount") <= lit(0.07)
         && col("l_quantity") < lit(24.0))
       .select(cents(col("l_extendedprice") * col("l_discount")).as("rev_c"),

@@ -747,6 +747,86 @@ object TimeSeries {
       .orderBy(col("dow"), col("hour"))
   }
 
+  /** §2#275 WEEK-OVER-WEEK CHANGE — the trend ledger behind every
+    * "up/down X% vs last week" dashboard number: per (event_type,
+    * epoch week), event count + integer-cents value, each with its
+    * previous-week value and the signed WoW delta in ‰. The change
+    * ratio of a SIGNED delta is the #243 seam (Spark div truncates,
+    * DuckDB // floors — they disagree below zero), so the ‰ is
+    * computed sign-split: ±(1000·|Δ| div prev) — floor of a
+    * non-negative quotient in both engines, sign reapplied by CASE.
+    * Weeks with no predecessor (first week per type) carry NULL-free
+    * sentinel −1 ‰ and prev = 0.
+    *
+    * Shape: one ≤(|types|·|weeks|)-group combinable aggregate (the
+    * only corpus-sized shuffle), one lag window PER TYPE over that
+    * ledger — never over the corpus. */
+  def wowChange(spark: SparkSession, sfDir: String): DataFrame = {
+    val weekly = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 604800000000").as("week"),
+        cents(col("value")).as("v_c"))
+      .groupBy(col("event_type"), col("week"))
+      .agg(count(lit(1)).as("n"), sum(col("v_c")).as("value_c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+    weekly
+      .withColumn("n_prev", lag(col("n"), 1).over(w))
+      .select(col("event_type"), col("week"), col("n"), col("value_c"),
+        coalesce(col("n_prev"), lit(0L)).as("n_prev"),
+        expr("""CASE WHEN n_prev IS NULL THEN -1
+               |  WHEN n >= n_prev THEN 1000 * (n - n_prev) div greatest(n_prev, 1)
+               |  ELSE -(1000 * (n_prev - n) div n_prev) END""".stripMargin)
+          .as("wow_pm"))
+      .orderBy(col("event_type"), col("week"))
+  }
+
+  /** §2#276 SESSION CONCURRENCY — peak simultaneous sessions per UTC
+    * day, by the classic sweep-line: every session contributes +1 at
+    * its start and −1 at its end; the running sum's maximum is the
+    * exact peak (the capacity number a connection pool / licensing /
+    * autoscaler is sized against). Sessions are the #14 lag+cumsum
+    * sessions (same 30-min gap rule, oracle shares the CTE).
+    *
+    * The sweep needs a TIME-ORDERED prefix sum — a global sort at
+    * corpus scale — so sessions are first CLIPPED AT DAY BOUNDARIES
+    * (a session [s,e] splits into per-day segments; fanout = days
+    * spanned, ~1 for 30-min-gap sessions) and the sweep runs PER DAY:
+    * embarrassingly parallel across days, each day's window over that
+    * day's segment endpoints only. Ties order +1 before −1 (delta
+    * DESC), so a session starting exactly when another ends counts as
+    * overlap — the inclusive-interval convention; the per-day MAX is
+    * invariant to permutation within equal (us, delta) groups, so the
+    * row-frame cumsum is deterministic across engines and partition
+    * counts.
+    *
+    * Shape: one sessionize window (the corpus shuffle), ≤2·segments
+    * sweep points, per-day windows, one ≤|days| aggregate. */
+  def sessionConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val sessions = StreamOps.sessionize(spark, sfDir)
+      .select(col("start_us"), col("end_us"))
+    val segments = sessions
+      .select(col("start_us"), col("end_us"),
+        explode(sequence(expr(s"start_us div $dayUs"),
+          expr(s"end_us div $dayUs"))).as("day"))
+      .select(col("day"),
+        greatest(col("start_us"), expr(s"day * $dayUs")).as("ss"),
+        least(col("end_us"), expr(s"(day + 1) * $dayUs - 1")).as("se"))
+    val points = segments.select(col("day"), col("ss").as("us"),
+        lit(1L).as("delta"))
+      .unionByName(segments.select(col("day"), col("se").as("us"),
+        lit(-1L).as("delta")))
+    val sweep = Window.partitionBy(col("day"))
+      .orderBy(col("us"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    points.withColumn("run", sum(col("delta")).over(sweep))
+      .groupBy(col("day"))
+      .agg(expr("count(1) div 2") // two sweep points per segment
+          .as("n_segments"),
+        max(col("run")).as("peak_concurrency"))
+      .orderBy(col("day"))
+  }
+
   /** §2#269 GROWTH ACCOUNTING — the daily new/returning/cumulative
     * user ledger (the startup-metrics standard, e.g. the Social
     * Capital framework): per epoch day, distinct active users, users

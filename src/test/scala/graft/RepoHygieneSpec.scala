@@ -77,6 +77,11 @@ class RepoHygieneSpec extends AnyFunSuite {
       // micros ≥ 0
       "text_source_tvd", "text_length_gini", "cdc_hot_keys",
       "ts_calendar_profile", "ts_growth_accounting",
+      // wave 5: ri_audit divides 1000·orphans ≥ 0; wow_change is the
+      // REVIEWED sign-split idiom (both // numerators are the
+      // non-negative branch of the CASE); session_concurrency's //
+      // are epoch-day bucketing and count(*)//2, both ≥ 0
+      "q_ri_audit", "ts_wow_change", "ts_session_concurrency",
       "cdc_order_audit", "cdc_resolved_gaps", "cdc_snapshot_diff",
       "dedup_incremental_minhash", "dedup_lsh_tuning", "dedup_minhash_lsh",
       "dedup_report", "graph_pagerank", "layout_hilbert",
