@@ -59,6 +59,13 @@ SAMPLE_SPECS = {
     # strata restrict them exactly
     "graph_neighbor_jaccard": ("source", ["doc_a", "doc_b"]),
     "graph_clustering_coeff": ("source", ["doc_id"]),
+    # r14 wave 4: Adamic–Adar is graph-closed like neighbor_jaccard
+    # (weights derive from degrees INSIDE the source's candidate
+    # subgraph — edges never span sources, so whole-source strata
+    # restrict it exactly). graph_assortativity is NOT sampleable (one
+    # global moment row — any stratum changes it) and keeps the full
+    # oracle.
+    "graph_adamic_adar": ("source", ["doc_a", "doc_b"]),
 }
 
 def sample_preds(unit, cols, seed, permille):
