@@ -418,7 +418,17 @@ object ScaleCheck {
       "ts_wow_change" -> ((s: SparkSession, d: String, _: Int) =>
         TimeSeries.wowChange(s, d)),
       "ts_session_concurrency" -> ((s: SparkSession, d: String, _: Int) =>
-        TimeSeries.sessionConcurrency(s, d)))
+        TimeSeries.sessionConcurrency(s, d)),
+      // r14 wave 6. audience: user-grain set build + in-row pairs
+      // (the basket band); drawdown: (user,day) sum + per-user ledger
+      // windows; df_profile: shingle-count band (type table grows
+      // ~K× with the per-copy suffixes)
+      "q_audience_overlap" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.qAudienceOverlap(s, d)),
+      "ts_drawdown" -> ((s: SparkSession, d: String, _: Int) =>
+        TimeSeries.drawdown(s, d)),
+      "dedup_df_profile" -> ((s: SparkSession, d: String, _: Int) =>
+        Dedup.dfProfile(s, d)))
 
     // SPARK_GRAFT_OPS=a,b,c restricts the run (default: everything) —
     // lets a round re-measure just its new ops without paying for the

@@ -251,7 +251,11 @@ object SparkEntry {
     "q4_order_priority" -> ((s: SparkSession, d: String) => Analytics.q4OrderPriority(s, d)),
     "q_ri_audit" -> (Analytics.qRiAudit _),
     "ts_wow_change" -> (TimeSeries.wowChange _),
-    "ts_session_concurrency" -> (TimeSeries.sessionConcurrency _)
+    "ts_session_concurrency" -> (TimeSeries.sessionConcurrency _),
+    // r14 wave 6
+    "q_audience_overlap" -> (Analytics.qAudienceOverlap _),
+    "ts_drawdown" -> (TimeSeries.drawdown _),
+    "dedup_df_profile" -> (Dedup.dfProfile _)
   )
 
   // ---- shared oracle SQL fragments -------------------------------------
@@ -3360,7 +3364,54 @@ FROM d JOIN v USING (tok) GROUP BY 1 ORDER BY d.doc_id""",
         |SELECT CAST(day AS BIGINT) AS day,
         |  CAST(count(*) // 2 AS BIGINT) AS n_segments,
         |  CAST(max(run) AS BIGINT) AS peak_concurrency
-        |FROM run GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM run GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+        |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(count(*) AS BIGINT) AS n_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_both, pa.n AS n_a, pb.n AS n_b,
+        |  CAST(1000 * n_both // (pa.n + pb.n - n_both) AS BIGINT) AS jaccard_pm
+        |FROM pr JOIN pt pa ON pa.event_type = type_a
+        |JOIN pt pb ON pb.event_type = type_b
+        |ORDER BY 1, 2""".stripMargin,
+
+    "ts_drawdown" ->
+      s"""WITH daily AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |  CAST(sum(${cents("value")}) AS BIGINT) AS net_c
+         |  FROM events GROUP BY 1, 2),
+         |r AS (SELECT user_id, day, net_c,
+         |  CAST(sum(net_c) OVER (PARTITION BY user_id ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS bal
+         |  FROM daily),
+         |r2 AS (SELECT user_id, net_c, bal,
+         |  CAST(max(bal) OVER (PARTITION BY user_id ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak
+         |  FROM r)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+         |  CAST(sum(net_c) AS BIGINT) AS final_balance_c,
+         |  CAST(max(peak) AS BIGINT) AS peak_balance_c,
+         |  CAST(max(peak - bal) AS BIGINT) AS max_drawdown_c
+         |FROM r2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_df_profile" ->
+      """WITH shx AS (SELECT unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks)-2, 1)),
+        |    i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+        |d AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM shx GROUP BY 1),
+        |b AS (SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS log2_df,
+        |  CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(df) AS BIGINT) AS n_postings,
+        |  CAST(sum(df * (df - 1) // 2) AS BIGINT) AS pair_mass FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(pair_mass) AS BIGINT) AS tm FROM b)
+        |SELECT log2_df, n_shingles, n_postings, pair_mass,
+        |  CAST(1000 * pair_mass // greatest(tm, 1) AS BIGINT) AS pair_mass_pm
+        |FROM b CROSS JOIN t ORDER BY 1""".stripMargin
   )
 
   /** Shared structural gate for the ANN top-k rungs: every query holds

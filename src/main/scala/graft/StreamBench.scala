@@ -220,7 +220,16 @@ object StreamBench {
         i => LateEvent(s"k${i % 500}", i.toLong,
           new java.sql.Timestamp(1700000000000L + i.toLong
             + (if (i % 16 == 1) -9000L else if (i % 11 == 2) -1200L else 0L))),
-        "update", ds => StreamLateness.cells(ds))))
+        "update", ds => StreamLateness.cells(ds))),
+      // 8 keys; uniform cents over [1, 99999] — a distribution whose
+      // first digits are near-uniform (~111‰ each), i.e. PERMANENTLY
+      // drifted from Benford (digit 1 expects 301‰) — the alarm-on
+      // regime; ~2% non-positive rows keep the skip path hot
+      ("stream_digit_drift", () => drive[DigitEvent, DigitDrift](spark,
+        "digitdrift", rows, batches, reps,
+        i => DigitEvent(s"t${i % 8}", i.toLong,
+          if (i % 53 == 0) 0L else (i.toLong * 7919L) % 99999L + 1L),
+        "update", ds => StreamDigitDrift.drift(ds))))
 
     val results = ops.map { case (name, f) =>
       val r = f()

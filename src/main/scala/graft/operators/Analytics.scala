@@ -1485,6 +1485,47 @@ object Analytics {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** §2#277 AUDIENCE OVERLAP — the cross-feature co-usage matrix
+    * every product team keeps ("how many users who do A also do B"):
+    * for each event-type pair a<b, users doing both, each alone, and
+    * the audience Jaccard ‰ — the number feature-bundling and
+    * cross-sell decisions are read from. Uses the #261 restructure
+    * directly: ONE sorted per-user type set (collect_set
+    * partial-merges; ≤|types| elements), the pair space a narrow
+    * in-row combination explode — never a user-keyed self-join.
+    *
+    * Shape: one (user)-grain combinable set build (the corpus
+    * shuffle), ≤C(|types|,2) in-row pairs per user, one ≤|types|²
+    * combinable count; per-type totals (≤|types| rows) broadcast
+    * back. */
+  def qAudienceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.Checkpoints.CutOps
+    val sets = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_set(col("event_type"))).as("ts"))
+      .cut // feeds per-type totals AND the pair explode
+    val perType = sets.select(explode(col("ts")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val pairs = sets
+      .select(explode(expr(
+        """flatten(transform(ts, (x, i) ->
+          |  transform(slice(ts, i + 2, size(ts)),
+          |    y -> struct(x AS type_a, y AS type_b))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.type_a").as("type_a"), col("p.type_b").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(perType.select(col("t").as("type_a"), col("n").as("n_a"))),
+        "type_a")
+      .join(broadcast(perType.select(col("t").as("type_b"), col("n").as("n_b"))),
+        "type_b")
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
+        col("n_b"),
+        expr("1000 * n_both div (n_a + n_b - n_both)").as("jaccard_pm"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** §2#274 REFERENTIAL-INTEGRITY AUDIT — orphan counts for the three
     * FK edges of the star (lineitem→orders, lineitem→part,
     * orders→customer): per edge, child rows, orphans (children whose

@@ -1304,4 +1304,41 @@ object Dedup {
       .where(col("n_shared") >= minShared)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** §2#279 SHINGLE DF PROFILE — the boilerplate diagnostic run BEFORE
+    * tuning any df cap (the winnowing maxDf, a Broder-banding df
+    * prefilter, the #227 hub screen): the document-frequency
+    * distribution of 3-gram shingles as a log₂ histogram, each bucket
+    * carrying its shingle count, posting count, and — the number that
+    * matters — its PAIR MASS Σ df·(df−1)/2, the candidate pairs that
+    * bucket would inject into any inverted-index join. A handful of
+    * high-df shingles owning most of the pair mass IS the boilerplate
+    * problem; the per-mille column shows exactly where a cap starts
+    * paying. BIGINT-safe while Σ df² ≲ 9·10¹⁸ per bucket — a shingle
+    * family beyond df ≈ 3·10⁹ overflows, and at that df the cap this
+    * op exists to justify is already mandatory (documented bound, the
+    * #267 convention).
+    *
+    * Shape: one (shingle) combinable count — the corpus shuffle — a
+    * ≤64-row histogram, one broadcast scalar. The string shingles
+    * (not the xxhash64 ones) keep the oracle replayable; a production
+    * run at 100 TB would profile the hashed shingles identically. */
+  def dfProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Fns.{shingles, tokens}
+    val df = Tables.documentsPar(spark, sfDir)
+      .select(explode(shingles(tokens(col("text")), 3)).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val buckets = df
+      .select((length(bin(col("df"))) - 1).cast("long").as("log2_df"),
+        col("df"))
+      .groupBy(col("log2_df"))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("n_postings"),
+        sum(expr("df * (df - 1) div 2")).as("pair_mass"))
+    val total = buckets.agg(sum(col("pair_mass")).as("tm"))
+    buckets.crossJoin(broadcast(total))
+      .select(col("log2_df"), col("n_shingles"), col("n_postings"),
+        col("pair_mass"),
+        expr("1000 * pair_mass div greatest(tm, 1)").as("pair_mass_pm"))
+      .orderBy(col("log2_df"))
+  }
 }

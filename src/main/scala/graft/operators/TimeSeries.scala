@@ -747,6 +747,38 @@ object TimeSeries {
       .orderBy(col("dow"), col("hour"))
   }
 
+  /** §2#278 MAX DRAWDOWN — the classic risk statistic (peak-to-trough
+    * of a running balance; Magdon-Ismail et al. 2004 made its
+    * distribution canonical) per user: daily net cents folded into a
+    * running balance, tracked against its running peak; the report
+    * carries days active, final and peak balance, and the worst
+    * peak-to-trough drop — the exposure number a credit/fraud model
+    * keys on. All-integer: drawdown_c = max(running_max − balance) ≥ 0
+    * by construction.
+    *
+    * Shape: one (user, day) combinable sum (the corpus shuffle), two
+    * per-user windows over each user's ≤|days| daily ledger (cumsum +
+    * running max — never over raw events), one per-user aggregate. */
+  def drawdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        cents(col("value")).as("v_c"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("v_c")).as("net_c"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("bal", sum(col("net_c")).over(w))
+      .withColumn("peak", max(col("bal")).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("net_c")).as("final_balance_c"), // = the last bal
+        max(col("peak")).as("peak_balance_c"),
+        max(col("peak") - col("bal")).as("max_drawdown_c"))
+      .orderBy(col("user_id"))
+  }
+
   /** §2#275 WEEK-OVER-WEEK CHANGE — the trend ledger behind every
     * "up/down X% vs last week" dashboard number: per (event_type,
     * epoch week), event count + integer-cents value, each with its

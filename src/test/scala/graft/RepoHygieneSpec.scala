@@ -82,6 +82,10 @@ class RepoHygieneSpec extends AnyFunSuite {
       // non-negative branch of the CASE); session_concurrency's //
       // are epoch-day bucketing and count(*)//2, both ≥ 0
       "q_ri_audit", "ts_wow_change", "ts_session_concurrency",
+      // wave 6: audience divides 1000·n_both (≥0, union ≥ n_both ≥ 1
+      // on emitted pairs); drawdown's // is epoch-day bucketing;
+      // df_profile divides df·(df−1)/2 and 1000·pair_mass, all ≥ 0
+      "q_audience_overlap", "ts_drawdown", "dedup_df_profile",
       "cdc_order_audit", "cdc_resolved_gaps", "cdc_snapshot_diff",
       "dedup_incremental_minhash", "dedup_lsh_tuning", "dedup_minhash_lsh",
       "dedup_report", "graph_pagerank", "layout_hilbert",
