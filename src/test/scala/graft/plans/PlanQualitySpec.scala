@@ -526,4 +526,47 @@ class PlanQualitySpec extends SparkSuite {
     assert(!mod.contains("CartesianProduct"),
       s"modularity m-join degenerated to cartesian:\n$mod")
   }
+
+  test("q6: all three predicates and the projection reach the parquet scan") {
+    // the plan string truncates metadata values at 100 chars by
+    // default — widen so the FULL pushed-filter list is assertable
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try {
+      val plan = planOf(Analytics.q6ForgoneRevenue(spark, sf))
+      assert(plan.contains("PushedFilters:")
+        && plan.contains("GreaterThanOrEqual(l_shipdate")
+        && plan.contains("GreaterThanOrEqual(l_discount,0.05)")
+        && plan.contains("LessThanOrEqual(l_discount,0.07)")
+        && plan.contains("LessThan(l_quantity,24.0)"),
+        s"q6 predicates not pushed to the scan:\n$plan")
+      // pruned read: only the four referenced columns
+      assert(plan.contains("ReadSchema: struct<l_quantity:double," +
+        "l_extendedprice:double,l_discount:double,l_shipdate:timestamp"),
+        s"q6 scan reads more than it needs:\n$plan")
+    } finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+  }
+
+  test("session concurrency sweeps PER DAY — no single-partition window") {
+    val plan = planOf(TimeSeries.sessionConcurrency(spark, sf))
+    // the sweep window must be keyed by the clipped day...
+    assert(plan.contains("windowspecdefinition(day#"),
+      s"sweep window not partitioned by day:\n$plan")
+    // ...and nothing in the plan may funnel through one partition (a
+    // global sweep is exactly the scale-killer the day clip removes;
+    // the final ORDER BY over the ≤|days| ledger is rangepartitioning)
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition stage in the sweep plan:\n$plan")
+  }
+
+  test("audience overlap: pair stage is an in-row explode, never a self-join") {
+    // the set build sits behind the memo cut (it feeds two consumers);
+    // the visible plan is the pair stage — which must fan out IN-ROW
+    // (Generate/explode over the set column) and join only the two
+    // broadcast total frames, never shuffle-join the user frame
+    val plan = planOf(Analytics.qAudienceOverlap(spark, sf))
+    assert(plan.contains("Generate explode"),
+      s"audience pair stage is not an in-row explode:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"audience pair stage shuffled a join:\n$plan")
+  }
 }
