@@ -428,7 +428,11 @@ object ScaleCheck {
       "ts_drawdown" -> ((s: SparkSession, d: String, _: Int) =>
         TimeSeries.drawdown(s, d)),
       "dedup_df_profile" -> ((s: SparkSession, d: String, _: Int) =>
-        Dedup.dfProfile(s, d)))
+        Dedup.dfProfile(s, d)),
+      // r14 wave 7. purchase gaps: pushed filter + per-user lag window
+      // over purchases + ≤64-row histogram; scan-speed band
+      "ts_purchase_gaps" -> ((s: SparkSession, d: String, _: Int) =>
+        TimeSeries.purchaseGaps(s, d)))
 
     // SPARK_GRAFT_OPS=a,b,c restricts the run (default: everything) —
     // lets a round re-measure just its new ops without paying for the
@@ -516,9 +520,19 @@ object ScaleCheck {
       "sample_epochs", "layout_prune_compare",
       // r14 wave 4: fixed-group combinable aggs — 9 digits, 1 row,
       // ≤168 calendar cells; their shuffles are group-count-bounded
-      // by contract (growth_accounting is NOT here: its (day, user)
-      // dedup legitimately ships ~K× rows)
-      "q_benford", "q6_forgone_revenue", "ts_calendar_profile")
+      // by contract
+      "q_benford", "q6_forgone_revenue", "ts_calendar_profile",
+      // r14 waves 5/6, admitted on MEASURED 1.0× byte ratios at 10×
+      // AND a contract that holds without AQE's broadcast choices:
+      // wow/gini ride ledgers whose group spaces (weeks × types,
+      // distinct lengths) are corpus-growth-invariant, and
+      // growth_accounting's (day,user) partials compact map-side
+      // because events are day-clustered by layout (true of any
+      // time-ordered feed). q13/ri_audit also measured 1.0× but are
+      // NOT admitted: their flat bytes are AQE broadcasting the dim
+      // side — at a scale where that flips, byte growth is the join's
+      // legitimate contract, not a regression
+      "ts_wow_change", "text_length_gini", "ts_growth_accounting")
     val violations = ShuffleMetrics.subLinearViolations(
       io1, iok, k, boundedShuffle.intersect(t1.keySet))
     violations.foreach { case (n, r) =>

@@ -255,7 +255,8 @@ object SparkEntry {
     // r14 wave 6
     "q_audience_overlap" -> (Analytics.qAudienceOverlap _),
     "ts_drawdown" -> (TimeSeries.drawdown _),
-    "dedup_df_profile" -> (Dedup.dfProfile _)
+    "dedup_df_profile" -> (Dedup.dfProfile _),
+    "ts_purchase_gaps" -> (TimeSeries.purchaseGaps _)
   )
 
   // ---- shared oracle SQL fragments -------------------------------------
@@ -3411,6 +3412,20 @@ FROM d JOIN v USING (tok) GROUP BY 1 ORDER BY d.doc_id""",
         |t AS (SELECT CAST(sum(pair_mass) AS BIGINT) AS tm FROM b)
         |SELECT log2_df, n_shingles, n_postings, pair_mass,
         |  CAST(1000 * pair_mass // greatest(tm, 1) AS BIGINT) AS pair_mass_pm
+        |FROM b CROSS JOIN t ORDER BY 1""".stripMargin,
+
+    "ts_purchase_gaps" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |  WHERE event_type = 'purchase'),
+        |g AS (SELECT (us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id))
+        |  // 60000000 AS gap_min FROM p),
+        |b AS (SELECT CAST(CASE WHEN gap_min <= 0 THEN 0
+        |    ELSE length(bin(gap_min)) END AS BIGINT) AS log2_gap_min,
+        |  CAST(count(*) AS BIGINT) AS n_gaps
+        |  FROM g WHERE gap_min IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_gaps) AS BIGINT) AS t FROM b)
+        |SELECT log2_gap_min, n_gaps,
+        |  CAST(1000 * n_gaps // t AS BIGINT) AS share_pm
         |FROM b CROSS JOIN t ORDER BY 1""".stripMargin
   )
 

@@ -747,6 +747,37 @@ object TimeSeries {
       .orderBy(col("dow"), col("hour"))
   }
 
+  /** §2#281 PURCHASE-GAP HISTOGRAM — the repeat-cycle report behind
+    * replenishment marketing and churn definitions ("a customer is
+    * churned after X× their typical gap"): consecutive same-user
+    * purchase gaps, folded into a log₂ histogram of whole minutes
+    * (bucket 0 = under a minute, b ≥ 1 = [2^(b−1), 2^b) minutes — the
+    * StreamLateness bucket convention), with each bucket's share ‰.
+    * The distribution's knee is the natural churn cutoff.
+    *
+    * Shape: purchase filter pushes to the scan, one per-user lag
+    * window over each user's purchases, one ≤64-group combinable
+    * count + broadcast scalar. Gaps are ordered-nonnegative by the
+    * window order, so the minute div is #243-safe. */
+  def purchaseGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val buckets = Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(expr("(us - prev) div 60000000").as("gap_min"))
+      .select(expr("CASE WHEN gap_min <= 0 THEN 0 " +
+        "ELSE length(bin(gap_min)) END").cast("long").as("log2_gap_min"))
+      .groupBy(col("log2_gap_min")).agg(count(lit(1)).as("n_gaps"))
+    val total = buckets.agg(sum(col("n_gaps")).as("t"))
+    buckets.crossJoin(broadcast(total))
+      .select(col("log2_gap_min"), col("n_gaps"),
+        expr("1000 * n_gaps div t").as("share_pm"))
+      .orderBy(col("log2_gap_min"))
+  }
+
   /** §2#278 MAX DRAWDOWN — the classic risk statistic (peak-to-trough
     * of a running balance; Magdon-Ismail et al. 2004 made its
     * distribution canonical) per user: daily net cents folded into a

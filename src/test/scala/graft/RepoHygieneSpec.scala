@@ -86,6 +86,9 @@ class RepoHygieneSpec extends AnyFunSuite {
       // on emitted pairs); drawdown's // is epoch-day bucketing;
       // df_profile divides df·(df−1)/2 and 1000·pair_mass, all ≥ 0
       "q_audience_overlap", "ts_drawdown", "dedup_df_profile",
+      // wave 7: purchase_gaps divides ordered-nonnegative window gaps
+      // and 1000·counts
+      "ts_purchase_gaps",
       "cdc_order_audit", "cdc_resolved_gaps", "cdc_snapshot_diff",
       "dedup_incremental_minhash", "dedup_lsh_tuning", "dedup_minhash_lsh",
       "dedup_report", "graph_pagerank", "layout_hilbert",
