@@ -432,7 +432,11 @@ object ScaleCheck {
       // r14 wave 7. purchase gaps: pushed filter + per-user lag window
       // over purchases + ≤64-row histogram; scan-speed band
       "ts_purchase_gaps" -> ((s: SparkSession, d: String, _: Int) =>
-        TimeSeries.purchaseGaps(s, d)))
+        TimeSeries.purchaseGaps(s, d)),
+      // r14 wave 8. q7: the fact⋈fact join band (lineitem⋈orders
+      // both grow K×; dim maps constant)
+      "q7_trade_matrix" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.q7TradeMatrix(s, d)))
 
     // SPARK_GRAFT_OPS=a,b,c restricts the run (default: everything) —
     // lets a round re-measure just its new ops without paying for the
@@ -612,12 +616,11 @@ object ScaleCheck {
     }.reduce(_ unionAll _)
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
-    // part + customer (r14, for q_basket_rules / q13 / ri_audit):
-    // DIMENSIONS — verbatim, never copied (facts grow K×, dims stay;
-    // the K× facts key their UNSHIFTED part/cust keys into the same
-    // dim universe, so per-dim fact multiplicity grows K× — the real
-    // warehouse growth shape)
-    Seq("part", "customer").foreach { t =>
+    // dimensions (r14, for q_basket_rules / q13 / ri_audit / q7) —
+    // verbatim, never copied (facts grow K×, dims stay; the K× facts
+    // key their UNSHIFTED dim keys into the same universe, so per-dim
+    // fact multiplicity grows K× — the real warehouse growth shape)
+    Seq("part", "customer", "supplier", "nation").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }

@@ -256,7 +256,8 @@ object SparkEntry {
     "q_audience_overlap" -> (Analytics.qAudienceOverlap _),
     "ts_drawdown" -> (TimeSeries.drawdown _),
     "dedup_df_profile" -> (Dedup.dfProfile _),
-    "ts_purchase_gaps" -> (TimeSeries.purchaseGaps _)
+    "ts_purchase_gaps" -> (TimeSeries.purchaseGaps _),
+    "q7_trade_matrix" -> (Analytics.q7TradeMatrix _)
   )
 
   // ---- shared oracle SQL fragments -------------------------------------
@@ -3426,7 +3427,20 @@ FROM d JOIN v USING (tok) GROUP BY 1 ORDER BY d.doc_id""",
         |t AS (SELECT CAST(sum(n_gaps) AS BIGINT) AS t FROM b)
         |SELECT log2_gap_min, n_gaps,
         |  CAST(1000 * n_gaps // t AS BIGINT) AS share_pm
-        |FROM b CROSS JOIN t ORDER BY 1""".stripMargin
+        |FROM b CROSS JOIN t ORDER BY 1""".stripMargin,
+
+    "q7_trade_matrix" ->
+      s"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         |  CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(${cents("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS revenue_c
+         |FROM lineitem
+         |JOIN orders ON o_orderkey = l_orderkey
+         |JOIN customer ON c_custkey = o_custkey
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |JOIN nation ns ON ns.n_nationkey = s_nationkey
+         |JOIN nation nc ON nc.n_nationkey = c_nationkey
+         |WHERE s_nationkey <> c_nationkey
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
   /** Shared structural gate for the ANN top-k rungs: every query holds

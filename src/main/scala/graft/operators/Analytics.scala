@@ -1485,6 +1485,44 @@ object Analytics {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** §2#282 TPC-H Q7-style TRADE MATRIX — revenue flows between
+    * supplier nation and customer nation (the "volume shipping"
+    * classic): per ordered nation pair (cross-border only), line
+    * count and discounted revenue in integer cents, nations by NAME
+    * via the dimension chain. The international-flows report every
+    * supply-chain dashboard opens with.
+    *
+    * Shape: lineitem ⋈ orders is the one fact⋈fact shuffle; customer
+    * and supplier key maps reduce to (key → nationkey) projections
+    * (broadcast when they fit, AQE decides — at 100 TB they shuffle
+    * and that IS the plan), the two nation-name joins broadcast
+    * ≤|nations| rows; one ≤|nations|² combinable aggregate. */
+  def q7TradeMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val nations = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"))
+    val custNation = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val suppNation = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("rev_c"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custNation, col("o_custkey") === col("c_custkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .where(col("s_nationkey") =!= col("c_nationkey"))
+      .join(broadcast(nations.select(col("n_nationkey").as("s_nationkey"),
+        col("n_name").as("supp_nation"))), "s_nationkey")
+      .join(broadcast(nations.select(col("n_nationkey").as("c_nationkey"),
+        col("n_name").as("cust_nation"))), "c_nationkey")
+      .groupBy(col("supp_nation"), col("cust_nation"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("rev_c")).as("revenue_c"))
+      .orderBy(col("supp_nation"), col("cust_nation"))
+  }
+
   /** §2#277 AUDIENCE OVERLAP — the cross-feature co-usage matrix
     * every product team keeps ("how many users who do A also do B"):
     * for each event-type pair a<b, users doing both, each alone, and
