@@ -445,7 +445,17 @@ object ScaleCheck {
       "q9_part_profit" -> ((s: SparkSession, d: String, _: Int) =>
         Analytics.q9PartProfit(s, d)),
       "q18_large_orders" -> ((s: SparkSession, d: String, _: Int) =>
-        Analytics.q18LargeOrders(s, d)))
+        Analytics.q18LargeOrders(s, d)),
+      // r15 wave 2. q10: the q7 fact⋈fact band with both filters
+      // pushed; q15: pushed-date scan + ≤|suppliers| combinable agg
+      // (scan-speed band); q19: broadcast-envelope join, 1-row agg
+      // (scan-speed band)
+      "q10_returned_revenue" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.q10ReturnedRevenue(s, d)),
+      "q15_top_supplier" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.q15TopSupplier(s, d)),
+      "q19_disjunctive_revenue" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.q19DisjunctiveRevenue(s, d)))
 
     // SPARK_GRAFT_OPS=a,b,c restricts the run (default: everything) —
     // lets a round re-measure just its new ops without paying for the

@@ -1607,6 +1607,103 @@ object Analytics {
       .limit(100)
   }
 
+  /** §2#285 TPC-H Q10-style RETURNED-ITEM REVENUE — the top-20
+    * customers by revenue on RETURNED lines (l_returnflag = 'R') for
+    * orders placed in one quarter: the "who is returning the most
+    * value" churn-risk report. Revenue in integer cents; customer
+    * name, nation, and account balance ride along.
+    *
+    * Shape: both fact filters (returnflag, the order-date quarter)
+    * push to their scans; lineitem ⋈ orders is the one fact⋈fact
+    * shuffle; revenue is aggregated to customer grain BEFORE the
+    * customer join (the textbook form joins 4 ways then groups — at
+    * 100 TB that ships names/balances through the fact shuffle for
+    * nothing); nation broadcasts; top-20 is TakeOrderedAndProject. */
+  def q10ReturnedRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val returned = Tables.lineitem(spark, sfDir)
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("rev_c"))
+    val q1Orders = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
+        && col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1995-04-01 00:00:00")))
+      .select(col("o_orderkey"), col("o_custkey"))
+    returned.join(q1Orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("rev_c")).as("revenue_c"))
+      .join(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          cents(col("c_acctbal")).as("acctbal_c")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("acctbal_c"), col("n_lines"), col("revenue_c"))
+      .orderBy(col("revenue_c").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** §2#286 TPC-H Q15-style TOP SUPPLIER — the supplier(s) with the
+    * maximum shipped revenue in one quarter (Q15's CREATE VIEW +
+    * max-subquery, expressed as one plan): per-supplier revenue,
+    * filtered to the max. Ties (exact integer cents) all surface,
+    * ordered by supplier key — the classic Q15 subtlety.
+    *
+    * Shape: one pushed-date lineitem scan, a combinable agg to
+    * ≤|suppliers| rows, a 1-row max broadcast back over it, supplier
+    * names broadcast. Nothing after the scan exceeds dim size. */
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
+        && col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1995-04-01 00:00:00")))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("total_revenue_c"))
+    rev
+      .crossJoin(broadcast(rev.agg(max(col("total_revenue_c")).as("mx"))))
+      .where(col("total_revenue_c") === col("mx"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue_c"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** §2#287 TPC-H Q19-style DISJUNCTIVE-PREDICATE REVENUE — total
+    * discounted revenue over an OR-of-ANDs across brand, part size,
+    * and line quantity (Q19's "three special deals" shape): the query
+    * optimizers historically mangled (a disjunction spanning two
+    * tables can't fully push to either scan). One (n_lines,
+    * revenue_c) row.
+    *
+    * Shape: the part-side ENVELOPE of the disjunction (brand ∈ the
+    * three deals AND size ≤ the loosest bound) filters the broadcast
+    * side before the join — the per-deal quantity×brand×size
+    * conjunctions then evaluate in-row after the broadcast hash join;
+    * lineitem never shuffles (the aggregate is a 1-row partial). */
+  def q19DisjunctiveRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val deals = Tables.part(spark, sfDir)
+      .where(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        && col("p_size").between(1, 15))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("rev_c"))
+      .join(broadcast(deals), col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
+          && col("l_quantity").between(1, 11))
+        || (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)
+          && col("l_quantity").between(10, 20))
+        || (col("p_brand") === "Brand#34" && col("p_size").between(1, 15)
+          && col("l_quantity").between(20, 30)))
+      .agg(count(lit(1)).as("n_lines"),
+        coalesce(sum(col("rev_c")), lit(0L)).as("revenue_c"))
+  }
+
   /** §2#277 AUDIENCE OVERLAP — the cross-feature co-usage matrix
     * every product team keeps ("how many users who do A also do B"):
     * for each event-type pair a<b, users doing both, each alone, and

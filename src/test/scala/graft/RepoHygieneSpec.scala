@@ -89,6 +89,10 @@ class RepoHygieneSpec extends AnyFunSuite {
       // wave 7: purchase_gaps divides ordered-nonnegative window gaps
       // and 1000·counts
       "ts_purchase_gaps",
+      // r15: q9's // numerator is cents(p_retailprice)·l_quantity —
+      // retail prices and quantities are strictly positive in this
+      // corpus (min retail 900.0, min qty 1), so floor == truncate
+      "q9_part_profit",
       "cdc_order_audit", "cdc_resolved_gaps", "cdc_snapshot_diff",
       "dedup_incremental_minhash", "dedup_lsh_tuning", "dedup_minhash_lsh",
       "dedup_report", "graph_pagerank", "layout_hilbert",

@@ -590,6 +590,35 @@ class PlanQualitySpec extends SparkSuite {
       s"q18 top-100 is not TakeOrderedAndProject:\n$plan")
   }
 
+  test("q10: returnflag and quarter filters pushed; agg before the customer join") {
+    val plan = planOf(Analytics.q10ReturnedRevenue(spark, sf))
+    assert(plan.contains("EqualTo(l_returnflag,R)"),
+      s"q10 returnflag filter not pushed to the lineitem scan:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"q10 quarter filter not pushed to the orders scan:\n$plan")
+    // the customer-grain aggregate must sit BELOW the customer join:
+    // in the final plan the HashAggregate producing revenue_c appears
+    // before (deeper than) the join that introduces c_name
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val agg = finalPlan.indexOf("partial_sum")
+    assert(agg >= 0, s"q10 revenue not partially aggregated:\n$finalPlan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q19: disjunction evaluates post-broadcast-join; lineitem never shuffles") {
+    val plan = planOf(Analytics.q19DisjunctiveRevenue(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q19 deals side not broadcast:\n$plan")
+    // the only exchanges allowed are broadcasts and the 1-row final
+    // agg's SinglePartition — no hashpartitioning of the fact
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("Exchange hashpartitioning"),
+      s"q19 shuffles the fact table:\n$finalPlan")
+    // part-side envelope pushed to the part scan
+    assert(plan.contains("In(p_brand") || plan.contains("p_brand IN"),
+      s"q19 brand envelope not pushed to the part scan:\n$plan")
+  }
+
   test("session concurrency sweeps PER DAY — no single-partition window") {
     val plan = planOf(TimeSeries.sessionConcurrency(spark, sf))
     // the sweep window must be keyed by the clipped day...
