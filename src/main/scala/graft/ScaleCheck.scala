@@ -455,7 +455,19 @@ object ScaleCheck {
       "q15_top_supplier" -> ((s: SparkSession, d: String, _: Int) =>
         Analytics.q15TopSupplier(s, d)),
       "q19_disjunctive_revenue" -> ((s: SparkSession, d: String, _: Int) =>
-        Analytics.q19DisjunctiveRevenue(s, d)))
+        Analytics.q19DisjunctiveRevenue(s, d)),
+      // r15 wave 3. q8: the fact⋈fact band (family-pruned lineitem ⋈
+      // orders); q14: broadcast-map scan band (1-row agg); q17: the
+      // brand-pruned frame shuffles once at part grain (∝ brand's
+      // K× lines); q22: anti-join band on the custkey projection
+      "q8_market_share" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.q8MarketShare(s, d)),
+      "q14_promo_share" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.q14PromoShare(s, d)),
+      "q17_small_quantity" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.q17SmallQuantity(s, d)),
+      "q22_sales_opportunity" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.q22SalesOpportunity(s, d)))
 
     // SPARK_GRAFT_OPS=a,b,c restricts the run (default: everything) —
     // lets a round re-measure just its new ops without paying for the

@@ -263,7 +263,11 @@ object SparkEntry {
     "q18_large_orders" -> ((s: SparkSession, d: String) => Analytics.q18LargeOrders(s, d)),
     "q10_returned_revenue" -> (Analytics.q10ReturnedRevenue _),
     "q15_top_supplier" -> (Analytics.q15TopSupplier _),
-    "q19_disjunctive_revenue" -> (Analytics.q19DisjunctiveRevenue _)
+    "q19_disjunctive_revenue" -> (Analytics.q19DisjunctiveRevenue _),
+    "q8_market_share" -> ((s: SparkSession, d: String) => Analytics.q8MarketShare(s, d)),
+    "q14_promo_share" -> (Analytics.q14PromoShare _),
+    "q17_small_quantity" -> ((s: SparkSession, d: String) => Analytics.q17SmallQuantity(s, d)),
+    "q22_sales_opportunity" -> (Analytics.q22SalesOpportunity _)
   )
 
   // ---- shared oracle SQL fragments -------------------------------------
@@ -3510,7 +3514,70 @@ FROM d JOIN v USING (tok) GROUP BY 1 ORDER BY d.doc_id""",
          |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
          |    AND l_quantity BETWEEN 10 AND 20)
          |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
-         |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+         |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q8_market_share" ->
+      s"""WITH v AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  ${cents("l_extendedprice * (1 - l_discount)")} AS rev_c,
+         |  CASE WHEN s_nationkey = (SELECT n_nationkey FROM nation
+         |    WHERE n_name = 'NATION_1') THEN 1 ELSE 0 END AS is_nation
+         |  FROM lineitem
+         |  JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN customer ON c_custkey = o_custkey
+         |  JOIN nation cn ON cn.n_nationkey = c_nationkey
+         |  JOIN region ON r_regionkey = cn.n_regionkey AND r_name = 'AMERICA'
+         |  JOIN supplier ON s_suppkey = l_suppkey)
+         |SELECT o_year,
+         |  CAST(sum(CASE WHEN is_nation = 1 THEN rev_c ELSE 0 END) AS BIGINT)
+         |    AS nation_rev_c,
+         |  CAST(sum(rev_c) AS BIGINT) AS total_rev_c,
+         |  CAST(1000 * sum(CASE WHEN is_nation = 1 THEN rev_c ELSE 0 END)
+         |    // sum(rev_c) AS BIGINT) AS mkt_share_pm
+         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_promo_share" ->
+      s"""SELECT
+         |  CAST(sum(CASE WHEN p_type = 'PROMO'
+         |    THEN ${cents("l_extendedprice * (1 - l_discount)")} ELSE 0 END)
+         |    AS BIGINT) AS promo_rev_c,
+         |  CAST(sum(${cents("l_extendedprice * (1 - l_discount)")}) AS BIGINT)
+         |    AS total_rev_c,
+         |  CAST(1000 * sum(CASE WHEN p_type = 'PROMO'
+         |    THEN ${cents("l_extendedprice * (1 - l_discount)")} ELSE 0 END)
+         |    // sum(${cents("l_extendedprice * (1 - l_discount)")}) AS BIGINT)
+         |    AS promo_pm
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'""".stripMargin,
+
+    "q17_small_quantity" ->
+      s"""WITH bl AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         |  ${cents("l_extendedprice")} AS price_c
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  WHERE p_brand = 'Brand#12'),
+         |pp AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(qty) AS BIGINT) AS sum_qty FROM bl GROUP BY 1),
+         |f AS (SELECT price_c FROM bl JOIN pp USING (l_partkey)
+         |  WHERE 5 * qty * n < sum_qty)
+         |SELECT CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(coalesce(sum(price_c), 0) AS BIGINT) AS revenue_c,
+         |  CAST(coalesce(sum(price_c), 0) // 7 AS BIGINT) AS avg_yearly_c
+         |FROM f""".stripMargin,
+
+    "q22_sales_opportunity" ->
+      s"""WITH c AS (SELECT c_custkey, c_nationkey,
+         |  ${cents("c_acctbal")} AS bal_c FROM customer),
+         |t AS (SELECT CAST(sum(bal_c) // count(*) AS BIGINT) AS thr_c
+         |  FROM c WHERE bal_c > 0)
+         |SELECT n_name, CAST(count(*) AS BIGINT) AS n_custs,
+         |  CAST(sum(bal_c) AS BIGINT) AS total_bal_c
+         |FROM c CROSS JOIN t
+         |JOIN nation ON n_nationkey = c_nationkey
+         |WHERE bal_c > thr_c
+         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         |    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Shared structural gate for the ANN top-k rungs: every query holds

@@ -1704,6 +1704,156 @@ object Analytics {
         coalesce(sum(col("rev_c")), lit(0L)).as("revenue_c"))
   }
 
+  /** §2#288 TPC-H Q8-style NATIONAL MARKET SHARE — one supplier
+    * nation's share of a region's revenue in one part family, per
+    * order year (Q8's "how is BRAZIL doing in AMERICA on this
+    * product line"): numerator = revenue supplied by the nation,
+    * denominator = the region's whole revenue for the family, share
+    * in integer ‰ (1000·num div den — both strictly positive).
+    *
+    * Shape: the part family broadcast-prunes lineitem FIRST; the one
+    * fact⋈fact shuffle is lineitem ⋈ orders; the customer-side
+    * region membership reduces to a (custkey) semi-join set built
+    * from the broadcast nation→region chain; supplier reduces to a
+    * key→nationkey broadcast map; one ≤|years| combinable agg. */
+  def q8MarketShare(spark: SparkSession, sfDir: String,
+      suppNation: String = "NATION_1", region: String = "AMERICA",
+      partType: String = "ECONOMY"): DataFrame = {
+    val nations = Tables.nation(spark, sfDir)
+    val regionNations = nations
+      .join(broadcast(Tables.region(spark, sfDir)
+        .where(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val regionCusts = Tables.customer(spark, sfDir)
+      .join(broadcast(regionNations),
+        col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("c_custkey"))
+    val familyParts = Tables.part(spark, sfDir)
+      .where(col("p_type") === partType).select(col("p_partkey"))
+    val suppIsNation = Tables.supplier(spark, sfDir)
+      .join(broadcast(nations.where(col("n_name") === suppNation)
+        .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("s_suppkey").as("l_suppkey"), lit(1L).as("is_nation"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("rev_c"))
+      .join(broadcast(familyParts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(regionCusts), col("o_custkey") === col("c_custkey"),
+        "left_semi")
+      .join(broadcast(suppIsNation), Seq("l_suppkey"), "left")
+      .groupBy(col("o_year"))
+      .agg(sum(when(col("is_nation") === 1L, col("rev_c")).otherwise(0L))
+        .as("nation_rev_c"), sum(col("rev_c")).as("total_rev_c"))
+      .select(col("o_year"), col("nation_rev_c"), col("total_rev_c"),
+        expr("1000 * nation_rev_c div total_rev_c").as("mkt_share_pm"))
+      .orderBy(col("o_year"))
+  }
+
+  /** §2#289 TPC-H Q14-style PROMO REVENUE SHARE — the fraction of one
+    * ship-month's revenue on PROMO-type parts (this corpus carries the
+    * literal 'PROMO' p_type, so the query is faithful): promo and
+    * total revenue in cents plus the share in ‰.
+    *
+    * Shape: ship-month pushed to the lineitem scan; part reduces to a
+    * (partkey, is_promo) broadcast map; ONE row out of a combinable
+    * agg — lineitem never shuffles. */
+  def q14PromoShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val partType = Tables.part(spark, sfDir)
+      .select(col("p_partkey"),
+        (col("p_type") === "PROMO").cast("long").as("is_promo"))
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-09-01 00:00:00"))
+        && col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1995-10-01 00:00:00")))
+      .select(col("l_partkey"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("rev_c"))
+      .join(broadcast(partType), col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("is_promo") === 1L, col("rev_c")).otherwise(0L))
+        .as("promo_rev_c"), sum(col("rev_c")).as("total_rev_c"))
+      .select(col("promo_rev_c"), col("total_rev_c"),
+        expr("1000 * promo_rev_c div total_rev_c").as("promo_pm"))
+  }
+
+  /** §2#290 TPC-H Q17-style SMALL-QUANTITY REVENUE — revenue sitting
+    * in orders of less than 20% of a part's average order quantity,
+    * for one brand (Q17's "would consolidating micro-orders pay off"
+    * question; no container column here, so brand alone selects the
+    * family). The 20%-of-average predicate is evaluated in EXACT
+    * integer arithmetic: qty < avg(qty)/5 ⇔ 5·qty·n < sum_qty — no
+    * float average crosses an engine boundary.
+    *
+    * Shape: the brand's parts broadcast-prune lineitem; the per-part
+    * (n, sum_qty) table is ≤|brand parts| rows and broadcasts back
+    * over the SAME pruned frame (materialized once via the memo cut);
+    * one 1-row combinable agg. The fact never shuffles. */
+  def q17SmallQuantity(spark: SparkSession, sfDir: String,
+      brand: String = "Brand#12"): DataFrame = {
+    import graft.Checkpoints.CutOps
+    val brandParts = Tables.part(spark, sfDir)
+      .where(col("p_brand") === brand).select(col("p_partkey"))
+    val brandLines = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        cents(col("l_extendedprice")).as("price_c"))
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .cut // feeds the per-part average AND the filtered sum
+    val perPart = brandLines.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"))
+    brandLines
+      .join(broadcast(perPart), Seq("l_partkey"))
+      .where(lit(5L) * col("qty") * col("n") < col("sum_qty"))
+      .agg(count(lit(1)).as("n_lines"),
+        coalesce(sum(col("price_c")), lit(0L)).as("revenue_c"))
+      .select(col("n_lines"), col("revenue_c"),
+        expr("revenue_c div 7").as("avg_yearly_c"))
+  }
+
+  /** §2#291 TPC-H Q22-style SALES OPPORTUNITY — customers with an
+    * above-average positive balance and no order since a cutoff
+    * (Q22's "have not placed orders for 7 years" lapse window — this
+    * corpus spans 1995–2001, so the cutoff is 1999-01-01; WITHOUT the
+    * window the result is empty at every sf: every customer has SOME
+    * order), counted per nation with their total balance (Q22 groups
+    * by phone country code; no phone column, so the customer's
+    * nation — the same geography signal — is the grouping). The
+    * average is the mean positive balance, compared in EXACT integer
+    * cents (threshold = sum_c div n — floor; both engines
+    * integer-only).
+    *
+    * Shape: the threshold is a 1-row broadcast; lapsed-customer is a
+    * LEFT ANTI join against the date-filtered orders custkey
+    * projection (the only shuffle, keyed on custkey; the date
+    * predicate pushes to the orders scan); nation names broadcast;
+    * ≤|nations| combinable agg. */
+  def q22SalesOpportunity(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        cents(col("c_acctbal")).as("bal_c"))
+    val threshold = cust.where(col("bal_c") > 0L)
+      .agg(expr("sum(bal_c) div count(1)").as("thr_c"))
+    cust
+      .crossJoin(broadcast(threshold))
+      .where(col("bal_c") > col("thr_c"))
+      .join(Tables.orders(spark, sfDir)
+        .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_custs"), sum(col("bal_c")).as("total_bal_c"))
+      .orderBy(col("n_name"))
+  }
+
   /** §2#277 AUDIENCE OVERLAP — the cross-feature co-usage matrix
     * every product team keeps ("how many users who do A also do B"):
     * for each event-type pair a<b, users doing both, each alone, and

@@ -93,6 +93,12 @@ class RepoHygieneSpec extends AnyFunSuite {
       // retail prices and quantities are strictly positive in this
       // corpus (min retail 900.0, min qty 1), so floor == truncate
       "q9_part_profit",
+      // r15 wave 3: q8/q14 divide 1000·(a revenue subset sum ≥ 0) by
+      // a strictly positive revenue total; q17 divides a non-negative
+      // price sum by 7; q22's threshold divides a sum of strictly
+      // positive balances by their count
+      "q8_market_share", "q14_promo_share", "q17_small_quantity",
+      "q22_sales_opportunity",
       "cdc_order_audit", "cdc_resolved_gaps", "cdc_snapshot_diff",
       "dedup_incremental_minhash", "dedup_lsh_tuning", "dedup_minhash_lsh",
       "dedup_report", "graph_pagerank", "layout_hilbert",

@@ -619,6 +619,26 @@ class PlanQualitySpec extends SparkSuite {
       s"q19 brand envelope not pushed to the part scan:\n$plan")
   }
 
+  test("q14: ship-month pushed, part map broadcast, fact never hash-shuffles") {
+    val plan = planOf(Analytics.q14PromoShare(spark, sf))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"q14 ship-month not pushed to the lineitem scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q14 part map not broadcast:\n$plan")
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("Exchange hashpartitioning"),
+      s"q14 shuffles the fact table:\n$finalPlan")
+  }
+
+  test("q8: part-type filter pushed; region/supplier sides broadcast") {
+    val plan = planOf(Analytics.q8MarketShare(spark, sf))
+    assert(plan.contains("EqualTo(p_type,ECONOMY)"),
+      s"q8 part family filter not pushed:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q8 dim sides not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("session concurrency sweeps PER DAY — no single-partition window") {
     val plan = planOf(TimeSeries.sessionConcurrency(spark, sf))
     // the sweep window must be keyed by the clipped day...
