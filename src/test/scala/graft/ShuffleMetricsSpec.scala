@@ -101,4 +101,20 @@ class ShuffleMetricsSpec extends SparkSuite {
       spark.sparkContext.removeSparkListener(l)
     }
   }
+
+  test("super-K shuffle ratios carry absolute bytes inline (r14 judge #5)") {
+    // a broadcast-baseline artifact: 11 KB at x1, 70 MB at x10 —
+    // the 6234x ratio must print WITH its absolutes
+    val flagged = ScaleCheck.shuffleRatioEntry("q4", 11264L, 70254592L, 10)
+    assert(flagged.contains(""""ratio":6237.1""") &&
+      flagged.contains(""""x1_bytes":11264""") &&
+      flagged.contains(""""x10_bytes":70254592"""), flagged)
+    // an ordinary sub-K ratio stays a bare number
+    assert(ScaleCheck.shuffleRatioEntry("q1", 1000L, 2000L, 10) ===
+      """"q1":2.0""")
+    // zero-byte x1 (no shuffle at all) must not divide by zero; the
+    // clamped denominator is what the flagged entry reports
+    assert(ScaleCheck.shuffleRatioEntry("q0", 0L, 50L, 10)
+      .contains(""""x1_bytes":1"""))
+  }
 }
