@@ -669,7 +669,7 @@ object ScaleCheck {
     // verbatim, never copied (facts grow K×, dims stay; the K× facts
     // key their UNSHIFTED dim keys into the same universe, so per-dim
     // fact multiplicity grows K× — the real warehouse growth shape)
-    Seq("part", "customer", "supplier", "nation").foreach { t =>
+    Seq("part", "customer", "supplier", "nation", "region").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
