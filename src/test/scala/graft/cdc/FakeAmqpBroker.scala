@@ -25,7 +25,26 @@ private[cdc] class FakeAmqpBroker(tuneFrameMax: Long = 131072L,
     dropAcks: Boolean = false, fixedPort: Int = 0) {
   import AmqpWire._
 
-  private val server = new ServerSocket(fixedPort)
+  // bind with SO_REUSEADDR and a bounded retry: the bounce test
+  // rebinds the SAME port right after the first incarnation's close,
+  // and under suite-wide load the kernel can still hold the old
+  // listener in TIME_WAIT for a beat — a raw `new ServerSocket(port)`
+  // there is a flaky BindException
+  private val server = {
+    val s = new ServerSocket()
+    s.setReuseAddress(true)
+    var attempt = 0
+    var bound = false
+    while (!bound) {
+      try { s.bind(new java.net.InetSocketAddress(fixedPort)); bound = true }
+      catch { case e: java.net.BindException =>
+        attempt += 1
+        if (attempt >= 50) throw e
+        Thread.sleep(100)
+      }
+    }
+    s
+  }
   val port: Int = server.getLocalPort
   private val buf = ArrayBuffer.empty[(String, String)] // (routingKey, body)
   private val pubChannels = mutable.Set.empty[Int]
