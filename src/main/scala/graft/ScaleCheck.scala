@@ -467,7 +467,27 @@ object ScaleCheck {
       "q17_small_quantity" -> ((s: SparkSession, d: String, _: Int) =>
         Analytics.q17SmallQuantity(s, d)),
       "q22_sales_opportunity" -> ((s: SparkSession, d: String, _: Int) =>
-        Analytics.q22SalesOpportunity(s, d)))
+        Analytics.q22SalesOpportunity(s, d)),
+      // r16: the derived-supplement six. q2/q11/q16 read DIMS only
+      // (part × 4 in-row rows + supplier) — writeCorpus holds dims
+      // constant, so their absolute wall must stay FLAT at K× (any
+      // growth is a leak of fact-side work into a dim-only plan);
+      // q12/q21 are the fact⋈fact band (derivation in-row on the K×
+      // lineitem scan, one orderkey shuffle); q20 is the pruned-fact
+      // roll-up band (green-family lines grow K× at constant
+      // (partkey,suppkey) group count)
+      "q2_min_cost_supp" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.q2MinCostSupp(s, d)),
+      "q11_important_stock" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.q11ImportantStock(s, d)),
+      "q12_shipmode_priority" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.q12ShipmodePriority(s, d)),
+      "q16_supplier_counts" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.q16SupplierCounts(s, d)),
+      "q20_part_promotion" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.q20PartPromotion(s, d)),
+      "q21_late_suppliers" -> ((s: SparkSession, d: String, _: Int) =>
+        Analytics.q21LateSuppliers(s, d)))
 
     // SPARK_GRAFT_OPS=a,b,c restricts the run (default: everything) —
     // lets a round re-measure just its new ops without paying for the

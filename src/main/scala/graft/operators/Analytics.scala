@@ -1652,15 +1652,26 @@ object Analytics {
     * ordered by supplier key — the classic Q15 subtlety.
     *
     * Shape: one pushed-date lineitem scan, a combinable agg to
-    * ≤|suppliers| rows, a 1-row max broadcast back over it, supplier
-    * names broadcast. Nothing after the scan exceeds dim size. */
-  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
-    val rev = Tables.lineitem(spark, sfDir)
+    * ≤|suppliers| rows MEMOIZED ONCE (the `.cut` — it feeds both the
+    * max scalar and the filter; without it the quarter's lineitem
+    * would be scanned and aggregated twice), a 1-row max broadcast
+    * back over it, supplier names broadcast. Nothing after the scan
+    * exceeds dim size. */
+  /** q15's pre-memo per-supplier revenue frame, exposed so the plan
+    * spec can pin the shipdate pushdown on the PRODUCTION frame (the
+    * memo cut hides the scan from the final query's plan). */
+  private[graft] def q15Revenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
       .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
         && col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1995-04-01 00:00:00")))
       .groupBy(col("l_suppkey"))
       .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
         .as("total_revenue_c"))
+
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.Checkpoints.CutOps
+    val rev = q15Revenue(spark, sfDir)
+      .cut // feeds the max scalar AND the filter — ONE lineitem scan
     rev
       .crossJoin(broadcast(rev.agg(max(col("total_revenue_c")).as("mx"))))
       .where(col("total_revenue_c") === col("mx"))
@@ -1736,12 +1747,20 @@ object Analytics {
         .select(col("n_nationkey"))),
         col("s_nationkey") === col("n_nationkey"), "left_semi")
       .select(col("s_suppkey").as("l_suppkey"), lit(1L).as("is_nation"))
+    // the oracle INNER-joins supplier, so a lineitem row with a
+    // dangling l_suppkey must be dropped, not counted — the semi join
+    // below pins that semantics instead of leaning on FK integrity of
+    // the corpus (the left join against suppIsNation alone would keep
+    // orphans with is_nation = null)
+    val allSupps = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey").as("l_suppkey"))
     Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("rev_c"))
       .join(broadcast(familyParts), col("l_partkey") === col("p_partkey"),
         "left_semi")
+      .join(broadcast(allSupps), Seq("l_suppkey"), "left_semi")
       .join(Tables.orders(spark, sfDir)
         .select(col("o_orderkey"), col("o_custkey"),
           year(col("o_orderdate")).cast("long").as("o_year")),
@@ -1852,6 +1871,232 @@ object Analytics {
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_custs"), sum(col("bal_c")).as("total_bal_c"))
       .orderBy(col("n_name"))
+  }
+
+  /** §2#292 TPC-H Q2-style MIN-COST SUPPLIER — for each part of one
+    * size and type, the cheapest supplier in a region (Q2's
+    * correlated min-subquery, the supplier-selection report). The
+    * corpus has no partsupp table: it is DERIVED in-row from part via
+    * the dbgen modular-walk formula (Tables.partsupp — identical in
+    * the oracle, so the gate stays hash-exact). No p_mfgr / s_address
+    * / s_phone columns; p_brand and the available supplier fields
+    * stand in. Costs are integer cents, so the per-part min and its
+    * ties are exact.
+    *
+    * Shape: the size/type filter pushes into the PART SCAN under the
+    * narrow derivation (four in-row rows per surviving part);
+    * region's suppliers reduce to a broadcast dim (≤|suppliers|);
+    * the per-part min is a combinable agg over ≤4·|filtered parts|
+    * rows joined back on (partkey, cost=min) — never a window over
+    * the full derived table; top-100 by TakeOrderedAndProject. */
+  def q2MinCostSupp(spark: SparkSession, sfDir: String,
+      sizeLo: Int = 10, sizeHi: Int = 20, ptype: String = "STANDARD",
+      region: String = "EUROPE"): DataFrame = {
+    val euroSupps = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .join(broadcast(Tables.region(spark, sfDir)
+          .where(col("r_name") === region)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        cents(col("s_acctbal")).as("acctbal_c"))
+    val cand = Tables.partsupp(spark, sfDir)
+      .where(col("p_size").between(sizeLo, sizeHi) && col("p_type") === ptype)
+      .join(broadcast(euroSupps), col("ps_suppkey") === col("s_suppkey"))
+    val minCost = cand.groupBy(col("ps_partkey").as("mk"))
+      .agg(min(col("ps_supplycost_c")).as("min_cost_c"))
+    cand
+      .join(broadcast(minCost), col("ps_partkey") === col("mk")
+        && col("ps_supplycost_c") === col("min_cost_c"))
+      .select(col("acctbal_c"), col("s_name"), col("n_name"),
+        col("ps_partkey").as("p_partkey"), col("p_brand"),
+        col("ps_supplycost_c"))
+      // the modular walk can land two k's on one supplier at tiny S —
+      // the identical duplicate row would surface here, so the output
+      // is a DISTINCT set on both engines
+      .distinct()
+      .orderBy(col("acctbal_c").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** §2#293 TPC-H Q11-style IMPORTANT STOCK — parts whose stock value
+    * (cost × availqty, integer) held by one nation's suppliers
+    * exceeds 0.01% of that nation's total stock value (Q11's HAVING
+    * over a scalar subquery). The fraction test is EXACT integers:
+    * value > total/10000 ⇔ value·10000 > total — no float fraction
+    * crosses the engine boundary.
+    *
+    * Shape: partsupp derives narrow from the part scan; the nation's
+    * suppliers are a broadcast semi-join set; one partkey-grain
+    * combinable agg (the only shuffle, ≤|parts| rows) + a 1-row total
+    * broadcast; ordered output ≤|parts|. */
+  def q11ImportantStock(spark: SparkSession, sfDir: String,
+      nationName: String = "NATION_3"): DataFrame = {
+    val natSupps = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .where(col("n_name") === nationName).select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("s_suppkey"))
+    val held = Tables.partsupp(spark, sfDir)
+      .join(broadcast(natSupps), col("ps_suppkey") === col("s_suppkey"),
+        "left_semi")
+      .select(col("ps_partkey"),
+        (col("ps_supplycost_c") * col("ps_availqty")).as("v"))
+    val perPart = held.groupBy(col("ps_partkey"))
+      .agg(sum(col("v")).as("value_c"))
+    perPart
+      .crossJoin(broadcast(held.agg(sum(col("v")).as("total_c"))))
+      .where(col("value_c") * lit(10000L) > col("total_c"))
+      .select(col("ps_partkey"), col("value_c"))
+      .orderBy(col("value_c").desc, col("ps_partkey"))
+  }
+
+  /** §2#294 TPC-H Q12-style SHIPMODE PRIORITY — for two ship modes,
+    * lines received in one year that shipped before their commit date
+    * but arrived after it (the "late but not our fault" SLA split),
+    * counted by order priority class (urgent/high vs rest). The
+    * corpus has no shipmode or commit/receipt dates: all three derive
+    * in-row from (orderkey, linenumber, shipdate) in µs-integer space
+    * (Tables.lineitemShip — identical in the oracle).
+    *
+    * Shape: mode + date-band predicates evaluate in-row on the
+    * lineitem scan (the derivation is narrow, so the survivor set —
+    * 2 of 7 modes × the year band — is pruned before any exchange);
+    * lineitem ⋈ orders is the one fact⋈fact shuffle; ≤2-row
+    * combinable agg. */
+  def q12ShipmodePriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val y1995 = 788918400000000L // 1995-01-01T00:00:00Z in µs
+    val y1996 = 820454400000000L
+    Tables.lineitemShip(spark, sfDir)
+      .where(col("l_shipmode").isin("MAIL", "SHIP")
+        && col("l_commit_us") < col("l_receipt_us")
+        && expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))") < col("l_commit_us")
+        && col("l_receipt_us") >= y1995 && col("l_receipt_us") < y1996)
+      .select(col("l_orderkey"), col("l_shipmode"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_shipmode"))
+      .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+        .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_shipmode"))
+  }
+
+  /** §2#295 TPC-H Q16-style SUPPLIER COUNTS — distinct suppliers able
+    * to supply each (brand, type, size) combination outside one
+    * excluded brand/type, skipping "complaint" suppliers (Q16's
+    * NOT LIKE '%Customer%Complaints%' — no s_comment column, so a
+    * deterministic 1-in-7 synthetic complaint flag
+    * (s_suppkey % 7 = 3) stands in, identically on both engines).
+    *
+    * Shape: brand/type/size filters push into the part scan under the
+    * narrow derivation; complainers are a broadcast anti set
+    * (≤|suppliers|/7); one combinable partial-distinct aggregate on
+    * (brand, type, size, suppkey) — ≤4·|filtered parts| rows into the
+    * only shuffle. */
+  def q16SupplierCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val complainers = Tables.supplier(spark, sfDir)
+      .where(expr("s_suppkey % 7 = 3")).select(col("s_suppkey"))
+    Tables.partsupp(spark, sfDir)
+      .where(col("p_brand") =!= "Brand#12" && col("p_type") =!= "PROMO"
+        && col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+      .join(broadcast(complainers), col("ps_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy(col("p_brand"), col("p_type"),
+        col("p_size").cast("long").as("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** §2#296 TPC-H Q20-style PART PROMOTION — suppliers in one nation
+    * holding excess stock of one part family: availqty > half the
+    * quantity they shipped of that part in one year (Q20's nested
+    * IN-chain as joins). The corpus names parts "<adj> <noun>" from a
+    * fixed adjective set (no 'green'), so the family is a '%blue%'
+    * name match; the half test is exact integers
+    * (2·availqty > shipped).
+    *
+    * Shape: the family's partkeys broadcast-prune lineitem BEFORE its
+    * (partkey, suppkey)-grain roll-up (the one fact shuffle);
+    * partsupp derives narrow over the same pruned part set; the
+    * qualifying supplier set is aggregated-small and semi-joins the
+    * supplier dim; ≤|nation's suppliers| ordered rows out. */
+  def q20PartPromotion(spark: SparkSession, sfDir: String,
+      family: String = "%blue%", nationName: String = "NATION_3"): DataFrame = {
+    val y1995 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    val y1996 = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val famParts = Tables.part(spark, sfDir)
+      .where(col("p_name").like(family)).select(col("p_partkey"))
+    val shipped = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit(y1995) && col("l_shipdate") < lit(y1996))
+      .join(broadcast(famParts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("shipped_qty"))
+    val excess = Tables.partsupp(spark, sfDir)
+      .join(broadcast(famParts), col("ps_partkey") === col("p_partkey"),
+        "left_semi")
+      .join(shipped, col("ps_partkey") === col("l_partkey")
+        && col("ps_suppkey") === col("l_suppkey"))
+      .where(lit(2L) * col("ps_availqty") > col("shipped_qty"))
+      .select(col("ps_suppkey")).distinct()
+    Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .where(col("n_name") === nationName).select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_name"))
+  }
+
+  /** §2#297 TPC-H Q21-style WAITING SUPPLIERS — suppliers in one
+    * nation who were the SOLE late supplier on a finished multi-
+    * supplier order (Q21's exists/not-exists pair, the
+    * supply-chain-blame classic). Late = derived receipt after
+    * derived commit (Tables.lineitemShip). Q21's correlated
+    * EXISTS/NOT EXISTS re-scan lineitem twice; the single-pass form
+    * rolls lineitem up ONCE per order — distinct suppliers, distinct
+    * LATE suppliers and (when unique) that supplier plus their late
+    * line count — then keeps orders with >1 suppliers and exactly 1
+    * late one: identical semantics, one fact scan. Reported per
+    * supplier: blamed orders and late lines on them.
+    *
+    * Shape: one orderkey-grain combinable roll-up of lineitem (the
+    * fact shuffle); survivors (multi-supplier, one-late) join
+    * status-F orders on the same key (pushed filter, AQE broadcasts
+    * the survivor side when small); the nation's suppliers broadcast;
+    * ≤|suppliers| agg; top-100 TakeOrderedAndProject. */
+  def q21LateSuppliers(spark: SparkSession, sfDir: String,
+      nationName: String = "NATION_3"): DataFrame = {
+    val li = Tables.lineitemShip(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_receipt_us") > col("l_commit_us")).cast("long").as("late"))
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(when(col("late") === 1L, col("l_suppkey")))
+          .as("n_late_supps"),
+        max(when(col("late") === 1L, col("l_suppkey"))).as("late_supp"),
+        sum(col("late")).as("late_lines"))
+      .where(col("n_supps") > 1L && col("n_late_supps") === 1L)
+    perOrder
+      .join(Tables.orders(spark, sfDir)
+        .where(col("o_orderstatus") === "F").select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .join(broadcast(Tables.nation(spark, sfDir)
+          .where(col("n_name") === nationName).select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("late_supp") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"), sum(col("late_lines")).as("late_lines"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
   }
 
   /** §2#277 AUDIENCE OVERLAP — the cross-feature co-usage matrix

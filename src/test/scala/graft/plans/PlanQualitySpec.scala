@@ -597,11 +597,20 @@ class PlanQualitySpec extends SparkSuite {
     assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
       s"q10 quarter filter not pushed to the orders scan:\n$plan")
     // the customer-grain aggregate must sit BELOW the customer join:
-    // in the final plan the HashAggregate producing revenue_c appears
-    // before (deeper than) the join that introduces c_name
+    // executedPlan.toString prints ROOT-FIRST, so "below" means the
+    // partial aggregate appears AFTER the customer-join node (it lives
+    // in the join's left subtree). Were the aggregation hoisted above
+    // the join (the textbook join-4-ways-then-group shape), the
+    // partial_sum line would print BEFORE the first join on c_custkey.
     val finalPlan = plan.split("== Initial Plan ==")(0)
     val agg = finalPlan.indexOf("partial_sum")
     assert(agg >= 0, s"q10 revenue not partially aggregated:\n$finalPlan")
+    val custJoin = raw"(?m)^.*Join.*c_custkey.*$$".r.findFirstMatchIn(finalPlan)
+    assert(custJoin.isDefined,
+      s"q10 customer join not found in the final plan:\n$finalPlan")
+    assert(custJoin.get.start < agg,
+      s"q10 partial aggregate hoisted ABOVE the customer join " +
+        s"(join@${custJoin.get.start} vs partial_sum@$agg):\n$finalPlan")
     assert(!plan.contains("CartesianProduct"))
   }
 
@@ -637,6 +646,130 @@ class PlanQualitySpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"q8 dim sides not broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q15: shipdate pushed on the revenue frame; memo cut leaves ONE lineitem scan") {
+    // the pre-memo frame (the production code path feeding the cut):
+    // quarter predicate must reach the lineitem scan, and the agg must
+    // be a partial (combinable) roll-up
+    val revPlan = planOf(Analytics.q15Revenue(spark, sf))
+    assert(revPlan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"q15 shipdate filter not pushed to the lineitem scan:\n$revPlan")
+    assert(revPlan.contains("partial_sum"),
+      s"q15 revenue agg not map-side combinable:\n$revPlan")
+    // the full query: the cut memoizes rev ONCE, so the final plan
+    // reads the checkpoint — zero direct lineitem scans (the single
+    // scan happened at memo build), and the fact grain never
+    // hash-shuffles after the memo
+    val plan = planOf(Analytics.q15TopSupplier(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert("lineitem\\.parquet".r.findAllMatchIn(finalPlan).isEmpty,
+      s"q15 re-scans lineitem past the memo cut:\n$finalPlan")
+    assert(!finalPlan.contains("Exchange hashpartitioning"),
+      s"q15 hash-shuffles after the supplier-grain memo:\n$finalPlan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q17: memo cut leaves zero direct lineitem scans; per-part table broadcast back") {
+    val plan = planOf(Analytics.q17SmallQuantity(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    // brandLines is memoized once — the final plan reads the
+    // checkpoint twice (per-part agg + the filtered sum), never the
+    // parquet fact again
+    assert("lineitem\\.parquet".r.findAllMatchIn(finalPlan).isEmpty,
+      s"q17 re-scans lineitem past the memo cut:\n$finalPlan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q17 per-part average table not broadcast back over the memo:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q2: size/type push into the part scan; min join-back broadcast; no cartesian") {
+    val plan = planOf(Analytics.q2MinCostSupp(spark, sf))
+    // the narrow derivation must not block pushdown: the size/type
+    // predicates belong on the PART scan (the scan's PushedFilters
+    // string is metadata-truncated in toString, so match the
+    // post-scan Filter node — FileSourceStrategy pushed the same set)
+    assert(raw"Filter .*p_size#\d+ >= 10".r.findFirstIn(plan).isDefined,
+      s"q2 size band not on the part scan's filter:\n$plan")
+    assert(raw"p_type#\d+ = STANDARD".r.findFirstIn(plan).isDefined,
+      s"q2 type filter not on the part scan's filter:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q2 min-cost join-back not broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q2 top-100 is not TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q12: derived predicates prune in-row; ONE fact⋈fact shuffle") {
+    val plan = planOf(Analytics.q12ShipmodePriority(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    // one lineitem pass, one orders pass
+    assert("lineitem\\.parquet".r.findAllMatchIn(finalPlan).size <= 1,
+      s"q12 scans lineitem more than once:\n$finalPlan")
+    assert("orders\\.parquet".r.findAllMatchIn(finalPlan).size <= 1,
+      s"q12 scans orders more than once:\n$finalPlan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q16: attribute filters push to the part scan; complainers anti-broadcast") {
+    val plan = planOf(Analytics.q16SupplierCounts(spark, sf))
+    assert(raw"p_size#\d+ IN \(1,4,9,14,19,23,36,45\)".r
+      .findFirstIn(plan).isDefined,
+      s"q16 size-set filter not on the part scan's filter:\n$plan")
+    assert(raw"NOT \(p_brand#\d+ = Brand#12\)".r.findFirstIn(plan).isDefined,
+      s"q16 brand exclusion not on the part scan's filter:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"q16 complaint screen is not an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q20: family prunes lineitem BEFORE its roll-up; year pushed") {
+    val plan = planOf(Analytics.q20PartPromotion(spark, sf))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"q20 ship-year not pushed to the lineitem scan:\n$plan")
+    // the family semi-join must sit below the (partkey, suppkey)
+    // roll-up: root-first print → the partial aggregate line appears
+    // BEFORE (smaller index than) the LINEITEM-side semi-join on
+    // p_partkey in its subtree. Two p_partkey semis exist (the
+    // partsupp prune prints first, in the join's left subtree); the
+    // lineitem one is the LAST printed — that's the discriminator:
+    // were the roll-up unpruned (semi hoisted above the agg), the
+    // last semi would print before partial_sum.
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val agg = finalPlan.indexOf("partial_sum")
+    // physical semi joins print as "BroadcastHashJoin [keys], [keys],
+    // LeftSemi, ..." — keys precede the join type, so match lines
+    // carrying both tokens in any order
+    val semis = raw"(?m)^(?=.*LeftSemi)(?=.*p_partkey).*$$".r
+      .findAllMatchIn(finalPlan).toSeq
+    assert(agg >= 0 && semis.nonEmpty && agg < semis.last.start,
+      s"q20 family prune not below the shipped roll-up " +
+        s"(partial_sum@$agg vs last semi@${semis.lastOption.map(_.start)}):\n$finalPlan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q21: ONE lineitem roll-up; status filter pushed; top-100 TakeOrdered") {
+    val plan = planOf(Analytics.q21LateSuppliers(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert("lineitem\\.parquet".r.findAllMatchIn(finalPlan).size <= 1,
+      s"q21 scans lineitem more than once (the correlated-exists trap):\n$finalPlan")
+    assert(plan.contains("EqualTo(o_orderstatus,F)"),
+      s"q21 status filter not pushed to the orders scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q21 top-100 is not TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q22: lapse is LEFT ANTI with the date pushed; threshold a 1-row broadcast") {
+    val plan = planOf(Analytics.q22SalesOpportunity(spark, sf))
+    assert(plan.contains("LeftAnti"),
+      s"q22 lapsed-customer filter is not an anti join:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"q22 lapse cutoff not pushed to the orders scan:\n$plan")
+    // the only allowed join of the 1-row threshold is a broadcast
+    // nested loop (a broadcast cross of one row) — never a cartesian
+    assert(!plan.contains("CartesianProduct"),
+      s"q22 threshold join degenerated to a cartesian:\n$plan")
   }
 
   test("session concurrency sweeps PER DAY — no single-partition window") {
