@@ -3652,22 +3652,23 @@ FROM d JOIN v USING (tok) GROUP BY 1 ORDER BY d.doc_id""",
          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
 
     "q20_part_promotion" ->
-      s"""WITH ${Tables.partsuppSql},
-         |fp AS (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%'),
-         |sh AS (SELECT l_partkey, l_suppkey,
-         |  CAST(sum(l_quantity) AS BIGINT) AS shipped_qty FROM lineitem
+      s"""WITH fp AS (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%'),
+         |st AS (SELECT l_partkey, l_suppkey,
+         |  CAST(sum(l_quantity) AS BIGINT) AS shipped_qty,
+         |  1 + (l_partkey * 47 + l_suppkey * 31) % 9999 AS availqty
+         |  FROM lineitem
          |  WHERE l_partkey IN (SELECT p_partkey FROM fp)
          |    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
          |    AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
          |  GROUP BY 1, 2),
-         |ex AS (SELECT DISTINCT ps_suppkey FROM partsupp
-         |  JOIN sh ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
-         |  WHERE ps_partkey IN (SELECT p_partkey FROM fp)
-         |    AND 2 * ps_availqty > shipped_qty)
+         |t AS (SELECT CAST(sum(shipped_qty) AS BIGINT) AS tot_shipped,
+         |  CAST(sum(availqty) AS BIGINT) AS tot_avail FROM st),
+         |ex AS (SELECT DISTINCT l_suppkey FROM st CROSS JOIN t
+         |  WHERE availqty * tot_shipped > shipped_qty * tot_avail)
          |SELECT s_suppkey, s_name FROM supplier
          |JOIN nation ON n_nationkey = s_nationkey
          |WHERE n_name = 'NATION_3'
-         |  AND s_suppkey IN (SELECT ps_suppkey FROM ex)
+         |  AND s_suppkey IN (SELECT l_suppkey FROM ex)
          |ORDER BY s_name""".stripMargin,
 
     "q21_late_suppliers" ->

@@ -229,7 +229,27 @@ object StreamBench {
         "digitdrift", rows, batches, reps,
         i => DigitEvent(s"t${i % 8}", i.toLong,
           if (i % 53 == 0) 0L else (i.toLong * 7919L) % 99999L + 1L),
-        "update", ds => StreamDigitDrift.drift(ds))))
+        "update", ds => StreamDigitDrift.drift(ds))),
+      // 16 cells × dim 8; ~10% of changes are moves (before = the
+      // EXACT image formula of the earlier insert, so the decrement
+      // reconciles), state bounded at 16 cells × 2 longs regardless
+      // of stream length — the live IVF maintenance twin (14th op)
+      ("stream_ivf_maintain", () => {
+        def vecOf(id: Long, salt: Long): Array[Double] =
+          Array.tabulate(8)(d =>
+            (((id * 31L + salt * 17L + d * 7L) % 1000L) - 500L) / 500.0)
+        val cents = Array.tabulate(16)(c => vecOf(c.toLong * 101L, 9L))
+        drive[VecChange, CellHealth](spark,
+          "ivfmaintain", rows, batches, reps,
+          i => if (i % 10 == 3 && i > 20)
+              VecChange((i - 20).toLong, vecOf((i - 20).toLong, 0L),
+                vecOf((i - 20).toLong, 1L))
+            else VecChange(i.toLong, Array.empty, vecOf(i.toLong, 0L)),
+          "update", ds => {
+            implicit val s = spark
+            StreamIvfMaintain.health(ds, cents)
+          })
+      }))
 
     val results = ops.map { case (name, f) =>
       val r = f()

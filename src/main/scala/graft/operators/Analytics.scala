@@ -2014,42 +2014,57 @@ object Analytics {
   }
 
   /** §2#296 TPC-H Q20-style PART PROMOTION — suppliers in one nation
-    * holding excess stock of one part family: availqty > half the
-    * quantity they shipped of that part in one year (Q20's nested
-    * IN-chain as joins). The corpus names parts "<adj> <noun>" from a
-    * fixed adjective set (no 'green'), so the family is a '%blue%'
-    * name match; the half test is exact integers
-    * (2·availqty > shipped).
+    * holding excess stock of a part family relative to what they ship
+    * (Q20's nested IN-chain as joins). Two corpus adaptations, both
+    * documented: (1) dbgen guarantees every lineitem (partkey,
+    * suppkey) pair exists in partsupp; this corpus's generator draws
+    * l_suppkey independently, so the Tables.partsupp modular walk
+    * intersects the fact's pairs only by 4/S coincidence — the
+    * stocking bridge is therefore RECONSTRUCTED FROM THE FACT
+    * (observed ship pairs, availqty from the same (part, supp)
+    * integer formula partsupp uses), the standard
+    * derive-the-bridge-from-the-fact warehouse move. (2) Q20's
+    * literal availqty > shipped/2 is scale-DEPENDENT here (availqty
+    * is bounded while this corpus grows shipments per pair, so the
+    * predicate saturates empty at 10×): the excess test is instead
+    * SHARE-based and scale-free — a pair qualifies when its
+    * availability share exceeds its shipment share
+    * (avail·Σshipped > shipped·Σavail, exact BIGINT cross-products;
+    * bound: avail ≤ 10⁴ × Σshipped ≤ 9·10¹⁴ stays far under 2⁶³ up
+    * to ~10⁸× this corpus). The family is '%blue%' (the corpus
+    * names parts "<adj> <noun>"; no 'green'/'forest').
     *
     * Shape: the family's partkeys broadcast-prune lineitem BEFORE its
-    * (partkey, suppkey)-grain roll-up (the one fact shuffle);
-    * partsupp derives narrow over the same pruned part set; the
-    * qualifying supplier set is aggregated-small and semi-joins the
-    * supplier dim; ≤|nation's suppliers| ordered rows out. */
+    * (partkey, suppkey)-grain roll-up (the one fact shuffle); the
+    * share totals are a 1-row broadcast over that ≤|pairs| table;
+    * the qualifying supplier set is aggregated-small and semi-joins
+    * the supplier dim; ≤|nation's suppliers| ordered rows out. */
   def q20PartPromotion(spark: SparkSession, sfDir: String,
       family: String = "%blue%", nationName: String = "NATION_3"): DataFrame = {
     val y1995 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
     val y1996 = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
     val famParts = Tables.part(spark, sfDir)
       .where(col("p_name").like(family)).select(col("p_partkey"))
-    val shipped = Tables.lineitem(spark, sfDir)
+    val stocked = Tables.lineitem(spark, sfDir)
       .where(col("l_shipdate") >= lit(y1995) && col("l_shipdate") < lit(y1996))
       .join(broadcast(famParts), col("l_partkey") === col("p_partkey"),
         "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity")).cast("long").as("shipped_qty"))
-    val excess = Tables.partsupp(spark, sfDir)
-      .join(broadcast(famParts), col("ps_partkey") === col("p_partkey"),
-        "left_semi")
-      .join(shipped, col("ps_partkey") === col("l_partkey")
-        && col("ps_suppkey") === col("l_suppkey"))
-      .where(lit(2L) * col("ps_availqty") > col("shipped_qty"))
-      .select(col("ps_suppkey")).distinct()
+      .withColumn("availqty",
+        expr("1 + (l_partkey * 47 + l_suppkey * 31) % 9999"))
+    val totals = stocked.agg(sum(col("shipped_qty")).as("tot_shipped"),
+      sum(col("availqty")).as("tot_avail"))
+    val excess = stocked
+      .crossJoin(broadcast(totals))
+      .where(col("availqty") * col("tot_shipped")
+        > col("shipped_qty") * col("tot_avail"))
+      .select(col("l_suppkey")).distinct()
     Tables.supplier(spark, sfDir)
       .join(broadcast(Tables.nation(spark, sfDir)
         .where(col("n_name") === nationName).select(col("n_nationkey"))),
         col("s_nationkey") === col("n_nationkey"), "left_semi")
-      .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select(col("s_suppkey"), col("s_name"))
       .orderBy(col("s_name"))
   }
