@@ -487,7 +487,12 @@ object ScaleCheck {
       "q20_part_promotion" -> ((s: SparkSession, d: String, _: Int) =>
         Analytics.q20PartPromotion(s, d)),
       "q21_late_suppliers" -> ((s: SparkSession, d: String, _: Int) =>
-        Analytics.q21LateSuppliers(s, d)))
+        Analytics.q21LateSuppliers(s, d)),
+      // r16: cell health — corpus × broadcast-centroids score + one
+      // vec-grain combinable argmax; the centroid-classify band (~K×
+      // from the scored scan, output ≤|cells| at any scale)
+      "ann_cell_health" -> ((s: SparkSession, d: String, _: Int) =>
+        Similarity.cellHealth(s, d)))
 
     // SPARK_GRAFT_OPS=a,b,c restricts the run (default: everything) —
     // lets a round re-measure just its new ops without paying for the

@@ -185,6 +185,7 @@ object SparkEntry {
     "ann_ivf_pq" -> ((s: SparkSession, d: String) => Similarity.ivfPqTopk(s, d)),
     "ann_filtered_topk" -> ((s: SparkSession, d: String) => Similarity.filteredTopk(s, d)),
     "ann_range_search" -> ((s: SparkSession, d: String) => Similarity.rangeSearch(s, d)),
+    "ann_cell_health" -> ((s: SparkSession, d: String) => Similarity.cellHealth(s, d)),
     "ann_mmr_topk" -> ((s: SparkSession, d: String) => Similarity.mmrTopk(s, d)),
     // §2.6 text analysis
     "text_tokens" -> (TextAnalysis.tokenCounts _),
@@ -2517,6 +2518,34 @@ FROM d JOIN v USING (tok) GROUP BY 1 ORDER BY d.doc_id""",
          |  CAST(actual_label AS BIGINT) AS actual_label,
          |  CAST(CASE WHEN label = actual_label THEN 1 ELSE 0 END AS BIGINT) AS correct
          |FROM v WHERE vr = 1 ORDER BY query_id""".stripMargin,
+
+    "ann_cell_health" ->
+      s"""WITH $embBase,
+         |cent AS (
+         |  SELECT label AS cell, list(m ORDER BY dim) AS c_emb
+         |  FROM (SELECT label, i AS dim, avg(emb[i]) AS m
+         |        FROM base CROSS JOIN generate_series(1, 64) AS t(i)
+         |        GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |assigned AS (SELECT vec_id, cell,
+         |  1000000 - cell_cos AS resid_e6 FROM (
+         |  SELECT b.vec_id, c.cell,
+         |    ${cosE6("b.emb", "c.c_emb")} AS cell_cos,
+         |    row_number() OVER (PARTITION BY b.vec_id
+         |      ORDER BY ${cosE6("b.emb", "c.c_emb")} DESC, c.cell) AS ark
+         |  FROM base b CROSS JOIN cent c) WHERE ark = 1),
+         |h AS (SELECT CAST(cell AS BIGINT) AS cell,
+         |  CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(resid_e6) AS BIGINT) AS rsum FROM assigned GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total,
+         |  CAST(count(*) AS BIGINT) AS n_cells FROM h)
+         |SELECT cell, n_vecs,
+         |  CAST(1000 * n_vecs // total AS BIGINT) AS share_pm,
+         |  CAST(rsum // n_vecs AS BIGINT) AS mean_resid_e6,
+         |  CAST(CASE WHEN n_vecs * n_cells > 2 * total
+         |    OR rsum // n_vecs > 500000 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS rebuild
+         |FROM h CROSS JOIN t ORDER BY cell""".stripMargin,
 
     "ann_ivf_topk" ->
       s"""WITH $embBase,

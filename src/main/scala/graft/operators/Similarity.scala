@@ -268,6 +268,55 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** §2#299 IVF CELL HEALTH — the BATCH side of the index-maintenance
+    * pair (StreamIvfMaintain is the live side): for the same coarse
+    * quantizer #52 queries through (per-label mean centroids), report
+    * each cell's occupancy, corpus share ‰, mean residual
+    * (1e6 − cell cosine — how well the centroid still fits its
+    * population), and the rebuild hint (over 2× its fair share, or
+    * mean residual past the drift line). This is the report an index
+    * orchestrator reads BEFORE deciding which cells to re-train —
+    * the batch reconciliation the streaming hints are checked
+    * against.
+    *
+    * All integers after the e6 cosine rounding (sums and floor
+    * divides — exact on both engines). Shape: one corpus×centroids
+    * broadcast score, one vec-grain argmax (max_by, combinable), one
+    * ≤|cells| agg + two 1-row broadcasts. Nothing after the scan
+    * exceeds |cells| rows. */
+  def cellHealth(spark: SparkSession, sfDir: String,
+      driftE6: Long = 500000L): DataFrame = {
+    val base = corpus(spark, sfDir).cut
+    val centroids = base
+      .select(col("label"), posexplode(col("emb")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim")).agg(avg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("parts"))
+      .select(col("label").as("cell"),
+        transform(col("parts"), p => p.getField("m")).as("c_emb"))
+      .withColumn("c_nrm", norm2(col("c_emb")))
+    val assigned = base.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cell"),
+        cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm"))
+          .as("cell_cos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cell"), col("cell_cos")),
+        struct(col("cell_cos"), -col("cell"))).as("best"))
+      .select(col("best.cell").as("cell"),
+        (lit(1000000L) - col("best.cell_cos")).as("resid_e6"))
+    val health = assigned.groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("resid_e6")).as("rsum"))
+    health
+      .crossJoin(broadcast(health.agg(sum(col("n_vecs")).as("total"),
+        count(lit(1)).as("n_cells"))))
+      .select(col("cell"), col("n_vecs"),
+        expr("1000 * n_vecs div total").as("share_pm"),
+        expr("rsum div n_vecs").as("mean_resid_e6"),
+        (col("n_vecs") * col("n_cells") > lit(2L) * col("total")
+          || expr("rsum div n_vecs") > driftE6).cast("long").as("rebuild"))
+      .orderBy(col("cell"))
+  }
+
   /** Lloyd's k-means over the corpus, DataFrame-native: seeds are the
     * bottom-k vectors by multiplicative hash (deterministic, no
     * collect); each iteration is one broadcast-assign (max_by argmax —
