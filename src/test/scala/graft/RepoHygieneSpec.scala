@@ -99,6 +99,14 @@ class RepoHygieneSpec extends AnyFunSuite {
       // positive balances by their count
       "q8_market_share", "q14_promo_share", "q17_small_quantity",
       "q22_sales_opportunity",
+      // r16: q2/q11/q16's only // is the shared partsupp fragment's
+      // modular walk (s_cnt // 4 and p_partkey // s_cnt — keys are
+      // 0-based non-negative, supplier count strictly positive, so
+      // floor == truncate); ann_cell_health divides 1000·n_vecs and
+      // rsum (sums of resid_e6 = 1e6 − cell_cos ≥ 0, since a rounded
+      // e6 cosine never exceeds 1e6) by strictly positive counts
+      "q2_min_cost_supp", "q11_important_stock", "q16_supplier_counts",
+      "ann_cell_health",
       "cdc_order_audit", "cdc_resolved_gaps", "cdc_snapshot_diff",
       "dedup_incremental_minhash", "dedup_lsh_tuning", "dedup_minhash_lsh",
       "dedup_report", "graph_pagerank", "layout_hilbert",
