@@ -772,6 +772,21 @@ class PlanQualitySpec extends SparkSuite {
       s"q22 threshold join degenerated to a cartesian:\n$plan")
   }
 
+  test("cell health: centroids broadcast, argmax map-side combinable, no cartesian") {
+    val plan = planOf(graft.operators.Similarity.cellHealth(spark, sf))
+    // corpus × centroids rides a broadcast (nested-loop on the tiny
+    // centroid table), never a shuffled cartesian
+    assert(plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"cell-health centroid join not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cell-health degenerated to a cartesian:\n$plan")
+    // the vec-grain argmax must partial-aggregate before its exchange
+    // (max_by combines map-side; a window/sort formulation would not)
+    assert(plan.contains("partial_max_by"),
+      s"cell-health argmax not map-side combinable:\n$plan")
+  }
+
   test("session concurrency sweeps PER DAY — no single-partition window") {
     val plan = planOf(TimeSeries.sessionConcurrency(spark, sf))
     // the sweep window must be keyed by the clipped day...
