@@ -160,6 +160,7 @@ object SparkEntry {
     "dedup_embedding" -> (Dedup.embeddingNearDup _),
     "dedup_embedding_lsh" -> (Dedup.embeddingNearDupLsh _),
     "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.semantic(s, d)),
+    "dedup_cluster_embed" -> ((s: SparkSession, d: String) => Dedup.clusterEmbed(s, d)),
     "sample_docs" -> ((s: SparkSession, d: String) => Sampling.sampleDocs(s, d)),
     "sample_stratified" -> (Sampling.sampleStratified _),
     "sample_split" -> (Sampling.sampleSplit _),
@@ -186,6 +187,7 @@ object SparkEntry {
     "ann_filtered_topk" -> ((s: SparkSession, d: String) => Similarity.filteredTopk(s, d)),
     "ann_range_search" -> ((s: SparkSession, d: String) => Similarity.rangeSearch(s, d)),
     "ann_cell_health" -> ((s: SparkSession, d: String) => Similarity.cellHealth(s, d)),
+    "ann_cell_split" -> ((s: SparkSession, d: String) => Similarity.cellSplit(s, d)),
     "ann_mmr_topk" -> ((s: SparkSession, d: String) => Similarity.mmrTopk(s, d)),
     // §2.6 text analysis
     "text_tokens" -> (TextAnalysis.tokenCounts _),
@@ -1118,6 +1120,36 @@ bnd AS (SELECT doc_id, i // 3 AS band,
          |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc)
          |SELECT doc AS doc_id, min(lab) AS cluster_id
          |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // cluster-representative embedding dedup: the lexical-CC labels
+    // (dedup_cluster's recursive reach, verbatim) pick one
+    // representative per family (the component-minimum doc_id, whose
+    // embedding row is vec_id = cluster_id — ids align 1:1); the
+    // merge worklist ranks representative pairs by cosine
+    "dedup_cluster_embed" ->
+      s"""WITH RECURSIVE $shCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(doc, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc),
+         |cl AS (SELECT doc AS doc_id, min(lab) AS cluster_id
+         |  FROM reach GROUP BY 1),
+         |sizes AS (SELECT cluster_id, count(*) AS n_docs FROM cl GROUP BY 1),
+         |$embBase,
+         |reps AS (SELECT s.cluster_id, s.n_docs, b.label, b.emb
+         |  FROM sizes s JOIN base b ON b.vec_id = s.cluster_id)
+         |SELECT x.cluster_id AS cluster_a, y.cluster_id AS cluster_b,
+         |  x.n_docs AS docs_a, y.n_docs AS docs_b,
+         |  ${cosE6("x.emb", "y.emb")} AS cos_e6
+         |FROM reps x JOIN reps y
+         |  ON x.label = y.label AND x.cluster_id < y.cluster_id
+         |ORDER BY cos_e6 DESC, cluster_a, cluster_b LIMIT 50""".stripMargin,
 
     "dedup_cluster_sizes" ->
       s"""WITH RECURSIVE $shCte,
@@ -3684,7 +3716,7 @@ FROM d JOIN v USING (tok) GROUP BY 1 ORDER BY d.doc_id""",
       s"""WITH fp AS (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%'),
          |st AS (SELECT l_partkey, l_suppkey,
          |  CAST(sum(l_quantity) AS BIGINT) AS shipped_qty,
-         |  1 + (l_partkey * 47 + l_suppkey * 31) % 9999 AS availqty
+         |  ${Tables.availqtySql("l_partkey", "l_suppkey")} AS availqty
          |  FROM lineitem
          |  WHERE l_partkey IN (SELECT p_partkey FROM fp)
          |    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -3787,6 +3819,34 @@ FROM d JOIN v USING (tok) GROUP BY 1 ORDER BY d.doc_id""",
         |   OR (method = 'ivf'    AND recall_pm < 300)
         |   OR (method = 'ivf_pq' AND recall_pm < 300)
         |   OR (method = 'sq8'    AND recall_pm < 700)""".stripMargin,
+
+    "ann_cell_split" ->
+      """SELECT 'two_children' AS chk, CAST(NULL AS BIGINT) AS cell
+        |FROM result WHERE parent <> -1
+        |HAVING count(*) <> 2 OR count(DISTINCT cell) <> 2
+        |   OR count(DISTINCT parent) <> 1
+        |UNION ALL
+        |SELECT 'mass_conserved', CAST(NULL AS BIGINT) FROM result
+        |HAVING CAST(sum(n_vecs) AS BIGINT) <>
+        |  (SELECT count(*) FROM embeddings)
+        |UNION ALL
+        |SELECT 'parent_retired', cell FROM result
+        |WHERE cell IN (SELECT parent FROM result WHERE parent <> -1)
+        |UNION ALL
+        |SELECT 'parent_is_a_label', parent FROM result
+        |WHERE parent <> -1 AND parent NOT IN
+        |  (SELECT CAST(label AS BIGINT) FROM embeddings)
+        |UNION ALL
+        |SELECT 'child_ids_fresh', cell FROM result
+        |WHERE parent <> -1 AND cell <=
+        |  (SELECT max(CAST(label AS BIGINT)) FROM embeddings)
+        |UNION ALL
+        |SELECT 'untouched_are_labels', cell FROM result
+        |WHERE parent = -1 AND cell NOT IN
+        |  (SELECT CAST(label AS BIGINT) FROM embeddings)
+        |UNION ALL
+        |SELECT 'resid_bounds', cell FROM result
+        |WHERE n_vecs < 1 OR mean_resid_e6 < 0 OR mean_resid_e6 > 2000000""".stripMargin,
 
     "dedup_semantic" ->
       """SELECT 'corpus_partition' AS chk, CAST(NULL AS BIGINT) AS vec_id

@@ -230,10 +230,15 @@ object StreamBench {
         i => DigitEvent(s"t${i % 8}", i.toLong,
           if (i % 53 == 0) 0L else (i.toLong * 7919L) % 99999L + 1L),
         "update", ds => StreamDigitDrift.drift(ds))),
-      // 16 cells × dim 8; ~10% of changes are moves (before = the
-      // EXACT image formula of the earlier insert, so the decrement
-      // reconciles), state bounded at 16 cells × 2 longs regardless
-      // of stream length — the live IVF maintenance twin (14th op)
+      // 16 cells × dim 8; ~10% of changes are moves. The update's
+      // target is i−21 (≡2 mod 10 — the INSERT class, never itself an
+      // update slot) and its before-image is the EXACT vecOf(id, 0)
+      // the earlier insert emitted, so the decrement reconciles a
+      // vector that really exists (r16 advice: an i−20 target was ≡3
+      // mod 10 — its own class — so the decrement removed a vector
+      // never inserted and cell counts drifted negative). State stays
+      // bounded at 16 cells × 2 longs regardless of stream length —
+      // the live IVF maintenance twin (14th op)
       ("stream_ivf_maintain", () => {
         def vecOf(id: Long, salt: Long): Array[Double] =
           Array.tabulate(8)(d =>
@@ -241,9 +246,9 @@ object StreamBench {
         val cents = Array.tabulate(16)(c => vecOf(c.toLong * 101L, 9L))
         drive[VecChange, CellHealth](spark,
           "ivfmaintain", rows, batches, reps,
-          i => if (i % 10 == 3 && i > 20)
-              VecChange((i - 20).toLong, vecOf((i - 20).toLong, 0L),
-                vecOf((i - 20).toLong, 1L))
+          i => if (i % 10 == 3 && i > 21)
+              VecChange((i - 21).toLong, vecOf((i - 21).toLong, 0L),
+                vecOf((i - 21).toLong, 1L))
             else VecChange(i.toLong, Array.empty, vecOf(i.toLong, 0L)),
           "update", ds => {
             implicit val s = spark

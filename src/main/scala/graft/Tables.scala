@@ -109,6 +109,18 @@ object Tables {
     * duplicate row is IDENTICAL (availqty/cost derive from
     * (partkey, suppkey)) and both engines derive the same multiset,
     * so every gate stays exact. */
+  /** Single source for the derived-availqty formula (r16 advice: the
+    * expression appeared verbatim in four places — [[partsupp]],
+    * [[partsuppSql]], Analytics.q20PartPromotion and its oracle — so
+    * an edit to one would silently break the documented "same formula
+    * partsupp uses" invariant; the hash gate only pins Spark-vs-oracle
+    * WITHIN q20). Engine-portable: integer `%` on non-negative
+    * operands evaluates identically in Spark SQL and DuckDB (the
+    * sign-safety registry's standing proof obligation), so the same
+    * string splices into both engines' queries. */
+  def availqtySql(partCol: String, suppCol: String): String =
+    s"1 + ($partCol * 47 + $suppCol * 31) % 9999"
+
   def partsupp(s: SparkSession, d: String): DataFrame = {
     val sCnt = supplier(s, d).agg(count(lit(1)).as("s_cnt"))
     part(s, d)
@@ -119,8 +131,7 @@ object Tables {
       .withColumn("ps_suppkey",
         expr("(p_partkey + CAST(i AS BIGINT) * (s_cnt div 4 + p_partkey div s_cnt)) % s_cnt"))
       .select(col("p_partkey").as("ps_partkey"), col("ps_suppkey"),
-        expr("1 + (p_partkey * 47 + ps_suppkey * 31) % 9999")
-          .as("ps_availqty"),
+        expr(availqtySql("p_partkey", "ps_suppkey")).as("ps_availqty"),
         expr("100 + (p_partkey * 59 + ps_suppkey * 97) % 99900")
           .as("ps_supplycost_c"),
         col("p_brand"), col("p_type"), col("p_size"))
@@ -131,13 +142,13 @@ object Tables {
     * compute the identical multiset. Keep in lockstep with partsupp
     * above (PartsuppDerivationSpec pins the equivalence). */
   val partsuppSql: String =
-    """sc AS (SELECT count(*) AS s_cnt FROM supplier),
+    s"""sc AS (SELECT count(*) AS s_cnt FROM supplier),
       |ps0 AS (SELECT p_partkey, p_brand, p_type, p_size,
       |  (p_partkey + CAST(i AS BIGINT) * (s_cnt // 4 + p_partkey // s_cnt)) % s_cnt AS ps_suppkey
       |  FROM part CROSS JOIN sc
       |  CROSS JOIN (VALUES (0), (1), (2), (3)) AS gen(i)),
       |partsupp AS (SELECT p_partkey AS ps_partkey, ps_suppkey,
-      |  1 + (p_partkey * 47 + ps_suppkey * 31) % 9999 AS ps_availqty,
+      |  ${availqtySql("p_partkey", "ps_suppkey")} AS ps_availqty,
       |  100 + (p_partkey * 59 + ps_suppkey * 97) % 99900 AS ps_supplycost_c,
       |  p_brand, p_type, p_size FROM ps0)""".stripMargin
 

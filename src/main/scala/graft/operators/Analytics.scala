@@ -2013,6 +2013,26 @@ object Analytics {
         col("p_size"))
   }
 
+  /** q20's pre-memo fact frame — the family-pruned (partkey, suppkey)
+    * roll-up with the derived availqty. Exposed (like q15Revenue) so
+    * plan pins can assert the prune-below-roll-up and pushdown shape
+    * that the memo cut's checkpoint scan would otherwise hide. */
+  private[graft] def q20Stocked(spark: SparkSession, sfDir: String,
+      family: String = "%blue%"): DataFrame = {
+    val y1995 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    val y1996 = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val famParts = Tables.part(spark, sfDir)
+      .where(col("p_name").like(family)).select(col("p_partkey"))
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit(y1995) && col("l_shipdate") < lit(y1996))
+      .join(broadcast(famParts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("shipped_qty"))
+      .withColumn("availqty",
+        expr(Tables.availqtySql("l_partkey", "l_suppkey")))
+  }
+
   /** §2#296 TPC-H Q20-style PART PROMOTION — suppliers in one nation
     * holding excess stock of a part family relative to what they ship
     * (Q20's nested IN-chain as joins). Two corpus adaptations, both
@@ -2041,18 +2061,12 @@ object Analytics {
     * the supplier dim; ≤|nation's suppliers| ordered rows out. */
   def q20PartPromotion(spark: SparkSession, sfDir: String,
       family: String = "%blue%", nationName: String = "NATION_3"): DataFrame = {
-    val y1995 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
-    val y1996 = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
-    val famParts = Tables.part(spark, sfDir)
-      .where(col("p_name").like(family)).select(col("p_partkey"))
-    val stocked = Tables.lineitem(spark, sfDir)
-      .where(col("l_shipdate") >= lit(y1995) && col("l_shipdate") < lit(y1996))
-      .join(broadcast(famParts), col("l_partkey") === col("p_partkey"),
-        "left_semi")
-      .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(sum(col("l_quantity")).cast("long").as("shipped_qty"))
-      .withColumn("availqty",
-        expr("1 + (l_partkey * 47 + l_suppkey * 31) % 9999"))
+    import graft.Checkpoints.CutOps
+    // two consumers (share totals + excess filter) over the fact-grain
+    // frame: memoize ONCE — r16 verdict #1 measured ReuseExchange NOT
+    // covering the pair (two lineitem scans in the final plan); the
+    // cut pins it to one, exactly the q15 idiom
+    val stocked = q20Stocked(spark, sfDir, family).cut
     val totals = stocked.agg(sum(col("shipped_qty")).as("tot_shipped"),
       sum(col("availqty")).as("tot_avail"))
     val excess = stocked

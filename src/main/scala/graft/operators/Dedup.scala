@@ -822,6 +822,54 @@ object Dedup {
         (col("cluster_size") * col("n_clusters")).as("n_docs"))
       .orderBy(col("cluster_size"))
 
+  /** §2#300 CLUSTER-REPRESENTATIVE EMBEDDING DEDUP — the production
+    * "dedup, then embed once per cluster" bridge between the text
+    * clusters (§2.4) and the vector rungs (§2.5): lexical CC (#45)
+    * collapses boilerplate families first, then embedding similarity
+    * runs at the REPRESENTATIVE level only — the member count the
+    * embedding model (the expensive stage in a real pipeline) never
+    * has to see again, and the only level where paraphrase-grade
+    * near-dups BETWEEN text-clusters are still worth finding. Output
+    * is the cross-cluster merge WORKLIST: the k most-similar
+    * representative pairs (cosine e6, deterministic ties), each
+    * carrying both families' document mass — what a curator reviews
+    * before lowering the lexical threshold. A thresholded form would
+    * be vacuous on this corpus (representatives of DIFFERENT lexical
+    * clusters top out at cos ≈ 0.35 — by construction they aren't
+    * near-dups), so the worklist shape is the non-degenerate one at
+    * every scale.
+    *
+    * Shape: CC labels (memoized candidate pairs + O(diameter)
+    * cut-per-round loop), a ≤|clusters| size agg, one narrow join of
+    * embeddings onto the ≤|clusters| representative set, the pair
+    * stage label-blocked like #28 (the demo blocking that keeps the
+    * oracle SQL; unlabeled corpora use the #59 hyperplane-LSH
+    * blocking at the rep level verbatim), top-k via
+    * TakeOrderedAndProject. The rep frame is `.cut` — it feeds both
+    * sides of the self-join. */
+  def clusterEmbed(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame = {
+    graft.functions.Registry.ensure(spark)
+    val sizes = cluster(spark, sfDir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
+    val reps = Tables.embeddingsPar(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+      .join(sizes, col("vec_id") === col("cluster_id"))
+      .select(col("cluster_id"), col("n_docs"), col("label"), col("emb"))
+      .withColumn("nrm", norm2(col("emb")))
+      .cut
+    reps.as("x").join(reps.as("y"),
+        col("x.label") === col("y.label")
+          && col("x.cluster_id") < col("y.cluster_id"))
+      .select(col("x.cluster_id").as("cluster_a"),
+        col("y.cluster_id").as("cluster_b"),
+        col("x.n_docs").as("docs_a"), col("y.n_docs").as("docs_b"),
+        scaled(dot(col("x.emb"), col("y.emb"))
+          / (col("x.nrm") * col("y.nrm")), 1000000L).as("cos_e6"))
+      .orderBy(col("cos_e6").desc, col("cluster_a"), col("cluster_b"))
+      .limit(k)
+  }
+
   /** §2#204 THRESHOLD SWEEP — the tuning table behind every dedup
     * rollout: at jaccard ≥ 0.5 / 0.7 / 0.9, how many multi-doc
     * families form, how much document mass they hold, and how many

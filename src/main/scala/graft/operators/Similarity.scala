@@ -287,7 +287,14 @@ object Similarity {
   def cellHealth(spark: SparkSession, sfDir: String,
       driftE6: Long = 500000L): DataFrame = {
     val base = corpus(spark, sfDir).cut
-    val centroids = base
+    cellHealthOn(base, labelCentroids(base), driftE6)
+  }
+
+  /** The default coarse quantizer [[cellHealth]] reports against:
+    * per-label mean centroids over `base` (the same quantizer the #52
+    * IVF queries probe through). (cell, c_emb, c_nrm) rows. */
+  private[graft] def labelCentroids(base: DataFrame): DataFrame =
+    base
       .select(col("label"), posexplode(col("emb")).as(Seq("dim", "x")))
       .groupBy(col("label"), col("dim")).agg(avg(col("x")).as("m"))
       .groupBy(col("label"))
@@ -295,6 +302,18 @@ object Similarity {
       .select(col("label").as("cell"),
         transform(col("parts"), p => p.getField("m")).as("c_emb"))
       .withColumn("c_nrm", norm2(col("c_emb")))
+
+  /** [[cellHealth]] against an EXPLICIT corpus + centroid table — the
+    * parameterized form (r16 verdict #2) that lets the batch↔stream
+    * reconciliation spec drive the SAME centroid array through this
+    * and [[graft.streaming.StreamIvfMaintain]] and compare per-cell
+    * (n_vecs, mean residual) verdicts over the materialized end
+    * state. `base` needs (vec_id, emb, nrm); `centroids` needs
+    * (cell, c_emb, c_nrm). Same plan shape as the registered query:
+    * broadcast score, combinable max_by argmax, ≤|cells| agg. */
+  def cellHealthOn(base: DataFrame, centroids: DataFrame,
+      driftE6: Long = 500000L): DataFrame = {
+    graft.functions.Registry.ensure(base.sparkSession)
     val assigned = base.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("cell"),
         cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm"))
@@ -314,6 +333,99 @@ object Similarity {
         expr("rsum div n_vecs").as("mean_resid_e6"),
         (col("n_vecs") * col("n_cells") > lit(2L) * col("total")
           || expr("rsum div n_vecs") > driftE6).cast("long").as("rebuild"))
+      .orderBy(col("cell"))
+  }
+
+  /** §2#301 IVF CELL SPLIT — the ACTED-ON form of the rebuild hint
+    * (#298/#299 emit it; this is what the orchestrator does next):
+    * take the worst cell (max mean residual, ties → smallest id —
+    * the cell whose centroid fits its population worst), re-train
+    * JUST that cell's population with 2-means, and re-parent ONLY its
+    * codes between the two children — the incremental alternative to
+    * a full re-kmeans of the index (faiss's "split a hot inverted
+    * list" move; the IVF equivalent of salting a skewed key). Every
+    * other cell's membership is untouched BY CONSTRUCTION (the codes
+    * are stored state, not recomputed — a global re-assign against
+    * the grown centroid table would steal vectors from healthy cells
+    * and invalidate their codes).
+    *
+    * Output: the post-split health table — one row per surviving cell
+    * (untouched cells carry `parent` = −1; the two children carry
+    * `parent` = the split cell, ids max(cell)+1 and max(cell)+2 so no
+    * id is ever reused). Mass is conserved: Σ n_vecs = |corpus|.
+    *
+    * Scale shape: one corpus×centroids broadcast score + vec-grain
+    * combinable argmax (the #299 assignment, memoized via `.cut` —
+    * it feeds the worst-cell pick, the report, and the split
+    * population), two 1-row broadcasts (target pick, max id),
+    * Lloyd's over ONE cell's population (2 combinable shuffles per
+    * iteration on ~1/|cells| of the corpus), one ≤|cells|+2 agg.
+    * Floats only inside the child centroids (k-means averages) →
+    * rows-kind, structurally gated; the ScalaTest spec pins the
+    * children against an independent batch 2-means re-cluster of the
+    * same population. */
+  def cellSplit(spark: SparkSession, sfDir: String,
+      iters: Int = 2): DataFrame = {
+    val base = corpus(spark, sfDir).cut
+    cellSplitOn(base, labelCentroids(base), iters)
+  }
+
+  /** [[cellSplit]] against an explicit corpus + centroid table (the
+    * parameterized form, like [[cellHealthOn]]). `base` needs
+    * (vec_id, emb, nrm); `centroids` needs (cell, c_emb, c_nrm). */
+  def cellSplitOn(base: DataFrame, centroids: DataFrame,
+      iters: Int = 2): DataFrame = {
+    graft.functions.Registry.ensure(base.sparkSession)
+    // stored codes: every vector's current cell + residual (the #299
+    // assignment); memoized — three consumers below
+    val assigned = base.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cell"),
+        cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm"))
+          .as("cell_cos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("emb"), col("nrm"), col("cell"), col("cell_cos")),
+        struct(col("cell_cos"), -col("cell"))).as("best"))
+      .select(col("vec_id"), col("best.emb").as("emb"),
+        col("best.nrm").as("nrm"), col("best.cell").cast("long").as("cell"),
+        (lit(1000000L) - col("best.cell_cos")).as("resid_e6"))
+      .cut
+    val health = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("resid_e6")).as("rsum"))
+    // the orchestrator's pick: worst mean residual, ties → smallest id
+    val target = health.agg(max_by(col("cell"),
+      struct(expr("rsum div n_vecs"), -col("cell"))).as("t_cell"))
+    val maxId = centroids.agg(max(col("cell")).cast("long").as("max_cell"))
+    val pop = assigned.crossJoin(broadcast(target))
+      .where(col("cell") === col("t_cell"))
+      .select(col("vec_id"), col("emb"), col("nrm"))
+    // 2-means over just the split population; children get fresh ids
+    val children = kmeansCentroids(pop, 2, iters)
+      .crossJoin(broadcast(maxId))
+      .select((col("max_cell") + 1L + col("cell")).as("cell"),
+        col("c_emb"), col("c_nrm"))
+    // re-parent ONLY the split cell's codes between the two children
+    val reparented = pop.crossJoin(broadcast(children))
+      .select(col("vec_id"), col("cell"),
+        cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm"))
+          .as("cell_cos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cell"), col("cell_cos")),
+        struct(col("cell_cos"), -col("cell"))).as("best"))
+      .select(col("best.cell").as("cell"),
+        (lit(1000000L) - col("best.cell_cos")).as("resid_e6"))
+    val untouched = assigned.crossJoin(broadcast(target))
+      .where(col("cell") =!= col("t_cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("resid_e6")).as("rsum"))
+      .select(col("cell"), col("n_vecs"), col("rsum"), lit(-1L).as("parent"))
+    val childRows = reparented.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("resid_e6")).as("rsum"))
+      .crossJoin(broadcast(target))
+      .select(col("cell"), col("n_vecs"), col("rsum"),
+        col("t_cell").cast("long").as("parent"))
+    untouched.unionByName(childRows)
+      .select(col("cell"), col("n_vecs"),
+        expr("rsum div n_vecs").as("mean_resid_e6"), col("parent"))
       .orderBy(col("cell"))
   }
 

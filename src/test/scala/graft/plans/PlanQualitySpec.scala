@@ -723,28 +723,37 @@ class PlanQualitySpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
-  test("q20: family prunes lineitem BEFORE its roll-up; year pushed") {
-    val plan = planOf(Analytics.q20PartPromotion(spark, sf))
-    assert(plan.contains("GreaterThanOrEqual(l_shipdate"),
-      s"q20 ship-year not pushed to the lineitem scan:\n$plan")
+  test("q20: family prunes lineitem BEFORE its roll-up; memo cut leaves ONE scan") {
+    // the pre-memo frame (the production path feeding the cut, the
+    // q15Revenue idiom): ship-year pushed, family semi below the
+    // roll-up
+    val stockedPlan = planOf(Analytics.q20Stocked(spark, sf))
+    assert(stockedPlan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"q20 ship-year not pushed to the lineitem scan:\n$stockedPlan")
     // the family semi-join must sit below the (partkey, suppkey)
     // roll-up: root-first print → the partial aggregate line appears
-    // BEFORE (smaller index than) the LINEITEM-side semi-join on
-    // p_partkey in its subtree. Two p_partkey semis exist (the
-    // partsupp prune prints first, in the join's left subtree); the
-    // lineitem one is the LAST printed — that's the discriminator:
-    // were the roll-up unpruned (semi hoisted above the agg), the
-    // last semi would print before partial_sum.
-    val finalPlan = plan.split("== Initial Plan ==")(0)
-    val agg = finalPlan.indexOf("partial_sum")
+    // BEFORE (smaller index than) the lineitem-side semi-join on
+    // p_partkey — were the roll-up unpruned (semi hoisted above the
+    // agg), the semi would print before partial_sum.
+    val stockedFinal = stockedPlan.split("== Initial Plan ==")(0)
+    val agg = stockedFinal.indexOf("partial_sum")
     // physical semi joins print as "BroadcastHashJoin [keys], [keys],
     // LeftSemi, ..." — keys precede the join type, so match lines
     // carrying both tokens in any order
     val semis = raw"(?m)^(?=.*LeftSemi)(?=.*p_partkey).*$$".r
-      .findAllMatchIn(finalPlan).toSeq
+      .findAllMatchIn(stockedFinal).toSeq
     assert(agg >= 0 && semis.nonEmpty && agg < semis.last.start,
       s"q20 family prune not below the shipped roll-up " +
-        s"(partial_sum@$agg vs last semi@${semis.lastOption.map(_.start)}):\n$finalPlan")
+        s"(partial_sum@$agg vs last semi@${semis.lastOption.map(_.start)}):\n$stockedFinal")
+    // the full query (r16 verdict #1): `stocked` feeds TWO consumers
+    // (the 1-row share totals and the excess filter) and measurement
+    // showed ReuseExchange NOT covering them (two lineitem scans) —
+    // the memo cut pins it: the final plan reads the checkpoint, zero
+    // direct lineitem scans (the single scan happened at memo build).
+    val plan = planOf(Analytics.q20PartPromotion(spark, sf))
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert("lineitem\\.parquet".r.findAllMatchIn(finalPlan).isEmpty,
+      s"q20 re-scans lineitem past the memo cut:\n$finalPlan")
     assert(!plan.contains("CartesianProduct"))
   }
 

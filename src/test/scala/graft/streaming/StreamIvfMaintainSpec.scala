@@ -13,34 +13,46 @@ class StreamIvfMaintainSpec extends SparkSuite {
   // two well-separated unit centroids on the axes
   private val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
 
-  private def run(capacity: Long = 1000000L, driftE6: Long = 500000L)(
-      body: (MemoryStream[VecChange], () => Seq[CellHealth]) => Unit): Unit = {
+  private def run(capacity: Long = 1000000L, driftE6: Long = 500000L,
+      cents: Array[Array[Double]] = centroids)(
+      body: (MemoryStream[VecChange], () => Seq[(Long, CellHealth)]) => Unit): Unit = {
     implicit val s = spark
     val key = "spark.sql.streaming.stateStore.providerClass"
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val in = MemoryStream[VecChange](97, spark, None)
-      val q = StreamIvfMaintain.health(in.toDS(), centroids, capacity, driftE6)
+      // Capture (batchId, verdict) via foreachBatch: cross-batch row
+      // order of a memory-sink table is NOT a contract (r16 advice),
+      // but the batch id is — `latest` keys recency on it.
+      val captured =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, CellHealth)]()
+      val q = StreamIvfMaintain.health(in.toDS(), cents, capacity, driftE6)
         .writeStream.outputMode("update")
-        .format("memory").queryName("ivfmaintain")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[CellHealth],
+            batchId: Long) =>
+          batch.collect().foreach(h => captured.add((batchId, h)))
+          ()
+        }
         .option("checkpointLocation",
           Files.createTempDirectory("ckpt-ivfmaintain").toString)
         .start()
-      def all(): Seq[CellHealth] = {
+      def all(): Seq[(Long, CellHealth)] = {
         q.processAllAvailable()
-        spark.table("ivfmaintain").as[CellHealth].collect().toSeq
+        import scala.jdk.CollectionConverters._
+        captured.iterator().asScala.toSeq
       }
       body(in, all _)
       q.stop()
     } finally spark.conf.unset(key)
   }
 
-  /** Latest verdict per cell = the one from the highest batch; memory
-    * sink appends, so take the last row per cell. */
-  private def latest(rows: Seq[CellHealth]): Map[Long, CellHealth] =
-    rows.zipWithIndex.groupBy(_._1.cell)
-      .view.mapValues(_.maxBy(_._2)._1).toMap
+  /** Latest verdict per cell = the one from the highest batch id (a
+    * cell emits at most one verdict per micro-batch, so this is
+    * unambiguous and independent of sink row order). */
+  private def latest(rows: Seq[(Long, CellHealth)]): Map[Long, CellHealth] =
+    rows.groupBy(_._2.cell)
+      .view.mapValues(_.maxBy(_._1)._2).toMap
 
   test("inserts land in their nearest cell with zero residual on exact match") {
     run() { (in, all) =>
@@ -99,6 +111,78 @@ class StreamIvfMaintainSpec extends SparkSuite {
       val m = latest(all())(0L)
       assert(m.n_vecs === 1L && m.mean_resid_e6 > 250000L && m.rebuild,
         s"drift hint missing: $m")
+    }
+  }
+
+  test("batch↔stream reconciliation: cellHealthOn over the end state agrees per cell") {
+    // r16 verdict #2: SURVEY §2 claims ann_cell_health is "the batch
+    // reconciliation the streaming hints are checked against" — this
+    // pins it (the StreamOrderAudit↔cdc_order_audit precedent). The
+    // SAME change feed drives StreamIvfMaintain.health; the feed's
+    // materialized END STATE + the SAME centroid array drive
+    // Similarity.cellHealthOn; final per-cell (n_vecs, mean_resid_e6)
+    // must agree exactly — both sides are e6 fixed-point with floor
+    // mean division, and both assign by the same cosine argmax
+    // (ties → smallest cell).
+    import org.apache.spark.sql.functions.col
+    import graft.functions.Fns.norm2
+
+    // 4 well-spread dim-4 directions (none zero, no near-ties)
+    val cents = Array(
+      Array(1.0, 0.2, 0.1, 0.0),
+      Array(0.1, 1.0, 0.0, 0.3),
+      Array(0.0, 0.2, 1.0, 0.1),
+      Array(0.3, 0.0, 0.2, 1.0))
+    def vecOf(id: Long, salt: Long): Array[Double] =
+      Array.tabulate(4)(d =>
+        (((id * 37L + salt * 29L + d * 13L) % 97L) + 1L) / 97.0 +
+          (if (d == ((id + salt) % 4L).toInt) 1.0 else 0.0))
+    // 40 inserts, then every 5th vector MOVES (before = the exact
+    // insert image), then every 7th is DELETED (before = its current
+    // image: the moved image when it moved, else the insert image)
+    val inserts = (0L until 40L).map(i => VecChange(i, Array.empty, vecOf(i, 0L)))
+    val moves = (0L until 40L).filter(_ % 5L == 0L)
+      .map(i => VecChange(i, vecOf(i, 0L), vecOf(i, 1L)))
+    val deletes = (0L until 40L).filter(_ % 7L == 0L)
+      .map(i => VecChange(i,
+        if (i % 5L == 0L) vecOf(i, 1L) else vecOf(i, 0L), Array.empty))
+    // end state: survivors with their current image
+    val endState = (0L until 40L).filter(_ % 7L != 0L)
+      .map(i => (i, if (i % 5L == 0L) vecOf(i, 1L) else vecOf(i, 0L)))
+
+    run(cents = cents) { (in, all) =>
+      in.addData(inserts: _*)
+      in.addData(moves: _*)
+      in.addData(deletes: _*)
+      val stream = latest(all())
+
+      graft.functions.Registry.ensure(spark)
+      val base = endState.toDF("vec_id", "emb")
+        .withColumn("nrm", norm2(col("emb").cast("array<double>")))
+      val centDf = cents.zipWithIndex.toSeq
+        .map { case (e, i) => (i.toLong, e) }.toDF("cell", "c_emb")
+        .withColumn("c_nrm", norm2(col("c_emb").cast("array<double>")))
+      val batch = graft.operators.Similarity.cellHealthOn(base, centDf)
+        .collect().map(r => r.getAs[Long]("cell") ->
+          ((r.getAs[Long]("n_vecs"), r.getAs[Long]("mean_resid_e6")))).toMap
+
+      // every batch cell: the stream's final verdict matches exactly
+      batch.foreach { case (cell, (n, mean)) =>
+        val s = stream.getOrElse(cell,
+          fail(s"cell $cell in batch report but never emitted live"))
+        assert(s.n_vecs === n && s.mean_resid_e6 === mean,
+          s"cell $cell: stream (${s.n_vecs}, ${s.mean_resid_e6}) " +
+            s"vs batch ($n, $mean)")
+      }
+      // stream cells absent from the batch report must have drained
+      stream.foreach { case (cell, s) =>
+        if (!batch.contains(cell))
+          assert(s.n_vecs === 0L && s.mean_resid_e6 === 0L,
+            s"cell $cell live but empty-or-missing in batch: $s")
+      }
+      // non-vacuous: the feed touches several cells and survivors exist
+      assert(batch.values.map(_._1).sum === endState.size.toLong)
+      assert(batch.size >= 2, s"feed collapsed into one cell: $batch")
     }
   }
 
