@@ -165,6 +165,13 @@ object Fns {
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
+  /** Element-wise vector-sum aggregate ([[VecSumDoubles]]) — the
+    * single-pass centroid accumulator for the approximate (rows-kind)
+    * ANN paths. Mean = `transform(vecSum(v), x => x / n)` with the
+    * group's own count column. NOT for hash-gated outputs (float
+    * addition order differs from the exploded per-dim avg). */
+  def vecSum(a: Column): Column = call_function("graft_vec_sum", a)
+
   /** Cosine similarity of two array<float>/array<double> columns
     * (cast to double first — float math differs between engines). */
   def cosine(a: Column, b: Column): Column = {

@@ -22,6 +22,10 @@ object Registry {
           exprs(1).eval(null).toString.split(",").map(_.trim.toLong).toSeq)
           .toAggregateExpression(),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vec_sum", exprs =>
+        VecSumDoubles(exprs(0)).toAggregateExpression(),
+      "scala_udf")
     // Spark's own runtime-filter bloom pair, exposed by name: the
     // aggregate IS registered upstream (bloom_filter_agg) but the probe
     // side (might_contain) is not — registering both keeps the build

@@ -602,6 +602,10 @@ object Analytics {
     val x = Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag").as("grp"), cents(col("l_extendedprice")).as("x_c"))
     val med = medianOfLongs(x.select(col("grp"), col("x_c").as("v")))
+    // dev stays lazy: its two consumers recompute one broadcast join
+    // over the columnar scan, and ReuseExchange already shares `med`'s
+    // broadcast — a .cut here writes+rereads 600k rows for no net win
+    // (r17: measured a wash-to-slight-regression before reverting)
     val dev = x.join(broadcast(med), "grp")
       .withColumn("dev_c", abs(col("x_c") - col("median_c")))
     val mad = medianOfLongs(dev.select(col("grp"), col("dev_c").as("v")))

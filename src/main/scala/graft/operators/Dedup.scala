@@ -317,6 +317,11 @@ object Dedup {
     val dfg = ex.groupBy(col("source"), col("sh8"))
       .agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id"))
+    // df stays a groupBy + join-back (NOT a window count over
+    // (source, sh8)): the aggregated df frame is small enough that the
+    // join broadcasts, so the exploded frame is never exchanged here —
+    // a window would force a full sort-shuffle of it (r17: measured
+    // 2.3 s → 5.0 s before reverting).
     // prefix length |d| − ⌈t·|d|⌉ + 1 in exact integer arithmetic:
     // ⌈n·t‰/1000⌉ = (n·t‰ + 999) div 1000
     val pref = ex.join(dfg, Seq("source", "sh8"))
@@ -755,7 +760,10 @@ object Dedup {
         .where(col("b") > col("a"))
         .select(col("m").as("u"), col("b").as("v"))
         .where(col("u") =!= col("v"))
-        .distinct()
+      // no intermediate distinct (r17): duplicates don't change
+      // smallStar's per-v min (map-side combined) and its final
+      // distinct canonicalizes the round — one exchange per round
+      // saved; the composed round's edge set is identical
     }
 
     // small-star on the canonical frame: group by the LARGER endpoint
@@ -772,19 +780,24 @@ object Dedup {
 
     val maxRounds = 60
     var rounds = 0
-    var changed = e.count() > 0
+    var eCount = e.count()
+    var changed = eCount > 0
     while (changed && rounds < maxRounds) {
       val next = graft.Checkpoints.cut(smallStar(largeStar(e)))
       // contraction converges when the edge set stabilizes. Both
-      // frames are DISTINCT canonical sets, so set equality ⟺ empty
-      // symmetric difference — computed as ONE action per round (the
-      // union of both exceptAlls, limit-1'd) over the two
-      // already-materialized checkpoint block sets, instead of the
-      // two separate exceptAll jobs r11 paid; at 10^9 edges the
-      // per-round job-launch constant is the cost that matters.
-      changed = next.exceptAll(e).unionByName(e.exceptAll(next))
-        .limit(1).count() > 0
+      // frames are DISTINCT canonical sets, so equality ⟺ same
+      // cardinality AND next ⊆ e. The count is a near-free job over
+      // the just-materialized checkpoint blocks, and the (one-sided,
+      // limit-1'd) anti-join only runs when the counts tie — during
+      // the contracting rounds the count alone decides, so the
+      // per-round set-compare join the r16 form paid (two exceptAlls
+      // unioned) is paid ONCE, at the converged round (r17; at 10^9
+      // edges that join is a full shuffle of both frames).
+      val nextCount = next.count()
+      changed = nextCount != eCount ||
+        next.join(e, Seq("u", "v"), "left_anti").limit(1).count() > 0
       e = next
+      eCount = nextCount
       rounds += 1
     }
     if (changed)
@@ -1255,15 +1268,16 @@ object Dedup {
     val corpus = base.unionByName(plants)
       .withColumn("nrm", norm2(col("emb"))).cut
     val cents = Similarity.kmeansCentroids(corpus, nCells, iters)
-    // hard-assign each vector to its best cell; cc = cos to OWN centroid
-    val assigned = corpus.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("emb"), col("nrm"), col("cell"),
-        Similarity.cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")).as("cc"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("emb"), col("nrm"), col("cell"), col("cc")),
-        struct(col("cc"), -col("cell"))).as("best"))
-      .select(col("vec_id"), col("best.emb").as("emb"), col("best.nrm").as("nrm"),
-        col("best.cell").as("cell"), col("best.cc").as("cc"))
+    // hard-assign each vector to its best cell IN-ROW against the
+    // broadcast centroid array (cc = cos to OWN centroid) — the
+    // corpus-wide argmax groupBy removed (r17, guide §2.4; same
+    // e6-cosine, same (cc, −cell) tie-break as the max_by form)
+    val assigned = corpus
+      .crossJoin(broadcast(Similarity.centsAsArray(cents)))
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        Similarity.bestCellStruct(col("emb"), col("nrm")).as("best"))
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        col("best.cell").as("cell"), col("best.cell_cos").as("cc"))
       .cut // feeds both sides of the pair join + output
     val slim = assigned.select(col("vec_id"), col("emb"), col("nrm"),
       col("cell"), col("cc"))

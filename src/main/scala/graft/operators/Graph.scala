@@ -272,7 +272,13 @@ object Graph {
     val bidir = edges.unionByName(
         edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .transform(graft.Checkpoints.cut)
-    var visited = clusters.select(col("cluster_id").as("doc_id")).distinct()
+    // clusters stays LAZY on purpose: its trailing ORDER BY is
+    // eliminated under both consumers (EliminateSorts below the
+    // distinct and the join), where a .cut would execute the full
+    // sort + materialization (r17: measured 3.2 s → 6.1 s before
+    // reverting a cut here)
+    val cl = clusters
+    var visited = cl.select(col("cluster_id").as("doc_id")).distinct()
       .withColumn("hops", lit(0L)).transform(graft.Checkpoints.cut)
     var frontier = visited
     var round = 0
@@ -286,12 +292,15 @@ object Graph {
         .transform(graft.Checkpoints.cut)
       grew = next.count()
       if (grew > 0) {
-        visited = visited.unionByName(next).transform(graft.Checkpoints.cut)
+        // visited stays a LAZY union of already-cut waves: the
+        // anti-join reads the same materialized blocks either way, so
+        // the per-round re-materialization job bought nothing (r17)
+        visited = visited.unionByName(next)
         frontier = next
       }
       round += 1
     }
-    clusters.join(visited, "doc_id")
+    cl.join(visited, "doc_id")
       .select(col("doc_id"), col("cluster_id"), col("hops"))
       .orderBy(col("doc_id"))
   }

@@ -30,6 +30,40 @@ object Similarity {
   private[operators] def cosPre(aEmb: Column, aNrm: Column, bEmb: Column, bNrm: Column): Column =
     scaled(dot(aEmb, bEmb) / (aNrm * bNrm), 1000000L)
 
+  /** A centroid table (cell, c_emb, c_nrm) folded into ONE row holding
+    * the whole table as a cell-sorted array — the broadcast form for
+    * PER-ROW argmax assignment (see [[bestCellStruct]]). ≤|cells| rows
+    * aggregated; the single row is what the crossJoin broadcasts. */
+  private[operators] def centsAsArray(cents: DataFrame): DataFrame =
+    cents.agg(array_sort(collect_list(
+      struct(col("cell"), col("c_emb"), col("c_nrm")))).as("cents_arr"))
+
+  /** Nearest-centroid struct for one corpus row against a broadcast
+    * `cents_arr` column: highest e6 cosine, ties to the smallest cell
+    * — EXACTLY the ordering `max_by(..., struct(cell_cos, -cell))`
+    * used, but evaluated as a scalar expression per row instead of a
+    * corpus-wide groupBy: the Lloyd's/IVF assign step with ZERO
+    * shuffle (guide §2.4 — remove shuffles outright). Each cosine is
+    * the same codegen'd DotProduct fold as the join form, so the
+    * winning (cell, cell_cos) is bit-identical. The struct leads with
+    * the ordering keys for array_max and carries the winning cell's
+    * centroid for in-row residual computation. */
+  private[operators] def bestCellStruct(emb: Column, nrm: Column): Column =
+    array_max(transform(col("cents_arr"), c =>
+      struct(
+        cosPre(emb, nrm, c.getField("c_emb"), c.getField("c_nrm")).as("cell_cos"),
+        (-c.getField("cell")).as("neg_cell"),
+        c.getField("cell").as("cell"),
+        c.getField("c_emb").as("c_emb"))))
+
+  /** Per-query (cell, cell_cos) candidates for probe selection: the
+    * same broadcast `cents_arr`, exploded only on the (tiny) query
+    * side — corpus rows never fan out by |cells|. */
+  private def cellScores(emb: Column, nrm: Column): Column =
+    transform(col("cents_arr"), c =>
+      struct(c.getField("cell").as("cell"),
+        cosPre(emb, nrm, c.getField("c_emb"), c.getField("c_nrm")).as("cell_cos")))
+
   /** §2#29 exact cosine top-5 per query vector (vec_id < 10). The tiny
     * query side is broadcast; ranking is on µ-scaled cosine so
     * cross-engine float noise can't flip ranks.
@@ -234,23 +268,23 @@ object Similarity {
       .select(col("label").as("cell"),
         transform(col("parts"), p => p.getField("m")).as("c_emb"))
       .withColumn("c_nrm", norm2(col("c_emb")))
-    val scored = base.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("emb"), col("nrm"), col("cell"),
-        cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")).as("cell_cos"))
-    // best cell per corpus vector via max_by argmax — partial-agg
-    // friendly (map-side combine, no sort, no Window over corpus×cells).
-    // The ordering struct includes -cell so cell_cos ties break to the
-    // smallest cell deterministically.
-    val assigned = scored
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("emb"), col("nrm"), col("cell")),
-        struct(col("cell_cos"), -col("cell"))).as("best"))
-      .select(col("vec_id"), col("best.emb").as("emb"),
-        col("best.nrm").as("nrm"), col("best.cell").as("cell"))
-    // queries probe their nProbe closest cells (10 queries × nCells →
-    // the Window here sorts a tiny frame; the vec_id filter pushes
-    // below the crossJoin)
-    val qProbe = scored.where(col("vec_id") < 10)
+    // best cell per corpus vector IN-ROW against the broadcast
+    // centroid array — same e6-cosine, same (cell_cos, −cell)
+    // tie-break as the previous max_by argmax, so the assignment is
+    // bit-identical, but the corpus-wide groupBy shuffle is gone
+    // (r17, guide §2.4: at 100 TB the assign step is now scan + map).
+    val ca = broadcast(centsAsArray(centroids))
+    val assigned = base.crossJoin(ca)
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        bestCellStruct(col("emb"), col("nrm")).getField("cell").as("cell"))
+    // queries probe their nProbe closest cells — the |cells| fan-out
+    // happens on the 10-row query side only; the Window sorts a tiny
+    // frame
+    val qProbe = base.where(col("vec_id") < 10).crossJoin(ca)
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        explode(cellScores(col("emb"), col("nrm"))).as("sc"))
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        col("sc.cell").as("cell"), col("sc.cell_cos").as("cell_cos"))
       .withColumn("prk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cell_cos").desc, col("cell"))))
       .where(col("prk") <= nProbe)
@@ -431,11 +465,20 @@ object Similarity {
 
   /** Lloyd's k-means over the corpus, DataFrame-native: seeds are the
     * bottom-k vectors by multiplicative hash (deterministic, no
-    * collect); each iteration is one broadcast-assign (max_by argmax —
-    * partial-agg, no window) + one posexplode/avg centroid recompute.
-    * Every stage is a map-side-combinable aggregate, so an iteration
-    * costs two shuffles regardless of corpus size — the standard
-    * distributed Lloyd's shape. Lineage cut per iteration. */
+    * collect); each iteration broadcasts the centroid table as ONE
+    * array row ([[centsAsArray]]), assigns every corpus row its best
+    * cell IN-ROW ([[bestCellStruct]] — no corpus-wide argmax
+    * groupBy), and recomputes centroids with the single-pass
+    * element-wise [[graft.functions.VecSumDoubles]] aggregate (÷ the
+    * group count) — no 64× posexplode, no per-dim second shuffle.
+    * An iteration therefore moves ZERO corpus-sized shuffles: the
+    * only exchange carries ≤k partial (sum-array, count) rows
+    * (r17 optimization, guide §2.3/§2.4; was: per-iteration
+    * groupBy(vec_id) argmax over corpus×k rows + posexplode/avg —
+    * two corpus-scale aggregations). Assignment is bit-identical
+    * (same e6-cosine, same (cell_cos, −cell) ordering); centroid
+    * float sums re-associate, which every consumer tolerates
+    * (rows-kind paths only). Lineage cut per iteration. */
   private[operators] def kmeansCentroids(base: DataFrame, k: Int, iters: Int): DataFrame = {
     val seedW = Window.orderBy(col("h"), col("vec_id"))
     var cents = base
@@ -443,22 +486,16 @@ object Similarity {
       .orderBy(col("h"), col("vec_id")).limit(k) // k rows — driver-safe
       .withColumn("cell", row_number().over(seedW).cast("long") - 1L)
       .select(col("cell"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
-      .transform(graft.Checkpoints.cut)
+    if (iters == 0) return cents.transform(graft.Checkpoints.cut)
     for (_ <- 1 to iters) {
-      val assigned = base.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("emb"), col("cell"),
-          cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")).as("cc"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("emb"), col("cell")),
-          struct(col("cc"), -col("cell"))).as("best"))
-        .select(col("best.cell").as("cell"), col("best.emb").as("emb"))
+      val assigned = base.crossJoin(broadcast(centsAsArray(cents)))
+        .select(col("emb"),
+          bestCellStruct(col("emb"), col("nrm")).getField("cell").as("cell"))
       cents = assigned
-        .select(col("cell"), posexplode(col("emb")).as(Seq("dim", "x")))
-        .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
         .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("parts"))
+        .agg(vecSum(col("emb")).as("vs"), count(lit(1)).as("n"))
         .select(col("cell"),
-          transform(col("parts"), p => p.getField("m")).as("c_emb"))
+          transform(col("vs"), x => x / col("n")).as("c_emb"))
         .withColumn("c_nrm", norm2(col("c_emb")))
         .transform(graft.Checkpoints.cut)
     }
@@ -474,16 +511,19 @@ object Similarity {
       nCells: Int = 8, nProbe: Int = 3, iters: Int = 2): DataFrame = {
     val base = corpus(spark, sfDir).cut
     val cents = kmeansCentroids(base, nCells, iters)
-    val scored = base.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("emb"), col("nrm"), col("cell"),
-        cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")).as("cell_cos"))
-    val assigned = scored
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("emb"), col("nrm"), col("cell")),
-        struct(col("cell_cos"), -col("cell"))).as("best"))
-      .select(col("vec_id"), col("best.emb").as("emb"),
-        col("best.nrm").as("nrm"), col("best.cell").as("cell"))
-    val qProbe = scored.where(col("vec_id") < 10)
+    // per-row assignment off the broadcast centroid array — the
+    // corpus-wide argmax groupBy (one full shuffle) removed (r17,
+    // guide §2.4); cosine + tie-break identical to the max_by form
+    val ca = broadcast(centsAsArray(cents))
+    val assigned = base.crossJoin(ca)
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        bestCellStruct(col("emb"), col("nrm")).getField("cell").as("cell"))
+    // probe ranking fans out |cells| rows per QUERY only (tiny side)
+    val qProbe = base.where(col("vec_id") < 10).crossJoin(ca)
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        explode(cellScores(col("emb"), col("nrm"))).as("sc"))
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        col("sc.cell").as("cell"), col("sc.cell_cos").as("cell_cos"))
       .withColumn("prk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cell_cos").desc, col("cell"))))
       .where(col("prk") <= nProbe)
@@ -535,6 +575,25 @@ object Similarity {
         expr(s"slice(emb, CAST(s * $subDim + 1 AS INT), $subDim)").as("sv"))
   }
 
+  /** One codebook table (s, code, c_sv, c_sq) folded to m rows, each
+    * holding its whole subspace codebook as a code-sorted array — the
+    * broadcast form for per-row argmin encoding ([[bestCode]]). */
+  private def cbAsArray(cb: DataFrame): DataFrame =
+    cb.groupBy(col("s")).agg(array_sort(collect_list(
+      struct(col("code"), col("c_sv"), col("c_sq")))).as("cb_arr"))
+
+  /** Nearest-codebook-entry code for one (vec, subspace) row against
+    * its broadcast `cb_arr`: argmin L2 (d2 = |sv|² − 2·sv·c + |c|²,
+    * the identical expression the join form used), ties to the
+    * smallest code — evaluated per row, so encoding needs NO
+    * corpus-sized groupBy shuffle (r17, guide §2.4). */
+  private def bestCode: Column =
+    array_min(transform(col("cb_arr"), c =>
+      struct(
+        (col("svsq") - lit(2.0) * dot(col("sv"), c.getField("c_sv"))
+          + c.getField("c_sq")).as("d2"),
+        c.getField("code").as("code")))).getField("code")
+
   private def pqStages(base: DataFrame, m: Int, codesPerSub: Int,
       iters: Int): (DataFrame, DataFrame, DataFrame) = {
     // one row per (vec_id, subspace): the 8-dim subvector
@@ -542,7 +601,10 @@ object Similarity {
       .withColumn("svsq", dot(col("sv"), col("sv")))
       .cut
     // codebook seeds: the bottom-codesPerSub vectors by multiplicative
-    // hash seed ALL m subspaces at once (cheap, deterministic, no collect)
+    // hash seed ALL m subspaces at once (cheap, deterministic, no
+    // collect). Lazy: the one-time seed subtree runs inside iteration
+    // 1's checkpoint job (r17 — two fewer eager jobs per build; the
+    // seed/initial-cb cuts bought nothing, both are single-consumer).
     val seedIds = base
       .withColumn("h", (col("vec_id") % lit(1000000007L)) * lit(2654435761L) % lit(1000000007L))
       .orderBy(col("h"), col("vec_id")).limit(codesPerSub)
@@ -552,41 +614,35 @@ object Similarity {
     var cb = subs.join(broadcast(seedIds), "vec_id")
       .select(col("s"), col("code"), col("sv").as("c_sv"))
       .withColumn("c_sq", dot(col("c_sv"), col("c_sv")))
-      .cut
     // Codebooks train on a deterministic ~50% sample — the standard PQ
     // recipe (k-means needs a representative sample, not the corpus; at
     // 100 TB you'd train on ~1e5 vectors and encode everything). The
     // hash-threshold sample is the same consistent-sampling trick as
-    // sample_stratified.
+    // sample_stratified. Lazy: a filter over subs' checkpoint blocks —
+    // re-filtering per iteration is cheaper than its own cut job (r17).
     val train = subs.where(
       (col("vec_id") % lit(1000000007L)) * lit(2654435761L) % lit(1000000007L) % lit(2L) === 0L)
-      .cut
-    // Lloyd's per subspace: argmin L2 assign (map-side-combinable
-    // min_by — no window over corpus×codes) + per-(s, code) mean
+    // Lloyd's per subspace: per-row argmin assign against the m-row
+    // broadcast codebook-array form + single-pass vecSum mean per
+    // (s, code) — an iteration moves no corpus-sized shuffle (r17,
+    // guide §2.3/§2.4; was: groupBy(vec_id, s) min_by over corpus×m
+    // rows + 8× posexplode/avg + reassembly — three aggregations)
     for (_ <- 1 to iters) {
-      val assigned = train.join(broadcast(cb), Seq("s"))
-        .withColumn("d2",
-          col("svsq") - lit(2.0) * dot(col("sv"), col("c_sv")) + col("c_sq"))
-        .groupBy(col("vec_id"), col("s"))
-        .agg(min_by(struct(col("sv"), col("code")),
-          struct(col("d2"), col("code"))).as("best"))
-        .select(col("s"), col("best.code").as("code"), col("best.sv").as("sv"))
+      val assigned = train.join(broadcast(cbAsArray(cb)), Seq("s"))
+        .select(col("s"), bestCode.as("code"), col("sv"))
       cb = assigned
-        .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("d", "x")))
-        .groupBy(col("s"), col("code"), col("d")).agg(avg(col("x")).as("mx"))
         .groupBy(col("s"), col("code"))
-        .agg(array_sort(collect_list(struct(col("d"), col("mx")))).as("parts"))
+        .agg(vecSum(col("sv")).as("vs"), count(lit(1)).as("n"))
         .select(col("s"), col("code"),
-          transform(col("parts"), p => p.getField("mx")).as("c_sv"))
+          transform(col("vs"), x => x / col("n")).as("c_sv"))
         .withColumn("c_sq", dot(col("c_sv"), col("c_sv")))
         .transform(graft.Checkpoints.cut)
     }
-    // encode: m codes per corpus vector — the only thing the scan reads
-    val codes = subs.join(broadcast(cb), Seq("s"))
-      .withColumn("d2",
-        col("svsq") - lit(2.0) * dot(col("sv"), col("c_sv")) + col("c_sq"))
-      .groupBy(col("vec_id"), col("s"))
-      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+    // encode: m codes per corpus vector, computed in-row against the
+    // broadcast codebook arrays — the encode groupBy shuffle of
+    // corpus×m rows is gone (the only thing the scan reads)
+    val codes = subs.join(broadcast(cbAsArray(cb)), Seq("s"))
+      .select(col("vec_id"), col("s"), bestCode.as("code"))
     (subs, cb, codes)
   }
 
@@ -728,16 +784,26 @@ object Similarity {
       .withColumn("nrm", lit(1.0)) // unit vectors for the coarse stage
       .cut
     val cents = kmeansCentroids(base, nCells, iters)
-    val scored = base.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cell"),
-        cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")).as("cell_cos"))
-    val cellOf = scored.groupBy(col("vec_id"))
-      .agg(max_by(col("cell"), struct(col("cell_cos"), -col("cell"))).as("cell"))
+    // coarse assignment per row off the broadcast centroid array: the
+    // winning struct carries the centroid, so the residual x − c(x) is
+    // computed IN the same row — the corpus-wide argmax groupBy AND
+    // the corpus⋈corpus residual join are both gone (r17, guide §2.4;
+    // assignment values identical to the max_by form)
+    val assignedAll = base.crossJoin(broadcast(centsAsArray(cents)))
+      .select(col("vec_id"), col("emb"),
+        bestCellStruct(col("emb"), col("nrm")).as("best"))
+      .select(col("vec_id"), col("emb"), col("best.cell").as("cell"),
+        col("best.c_emb").as("c_emb"))
+    val cellOf = assignedAll.select(col("vec_id"), col("cell"))
     val unit = base.select(col("vec_id"), col("emb"))
     // what PQ sees: residuals (x − c) or the raw unit vectors
-    val encInput = if (residual) residualFrame(unit, cellOf, cents) else unit
+    val encInput = if (residual)
+      assignedAll.select(col("vec_id"),
+        zip_with(col("emb"), col("c_emb"), (x, c) => x - c).as("emb"))
+    else unit
     val (_, cb, codes) = pqStages(encInput, m, codesPerSub, iters)
     // the inverted index: codes annotated with their cell, built once
+    // (the one vec_id-keyed shuffle of the build, as documented above)
     IvfPqIndex(cents, codes.join(cellOf, "vec_id"), cb, unit, m, residual)
   }
 
@@ -748,8 +814,10 @@ object Similarity {
   private[operators] def ivfPqQuery(idx: IvfPqIndex, k: Int = 5,
       nProbe: Int = 3): DataFrame = {
     val m = idx.m
+    // lazy: a ≤10-row filter over the unit table/checkpoint blocks —
+    // its three consumers re-filter cheaper than a cut job costs (r17)
     val qVecs = idx.unit.where(col("vec_id") < 10)
-      .withColumn("nrm", lit(1.0)).cut
+      .withColumn("nrm", lit(1.0))
     val qProbe = qVecs.crossJoin(broadcast(idx.cents))
       .select(col("vec_id"), col("cell"),
         cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")).as("cell_cos"))
