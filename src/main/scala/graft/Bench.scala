@@ -116,6 +116,22 @@ object Bench {
         }
         Map("dedup_candidates_build" -> times.min)
       } else Map.empty[String, Double]
+    // Same deal for the CC label memo (Dedup.clusterLabels, r17): six
+    // queries share one labeling per session; the fixpoint is timed
+    // here on its own so a CC regression still shows in this output.
+    val ccFamily = Set("dedup_cluster", "dedup_cluster_sizes",
+      "dedup_canonical", "graph_bfs_dist", "pipeline_funnel",
+      "dedup_cluster_embed")
+    val ccEntry =
+      if (selected.keySet.exists(ccFamily)) {
+        val times = (1 to 3).map { _ =>
+          graft.operators.Dedup.invalidateClusterLabels(spark)
+          val t0 = System.nanoTime()
+          graft.operators.Dedup.clusterLabels(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        Map("dedup_cc_build" -> times.min)
+      } else Map.empty[String, Double]
     // Same deal for the ANN truth memo (Similarity.bruteforceTopk):
     // consumers ride the per-session checkpoint; the scan itself is
     // timed here so a truth-build regression still shows in the output.
@@ -147,7 +163,7 @@ object Bench {
     val gcTotalMs = gcMs - gc0
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ")
-    val qs = (results ++ candEntry ++ truthEntry).map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = (results ++ candEntry ++ ccEntry ++ truthEntry).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
       .mkString("{", ",", "}")
@@ -158,7 +174,7 @@ object Bench {
     val ioJson = io.map { case (k, s) =>
       s""""${esc(k)}":{"shuffle_read_b":${s.shuffleReadB},"shuffle_write_b":${s.shuffleWriteB},"spill_b":${s.spillB},"peak_exec_mem_b":${s.peakExecMemB},"input_read_b":${s.inputReadB}}"""
     }.mkString("{", ",", "}")
-    val total = (results ++ candEntry ++ truthEntry).values.filter(_ >= 0).sum
+    val total = (results ++ candEntry ++ ccEntry ++ truthEntry).values.filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"gc_ms":$gcTotalMs,"io":$ioJson,"sf":"$sfDir","epoch_ms":${System.currentTimeMillis()}}"""
     // Persist the FULL per-query record in-repo: the round driver
     // truncates its bench artifact to a 2000-char tail, losing most
@@ -179,7 +195,7 @@ object Bench {
           .lastOption
       else None
       val regs = regressions(prevLine.map(parseQueries).getOrElse(Map.empty),
-        results ++ candEntry ++ truthEntry)
+        results ++ candEntry ++ ccEntry ++ truthEntry)
       regs.toSeq.sortBy(-_._2._2).foreach { case (k, (p, v)) =>
         System.err.println(f"[bench] REGRESSION $k: $p%.2f s -> $v%.2f s (${v / p}%.1fx)")
       }
@@ -199,7 +215,7 @@ object Bench {
         // that ADDS queries would otherwise read as noise against the
         // smaller baseline suite (r14: +13 ops ≈ +10 s legitimate)
         val prevQ = parseQueries(l)
-        val curQ = results ++ candEntry ++ truthEntry
+        val curQ = results ++ candEntry ++ ccEntry ++ truthEntry
         val shared = prevQ.keySet.intersect(curQ.keySet)
           .filter(k => prevQ(k) > 0 && curQ(k) > 0)
         val overTotal =

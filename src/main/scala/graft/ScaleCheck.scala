@@ -518,6 +518,7 @@ object ScaleCheck {
       val t = ops.map { case (name, fn) =>
         val times = (1 to reps).map { rep =>
           Dedup.invalidateCandidates(spark)
+          Dedup.invalidateClusterLabels(spark)
           Similarity.invalidateMemos(spark)
           TextAnalysis.invalidateBpe(spark)
           spark.catalog.clearCache()

@@ -391,7 +391,7 @@ object Dedup {
     * corpus; at 100 TB both inputs are the already-computed tables and
     * the agg ships one struct per (partition, cluster). */
   def canonical(spark: SparkSession, sfDir: String): DataFrame = {
-    val clusters = cluster(spark, sfDir) // (doc_id, cluster_id)
+    val clusters = clusterLabels(spark, sfDir) // (doc_id, cluster_id), memoized
     val quality = TextAnalysis.qualityUnsorted(spark, sfDir)
       .select(col("doc_id"), col("quality_pm"))
     clusters.join(quality, "doc_id")
@@ -661,13 +661,57 @@ object Dedup {
     * first round in which no label changed (no extra confirm round, no
     * separate change-detection join). */
   def cluster(spark: SparkSession, sfDir: String): DataFrame =
-    clusterFrom(candidatePairs(spark, sfDir),
-      Tables.documentsPar(spark, sfDir).select(col("doc_id")))
+    clusterLabels(spark, sfDir).orderBy(col("doc_id"))
+
+  /** The (doc_id, cluster_id) CC labeling, MEMOIZED PER (session,
+    * sfDir) — the same WeakHashMap+SoftReference discipline as the
+    * candidate-pair memo above, and the same production shape: the
+    * labeling is computed once per corpus snapshot and every
+    * downstream job reads the label table. SIX queries consume it
+    * (dedup_cluster, dedup_cluster_sizes, dedup_canonical,
+    * graph_bfs_dist, pipeline_funnel, dedup_cluster_embed); before
+    * r17 each re-ran the full hash-min fixpoint per call. Bench times
+    * the build on its own as "dedup_cc_build" (invalidated per rep),
+    * so a CC regression still shows in the output. Unordered; the
+    * registered query applies its own ORDER BY. */
+  private[graft] def clusterLabels(spark: SparkSession,
+      sfDir: String): DataFrame =
+    clusterLabelsMemo.synchronized {
+      var per = clusterLabelsMemo.get(spark)
+      if (per == null) {
+        per = scala.collection.mutable.Map.empty
+        clusterLabelsMemo.put(spark, per)
+      }
+      per.get(sfDir).flatMap(r => Option(r.get())) match {
+        case Some(v) => v
+        case None =>
+          val v = clusterUnordered(candidatePairs(spark, sfDir),
+            Tables.documentsPar(spark, sfDir).select(col("doc_id"))).cut
+          per(sfDir) = new java.lang.ref.SoftReference(v)
+          v
+      }
+    }
+
+  private val clusterLabelsMemo =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String,
+        java.lang.ref.SoftReference[DataFrame]]]()
+
+  /** Drop this session's memoized CC labeling (Bench/ScaleCheck: each
+    * timed repetition must pay the full fixpoint). */
+  def invalidateClusterLabels(spark: SparkSession): Unit =
+    clusterLabelsMemo.synchronized { clusterLabelsMemo.remove(spark); () }
 
   /** CC over ANY (doc_a, doc_b) edge frame — the session memo's pairs
     * or a [[persistedCandidates]] read-back; `allDocs` supplies the
     * isolated-node universe. */
-  def clusterFrom(edges: DataFrame, allDocs: DataFrame): DataFrame = {
+  def clusterFrom(edges: DataFrame, allDocs: DataFrame): DataFrame =
+    clusterUnordered(edges, allDocs).orderBy(col("doc_id"))
+
+  /** [[clusterFrom]] without the trailing ORDER BY — what the label
+    * memo materializes (consumers aggregate/join, so the sort would
+    * be dead weight under them). */
+  private def clusterUnordered(edges: DataFrame, allDocs: DataFrame): DataFrame = {
     val bidir = edges
       .unionByName(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))
         .select(col("doc_a"), col("doc_b")))
@@ -704,7 +748,6 @@ object Dedup {
       .select(col("doc_id"), col("doc_id").as("lab"))
     labels.unionByName(isolated)
       .select(col("doc_id"), col("lab").as("cluster_id"))
-      .orderBy(col("doc_id"))
   }
 
   /** §2#208 TWO-PHASE STAR-CONTRACTION connected components (Kiveris,
@@ -828,7 +871,7 @@ object Dedup {
     * funnel (#183) will drop. Rides the memoized CC labels — one
     * |clusters|-bounded agg on top, nothing re-reads the corpus. */
   def clusterSizes(spark: SparkSession, sfDir: String): DataFrame =
-    cluster(spark, sfDir)
+    clusterLabels(spark, sfDir)
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
       .select(col("cluster_size"), col("n_clusters"),
@@ -862,7 +905,7 @@ object Dedup {
     * sides of the self-join. */
   def clusterEmbed(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame = {
     graft.functions.Registry.ensure(spark)
-    val sizes = cluster(spark, sfDir)
+    val sizes = clusterLabels(spark, sfDir)
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
     val reps = Tables.embeddingsPar(spark, sfDir)
       .select(col("vec_id"), col("label"),

@@ -263,7 +263,7 @@ object Graph {
 
   def bfsDist(spark: SparkSession, sfDir: String, maxHops: Int = 20): DataFrame =
     bfsDistFrom(Dedup.candidatePairs(spark, sfDir),
-      Dedup.cluster(spark, sfDir), maxHops)
+      Dedup.clusterLabels(spark, sfDir), maxHops)
 
   /** BFS over ANY (doc_a, doc_b) edge frame given a (doc_id,
     * cluster_id) labeling whose cluster ids are the roots. */
@@ -272,11 +272,10 @@ object Graph {
     val bidir = edges.unionByName(
         edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .transform(graft.Checkpoints.cut)
-    // clusters stays LAZY on purpose: its trailing ORDER BY is
-    // eliminated under both consumers (EliminateSorts below the
-    // distinct and the join), where a .cut would execute the full
-    // sort + materialization (r17: measured 3.2 s → 6.1 s before
-    // reverting a cut here)
+    // clusters arrives as the memoized (already materialized) label
+    // frame — never re-cut it here: a cut of the r16 ordered form
+    // executed a dead full sort (r17: measured 3.2 s → 6.1 s before
+    // reverting)
     val cl = clusters
     var visited = cl.select(col("cluster_id").as("doc_id")).distinct()
       .withColumn("hops", lit(0L)).transform(graft.Checkpoints.cut)
