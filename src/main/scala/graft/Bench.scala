@@ -132,6 +132,20 @@ object Bench {
         }
         Map("dedup_cc_build" -> times.min)
       } else Map.empty[String, Double]
+    // Same deal for the MinHash signature memo (r17): three queries
+    // share one 96-permutation signature table per session.
+    val sigFamily = Set("dedup_minhash_lsh", "dedup_minhash_calibration",
+      "dedup_lsh_tuning")
+    val sigEntry =
+      if (selected.keySet.exists(sigFamily)) {
+        val times = (1 to 3).map { _ =>
+          graft.operators.Dedup.invalidateMinhashSignatures(spark)
+          val t0 = System.nanoTime()
+          graft.operators.Dedup.minhashSignatures(spark, sfDir, 96).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        Map("dedup_minhash_sigs_build" -> times.min)
+      } else Map.empty[String, Double]
     // Same deal for the ANN truth memo (Similarity.bruteforceTopk):
     // consumers ride the per-session checkpoint; the scan itself is
     // timed here so a truth-build regression still shows in the output.
@@ -163,7 +177,7 @@ object Bench {
     val gcTotalMs = gcMs - gc0
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ")
-    val qs = (results ++ candEntry ++ ccEntry ++ truthEntry).map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = (results ++ candEntry ++ ccEntry ++ sigEntry ++ truthEntry).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
       .mkString("{", ",", "}")
@@ -174,7 +188,7 @@ object Bench {
     val ioJson = io.map { case (k, s) =>
       s""""${esc(k)}":{"shuffle_read_b":${s.shuffleReadB},"shuffle_write_b":${s.shuffleWriteB},"spill_b":${s.spillB},"peak_exec_mem_b":${s.peakExecMemB},"input_read_b":${s.inputReadB}}"""
     }.mkString("{", ",", "}")
-    val total = (results ++ candEntry ++ ccEntry ++ truthEntry).values.filter(_ >= 0).sum
+    val total = (results ++ candEntry ++ ccEntry ++ sigEntry ++ truthEntry).values.filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"gc_ms":$gcTotalMs,"io":$ioJson,"sf":"$sfDir","epoch_ms":${System.currentTimeMillis()}}"""
     // Persist the FULL per-query record in-repo: the round driver
     // truncates its bench artifact to a 2000-char tail, losing most
@@ -195,7 +209,7 @@ object Bench {
           .lastOption
       else None
       val regs = regressions(prevLine.map(parseQueries).getOrElse(Map.empty),
-        results ++ candEntry ++ ccEntry ++ truthEntry)
+        results ++ candEntry ++ ccEntry ++ sigEntry ++ truthEntry)
       regs.toSeq.sortBy(-_._2._2).foreach { case (k, (p, v)) =>
         System.err.println(f"[bench] REGRESSION $k: $p%.2f s -> $v%.2f s (${v / p}%.1fx)")
       }
@@ -215,7 +229,7 @@ object Bench {
         // that ADDS queries would otherwise read as noise against the
         // smaller baseline suite (r14: +13 ops ≈ +10 s legitimate)
         val prevQ = parseQueries(l)
-        val curQ = results ++ candEntry ++ ccEntry ++ truthEntry
+        val curQ = results ++ candEntry ++ ccEntry ++ sigEntry ++ truthEntry
         val shared = prevQ.keySet.intersect(curQ.keySet)
           .filter(k => prevQ(k) > 0 && curQ(k) > 0)
         val overTotal =

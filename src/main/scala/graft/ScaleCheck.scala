@@ -519,6 +519,7 @@ object ScaleCheck {
         val times = (1 to reps).map { rep =>
           Dedup.invalidateCandidates(spark)
           Dedup.invalidateClusterLabels(spark)
+          Dedup.invalidateMinhashSignatures(spark)
           Similarity.invalidateMemos(spark)
           TextAnalysis.invalidateBpe(spark)
           spark.catalog.clearCache()

@@ -945,19 +945,39 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter_n"), col("union_n"))
       .cut
     val allDocs = Tables.documentsPar(spark, sfDir).select(col("doc_id"))
-    thresholdsPm.map { t =>
-      val edges = scored
-        .where(col("inter_n") * 1000 >= lit(t.toLong) * col("union_n"))
-        .select(col("doc_a"), col("doc_b"))
-      clusterFrom(edges, allDocs)
-        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
-        .where(col("sz") >= 2L)
-        .agg(coalesce(count(lit(1)), lit(0L)).as("n_multi_clusters"),
-          coalesce(sum(col("sz")), lit(0L)).as("n_dup_docs"))
-        .select(lit(t.toLong).as("threshold_pm"), col("n_multi_clusters"),
-          col("n_dup_docs"),
-          (col("n_dup_docs") - col("n_multi_clusters")).as("n_would_drop"))
-    }.reduce(_ unionByName _)
+    // The three per-threshold CC fixpoints are INDEPENDENT (each runs
+    // over its own filtered copy of the materialized `scored` frame),
+    // so they run concurrently from a small thread pool (guide §2.6 —
+    // overlap independent jobs): each loop's tail of small tasks
+    // back-fills cores the others leave idle, and the wall clock is
+    // the slowest loop instead of the sum of three. Results are
+    // scheduling-independent — every frame is deterministic and no
+    // state is shared (r17; was: sequential 3 × O(diameter) rounds).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      thresholdsPm.size)
+    val frames =
+      try {
+        val futs = thresholdsPm.map { t =>
+          pool.submit(new java.util.concurrent.Callable[DataFrame] {
+            override def call(): DataFrame = {
+              val edges = scored
+                .where(col("inter_n") * 1000 >= lit(t.toLong) * col("union_n"))
+                .select(col("doc_a"), col("doc_b"))
+              clusterFrom(edges, allDocs)
+                .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+                .where(col("sz") >= 2L)
+                .agg(coalesce(count(lit(1)), lit(0L)).as("n_multi_clusters"),
+                  coalesce(sum(col("sz")), lit(0L)).as("n_dup_docs"))
+                .select(lit(t.toLong).as("threshold_pm"),
+                  col("n_multi_clusters"), col("n_dup_docs"),
+                  (col("n_dup_docs") - col("n_multi_clusters"))
+                    .as("n_would_drop"))
+            }
+          })
+        }
+        futs.map(_.get())
+      } finally pool.shutdown()
+    frames.reduce(_ unionByName _)
       .orderBy(col("threshold_pm"))
   }
 
@@ -975,19 +995,49 @@ object Dedup {
     base.unionByName(plants)
   }
 
-  /** The 96-permutation signature table over [[corpusWithPlants]] —
-    * shared by [[minhashLsh]] and [[lshTuning]] (built once per call
-    * site; each cuts lineage behind it). */
-  private[operators] def minhashSignatures(spark: SparkSession,
-      sfDir: String, k: Int): DataFrame = {
-    val ex = corpusWithPlants(spark, sfDir)
-      .select(col("doc_id"), explode(shingleMd5Hashes(col("toks"), 3)).as("h0"))
-    val minAggs = (0 until k).map(i => min(affineHash(col("h0"), i)).as(s"m$i"))
-    ex.groupBy(col("doc_id"))
-      .agg(minAggs.head, minAggs.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-      .cut
-  }
+  /** The 96-permutation signature table over [[corpusWithPlants]],
+    * MEMOIZED PER (session, sfDir, k) — the same discipline as the
+    * candidate-pair and CC-label memos: three queries (minhash_lsh,
+    * minhash_calibration, lsh_tuning) consume the identical table, and
+    * the production shape builds signatures once per corpus snapshot
+    * ([[persistBandTable]] is the cross-job form). Bench times the
+    * build on its own as "dedup_minhash_sigs_build" (invalidated per
+    * rep) so a signature-stage regression still shows. */
+  private[graft] def minhashSignatures(spark: SparkSession,
+      sfDir: String, k: Int): DataFrame =
+    minhashSigMemo.synchronized {
+      var per = minhashSigMemo.get(spark)
+      if (per == null) {
+        per = scala.collection.mutable.Map.empty
+        minhashSigMemo.put(spark, per)
+      }
+      per.get((sfDir, k)).flatMap(r => Option(r.get())) match {
+        case Some(v) => v
+        case None =>
+          val ex = corpusWithPlants(spark, sfDir)
+            .select(col("doc_id"),
+              explode(shingleMd5Hashes(col("toks"), 3)).as("h0"))
+          val minAggs =
+            (0 until k).map(i => min(affineHash(col("h0"), i)).as(s"m$i"))
+          val v = ex.groupBy(col("doc_id"))
+            .agg(minAggs.head, minAggs.tail: _*)
+            .select(col("doc_id"),
+              array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+            .cut
+          per((sfDir, k)) = new java.lang.ref.SoftReference(v)
+          v
+      }
+    }
+
+  private val minhashSigMemo =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[(String, Int),
+        java.lang.ref.SoftReference[DataFrame]]]()
+
+  /** Drop this session's memoized signature table (Bench/ScaleCheck:
+    * each timed repetition must pay the full build). */
+  def invalidateMinhashSignatures(spark: SparkSession): Unit =
+    minhashSigMemo.synchronized { minhashSigMemo.remove(spark); () }
 
   /** §2#26 MinHash + banded LSH near-dup detection: 96-hash signatures,
     * 32 bands × 3 rows. Signatures are built as 96 codegen'd `min`

@@ -937,10 +937,28 @@ object Similarity {
         .select(lit(method).as("method"), col("n_hits"),
           lit(nTruth).as("n_truth"),
           expr(s"n_hits * 1000 div $nTruth").as("recall_pm"))
-    scoredAs("lsh", lshTopk(spark, sfDir, k))
-      .unionByName(scoredAs("ivf", ivfTopk(spark, sfDir, k)))
-      .unionByName(scoredAs("ivf_pq", ivfPqTopk(spark, sfDir, k)))
-      .unionByName(scoredAs("sq8", sqTopk(spark, sfDir, k)))
+    // The four rungs are independent and their builders run EAGER
+    // checkpoint jobs during construction (ivf/sq8 materialize their
+    // corpus frame; ivf_pq builds or reads the index memo) — construct
+    // them concurrently from a small pool (guide §2.6) so one rung's
+    // checkpoint tail back-fills the others' idle cores. Each frame is
+    // deterministic and shares no mutable state, so the report is
+    // scheduling-independent (r17; was: four sequential build chains).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val rungs =
+      try {
+        val futs = Seq(
+          ("lsh", () => lshTopk(spark, sfDir, k)),
+          ("ivf", () => ivfTopk(spark, sfDir, k)),
+          ("ivf_pq", () => ivfPqTopk(spark, sfDir, k)),
+          ("sq8", () => sqTopk(spark, sfDir, k))).map { case (name, mk) =>
+          pool.submit(new java.util.concurrent.Callable[DataFrame] {
+            override def call(): DataFrame = scoredAs(name, mk())
+          })
+        }
+        futs.map(_.get())
+      } finally pool.shutdown()
+    rungs.reduce(_ unionByName _)
       .orderBy(col("method"))
   }
 
