@@ -889,8 +889,16 @@ object TextAnalysis {
             slice(col("sig"), b * lit(rows) + 1, lit(rows))), b))))
         .toDF("doc_id", "band", "bandhash")
 
-    val bSigs = sigsOf(bench)
-    val tSigs = sigsOf(train)
+    // ONE signature pass + ONE checkpoint over bench ∪ train instead
+    // of two sequential sigsOf cuts (r17, guide §2.4): the doc-id sets
+    // are disjoint (bench = originals ≡0 mod 50; train = the rest plus
+    // plants at id+off, off a multiple of 50 and > every original id),
+    // so the two tables split back out of the union losslessly.
+    val allSigs = sigsOf(bench.unionByName(train))
+    val bSigs = allSigs
+      .where(col("doc_id") % 50 === 0 && col("doc_id") < off)
+    val tSigs = allSigs
+      .where(col("doc_id") % 50 =!= 0 || col("doc_id") >= off)
     val cand = bandsOf(tSigs)
       .join(broadcast(bandsOf(bSigs)
         .select(col("band"), col("bandhash"), col("doc_id").as("bench_doc"))),
