@@ -348,13 +348,13 @@ object Similarity {
   def cellHealthOn(base: DataFrame, centroids: DataFrame,
       driftE6: Long = 500000L): DataFrame = {
     graft.functions.Registry.ensure(base.sparkSession)
-    val assigned = base.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("cell"),
-        cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm"))
-          .as("cell_cos"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cell"), col("cell_cos")),
-        struct(col("cell_cos"), -col("cell"))).as("best"))
+    // per-row argmax against the broadcast centroid-array form (r17,
+    // guide §2.4): same e6-cosine, same (cell_cos, −cell) tie-break as
+    // the r16 vec-grain max_by — bit-identical (cell, resid) per
+    // vector — but the corpus-wide groupBy(vec_id) exchange is gone;
+    // the first and ONLY shuffle is the ≤|cells| health agg
+    val assigned = base.crossJoin(broadcast(centsAsArray(centroids)))
+      .select(bestCellStruct(col("emb"), col("nrm")).as("best"))
       .select(col("best.cell").as("cell"),
         (lit(1000000L) - col("best.cell_cos")).as("resid_e6"))
     val health = assigned.groupBy(col("cell").cast("long").as("cell"))
@@ -411,16 +411,14 @@ object Similarity {
       iters: Int = 2): DataFrame = {
     graft.functions.Registry.ensure(base.sparkSession)
     // stored codes: every vector's current cell + residual (the #299
-    // assignment); memoized — three consumers below
-    val assigned = base.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("emb"), col("nrm"), col("cell"),
-        cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm"))
-          .as("cell_cos"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("emb"), col("nrm"), col("cell"), col("cell_cos")),
-        struct(col("cell_cos"), -col("cell"))).as("best"))
-      .select(col("vec_id"), col("best.emb").as("emb"),
-        col("best.nrm").as("nrm"), col("best.cell").cast("long").as("cell"),
+    // assignment, computed per-row against the broadcast centroid
+    // array — same values as the r16 vec-grain max_by, zero corpus
+    // shuffle; r17 guide §2.4); memoized — three consumers below
+    val assigned = base.crossJoin(broadcast(centsAsArray(centroids)))
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        bestCellStruct(col("emb"), col("nrm")).as("best"))
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        col("best.cell").cast("long").as("cell"),
         (lit(1000000L) - col("best.cell_cos")).as("resid_e6"))
       .cut
     val health = assigned.groupBy(col("cell"))
@@ -438,13 +436,9 @@ object Similarity {
       .select((col("max_cell") + 1L + col("cell")).as("cell"),
         col("c_emb"), col("c_nrm"))
     // re-parent ONLY the split cell's codes between the two children
-    val reparented = pop.crossJoin(broadcast(children))
-      .select(col("vec_id"), col("cell"),
-        cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm"))
-          .as("cell_cos"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cell"), col("cell_cos")),
-        struct(col("cell_cos"), -col("cell"))).as("best"))
+    // (same per-row argmax form as the assignment above)
+    val reparented = pop.crossJoin(broadcast(centsAsArray(children)))
+      .select(bestCellStruct(col("emb"), col("nrm")).as("best"))
       .select(col("best.cell").as("cell"),
         (lit(1000000L) - col("best.cell_cos")).as("resid_e6"))
     val untouched = assigned.crossJoin(broadcast(target))

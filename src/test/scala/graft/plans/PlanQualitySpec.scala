@@ -781,19 +781,30 @@ class PlanQualitySpec extends SparkSuite {
       s"q22 threshold join degenerated to a cartesian:\n$plan")
   }
 
-  test("cell health: centroids broadcast, argmax map-side combinable, no cartesian") {
+  test("cell health: centroids broadcast, in-row argmax, no corpus exchange, no cartesian") {
     val plan = planOf(graft.operators.Similarity.cellHealth(spark, sf))
     // corpus × centroids rides a broadcast (nested-loop on the tiny
-    // centroid table), never a shuffled cartesian
+    // centroid-array row), never a shuffled cartesian
     assert(plan.contains("BroadcastNestedLoopJoin")
       || plan.contains("BroadcastHashJoin"),
       s"cell-health centroid join not broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"cell-health degenerated to a cartesian:\n$plan")
-    // the vec-grain argmax must partial-aggregate before its exchange
-    // (max_by combines map-side; a window/sort formulation would not)
-    assert(plan.contains("partial_max_by"),
-      s"cell-health argmax not map-side combinable:\n$plan")
+    // r17: the vec-grain argmax is evaluated IN-ROW against the
+    // broadcast centroid array (array_max over the same
+    // (cell_cos, −cell) ordering the r16 max_by used — bit-identical
+    // assignment), so the corpus must reach the ≤|cells| health agg
+    // with NO vec-keyed exchange at all: the only hashpartitioning
+    // exchanges allowed are on the cell key. This is STRICTER than the
+    // old partial_max_by pin (which tolerated a corpus-wide shuffle,
+    // merely map-side combined).
+    assert(plan.contains("array_max"),
+      s"cell-health argmax not the in-row array form:\n$plan")
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      s"cell-health still shuffles the corpus by vec_id:\n$plan")
+    // the health roll-up itself must still partial-aggregate
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"cell-health roll-up not map-side combinable:\n$plan")
   }
 
   test("session concurrency sweeps PER DAY — no single-partition window") {
