@@ -566,8 +566,14 @@ object Analytics {
     * double below 2^52) — WITHOUT buffering whole groups on a reducer:
     * per-reducer state is distinct values per group, bounded by the
     * value domain, not the row count. Input columns (grp, v). */
-  private[operators] def medianOfLongs(gv: DataFrame): DataFrame = {
-    val hist = gv.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("cnt"))
+  private[operators] def medianOfLongs(gv: DataFrame): DataFrame =
+    medianOfHist(gv.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("cnt")))
+
+  /** [[medianOfLongs]] over an ALREADY-COMPACTED (grp, v, cnt)
+    * histogram — callers that need the histogram for more than the
+    * median (q_robust_stats' outlier count) build it once and reuse
+    * it (r17). */
+  private[operators] def medianOfHist(hist: DataFrame): DataFrame = {
     val byG = Window.partitionBy(col("grp"))
     val ranked = hist
       .withColumn("cum", sum(col("cnt")).over(byG.orderBy(col("v"))))
@@ -602,18 +608,26 @@ object Analytics {
     val x = Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag").as("grp"), cents(col("l_extendedprice")).as("x_c"))
     val med = medianOfLongs(x.select(col("grp"), col("x_c").as("v")))
-    // dev stays lazy: its two consumers recompute one broadcast join
-    // over the columnar scan, and ReuseExchange already shares `med`'s
-    // broadcast — a .cut here writes+rereads 600k rows for no net win
-    // (r17: measured a wash-to-slight-regression before reverting)
-    val dev = x.join(broadcast(med), "grp")
-      .withColumn("dev_c", abs(col("x_c") - col("median_c")))
-    val mad = medianOfLongs(dev.select(col("grp"), col("dev_c").as("v")))
+    // ONE deviation HISTOGRAM serves both the MAD median and the
+    // outlier roll-up (r17, guide §2.4): the r16 form computed this
+    // same (grp, dev, cnt) compaction inside the MAD's medianOfLongs,
+    // threw it away, and re-scanned the fact + re-joined med for the
+    // final count — one full lineitem pass and a 600k-row aggregation
+    // replaced by a reuse of the ~|distinct devs| histogram. Exact
+    // integers throughout: n = Σcnt, outliers = Σcnt over dev > 5·MAD
+    // — bit-identical to the per-row form.
+    val devHist = x.join(broadcast(med), "grp")
+      .select(col("grp"), col("median_c"),
+        abs(col("x_c") - col("median_c")).as("v"))
+      .groupBy(col("grp"), col("median_c"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .transform(graft.Checkpoints.cut)
+    val mad = medianOfHist(devHist.select(col("grp"), col("v"), col("cnt")))
       .withColumnRenamed("median_c", "mad_c")
-    dev.join(broadcast(mad), Seq("grp"))
+    devHist.join(broadcast(mad), Seq("grp"))
       .groupBy(col("grp").as("l_returnflag"), col("median_c"), col("mad_c"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("dev_c") > lit(5L) * col("mad_c"), 1L).otherwise(0L))
+      .agg(sum(col("cnt")).as("n"),
+        sum(when(col("v") > lit(5L) * col("mad_c"), col("cnt")).otherwise(0L))
           .as("n_outliers"))
       .orderBy(col("l_returnflag"))
   }
