@@ -1385,6 +1385,12 @@ object Analytics {
       .agg(array_sort(collect_set(col("p_brand"))).as("bs"))
       .cut // feeds the total, the per-brand counts AND the pair explode
     val total = sets.agg(count(lit(1)).as("n_orders"))
+    // the a-/b-side lookup legs re-run this tiny explode+count (their
+    // aliases differ, so the subtrees never share the exchange) — but
+    // an r17 same-window A/B measured the .cut that dedups it a WASH
+    // to slightly slower (1.65/1.75 vs 1.69/1.55 s): the extra job
+    // launch + materialization costs what the duplicate leg costs.
+    // Kept lazy; both legs read the memoized `sets` cut blocks anyway.
     val perBrand = sets.select(explode(col("bs")).as("brand"))
       .groupBy(col("brand")).agg(count(lit(1)).as("c"))
     val pairs = sets
@@ -2123,12 +2129,23 @@ object Analytics {
     val li = Tables.lineitemShip(spark, sfDir)
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_receipt_us") > col("l_commit_us")).cast("long").as("late"))
-    val perOrder = li.groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supps"),
-        countDistinct(when(col("late") === 1L, col("l_suppkey")))
-          .as("n_late_supps"),
-        max(when(col("late") === 1L, col("l_suppkey"))).as("late_supp"),
-        sum(col("late")).as("late_lines"))
+    // Two-level roll-up instead of countDistinct (r17, guide §2.3):
+    // the mixed distinct/non-distinct aggregate planned as an Expand —
+    // THREE copies of every fact row into the first exchange. The
+    // (orderkey, suppkey)-grain pre-aggregate computes the same
+    // integers with no Expand: n_supps = count of supplier groups,
+    // n_late_supps = count of groups with any late line (any_late is
+    // 0/1, so sum == count), late_supp = the max suppkey among late
+    // groups, late_lines = the re-summed per-group late counts —
+    // bit-identical, hash-gated against the unchanged oracle.
+    val perSupp = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("any_late"),
+        sum(col("late")).as("late_lines_s"))
+    val perOrder = perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supps"),
+        sum(col("any_late")).as("n_late_supps"),
+        max(when(col("any_late") === 1L, col("l_suppkey"))).as("late_supp"),
+        sum(col("late_lines_s")).as("late_lines"))
       .where(col("n_supps") > 1L && col("n_late_supps") === 1L)
     perOrder
       .join(Tables.orders(spark, sfDir)

@@ -1448,10 +1448,20 @@ object Dedup {
 
   def winnowing(spark: SparkSession, sfDir: String, ngram: Int = 4,
       w: Int = 4, minShared: Int = 2, maxDf: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val fps = winnowFps(spark, sfDir, ngram, w)
-    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    // df as a COUNT WINDOW over the fp partition (r17, guide §2.4):
+    // the r16 groupBy+join-back form planned the md5-heavy fingerprint
+    // explode FOUR times (once per rare leg, once per self-join side).
+    // The window needs the same hashpartitioning(fp) exchange the
+    // self-join needs anyway, so the explode now runs ONCE below one
+    // reused exchange; fps rows are distinct (doc, fp) pairs by
+    // construction (array_distinct per doc), so the window count over
+    // fp equals the old groupBy df — bit-identical, hash-gated.
+    val pruned = fps
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
       .where(col("df") <= maxDf)
-    val pruned = fps.join(rare.select(col("fp")), "fp")
+      .select(col("doc_id"), col("fp"))
     pruned.as("x").join(pruned.as("y"),
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

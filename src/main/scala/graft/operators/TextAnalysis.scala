@@ -339,8 +339,15 @@ object TextAnalysis {
       .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
       .where(col("tok") =!= "")
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val df = toks.select(col("doc_id"), col("tok")).distinct()
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // df DERIVED from tf: tf holds exactly one row per (doc, tok), so
+    // counting tf rows per tok IS the document frequency. Measured r17:
+    // this plans PHYSICALLY IDENTICALLY to the old distinct()+groupBy
+    // (Catalyst prunes the unused count and the old distinct was the
+    // same two-level aggregate), and a .cut on tf to share the explode
+    // was measured SLOWER (1.80 s vs 1.37 s isolated — materializing
+    // 600k (doc,tok,tf) rows costs more than re-running the codegen'd
+    // tokenize+explode over columnar blocks). Kept lazy on purpose.
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("tok"))
     tf.join(df, "tok")
@@ -395,7 +402,18 @@ object TextAnalysis {
   def bigramLm(spark: SparkSession, sfDir: String): DataFrame =
     bigramLmFrom(Tables.documentsPar(spark, sfDir))
 
-  /** Core of [[bigramLm]] over any `(doc_id, text)` frame. */
+  /** Core of [[bigramLm]] over any `(doc_id, text)` frame.
+    *
+    * r17 note (guide §1.1 — measured, NOT kept): a restructure to the
+    * compressed (doc_id, bg, k) grain (derive `big` as Σk from it, w1
+    * recovered from the bigram string, per-doc mean re-summed as
+    * k·score) was same-window A/B'd at 1.85/1.68 s vs 1.53/1.66 s for
+    * this form — the hoped-for ReuseExchange on the (doc_id, bg)
+    * aggregate never fired (the two consumer subtrees stay distinct),
+    * so the compressed form paid the SAME two bigram passes PLUS an
+    * extra corpus-grain shuffle. The instance-level joins below stay
+    * broadcast (vocab-/bigram-vocab-sized builds), so this shape is
+    * the cheaper one until a persisted bigram table exists. */
   def bigramLmFrom(docs: DataFrame): DataFrame = {
     val base = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))

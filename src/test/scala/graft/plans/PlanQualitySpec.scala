@@ -205,8 +205,17 @@ class PlanQualitySpec extends SparkSuite {
     // reducer's ObjectHashAggregate — the rewrite must keep it out
     assert(!plan.toLowerCase.contains("percentile"),
       s"whole-group percentile buffer crept back into robust stats:\n$plan")
-    assert(plan.contains("partial_count"),
-      s"histogram compaction not map-side combined:\n$plan")
+    // r17: the (grp, dev, cnt) histogram is compacted ONCE into the
+    // devHist cut (the compaction's partial_count lives in that memo
+    // job, not in this plan) and serves BOTH the MAD median and the
+    // outlier roll-up — so the returned plan must read the checkpoint,
+    // never re-scan lineitem, and combine its roll-up map-side.
+    assert(!plan.contains("lineitem.parquet"),
+      s"robust stats re-scans lineitem past the devHist cut:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"devHist cut missing from the robust-stats plan:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"outlier roll-up not map-side combined:\n$plan")
   }
 
   test("q_ntile_decile windows the histogram, never the raw rows (r7 rewrite)") {
