@@ -1104,6 +1104,11 @@ object Dedup {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+      // NOT cut (r17 A/B): the est + exact-intersection consumers DO
+      // replan this self-join, but its input is the memoized signature
+      // table, so the replayed legs are cheap — cutting here measured
+      // 2.55/2.84 s vs 1.84/1.88 s uncut (the eager job serializes
+      // what the scheduler otherwise overlaps).
     val est = pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")

@@ -54,10 +54,17 @@ object Graph {
         .join(ranks.select(col("doc_id").as("src"), col("rank")), "src")
         .select(col("dst").as("doc_id"), expr("rank div out_deg").as("c"))
         .groupBy(col("doc_id")).agg(sum(col("c")).as("in_sum"))
-      ranks = nodes.join(contrib, Seq("doc_id"), "left")
+      // No sink re-join (r17, guide §2.3): the graph is BIDIRECTED
+      // above, so every node in `nodes` (an out-edge src) is also some
+      // edge's dst and every src carries a rank (induction from round
+      // 1's full node set) — contrib's key set IS the node set, every
+      // round. The old `nodes ⟕ contrib` guard join (one extra
+      // shuffle+sort per round) was therefore a no-op; hash-gated and
+      // row-identical (coalesce never fired — in_sum is never NULL).
+      ranks = contrib
         .select(col("doc_id"),
           (lit(15L * scale / 100L) +
-            expr("85 * coalesce(in_sum, 0L) div 100")).as("rank"))
+            expr("85 * in_sum div 100")).as("rank"))
         .transform(graft.Checkpoints.cut)
     }
     ranks.select(col("doc_id"), col("rank").as("rank_e9"))
@@ -150,15 +157,21 @@ object Graph {
       .transform(graft.Checkpoints.cut)
     var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
     for (_ <- 1 to iters) {
-      val votes = bidir
+      // ONE node-keyed aggregate per round (r17, guide §2.3): the vote
+      // count and the argmax used to be two stacked groupBys — an
+      // Exchange(doc_id, label) followed by an Exchange(doc_id), both
+      // message-frame-sized, EVERY round. `mode(label, true)` is the
+      // fused form: deterministic mode returns the LOWEST value among
+      // the most frequent, which is exactly the old
+      // (votes desc, label asc) tie-break (probed + hash-gated), and
+      // its partial ObjectHashAggregate buffers merge map-side, so the
+      // one remaining shuffle carries per-node label→count maps.
+      labels = bidir
         .join(labels.select(col("doc_id").as("src"), col("label")), "src")
         .select(col("dst").as("doc_id"), col("label"))
         .unionByName(labels) // the self-vote
-        .groupBy(col("doc_id"), col("label")).agg(count(lit(1)).as("n"))
-      // argmax by (votes desc, label asc) — min over (−n, label) structs
-      labels = votes.groupBy(col("doc_id"))
-        .agg(min(struct((-col("n")).as("neg_n"), col("label"))).as("best"))
-        .select(col("doc_id"), col("best.label").as("label"))
+        .groupBy(col("doc_id"))
+        .agg(expr("mode(label, true)").as("label"))
         .transform(graft.Checkpoints.cut)
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
