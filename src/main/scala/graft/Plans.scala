@@ -44,6 +44,24 @@ object Plans {
         System.err.println(s"[plans] $name failed: ${e.getMessage}")
       }
     }
+    // Pre-cut ROUND plans for the iterative fixpoints (r18, verdict
+    // #8): the registered queries' final plans sit past the per-round
+    // lineage cuts, so the one-exchange round shape was narrated, not
+    // committed. These dump ONE representative round each, uncut.
+    val rounds: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "graph_label_prop_round" -> ((s, d) => graft.operators.Graph.labelPropRoundFor(s, d)),
+      "graph_pagerank_round" -> ((s, d) => graft.operators.Graph.pagerankRoundFor(s, d)),
+      "dedup_cluster_round" -> ((s, d) => graft.operators.Dedup.ccRoundFor(s, d)))
+    rounds.filter { case (k, _) => only.forall(_.contains(k)) }
+      .foreach { case (name, fn) =>
+        try {
+          val txt = fn(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          Files.writeString(Paths.get(s"$outDir/${name}_$tag.txt"), txt)
+        } catch { case e: Throwable =>
+          System.err.println(s"[plans] $name failed: ${e.getMessage}")
+        }
+      }
     spark.stop()
   }
 }

@@ -520,7 +520,9 @@ object ScaleCheck {
           Dedup.invalidateCandidates(spark)
           Dedup.invalidateClusterLabels(spark)
           Dedup.invalidateMinhashSignatures(spark)
+          Dedup.invalidateShingles(spark)
           Similarity.invalidateMemos(spark)
+          Similarity.invalidateBaseMemos(spark)
           TextAnalysis.invalidateBpe(spark)
           spark.catalog.clearCache()
           val pre = if (rep == 1) Some(listener.snapshot(spark.sparkContext))

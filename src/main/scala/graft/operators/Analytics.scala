@@ -607,21 +607,24 @@ object Analytics {
   def qRobustStats(spark: SparkSession, sfDir: String): DataFrame = {
     val x = Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag").as("grp"), cents(col("l_extendedprice")).as("x_c"))
-    val med = medianOfLongs(x.select(col("grp"), col("x_c").as("v")))
-    // ONE deviation HISTOGRAM serves both the MAD median and the
-    // outlier roll-up (r17, guide §2.4): the r16 form computed this
-    // same (grp, dev, cnt) compaction inside the MAD's medianOfLongs,
-    // threw it away, and re-scanned the fact + re-joined med for the
-    // final count — one full lineitem pass and a 600k-row aggregation
-    // replaced by a reuse of the ~|distinct devs| histogram. Exact
-    // integers throughout: n = Σcnt, outliers = Σcnt over dev > 5·MAD
-    // — bit-identical to the per-row form.
-    val devHist = x.join(broadcast(med), "grp")
-      .select(col("grp"), col("median_c"),
-        abs(col("x_c") - col("median_c")).as("v"))
-      .groupBy(col("grp"), col("median_c"), col("v"))
-      .agg(count(lit(1)).as("cnt"))
+    // ONE fact scan total (r18, verdict #9; guide §2.4): the compacted
+    // (grp, x_c, cnt) VALUE histogram is cut once and everything
+    // downstream — the value median, the DEVIATION histogram (dev =
+    // |v − med| re-keyed with counts summed: the same multiset of
+    // deviations the r17 per-row rejoin produced by re-scanning
+    // lineitem a second time), the MAD median, and the outlier
+    // roll-up — is histogram-sized arithmetic over its checkpoint
+    // blocks. Exact integers throughout: n = Σcnt, outliers = Σcnt
+    // over dev > 5·MAD — bit-identical to the per-row form.
+    val xHist = x.select(col("grp"), col("x_c").as("v"))
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("cnt"))
       .transform(graft.Checkpoints.cut)
+    val med = medianOfHist(xHist)
+    val devHist = xHist.join(broadcast(med), "grp")
+      .select(col("grp"), col("median_c"),
+        abs(col("v") - col("median_c")).as("v"), col("cnt"))
+      .groupBy(col("grp"), col("median_c"), col("v"))
+      .agg(sum(col("cnt")).as("cnt"))
     val mad = medianOfHist(devHist.select(col("grp"), col("v"), col("cnt")))
       .withColumnRenamed("median_c", "mad_c")
     devHist.join(broadcast(mad), Seq("grp"))
@@ -2133,7 +2136,10 @@ object Analytics {
     // the mixed distinct/non-distinct aggregate planned as an Expand —
     // THREE copies of every fact row into the first exchange. The
     // (orderkey, suppkey)-grain pre-aggregate computes the same
-    // integers with no Expand: n_supps = count of supplier groups,
+    // integers with no Expand (n_supps = count(groups) equals the old
+    // countDistinct(l_suppkey) because l_suppkey is non-null in TPC-H
+    // lineitem — a NULL suppkey would form a group count-distinct
+    // ignores): n_supps = count of supplier groups,
     // n_late_supps = count of groups with any late line (any_late is
     // 0/1, so sum == count), late_supp = the max suppkey among late
     // groups, late_lines = the re-summed per-group late counts —

@@ -26,7 +26,8 @@ object Graph {
     * Scale: the degree-annotated edge list is built ONCE and
     * checkpointed; each round is one join (ranks ⋈ edges on src — both
     * sides pre-partitionable on the same key) + one map-side-combinable
-    * sum per dst + a left join back to keep sink nodes at base rank.
+    * sum per dst — no sink re-join: the graph is bidirected, so every
+    * node receives contributions every round (see the in-loop note).
     * O(iters) shuffle rounds over |edges| rows — the standard
     * distributed PageRank shape; lineage cut per round. */
   def pagerank(spark: SparkSession, sfDir: String, iters: Int = 6): DataFrame =
@@ -35,7 +36,6 @@ object Graph {
   /** PageRank over ANY (doc_a, doc_b) edge frame — the session memo's
     * pairs or a [[Dedup.persistedCandidates]] read-back. */
   def pagerankFrom(edges: DataFrame, iters: Int = 6): DataFrame = {
-    val scale = 1000000000L
     val bidir = edges.unionByName(
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     val deg = bidir.groupBy(col("doc_a").as("src"))
@@ -48,27 +48,54 @@ object Graph {
       .repartition(col("src"))
       .transform(graft.Checkpoints.cut)
     val nodes = deg.select(col("src").as("doc_id")).transform(graft.Checkpoints.cut)
-    var ranks = nodes.select(col("doc_id"), lit(scale).as("rank"))
+    var ranks = nodes.select(col("doc_id"), lit(prScale).as("rank"))
     for (_ <- 1 to iters) {
-      val contrib = edgesDeg
-        .join(ranks.select(col("doc_id").as("src"), col("rank")), "src")
-        .select(col("dst").as("doc_id"), expr("rank div out_deg").as("c"))
-        .groupBy(col("doc_id")).agg(sum(col("c")).as("in_sum"))
-      // No sink re-join (r17, guide §2.3): the graph is BIDIRECTED
-      // above, so every node in `nodes` (an out-edge src) is also some
-      // edge's dst and every src carries a rank (induction from round
-      // 1's full node set) — contrib's key set IS the node set, every
-      // round. The old `nodes ⟕ contrib` guard join (one extra
-      // shuffle+sort per round) was therefore a no-op; hash-gated and
-      // row-identical (coalesce never fired — in_sum is never NULL).
-      ranks = contrib
-        .select(col("doc_id"),
-          (lit(15L * scale / 100L) +
-            expr("85 * in_sum div 100")).as("rank"))
-        .transform(graft.Checkpoints.cut)
+      ranks = pagerankRound(edgesDeg, ranks).transform(graft.Checkpoints.cut)
     }
     ranks.select(col("doc_id"), col("rank").as("rank_e9"))
       .orderBy(col("doc_id"))
+  }
+
+  private val prScale = 1000000000L
+
+  /** ONE pagerank round, pre-cut — the body the loop checkpoints.
+    * Extracted (r18, verdict #8) so [[graft.Plans]] can dump the
+    * per-round plan that the lineage cuts otherwise hide: one join
+    * against the pre-partitioned edge frame + one map-side-combinable
+    * sum. No sink re-join (r17, guide §2.3): the graph is BIDIRECTED,
+    * so every node in `nodes` (an out-edge src) is also some edge's
+    * dst and every src carries a rank (induction from round 1's full
+    * node set) — contrib's key set IS the node set, every round. The
+    * old `nodes ⟕ contrib` guard join (one extra shuffle+sort per
+    * round) was therefore a no-op; hash-gated and row-identical
+    * (coalesce never fired — in_sum is never NULL). */
+  private[graft] def pagerankRound(edgesDeg: DataFrame,
+      ranks: DataFrame): DataFrame =
+    edgesDeg
+      .join(ranks.select(col("doc_id").as("src"), col("rank")), "src")
+      .select(col("dst").as("doc_id"), expr("rank div out_deg").as("c"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("in_sum"))
+      .select(col("doc_id"),
+        (lit(15L * prScale / 100L) +
+          expr("85 * in_sum div 100")).as("rank"))
+
+  /** The representative pre-cut pagerank round over the real corpus
+    * edges — what `plans/r18/graph_pagerank_round.txt` dumps and
+    * PlanQualitySpec pins (round shape: ≤1 rank-side exchange into the
+    * join + 1 partial_sum aggregate exchange, zero Expand/Window). */
+  private[graft] def pagerankRoundFor(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val edges = Dedup.candidatePairs(spark, sfDir)
+    val bidir = edges.unionByName(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val deg = bidir.groupBy(col("doc_a").as("src"))
+      .agg(count(lit(1)).as("out_deg"))
+    val edgesDeg = bidir.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .join(deg, "src")
+      .repartition(col("src"))
+      .transform(graft.Checkpoints.cut)
+    val nodes = deg.select(col("src").as("doc_id")).transform(graft.Checkpoints.cut)
+    pagerankRound(edgesDeg, nodes.select(col("doc_id"), lit(prScale).as("rank")))
   }
 
   /** §2#133 k-core decomposition by iterative peeling: repeatedly drop
@@ -157,27 +184,50 @@ object Graph {
       .transform(graft.Checkpoints.cut)
     var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
     for (_ <- 1 to iters) {
-      // ONE node-keyed aggregate per round (r17, guide §2.3): the vote
-      // count and the argmax used to be two stacked groupBys — an
-      // Exchange(doc_id, label) followed by an Exchange(doc_id), both
-      // message-frame-sized, EVERY round. `mode(label, true)` is the
-      // fused form: deterministic mode returns the LOWEST value among
-      // the most frequent, which is exactly the old
-      // (votes desc, label asc) tie-break (probed + hash-gated), and
-      // its partial ObjectHashAggregate buffers merge map-side, so the
-      // one remaining shuffle carries per-node label→count maps.
-      labels = bidir
-        .join(labels.select(col("doc_id").as("src"), col("label")), "src")
-        .select(col("dst").as("doc_id"), col("label"))
-        .unionByName(labels) // the self-vote
-        .groupBy(col("doc_id"))
-        .agg(expr("mode(label, true)").as("label"))
-        .transform(graft.Checkpoints.cut)
+      labels = labelPropRound(bidir, labels).transform(graft.Checkpoints.cut)
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
     labels.join(sizes, "label")
       .select(col("doc_id"), col("label").as("community"), col("community_size"))
       .orderBy(col("doc_id"))
+  }
+
+  /** ONE label-propagation round, pre-cut — the body the loop
+    * checkpoints, extracted (r18, verdict #8) so [[graft.Plans]] can
+    * dump the per-round plan that the lineage cuts otherwise hide.
+    * ONE node-keyed aggregate per round (r17, guide §2.3): the vote
+    * count and the argmax used to be two stacked groupBys — an
+    * Exchange(doc_id, label) followed by an Exchange(doc_id), both
+    * message-frame-sized, EVERY round. `mode(label, true)` is the
+    * fused form: deterministic mode returns the LOWEST value among
+    * the most frequent, which is exactly the old
+    * (votes desc, label asc) tie-break (probed + hash-gated), and
+    * its partial ObjectHashAggregate buffers merge map-side, so the
+    * one remaining shuffle carries per-node label→count maps. */
+  private[graft] def labelPropRound(bidir: DataFrame,
+      labels: DataFrame): DataFrame =
+    bidir
+      .join(labels.select(col("doc_id").as("src"), col("label")), "src")
+      .select(col("dst").as("doc_id"), col("label"))
+      .unionByName(labels) // the self-vote
+      .groupBy(col("doc_id"))
+      .agg(expr("mode(label, true)").as("label"))
+
+  /** The representative pre-cut label-prop round over the real corpus
+    * edges — what `plans/r18/graph_label_prop_round.txt` dumps and
+    * PlanQualitySpec pins (round shape: ONE ObjectHashAggregate pair
+    * with a partial mode, no second node-keyed exchange). */
+  private[graft] def labelPropRoundFor(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val edges = Dedup.candidatePairs(spark, sfDir)
+    val bidir = edges.unionByName(
+        edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .repartition(col("src"))
+      .transform(graft.Checkpoints.cut)
+    val nodes = bidir.select(col("src").as("doc_id")).distinct()
+      .transform(graft.Checkpoints.cut)
+    labelPropRound(bidir, nodes.select(col("doc_id"), col("doc_id").as("label")))
   }
 
   /** §2#122 triangle counting over the near-dup candidate graph, with

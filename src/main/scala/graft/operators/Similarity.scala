@@ -107,13 +107,63 @@ object Similarity {
       scala.collection.mutable.Map[(String, Int, Int, Int, Int, Boolean),
         java.lang.ref.SoftReference[IvfPqIndex]]]()
 
-  /** Drop this session's memoized truth/index frames (ScaleCheck: each
-    * timed repetition must pay the full build, not read checkpoint
-    * blocks). */
+  /** Drop this session's memoized truth/index frames (Bench's
+    * ann_truth_build / ann_ivfpq_build loops: each timed repetition
+    * must pay the full build, not read checkpoint blocks). */
   def invalidateMemos(spark: SparkSession): Unit = {
     truthMemo.synchronized { truthMemo.remove(spark); () }
     indexMemo.synchronized { indexMemo.remove(spark); () }
   }
+
+  /** The two shared base frames of the ANN family, MEMOIZED PER
+    * (session, sfDir) — the r17 CC-label/signature discipline applied
+    * to the corpus scans (r18, verdict #4): [[corpusCut]] is the
+    * (vec_id, label, emb, nrm) frame four queries materialized
+    * per-call (ivf_topk, ivf_kmeans, cell_health, cell_split);
+    * [[unitCut]] is the L2-normalized (vec_id, emb) frame three more
+    * built per-call (pq_adc, sq_topk, the IVF-PQ index build). The
+    * recall report's rungs ride the same frames, so one report no
+    * longer pays three corpus materializations. Values are identical
+    * by construction (same plan, cut once instead of per call); Bench
+    * times the builds as "ann_base_build" with per-rep invalidation,
+    * and ScaleCheck invalidates per repetition — no cross-run
+    * persistence, nothing keyed on testdata paths. */
+  private[graft] def corpusCut(spark: SparkSession, sfDir: String): DataFrame =
+    baseMemoized(spark, (sfDir, "corpus"))(corpus(spark, sfDir).cut)
+
+  private[graft] def unitCut(spark: SparkSession, sfDir: String): DataFrame =
+    baseMemoized(spark, (sfDir, "unit"))(
+      corpus(spark, sfDir).drop("label")
+        .select(col("vec_id"),
+          transform(col("emb"), x => x / col("nrm")).as("emb"))
+        .cut)
+
+  private val baseMemo =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[(String, String),
+        java.lang.ref.SoftReference[DataFrame]]]()
+
+  private def baseMemoized(spark: SparkSession, key: (String, String))(
+      mk: => DataFrame): DataFrame = baseMemo.synchronized {
+    var per = baseMemo.get(spark)
+    if (per == null) {
+      per = scala.collection.mutable.Map.empty
+      baseMemo.put(spark, per)
+    }
+    per.get(key).flatMap(r => Option(r.get())) match {
+      case Some(v) => v
+      case None =>
+        val v = mk
+        per.put(key, new java.lang.ref.SoftReference(v))
+        v
+    }
+  }
+
+  /** Drop this session's memoized base frames (Bench's ann_base_build
+    * entry and ScaleCheck: each timed repetition pays the full scan +
+    * materialization). */
+  def invalidateBaseMemos(spark: SparkSession): Unit =
+    baseMemo.synchronized { baseMemo.remove(spark); () }
 
   /** The raw (un-memoized, un-checkpointed) plan — exposed so
     * plan-shape specs can assert the broadcast join that the memo's
@@ -258,8 +308,9 @@ object Similarity {
     * check; the spec asserts structural invariants + recall vs brute
     * force. */
   def ivfTopk(spark: SparkSession, sfDir: String, k: Int = 5, nProbe: Int = 3): DataFrame = {
-    // base feeds centroids, assignment AND probing — materialize once
-    val base = corpus(spark, sfDir).cut
+    // base feeds centroids, assignment AND probing — materialized once
+    // per session via the shared memo (r18; was a per-call cut)
+    val base = corpusCut(spark, sfDir)
     val centroids = base
       .select(col("label"), posexplode(col("emb")).as(Seq("dim", "x")))
       .groupBy(col("label"), col("dim")).agg(avg(col("x")).as("m"))
@@ -320,7 +371,7 @@ object Similarity {
     * exceeds |cells| rows. */
   def cellHealth(spark: SparkSession, sfDir: String,
       driftE6: Long = 500000L): DataFrame = {
-    val base = corpus(spark, sfDir).cut
+    val base = corpusCut(spark, sfDir)
     cellHealthOn(base, labelCentroids(base), driftE6)
   }
 
@@ -400,7 +451,7 @@ object Similarity {
     * same population. */
   def cellSplit(spark: SparkSession, sfDir: String,
       iters: Int = 2): DataFrame = {
-    val base = corpus(spark, sfDir).cut
+    val base = corpusCut(spark, sfDir)
     cellSplitOn(base, labelCentroids(base), iters)
   }
 
@@ -503,7 +554,7 @@ object Similarity {
     * cell once, per-query work ∝ nProbe/nCells of the corpus. */
   def ivfKmeansTopk(spark: SparkSession, sfDir: String, k: Int = 5,
       nCells: Int = 8, nProbe: Int = 3, iters: Int = 2): DataFrame = {
-    val base = corpus(spark, sfDir).cut
+    val base = corpusCut(spark, sfDir)
     val cents = kmeansCentroids(base, nCells, iters)
     // per-row assignment off the broadcast centroid array — the
     // corpus-wide argmax groupBy (one full shuffle) removed (r17,
@@ -562,11 +613,15 @@ object Similarity {
     * the codebooks were trained on residuals). */
   private def subvectors(base: DataFrame, m: Int): DataFrame = {
     val subDim = 64 / m
+    // an optional `cell` column rides along untouched: the IVF-PQ build
+    // tags vectors with their coarse cell BEFORE slicing, so the
+    // inverted index needs no corpus-grain join-back (r18, guide §2.4)
+    val extra = if (base.columns.contains("cell")) Seq(col("cell")) else Nil
     base
-      .select(col("vec_id"),
-        explode(sequence(lit(0L), lit(m - 1L))).as("s"), col("emb"))
-      .select(col("vec_id"), col("s"),
-        expr(s"slice(emb, CAST(s * $subDim + 1 AS INT), $subDim)").as("sv"))
+      .select(Seq(col("vec_id")) ++ extra ++ Seq(
+        explode(sequence(lit(0L), lit(m - 1L))).as("s"), col("emb")): _*)
+      .select(Seq(col("vec_id")) ++ extra ++ Seq(col("s"),
+        expr(s"slice(emb, CAST(s * $subDim + 1 AS INT), $subDim)").as("sv")): _*)
   }
 
   /** One codebook table (s, code, c_sv, c_sq) folded to m rows, each
@@ -634,9 +689,12 @@ object Similarity {
     }
     // encode: m codes per corpus vector, computed in-row against the
     // broadcast codebook arrays — the encode groupBy shuffle of
-    // corpus×m rows is gone (the only thing the scan reads)
+    // corpus×m rows is gone (the only thing the scan reads); a `cell`
+    // passthrough column (IVF-PQ) stays on the row
+    val codeExtra = if (subs.columns.contains("cell")) Seq(col("cell")) else Nil
     val codes = subs.join(broadcast(cbAsArray(cb)), Seq("s"))
-      .select(col("vec_id"), col("s"), bestCode.as("code"))
+      .select(Seq(col("vec_id")) ++ codeExtra ++
+        Seq(col("s"), bestCode.as("code")): _*)
     (subs, cb, codes)
   }
 
@@ -674,10 +732,7 @@ object Similarity {
     // L2-normalize BEFORE encoding: on unit vectors the ADC inner
     // product approximates cosine directly — no reconstructed-norm
     // division, whose quantization error would otherwise distort ranks
-    val base = corpus(spark, sfDir).drop("label")
-      .select(col("vec_id"),
-        transform(col("emb"), x => x / col("nrm")).as("emb"))
-      .cut
+    val base = unitCut(spark, sfDir)
     val (subs, cb, codes) = pqStages(base, m, codesPerSub, iters)
     // ADC table: every (query, s, code) → partial dot (m × 16 entries
     // per query — the whole "distance computation" a scan needs)
@@ -772,11 +827,9 @@ object Similarity {
       nCells: Int, m: Int, codesPerSub: Int, iters: Int,
       residual: Boolean): IvfPqIndex = {
     graft.functions.Registry.ensure(spark)
-    val base = corpus(spark, sfDir).drop("label")
-      .select(col("vec_id"),
-        transform(col("emb"), x => x / col("nrm")).as("emb"))
-      .withColumn("nrm", lit(1.0)) // unit vectors for the coarse stage
-      .cut
+    // unit vectors for the coarse stage — the shared memoized frame
+    // plus a literal norm column (a projection over its blocks)
+    val base = unitCut(spark, sfDir).withColumn("nrm", lit(1.0))
     val cents = kmeansCentroids(base, nCells, iters)
     // coarse assignment per row off the broadcast centroid array: the
     // winning struct carries the centroid, so the residual x − c(x) is
@@ -788,17 +841,21 @@ object Similarity {
         bestCellStruct(col("emb"), col("nrm")).as("best"))
       .select(col("vec_id"), col("emb"), col("best.cell").as("cell"),
         col("best.c_emb").as("c_emb"))
-    val cellOf = assignedAll.select(col("vec_id"), col("cell"))
     val unit = base.select(col("vec_id"), col("emb"))
-    // what PQ sees: residuals (x − c) or the raw unit vectors
+    // what PQ sees: residuals (x − c) or the raw unit vectors. The
+    // coarse cell rides the row INTO the PQ stages (subvectors →
+    // codes carry it through), so the inverted index is `codes` as-is:
+    // the old codes ⋈ cellOf join — a corpus-grain vec_id shuffle of
+    // corpus×m code rows PLUS a full re-run of the lazy assignment
+    // scan to produce the cellOf side — is gone (r18, guide §2.4).
+    // Values are unchanged: cell comes from the same assignedAll row,
+    // codes from the same bestCode argmin over the same inputs.
     val encInput = if (residual)
-      assignedAll.select(col("vec_id"),
+      assignedAll.select(col("vec_id"), col("cell"),
         zip_with(col("emb"), col("c_emb"), (x, c) => x - c).as("emb"))
-    else unit
+    else assignedAll.select(col("vec_id"), col("cell"), col("emb"))
     val (_, cb, codes) = pqStages(encInput, m, codesPerSub, iters)
-    // the inverted index: codes annotated with their cell, built once
-    // (the one vec_id-keyed shuffle of the build, as documented above)
-    IvfPqIndex(cents, codes.join(cellOf, "vec_id"), cb, unit, m, residual)
+    IvfPqIndex(cents, codes, cb, unit, m, residual)
   }
 
   /** QUERY against an IVF-PQ index (inline-built or read back from
@@ -938,7 +995,12 @@ object Similarity {
     // checkpoint tail back-fills the others' idle cores. Each frame is
     // deterministic and shares no mutable state, so the report is
     // scheduling-independent (r17; was: four sequential build chains).
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    // Pool CLAMPED to the scheduler's core budget (r18, verdict #7):
+    // 4 concurrent build chains oversubscribe an 8-core machine;
+    // cores/4 keeps 32-core behavior identical (4 threads) while
+    // small machines overlap only 2.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, math.max(1, spark.sparkContext.defaultParallelism / 4)))
     val rungs =
       try {
         val futs = Seq(
@@ -993,9 +1055,7 @@ object Similarity {
       shortlistFactor: Int = 4): DataFrame = {
     graft.functions.Registry.ensure(spark)
     // L2-normalize first, like PQ: on unit vectors dot = cosine
-    val base = corpus(spark, sfDir).drop("label")
-      .select(col("vec_id"), transform(col("emb"), x => x / col("nrm")).as("emb"))
-      .cut
+    val base = unitCut(spark, sfDir)
     val stats = base.select(posexplode(col("emb")).as(Seq("d", "x")))
       .groupBy(col("d")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
       .agg(array_sort(collect_list(struct(col("d"), col("lo"), col("hi")))).as("s"))
