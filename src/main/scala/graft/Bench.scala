@@ -167,7 +167,11 @@ object Bench {
     // were each materialized per call; one session build serves all.
     val annBaseFamily = Set("ann_ivf_topk", "ann_ivf_kmeans",
       "ann_cell_health", "ann_cell_split", "ann_pq_adc", "ann_sq_topk",
-      "ann_ivf_pq", "ann_recall_report")
+      "ann_ivf_pq", "ann_recall_report", "ann_lsh_topk",
+      "ann_bruteforce_topk", "ann_range_search", "ann_filtered_topk",
+      "ann_mmr_topk", "knn_label_vote", "ann_centroid_classify",
+      "dedup_embedding", "dedup_embedding_lsh", "dedup_semantic",
+      "dedup_cluster_embed")
     val annBaseEntry =
       if (selected.keySet.exists(annBaseFamily)) {
         val times = (1 to 3).map { _ =>

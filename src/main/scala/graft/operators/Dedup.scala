@@ -972,12 +972,12 @@ object Dedup {
     graft.functions.Registry.ensure(spark)
     val sizes = clusterLabels(spark, sfDir)
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
-    val reps = Tables.embeddingsPar(spark, sfDir)
-      .select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("emb"))
+    // session memoized base (r18): was a raw scan+cast, with nrm
+    // recomputed on the rep rows — the memo's nrm is the same norm2
+    val reps = Similarity.corpusCut(spark, sfDir)
       .join(sizes, col("vec_id") === col("cluster_id"))
-      .select(col("cluster_id"), col("n_docs"), col("label"), col("emb"))
-      .withColumn("nrm", norm2(col("emb")))
+      .select(col("cluster_id"), col("n_docs"), col("label"), col("emb"),
+        col("nrm"))
       .cut
     reps.as("x").join(reps.as("y"),
         col("x.label") === col("y.label")
@@ -1379,13 +1379,16 @@ object Dedup {
     * embeddingNearDupLsh below. */
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.Registry.ensure(spark)
-    val base = Tables.embeddingsPar(spark, sfDir)
-      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
+    // the session's memoized (vec_id, label, emb, nrm) base (r18):
+    // both self-join sides re-ran the raw scan+cast+norm per call.
+    // Plants copy their source row verbatim, so the memo's nrm (the
+    // same norm2 hoist, same FP ops as the oracle's
+    // dot/(sqrt(aa)*sqrt(bb))) carries over bit-identically.
+    val base = Similarity.corpusCut(spark, sfDir)
     val plants = base.where(col("vec_id") < 100)
-      .select((col("vec_id") + 1000000L).as("vec_id"), col("label"), col("emb"))
-    // per-vector norm computed once, not per pair (same FP ops as the
-    // oracle's dot/(sqrt(aa)*sqrt(bb)) — just hoisted)
-    val corpus = base.unionByName(plants).withColumn("nrm", norm2(col("emb")))
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+        col("emb"), col("nrm"))
+    val corpus = base.unionByName(plants)
     corpus.as("x").join(corpus.as("y"),
         col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
@@ -1427,14 +1430,19 @@ object Dedup {
   def semantic(spark: SparkSession, sfDir: String, nCells: Int = 8,
       iters: Int = 2, thresholdE6: Long = 950000L): DataFrame = {
     graft.functions.Registry.ensure(spark)
-    val base = Tables.embeddingsPar(spark, sfDir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    // the session's memoized base projected to (vec_id, emb, nrm)
+    // (r18): the plant copies reuse their source rows' nrm verbatim,
+    // and the per-call cut of the planted corpus is dropped — its
+    // consumers (seeding, two Lloyd's scans, assignment) now read the
+    // memo's checkpoint blocks through a cheap union instead of
+    // re-materializing scan+cast+norm per call
+    val base = Similarity.corpusCut(spark, sfDir)
+      .select(col("vec_id"), col("emb"), col("nrm"))
     // same plant convention as embeddingNearDup: exact copies of
     // vec_id<100 give the operator real semantic dups to find
     val plants = base.where(col("vec_id") < 100)
-      .select((col("vec_id") + 1000000L).as("vec_id"), col("emb"))
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("emb"), col("nrm"))
     val corpus = base.unionByName(plants)
-      .withColumn("nrm", norm2(col("emb"))).cut
     val cents = Similarity.kmeansCentroids(corpus, nCells, iters)
     // hard-assign each vector to its best cell IN-ROW against the
     // broadcast centroid array (cc = cos to OWN centroid) — the
@@ -1473,12 +1481,13 @@ object Dedup {
     * in-bucket pair join — never corpus×corpus. */
   def embeddingNearDupLsh(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.Registry.ensure(spark)
-    val base = Tables.embeddingsPar(spark, sfDir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    // session memoized base (r18), plants reuse their source nrm —
+    // same derivation as embeddingNearDup above
+    val base = Similarity.corpusCut(spark, sfDir)
+      .select(col("vec_id"), col("emb"), col("nrm"))
     val plants = base.where(col("vec_id") < 100)
-      .select((col("vec_id") + 1000000L).as("vec_id"), col("emb"))
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("emb"), col("nrm"))
     val corpus = base.unionByName(plants)
-      .withColumn("nrm", norm2(col("emb")))
       .withColumn("bucket", hyperplaneBucket(col("emb"), 12, 64))
     corpus.as("x").join(corpus.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))

@@ -170,10 +170,13 @@ object Similarity {
     * checkpoint scan would otherwise hide. */
   private[graft] def computeBruteforceTopk(spark: SparkSession, sfDir: String,
       k: Int = 5): DataFrame = {
-    val q = corpus(spark, sfDir).where(col("vec_id") < 10)
+    // both legs read the session's memoized base blocks (r18): the
+    // truth build paid the corpus scan+cast+norm twice per build
+    val base = corpusCut(spark, sfDir)
+    val q = base.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"))
-    val sims = corpus(spark, sfDir).join(broadcast(q),
+    val sims = base.join(broadcast(q),
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosPre(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("cos_e6"))
@@ -202,10 +205,12 @@ object Similarity {
     * join, not an ORDER BY. */
   def rangeSearch(spark: SparkSession, sfDir: String,
       thresholdE6: Long = 200000L): DataFrame = {
-    val q = corpus(spark, sfDir).where(col("vec_id") < 10)
+    // shared memoized base (r18): was two raw corpus scans per call
+    val base = corpusCut(spark, sfDir)
+    val q = base.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"))
-    corpus(spark, sfDir).join(broadcast(q),
+    base.join(broadcast(q),
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosPre(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("cos_e6"))
@@ -231,7 +236,10 @@ object Similarity {
     * corpus (spec floor ≥70%); real clustered embeddings sit higher. */
   def lshTopk(spark: SparkSession, sfDir: String, k: Int = 5,
       nTables: Int = 16, nBits: Int = 6, nProbes: Int = 2): DataFrame = {
-    val base = corpus(spark, sfDir)
+    // shared memoized base (r18): the four legs below (bucketing,
+    // query fan-out, re-rank join, query vectors) each re-ran the raw
+    // corpus scan+cast+norm — two of them full-corpus
+    val base = corpusCut(spark, sfDir)
     val buckets = array((0 until nTables).map(t =>
       hyperplaneBucketSeeded(col("emb"), nBits, 64, t.toLong)): _*)
     val bucketed = base
@@ -272,9 +280,10 @@ object Similarity {
     * centroid by cosine. Centroids are tiny → broadcast. */
   def centroidClassify(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.Registry.ensure(spark)
-    val base = Tables.embeddingsPar(spark, sfDir)
-      .select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("emb"))
+    // shared memoized base (r18): centroid training and the query leg
+    // each re-ran the raw scan+cast; the memo's nrm column IS
+    // norm2(emb), the exact expression the query leg computed inline
+    val base = corpusCut(spark, sfDir)
     val centroids = base
       .select(col("label"), posexplode(col("emb")).as(Seq("dim", "x")))
       .groupBy(col("label"), col("dim")).agg(avg(col("x")).as("m"))
@@ -284,7 +293,6 @@ object Similarity {
         transform(col("parts"), p => p.getField("m")).as("c_emb"))
       .withColumn("c_nrm", norm2(col("c_emb")))
     val q = base.where(col("vec_id") < 50)
-      .withColumn("nrm", norm2(col("emb")))
     val scored = q.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("label").as("actual_label"), col("c_label"),
         cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")).as("cos_e6"))
@@ -532,17 +540,25 @@ object Similarity {
       .withColumn("cell", row_number().over(seedW).cast("long") - 1L)
       .select(col("cell"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
     if (iters == 0) return cents.transform(graft.Checkpoints.cut)
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val assigned = base.crossJoin(broadcast(centsAsArray(cents)))
         .select(col("emb"),
           bestCellStruct(col("emb"), col("nrm")).getField("cell").as("cell"))
-      cents = assigned
+      val next = assigned
         .groupBy(col("cell"))
         .agg(vecSum(col("emb")).as("vs"), count(lit(1)).as("n"))
         .select(col("cell"),
           transform(col("vs"), x => x / col("n")).as("c_emb"))
         .withColumn("c_nrm", norm2(col("c_emb")))
-        .transform(graft.Checkpoints.cut)
+      // Cut ONLY the final iteration (r18, verdict #2): an
+      // intermediate iteration is single-consumer (the next round's
+      // broadcast), so its eager checkpoint job bought nothing — the
+      // nested round now runs as a broadcast subtree inside the final
+      // cut's job, same corpus scans, one fewer scheduler round-trip
+      // per dropped iteration. `base` stays checkpointed, so the plan
+      // nests ≤ iters broadcast joins over block scans, never the raw
+      // source. Consumers are rows-kind (float centroids) throughout.
+      cents = if (it == iters) next.transform(graft.Checkpoints.cut) else next
     }
     cents
   }
@@ -676,16 +692,21 @@ object Similarity {
     // (s, code) — an iteration moves no corpus-sized shuffle (r17,
     // guide §2.3/§2.4; was: groupBy(vec_id, s) min_by over corpus×m
     // rows + 8× posexplode/avg + reassembly — three aggregations)
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val assigned = train.join(broadcast(cbAsArray(cb)), Seq("s"))
         .select(col("s"), bestCode.as("code"), col("sv"))
-      cb = assigned
+      val next = assigned
         .groupBy(col("s"), col("code"))
         .agg(vecSum(col("sv")).as("vs"), count(lit(1)).as("n"))
         .select(col("s"), col("code"),
           transform(col("vs"), x => x / col("n")).as("c_sv"))
         .withColumn("c_sq", dot(col("c_sv"), col("c_sv")))
-        .transform(graft.Checkpoints.cut)
+      // Cut ONLY the final iteration (r18, verdict #2) — same
+      // reasoning as kmeansCentroids: intermediate codebooks are
+      // single-consumer broadcast inputs; `subs` (the scan they fold
+      // over) is already checkpointed, so dropping the eager
+      // intermediate job keeps the same number of block scans.
+      cb = if (it == iters) next.transform(graft.Checkpoints.cut) else next
     }
     // encode: m codes per corpus vector, computed in-row against the
     // broadcast codebook arrays — the encode groupBy shuffle of
@@ -1104,10 +1125,12 @@ object Similarity {
   /** §2#31 k-NN label vote: predict each query vector's label from its
     * 10 exact nearest neighbors' majority label. */
   def knnLabelVote(spark: SparkSession, sfDir: String): DataFrame = {
-    val q = corpus(spark, sfDir).where(col("vec_id") < 50)
+    // shared memoized base (r18): was two raw corpus scans per call
+    val base = corpusCut(spark, sfDir)
+    val q = base.where(col("vec_id") < 50)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"), col("label").as("actual_label"))
-    val sims = corpus(spark, sfDir).join(broadcast(q),
+    val sims = base.join(broadcast(q),
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("actual_label"), col("label"),
         cosPre(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("cos_e6"))
@@ -1143,10 +1166,12 @@ object Similarity {
     * scan IS the right plan, and at 100 TB the same query routes to
     * the label's IVF cells instead. */
   def filteredTopk(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
-    val q = corpus(spark, sfDir).where(col("vec_id") < 10)
+    // shared memoized base (r18): was two raw corpus scans per call
+    val base = corpusCut(spark, sfDir)
+    val q = base.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("label").as("q_label"),
         col("emb").as("q_emb"), col("nrm").as("q_nrm"))
-    val sims = corpus(spark, sfDir).join(broadcast(q),
+    val sims = base.join(broadcast(q),
         col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("label").cast("long").as("label"),
@@ -1174,7 +1199,9 @@ object Similarity {
     * selection order is exactly reproducible cross-partitioning. */
   def mmrTopk(spark: SparkSession, sfDir: String, k: Int = 5,
       nCand: Int = 20, lambdaPm: Long = 700L): DataFrame = {
-    val c = corpus(spark, sfDir)
+    // shared memoized base (r18): `c` feeds the query side, the scored
+    // scan AND the candidate join-back — three raw corpus re-scans
+    val c = corpusCut(spark, sfDir)
     val q = c.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"))
